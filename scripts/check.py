@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness compare.
+
+Loads each Verify output parquet, runs the matching oracle SQL in
+DuckDB over the same sf tables, and diffs (sorted rows, sorted column
+names) the way the driver's hash compare would.
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    fails = 0
+    result_dirs = sorted(
+        d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
+    names = [os.path.basename(d) for d in result_dirs]
+    for name in names:
+        got_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not got_files:
+            print(f"FAIL {name}: no parquet written")
+            fails += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in got_files])
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle ({len(got)} rows)")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            fails += 1
+            continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
+            fails += 1
+        elif len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            fails += 1
+        else:
+            try:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                              check_exact=True)
+                print(f"PASS {name} ({len(g)} rows)")
+            except AssertionError as ex:
+                print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}")
+                fails += 1
+    missing = [n for n in oracle if n not in names]
+    for n in missing:
+        print(f"FAIL {n}: oracle present but no result")
+        fails += 1
+    print(f"{'=' * 40}\n{len(names) - fails}/{len(names)} pass")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
