@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{GraphQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,8 +27,30 @@ object SparkEntry {
       Relational.revenueByNation(
         Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d),
         Tables.region(s, d), regionName = "ASIA")),
-    "q_window" -> ((s, d) => Relational.supplierRunningShipments(Tables.lineitem(s, d)))
+    "q_window" -> ((s, d) => Relational.supplierRunningShipments(Tables.lineitem(s, d))),
+    // Graph query surface (SURVEY.md §2 B*, A5, C*)
+    "callgraph_bfs" -> ((s, d) => GraphQueries.callgraphBfs(s, d)),
+    "call_paths_down" -> ((s, d) => GraphQueries.callPathsDown(s, d)),
+    "call_chain_up" -> ((s, d) => GraphQueries.callChainUp(s, d)),
+    "call_sequences" -> ((s, d) => GraphQueries.callSequences(s, d)),
+    "caller_sequences" -> ((s, d) => GraphQueries.callerSequences(s, d)),
+    "recursion_detect" -> ((s, d) => GraphQueries.recursionDetect(s, d)),
+    "call_freq" -> ((s, d) => GraphQueries.callFrequencies(s, d)),
+    "xrefs" -> ((s, d) => GraphQueries.xrefs(s, d)),
+    "fn_search" -> ((s, d) => GraphQueries.fnSearch(s, d)),
+    "binary_info" -> ((s, d) => GraphQueries.binaryInfo(s, d)),
+    "graph_stats" -> ((s, d) => GraphQueries.graphStats(s, d)),
+    "graph_degrees" -> ((s, d) => GraphQueries.graphDegrees(s, d)),
+    "graph_components" -> ((s, d) => GraphQueries.graphComponents(s, d)),
+    "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
+
+  /** Shared oracle CTE: the derived CALLS edge table (SURVEY.md §4). */
+  private val E =
+    """e AS (
+      |  SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst,
+      |         CAST(MIN(l_linenumber) AS BIGINT) AS call_offset
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -83,6 +105,146 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |) t
         |WHERE rn <= 5
-        |ORDER BY l_suppkey, rn""".stripMargin
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "callgraph_bfs" ->
+      s"""WITH RECURSIVE $E,
+        |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),
+        |down AS (
+        |  SELECT node, 0 AS depth FROM s
+        |  UNION ALL
+        |  SELECT e.dst, down.depth + 1 FROM down JOIN e ON e.src = down.node
+        |  WHERE down.depth < 3),
+        |up AS (
+        |  SELECT node, 0 AS depth FROM s
+        |  UNION ALL
+        |  SELECT e.src, up.depth + 1 FROM up JOIN e ON e.dst = up.node
+        |  WHERE up.depth < 3),
+        |dmin AS (SELECT node, MIN(depth) AS depth FROM down GROUP BY node),
+        |umin AS (SELECT node, MIN(depth) AS depth FROM up GROUP BY node)
+        |SELECT 'down' AS direction, node, depth FROM dmin WHERE depth > 0
+        |UNION ALL
+        |SELECT 'up' AS direction, node, depth FROM umin WHERE depth > 0
+        |ORDER BY direction, node""".stripMargin,
+    "call_paths_down" ->
+      s"""WITH RECURSIVE $E,
+        |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),
+        |w AS (
+        |  SELECT node AS start, node AS last, CAST(node AS VARCHAR) AS path,
+        |         '' AS offsets, 0 AS depth
+        |  FROM s
+        |  UNION ALL
+        |  SELECT w.start, e.dst, w.path || '->' || CAST(e.dst AS VARCHAR),
+        |         CASE WHEN w.offsets = '' THEN CAST(e.call_offset AS VARCHAR)
+        |              ELSE w.offsets || ',' || CAST(e.call_offset AS VARCHAR) END,
+        |         w.depth + 1
+        |  FROM w JOIN e ON e.src = w.last WHERE w.depth < 3)
+        |SELECT start, path, offsets, depth FROM w WHERE depth > 0
+        |ORDER BY start, depth, path""".stripMargin,
+    "call_chain_up" ->
+      s"""WITH RECURSIVE $E,
+        |s AS (SELECT DISTINCT dst AS node FROM e WHERE dst % 1000 = 3),
+        |w AS (
+        |  SELECT node AS start, node AS last, CAST(node AS VARCHAR) AS path,
+        |         '' AS offsets, 0 AS depth
+        |  FROM s
+        |  UNION ALL
+        |  SELECT w.start, e.src, w.path || '->' || CAST(e.src AS VARCHAR),
+        |         CASE WHEN w.offsets = '' THEN CAST(e.call_offset AS VARCHAR)
+        |              ELSE w.offsets || ',' || CAST(e.call_offset AS VARCHAR) END,
+        |         w.depth + 1
+        |  FROM w JOIN e ON e.dst = w.last WHERE w.depth < 3)
+        |SELECT start, path, offsets, depth FROM w WHERE depth > 0
+        |ORDER BY start, depth, path""".stripMargin,
+    "call_sequences" ->
+      s"""WITH $E,
+        |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7)
+        |SELECT src AS caller, dst AS callee, call_offset,
+        |       CAST(row_number() OVER (PARTITION BY src ORDER BY call_offset, dst) AS INTEGER) AS ord
+        |FROM e JOIN s ON e.src = s.node
+        |ORDER BY caller, ord""".stripMargin,
+    "caller_sequences" ->
+      s"""WITH $E,
+        |s AS (SELECT DISTINCT dst AS node FROM e WHERE dst % 1000 = 3)
+        |SELECT dst AS callee, src AS caller, call_offset,
+        |       CAST(row_number() OVER (PARTITION BY dst ORDER BY call_offset, src) AS INTEGER) AS ord
+        |FROM e JOIN s ON e.dst = s.node
+        |ORDER BY callee, ord""".stripMargin,
+    "recursion_detect" ->
+      s"""WITH RECURSIVE $E,
+        |rs AS (SELECT DISTINCT src AS node FROM e WHERE src % 500 = 7),
+        |w AS (
+        |  SELECT node AS start, node AS last, 0 AS depth FROM rs
+        |  UNION ALL
+        |  SELECT w.start, e.dst, w.depth + 1 FROM w JOIN e ON e.src = w.last
+        |  WHERE w.depth < 4)
+        |SELECT DISTINCT src AS node, 'Direct' AS call_type, 1 AS depth,
+        |       CAST(1 AS BIGINT) AS n_cycles
+        |FROM e WHERE src = dst
+        |UNION ALL
+        |SELECT start AS node, 'Indirect' AS call_type, depth,
+        |       COUNT(*) AS n_cycles
+        |FROM w WHERE last = start AND depth >= 2 GROUP BY 1, 2, 3
+        |ORDER BY call_type, node, depth""".stripMargin,
+    "call_freq" ->
+      """SELECT l_orderkey % 5000 AS caller, l_partkey % 5000 AS callee,
+        |       COUNT(*) AS frequency
+        |FROM lineitem
+        |WHERE (l_orderkey % 5000) % 1000 = 7
+        |GROUP BY 1, 2
+        |ORDER BY caller, callee""".stripMargin,
+    "xrefs" ->
+      s"""WITH $E
+        |SELECT src AS from_fn, dst AS to_fn, call_offset
+        |FROM e WHERE src % 1000 = 5 OR dst % 1000 = 5
+        |ORDER BY from_fn, to_fn""".stripMargin,
+    "fn_search" ->
+      """SELECT p_partkey AS uid, p_name AS name, p_type AS fn_type,
+        |       CAST(p_size AS BIGINT) AS size
+        |FROM part WHERE p_name LIKE '%gear%'
+        |ORDER BY uid LIMIT 100""".stripMargin,
+    "binary_info" ->
+      """SELECT s_suppkey AS hash, s_name AS filename,
+        |       CAST(s_nationkey AS BIGINT) AS arch,
+        |       round(s_acctbal, 2) AS file_size
+        |FROM supplier WHERE s_name LIKE '%00000004%'
+        |ORDER BY hash LIMIT 1""".stripMargin,
+    "graph_stats" ->
+      s"""WITH $E
+        |SELECT
+        |  (SELECT COUNT(DISTINCT n) FROM
+        |    (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) t) AS n_functions,
+        |  (SELECT COUNT(*) FROM e) AS n_calls,
+        |  (SELECT COUNT(*) FROM supplier) AS n_binaries,
+        |  (SELECT COUNT(*) FROM documents) AS n_strings""".stripMargin,
+    "graph_degrees" ->
+      s"""WITH $E,
+        |dg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)
+        |SELECT out_deg, COUNT(*) AS n_nodes FROM dg GROUP BY out_deg
+        |ORDER BY out_deg""".stripMargin,
+    "graph_components" ->
+      """SELECT CAST(c_custkey + 1000000 AS BIGINT) AS node,
+        |       CAST(n_regionkey AS BIGINT) AS component
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 100000000 AS BIGINT),
+        |       CAST(n_regionkey AS BIGINT)
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 1000 AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT)
+        |FROM region
+        |ORDER BY node""".stripMargin,
+    "lineage_up" ->
+      """SELECT o_orderkey, c_name, n_name, r_name,
+        |  CAST(o_orderkey AS VARCHAR) || '->' || c_name || '->' || n_name
+        |    || '->' || r_name AS path
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderkey % 1500 = 3
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

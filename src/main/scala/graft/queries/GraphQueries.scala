@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.{Components, Traversal}
+
+/** The reference's graph query surface (BinaryX-Graph: functions /
+  * callgraph / call-path / xrefs / stats — src/commands/query.rs),
+  * re-expressed over a call graph derived deterministically from the
+  * testdata so the DuckDB oracle can replay every query.
+  *
+  * Derived model (SURVEY.md §4):
+  *  - CALLS edge (caller, callee, offset) := lineitem grouped by
+  *    (l_orderkey % M, l_partkey % M) with offset = min(l_linenumber)
+  *  - "binaries" := supplier, "strings" := documents
+  *  - hierarchy DAG (orders→customer→nation→region) exercises
+  *    upward-context and component ops with natural keys.
+  */
+object GraphQueries {
+
+  /** Node-space modulus: keeps mean out-degree ~12 at sf0.01 (walk
+    * enumeration stays bounded) while the graph still has cycles. */
+  val M = 5000L
+
+  /** The derived CALLS edge table: one narrow groupBy over lineitem;
+    * at scale this is a single shuffle on the (caller, callee) pair,
+    * partial-aggregated map-side.
+    */
+  def callEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"),
+        col("l_linenumber").cast("long").as("off"))
+      .groupBy("src", "dst")
+      .agg(min("off").as("offset"))
+
+  private def downStarts(e: DataFrame): DataFrame =
+    e.select(col("src").as("node")).filter(col("node") % 1000 === 7).distinct()
+  private def upStarts(e: DataFrame): DataFrame =
+    e.select(col("dst").as("node")).filter(col("node") % 1000 === 3).distinct()
+  private def recStarts(e: DataFrame): DataFrame =
+    e.select(col("src").as("node")).filter(col("node") % 500 === 7).distinct()
+
+  /** B3 callgraph: DISTINCT callees and callers within maxDepth of
+    * the start set (reference importer.rs:471-550). */
+  def callgraphBfs(s: SparkSession, d: String, maxDepth: Int = 3): DataFrame = {
+    val e = callEdges(s, d)
+    val starts = downStarts(e)
+    Traversal.bfs(e, starts, maxDepth).withColumn("direction", lit("down"))
+      .unionByName(
+        Traversal.bfs(e, starts, maxDepth, reverse = true)
+          .withColumn("direction", lit("up")))
+      .select("direction", "node", "depth")
+      .orderBy("direction", "node")
+  }
+
+  /** B4 downward call paths (call_path_analyzer.rs:20-110). */
+  def callPathsDown(s: SparkSession, d: String, maxDepth: Int = 3): DataFrame = {
+    val e = callEdges(s, d)
+    Traversal.walks(e, downStarts(e), maxDepth)
+      .select("start", "path", "offsets", "depth")
+      .orderBy("start", "depth", "path")
+  }
+
+  /** B6 upward call chains (call_path_analyzer.rs:334-430). */
+  def callChainUp(s: SparkSession, d: String, maxDepth: Int = 3): DataFrame = {
+    val e = callEdges(s, d)
+    Traversal.walks(e, upStarts(e), maxDepth, reverse = true)
+      .select("start", "path", "offsets", "depth")
+      .orderBy("start", "depth", "path")
+  }
+
+  /** B5 call sequences: a function's callees in call-site (offset)
+    * order (call_path_analyzer.rs:196-251). */
+  def callSequences(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    e.join(broadcast(downStarts(e)), e("src") === col("node"))
+      .select(col("src").as("caller"), col("dst").as("callee"), col("offset").as("call_offset"))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy("caller").orderBy(col("call_offset"), col("callee"))))
+      .orderBy("caller", "ord")
+  }
+
+  /** B7 caller sequences: who calls the target, in offset order
+    * (call_path_analyzer.rs:433-500). */
+  def callerSequences(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    e.join(broadcast(upStarts(e)), e("dst") === col("node"))
+      .select(col("dst").as("callee"), col("src").as("caller"), col("offset").as("call_offset"))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy("callee").orderBy(col("call_offset"), col("caller"))))
+      .orderBy("callee", "ord")
+  }
+
+  /** B8 recursion detection (call_path_analyzer.rs:253-331). */
+  def recursionDetect(s: SparkSession, d: String, maxDepth: Int = 4): DataFrame = {
+    val e = callEdges(s, d)
+    Traversal.recursion(e, recStarts(e), maxDepth)
+      .orderBy("call_type", "node", "depth")
+  }
+
+  /** B9 per-callee call frequency — counts raw call *sites* (every
+    * lineitem row), not the deduped edge (call_path_analyzer.rs:160-190). */
+  def callFrequencies(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select((col("l_orderkey") % M).as("caller"), (col("l_partkey") % M).as("callee"))
+      .filter(col("caller") % 1000 === 7)
+      .groupBy("caller", "callee")
+      .agg(count(lit(1)).as("frequency"))
+      .orderBy("caller", "callee")
+
+  /** B10 xrefs: all edges touching the target node set, by "address"
+    * (importer.rs:552-602). */
+  def xrefs(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    e.filter(col("src") % 1000 === 5 || col("dst") % 1000 === 5)
+      .select(col("src").as("from_fn"), col("dst").as("to_fn"), col("offset").as("call_offset"))
+      .orderBy("from_fn", "to_fn")
+  }
+
+  /** B1 functions-by-pattern: substring match, pushed into the scan
+    * (importer.rs:322-376). */
+  def fnSearch(s: SparkSession, d: String, pattern: String = "gear"): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").contains(pattern))
+      .select(col("p_partkey").as("uid"), col("p_name").as("name"),
+        col("p_type").as("fn_type"), col("p_size").cast("long").as("size"))
+      .orderBy("uid")
+      .limit(100)
+
+  /** B2 binary-info lookup (importer.rs:431-469). */
+  def binaryInfo(s: SparkSession, d: String, pattern: String = "00000004"): DataFrame =
+    Tables.supplier(s, d)
+      .filter(col("s_name").contains(pattern))
+      .select(col("s_suppkey").as("hash"), col("s_name").as("filename"),
+        col("s_nationkey").cast("long").as("arch"),
+        round(col("s_acctbal"), 2).as("file_size"))
+      .orderBy("hash")
+      .limit(1)
+
+  /** A5 database stats: one multi-count row (importer.rs:27-80).
+    * Four independent single-row aggs crossJoined — each input scanned
+    * once, no wide shuffle. */
+  def graphStats(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val nodes = e.select(col("src").as("n")).unionByName(e.select(col("dst").as("n")))
+      .agg(countDistinct("n").as("n_functions"))
+    val calls = e.agg(count(lit(1)).as("n_calls"))
+    val bins = Tables.supplier(s, d).agg(count(lit(1)).as("n_binaries"))
+    val strs = Tables.documents(s, d).agg(count(lit(1)).as("n_strings"))
+    nodes.crossJoin(calls).crossJoin(bins).crossJoin(strs)
+  }
+
+  /** C2 out-degree histogram. */
+  def graphDegrees(s: SparkSession, d: String): DataFrame =
+    Traversal.outDegreeHistogram(callEdges(s, d)).orderBy("out_deg")
+
+  /** Hierarchy edges for component / lineage ops: customer→nation,
+    * supplier→nation, nation→region in one encoded long id space. */
+  def hierarchyEdges(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      (col("c_custkey") + 1000000L).as("src"),
+      (col("c_nationkey").cast("long") + 1000L).as("dst"))
+    val su = Tables.supplier(s, d).select(
+      (col("s_suppkey") + 100000000L).as("src"),
+      (col("s_nationkey").cast("long") + 1000L).as("dst"))
+    val n = Tables.nation(s, d).select(
+      (col("n_nationkey").cast("long") + 1000L).as("src"),
+      col("n_regionkey").cast("long").as("dst"))
+    c.unionByName(su).unionByName(n)
+  }
+
+  /** C1 connected components over the hierarchy graph: label = the
+    * region key (min id in each component by construction). */
+  def graphComponents(s: SparkSession, d: String): DataFrame =
+    Components.labelPropagation(hierarchyEdges(s, d), maxIter = 6)
+      .orderBy("node")
+
+  /** Upward lineage context (order → customer → nation → region):
+    * the natural-key analogue of analyze_call_context's upward chain.
+    * Dims broadcast; single pass over orders. */
+  def lineageUp(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderkey") % 1500 === 3)
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, d).select("r_regionkey", "r_name")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"),
+        concat_ws("->", col("o_orderkey").cast("string"), col("c_name"),
+          col("n_name"), col("r_name")).as("path"))
+      .orderBy("o_orderkey")
+  }
+}
