@@ -17,7 +17,10 @@ object SparkEntry {
     queries("q3_topk")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
+    graft.queries.PipelineEntries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
     "q3_topk" -> ((s, d) =>
       Relational.topUnshippedOrders(
@@ -54,7 +57,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracles ++
+    graft.queries.PipelineEntries.oracleSql
+
+  private def baseOracles: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

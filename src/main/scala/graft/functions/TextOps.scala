@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic text hashing and tokenization.
+  *
+  * Every hash here is plain integer Column arithmetic (codegen'd by
+  * Catalyst, no UDFs) chosen so the DuckDB oracle can replay it with
+  * the same formula: a base-31 polynomial over the first 8 chars of a
+  * token, combined per-shingle, permuted per-minhash with fixed
+  * (a, b) pairs mod a Mersenne prime. The `*Sql` twins emit the exact
+  * DuckDB expression so the two engines can never drift.
+  */
+object TextOps {
+
+  /** Mersenne prime 2^31-1: keeps every intermediate < 2^63. */
+  val P = 2147483647L
+
+  private val pow31: Array[Long] = Array.iterate(1L, 8)(_ * 31L)
+
+  /** Minhash permutation coefficients (8 permutations). */
+  val MinhashA: Array[Long] = Array(9973L, 12007L, 30011L, 49999L, 59999L, 70001L, 80021L, 99991L)
+  val MinhashB: Array[Long] = Array(7L, 101L, 1009L, 10007L, 20011L, 30013L, 40009L, 50021L)
+
+  /** Base-31 polynomial hash of the first 8 chars (space-padded) plus
+    * the length — deterministic and identical in Spark and DuckDB. */
+  def tokenHash(t: Column): Column =
+    (1 to 8).map { i =>
+      ascii(substring(rpad(t, 8, " "), i, 1)).cast("long") * lit(pow31(8 - i))
+    }.reduce(_ + _) + length(t).cast("long")
+
+  def tokenHashSql(t: String): String =
+    (1 to 8).map { i =>
+      s"CAST(ascii(substr(rpad($t, 8, ' '), $i, 1)) AS BIGINT) * ${pow31(8 - i)}"
+    }.mkString("(", " + ", s" + length($t))")
+
+  /** Combine three token hashes into one 3-gram shingle hash < P. */
+  def shingleHash(h1: Column, h2: Column, h3: Column): Column =
+    ((((h1 % P) * 1000003L + h2) % P) * 10007L + h3) % P
+
+  def shingleHashSql(h1: String, h2: String, h3: String): String =
+    s"(((($h1 % $P) * 1000003 + $h2) % $P) * 10007 + $h3) % $P"
+
+  /** i-th minhash permutation of a shingle hash. */
+  def minhashPerm(sh: Column, i: Int): Column =
+    (sh * MinhashA(i) + MinhashB(i)) % P
+
+  def minhashPermSql(sh: String, i: Int): String =
+    s"($sh * ${MinhashA(i)} + ${MinhashB(i)}) % $P"
+
+  /** Tokenize to (doc_id, token, seq): lowercase, split on
+    * non-alphanumeric, drop empties, renumber 1..n per doc. The
+    * renumbering window is per-document — at scale documents are the
+    * natural partition unit so this never wide-shuffles. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), "[^a-z0-9]+")))
+      .toDF("doc_id", "pos", "token")
+      .filter(col("token") =!= "")
+      .withColumn("seq",
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .select("doc_id", "token", "seq")
+
+  /** DuckDB twin of [[tokens]] as a CTE body. */
+  val tokensSql: String =
+    """SELECT doc_id, token,
+      |       row_number() OVER (PARTITION BY doc_id ORDER BY i) AS seq
+      |FROM (
+      |  SELECT doc_id,
+      |         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token,
+      |         generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS i
+      |  FROM documents)
+      |WHERE token <> ''""".stripMargin
+
+  /** Word 3-gram shingle hashes per doc: (doc_id, sh). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("seq")
+    tokens(docs)
+      .withColumn("h1", tokenHash(col("token")))
+      .withColumn("h2", lead("h1", 1).over(w))
+      .withColumn("h3", lead("h1", 2).over(w))
+      .filter(col("h3").isNotNull)
+      .select(col("doc_id"), shingleHash(col("h1"), col("h2"), col("h3")).as("sh"))
+  }
+
+  /** DuckDB twin of [[shingles]]; expects a CTE `tok` = [[tokensSql]]. */
+  val shinglesSql: String = {
+    val th = tokenHashSql("token")
+    s"""SELECT doc_id,
+       |       ${shingleHashSql("h1", "h2", "h3")} AS sh
+       |FROM (
+       |  SELECT doc_id, $th AS h1,
+       |         lead($th, 1) OVER w AS h2,
+       |         lead($th, 2) OVER w AS h3
+       |  FROM tok
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY seq))
+       |WHERE h3 IS NOT NULL""".stripMargin
+  }
+
+  /** English stopword list for the language-ID / quality heuristics. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with", "by")
+
+  val StopwordsSqlList: String = Stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+}

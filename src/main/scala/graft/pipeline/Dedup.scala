@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.functions.TextOps.P
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2 D1–D4).
+  *
+  * Scale discipline: no operator ever materializes the full O(n²)
+  * pair space — candidates come from equality bucket joins (exact
+  * hash, minhash bands, simhash bit-bands, shared shingles), each a
+  * plain shuffle join on a uniform key that AQE can also skew-split.
+  */
+object Dedup {
+
+  /** D1 exact dedup: md5 content groups with the canonical (min) id.
+    * One shuffle on the 128-bit hash — uniform by construction. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("text_hash")
+
+  /** Minhash signatures, long form: (doc_id, perm, mh). */
+  def minhashLong(docs: DataFrame): DataFrame = {
+    val sh = TextOps.shingles(docs)
+    val aggs = TextOps.MinhashA.indices.map { i =>
+      min(TextOps.minhashPerm(col("sh"), i)).as(s"mh$i")
+    }
+    val wide = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = TextOps.MinhashA.indices
+      .map(i => s"$i, mh$i").mkString(s"stack(${TextOps.MinhashA.length}, ", ", ", ") as (perm, mh)")
+    wide.select(col("doc_id"), expr(stackExpr))
+  }
+
+  /** D2 MinHash+LSH near-dup: candidates share ≥1 of 8 single-row
+    * bands (= one equal minhash); estimated Jaccard = matching
+    * permutations / 8. Returns (doc_a, doc_b, est_jaccard).
+    *
+    * The band join key (perm, mh) is uniform, so the bucket join
+    * scales linearly; the signature join to score candidates touches
+    * only candidate pairs.
+    */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val mh = minhashLong(docs)
+    val cand = mh.as("x").join(mh.as("y"),
+        col("x.perm") === col("y.perm") && col("x.mh") === col("y.mh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val est = cand
+      .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(mh.as("b"), col("doc_b") === col("b.doc_id") && col("a.perm") === col("b.perm"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(when(col("a.mh") === col("b.mh"), 1).otherwise(0)) /
+        lit(TextOps.MinhashA.length.toDouble), 4).as("est_jaccard"))
+    est.orderBy("doc_a", "doc_b")
+  }
+
+  /** 24-bit SimHash signature per doc: token-frequency-weighted bit
+    * votes over the token hash. Pure aggregation — one shuffle. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tf = TextOps.tokens(docs)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("th", TextOps.tokenHash(col("token")))
+    val votes = (0 until 24).map { i =>
+      sum(col("tf") * (shiftright(col("th"), i).bitwiseAND(1L) * 2L - 1L)).as(s"v$i")
+    }
+    tf.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 24).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** D3 SimHash near-dup: pairs with Hamming distance ≤ 6 over the
+    * 24-bit signature. Candidates via 8 × 3-bit bands — pigeonhole
+    * guarantees every ≤6-distance pair shares ≥2 intact bands, so the
+    * banded join is exact (same result as the O(n²) scan), never a
+    * cross join. Returns (doc_a, doc_b, hamming).
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), 3 * b).bitwiseAND(7L).as("bits"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bits"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** D4 n-gram Jaccard similarity join: candidates share ≥1 distinct
+    * 3-gram shingle; J = |∩| / |∪| from per-doc set sizes. Returns
+    * pairs with J ≥ minJaccard. The shared-shingle join is the
+    * candidate generator — hot shingles are the skew risk at scale,
+    * handled by AQE skew-split (or a df-cap filter upstream).
+    */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+    val sh = TextOps.shingles(docs).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("sa.n_sh") + col("sb.n_sh") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §2 D5–D7).
+  *
+  * Vectors stay as array columns end-to-end: dot products are
+  * `zip_with` + `aggregate` higher-order functions (codegen'd, no
+  * UDF, no explode → no 64× row blowup on the hot path). The ANN
+  * scale path buckets by deterministic random-hyperplane signs so
+  * the pair space shrinks from O(n²) to O(n²/256) before any exact
+  * scoring.
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm of a double-array column. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Embeddings with precomputed norm: (vec_id, v, nrm). */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** D6 brute-force cosine top-k for a query subset: query rows ×
+    * corpus with array-local dot products; ranking on the rounded
+    * cosine keeps cross-engine order stable. The corpus side is the
+    * big side — Catalyst broadcasts the (small) query side.
+    */
+  def topKCosine(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val v = withNorm(emb)
+    val q = v.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane j,
+    * dim i), identical formula in the DuckDB oracle: a centered
+    * residue of a Knuth-style multiplicative hash. */
+  def planeWeightSql(j: Int, i: String): String =
+    s"((($j * 64 + $i + 1) * 2654435761) % 97 - 48)"
+
+  private def planeWeight(j: Int, i: Column): Column =
+    ((lit(j) * 64 + i + 1) * lit(2654435761L)) % 97 - 48
+
+  /** 8-bit LSH bucket from random-hyperplane sign bits. The
+    * projection is rounded before the sign test so FP noise cannot
+    * flip a bucket between engines. */
+  def lshBucket(emb: DataFrame, planes: Int = 8): DataFrame = {
+    val v = withNorm(emb)
+    val proj = (0 until planes).map { j =>
+      val p = aggregate(
+        zip_with(col("v"), sequence(lit(0), lit(63)),
+          (x, i) => x * planeWeight(j, i).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(round(p, 6) > 0, 1L << j).otherwise(0L)
+    }
+    v.withColumn("bucket", proj.reduce(_ + _))
+  }
+
+  /** D7 LSH-bucketed ANN: exact cosine within each bucket only,
+    * top-k per query among same-bucket candidates. At scale the
+    * bucket id is the shuffle key; bucket population is ~n/2^planes.
+    */
+  def lshTopK(emb: DataFrame, k: Int = 3): DataFrame = {
+    val b = lshBucket(emb)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"),
+        col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** D5 embedding near-dup: exact cosine ≥ threshold over a sampled
+    * anchor set (anchor % sampleMod == 0) — the exact-semantics
+    * complement to [[lshTopK]]'s ANN path. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double, sampleMod: Int = 10): DataFrame = {
+    val v = withNorm(emb)
+    val a = v.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+    v.join(broadcast(a), col("doc_a") < col("vec_id"))
+      .withColumn("cosine", round(dot(col("va"), col("v")) / (col("na") * col("nrm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("vec_id").as("doc_b"), col("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.Tables
+import graft.functions.TextOps
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.search.Fulltext
+
+/** Driver-contract wiring + DuckDB oracles for the LLM-data-pipeline
+  * and fulltext operators (SURVEY.md §2 B11, D1–D11). Oracle SQL is
+  * generated from the same constants/snippets as the Spark plans
+  * (TextOps `*Sql` twins) so the engines cannot drift.
+  */
+object PipelineEntries {
+
+  val SearchTerms = Seq("spark", "window", "query")
+  val Prefix = "wind"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fulltext_search" -> ((s, d) =>
+      Fulltext.search(Tables.documents(s, d), SearchTerms)),
+    "fulltext_prefix" -> ((s, d) =>
+      Fulltext.prefixSearch(Tables.documents(s, d), Prefix)),
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.4)),
+    "sim_topk" -> ((s, d) =>
+      Similarity.topKCosine(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
+    "sim_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)))
+  )
+
+  // ---- shared oracle CTE fragments -------------------------------------
+
+  private val TOK = s"tok AS (\n${TextOps.tokensSql})"
+  private val SH = s"sh AS (\n${TextOps.shinglesSql})"
+  private val TF = "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2)"
+  private val EX =
+    """ex AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings)""".stripMargin
+  private val NRM = "nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ex GROUP BY 1)"
+
+  private val termsIn = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  private def fulltextSql(tokenPred: String): String =
+    s"""WITH $TOK,
+       |$TF,
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents)
+       |SELECT doc_id,
+       |       round(SUM(tf * ln((n + 1.0) / (df + 1.0))), 4) AS score,
+       |       COUNT(*) AS n_terms
+       |FROM tf JOIN df USING (token), n
+       |WHERE $tokenPred
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin
+
+  private val minhashUnion = TextOps.MinhashA.indices.map { i =>
+    s"SELECT doc_id, $i AS perm, MIN(${TextOps.minhashPermSql("sh", i)}) AS mh FROM sh GROUP BY doc_id"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private val simhashBits = (0 until 24).map { i =>
+    s"(CASE WHEN SUM(tf * (((th >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" +\n         ")
+
+  def oracleSql: Map[String, String] = Map(
+    "fulltext_search" -> fulltextSql(s"token IN $termsIn"),
+    "fulltext_prefix" -> fulltextSql(s"token LIKE '$Prefix%'"),
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+        |       MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $TOK,
+         |$SH,
+         |mh AS (
+         |  $minhashUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM mh x JOIN mh y
+         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |       round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
+         |         AS est_jaccard
+         |FROM cand
+         |JOIN mh a ON doc_a = a.doc_id
+         |JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+         |GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $TOK,
+         |$TF,
+         |tfh AS (SELECT doc_id, tf, ${TextOps.tokenHashSql("token")} AS th FROM tf),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $simhashBits AS sig
+         |  FROM tfh GROUP BY doc_id)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $TOK,
+         |$SH,
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |         round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id)
+         |WHERE jaccard >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH $EX,
+         |$NRM,
+         |pairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, SUM(a.x * b.x) AS dot
+         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id % 10 = 0
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, cosine FROM (
+         |  SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+         |  FROM pairs
+         |  JOIN nrm na ON doc_a = na.vec_id
+         |  JOIN nrm nb ON doc_b = nb.vec_id)
+         |WHERE cosine >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "sim_topk" ->
+      s"""WITH $EX,
+         |$NRM,
+         |dots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nb_id, SUM(a.x * b.x) AS dot
+         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 100 = 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, nb_id AS neighbor_id,
+         |         dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots
+         |  JOIN nrm na ON query_id = na.vec_id
+         |  JOIN nrm nb ON nb_id = nb.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY round(cos, 6) DESC, neighbor_id) AS INTEGER) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+    "sim_lsh" ->
+      s"""WITH $EX,
+         |$NRM,
+         |proj AS (
+         |  SELECT vec_id, j,
+         |         SUM(x * (((j * 64 + i) * 2654435761) % 97 - 48)) AS p
+         |  FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j)
+         |  GROUP BY 1, 2),
+         |bkt AS (
+         |  SELECT vec_id,
+         |         SUM((CASE WHEN round(p, 6) > 0 THEN 1 ELSE 0 END)
+         |             * CAST(power(2, j) AS BIGINT)) AS bucket
+         |  FROM proj GROUP BY 1),
+         |dots AS (
+         |  SELECT xa.vec_id AS query_id, xb.vec_id AS nb_id, SUM(xa.x * xb.x) AS dot
+         |  FROM bkt a
+         |  JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  JOIN ex xa ON xa.vec_id = a.vec_id
+         |  JOIN ex xb ON xb.vec_id = b.vec_id AND xa.i = xb.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, nb_id AS neighbor_id,
+         |         dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots
+         |  JOIN nrm na ON query_id = na.vec_id
+         |  JOIN nrm nb ON nb_id = nb.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY round(cos, 6) DESC, neighbor_id) AS INTEGER) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    "text_langid" ->
+      s"""WITH $TOK
+         |SELECT doc_id, stopword_ratio,
+         |       CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id,
+         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |           THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |  FROM tok GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH $TOK,
+         |t AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |         round(AVG(length(token)), 4) AS avg_token_len,
+         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |           THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |  FROM tok GROUP BY 1),
+         |d AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |           / length(text), 4) AS digit_ratio
+         |  FROM documents)
+         |SELECT d.doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, digit_ratio,
+         |       round(least(1.0, n_tokens / 100.0) * (1.0 - digit_ratio), 4) AS quality
+         |FROM d JOIN t ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |    AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH $TOK,
+         |$SH
+         |SELECT doc_id, MIN(sh) AS fingerprint,
+         |       COUNT(DISTINCT sh) AS n_distinct_shingles
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
