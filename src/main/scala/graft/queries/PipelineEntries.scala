@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.functions.TextOps
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.search.Fulltext
 
 /** Driver-contract wiring + DuckDB oracles for the LLM-data-pipeline
@@ -35,7 +35,12 @@ object PipelineEntries {
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
-    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)))
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "events_window" -> ((s, d) =>
+      graft.streaming.EventStreams.hourlyTypeCounts(graft.streaming.EventStreams.events(s, d))),
+    "events_sessionize" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionize(graft.streaming.EventStreams.events(s, d))),
+    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -238,6 +243,39 @@ object PipelineEntries {
          |$SH
          |SELECT doc_id, MIN(sh) AS fingerprint,
          |       COUNT(DISTINCT sh) AS n_distinct_shingles
-         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       round(SUM(value), 2) AS sum_value
+        |FROM sess
+        |GROUP BY 1, 2
+        |ORDER BY user_id, session_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
