@@ -182,7 +182,7 @@ object SparkEntry {
         |  SELECT node AS start, node AS last, 0 AS depth FROM rs
         |  UNION ALL
         |  SELECT w.start, e.dst, w.depth + 1 FROM w JOIN e ON e.src = w.last
-        |  WHERE w.depth < 4)
+        |  WHERE w.depth < 4 AND e.src <> e.dst)
         |SELECT DISTINCT src AS node, 'Direct' AS call_type, 1 AS depth,
         |       CAST(1 AS BIGINT) AS n_cycles
         |FROM e WHERE src = dst

@@ -105,7 +105,11 @@ object Traversal {
       .withColumn("call_type", lit("Direct"))
       .withColumn("depth", lit(1))
       .withColumn("n_cycles", lit(1L))
-    val indirect = walks(edges, starts, maxDepth)
+    // Trail semantics (Cypher var-length): an edge is never reused
+    // within one path, so a pure self-loop cannot form an "indirect"
+    // cycle — exclude self-loop edges from the cycle walk entirely.
+    val indirect = walks(edgeCols(edges).filter(col("_src") =!= col("_dst"))
+        .toDF("src", "dst", "offset"), starts, maxDepth)
       .filter(col("last") === col("start") && col("depth") >= 2)
       .groupBy(col("start").as("node"), col("depth"))
       .agg(count(lit(1)).as("n_cycles"))

@@ -31,4 +31,7 @@ object Addresses {
 
   /** Format a numeric address as canonical hex. */
   def formatAddress(c: Column): Column = concat(lit("0x"), lower(hex(c)))
+
+  /** Normalize a literal address string (query-parameter form). */
+  def normalizeAddressLit(s: String): Column = normalizeAddress(lit(s))
 }

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.Traversal
+import graft.importer.BinaryGraph
+import graft.search.Fulltext
+
+/** The reference CLI's full query surface over an imported
+  * [[BinaryGraph]] — what a BinaryX-Graph user calls after switching
+  * engines (src/commands/query.rs): `query functions|strings|binary|
+  * callgraph|call-path|xrefs` and `database stats`.
+  *
+  * Binary scoping mirrors the Cypher `(b)-[:CONTAINS|IMPORTS]->(f)`
+  * pattern as a semi-join against the membership edges; traversals
+  * reuse the numeric-id [[Traversal]] primitives via a per-call uid
+  * dictionary (dense longs join faster than strings at scale).
+  */
+class GraphQueryEngine(g: BinaryGraph) {
+
+  /** Functions of a binary = CONTAINS ∪ IMPORTS targets. */
+  private def membership: DataFrame =
+    g.contains.select(col("binary_hash"), col("function_uid"))
+      .unionByName(g.importsFn.select(col("binary_hash"), col("function_uid")))
+      .distinct()
+
+  /** Binaries matching `--binary` (filename contains | exact hash). */
+  private def binaryMatches(pattern: String): DataFrame =
+    g.binaries.filter(col("filename").contains(pattern) || col("hash") === pattern)
+      .select(col("hash").as("binary_hash"))
+
+  /** Function uids visible under an optional binary filter. */
+  private def scopeUids(binary: Option[String]): DataFrame = binary match {
+    case None => g.functions.select(col("uid"))
+    case Some(b) =>
+      membership.join(broadcast(binaryMatches(b)), "binary_hash")
+        .select(col("function_uid").as("uid")).distinct()
+  }
+
+  /** `query functions --pattern` (importer.rs:322-376): substring on
+    * name or uid, optional binary scope, first 100 by uid. */
+  def queryFunctions(pattern: String, binary: Option[String] = None): DataFrame =
+    g.functions
+      .join(scopeUids(binary), Seq("uid"), "left_semi")
+      .filter(col("name").contains(pattern) || col("uid").contains(pattern))
+      .orderBy("uid").limit(100)
+
+  /** `query binary --binary-name` (importer.rs:431-469). */
+  def queryBinaryInfo(name: String): DataFrame =
+    g.binaries.filter(col("hash") === name || col("filename").contains(name))
+      .orderBy("hash").limit(1)
+
+  /** Edges restricted to an optional binary scope (every endpoint
+    * must be visible in the scope — the Cypher ALL(n IN nodes(path))
+    * condition). */
+  private def scopedCalls(binary: Option[String]): DataFrame = binary match {
+    case None => g.calls
+    case Some(_) =>
+      val uids = scopeUids(binary)
+      g.calls
+        .join(uids.withColumnRenamed("uid", "from_uid"), Seq("from_uid"), "left_semi")
+        .join(uids.withColumnRenamed("uid", "to_uid"), Seq("to_uid"), "left_semi")
+  }
+
+  /** Dense long ids for one traversal: (uid, id) dictionary. */
+  private def withIds(calls: DataFrame): (DataFrame, DataFrame) = {
+    val ids = calls.select(col("from_uid").as("uid"))
+      .unionByName(calls.select(col("to_uid").as("uid")))
+      .distinct()
+      .withColumn("id", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy("uid")).cast("long"))
+    val e = calls
+      .join(ids.withColumnRenamed("uid", "from_uid").withColumnRenamed("id", "src"),
+        Seq("from_uid"))
+      .join(ids.withColumnRenamed("uid", "to_uid").withColumnRenamed("id", "dst"),
+        Seq("to_uid"))
+      .select(col("src"), col("dst"),
+        coalesce(graft.importer.Addresses.parseAddress(col("call_offset")), lit(0L))
+          .as("offset"))
+    (ids.cache(), e.cache())
+  }
+
+  private def startIds(functionName: String, binary: Option[String]): DataFrame =
+    g.functions
+      .filter(col("name") === functionName || col("uid") === functionName)
+      .join(scopeUids(binary), Seq("uid"), "left_semi")
+      .select(col("uid"))
+
+  /** `query callgraph --max-depth` (importer.rs:471-550): DISTINCT
+    * callees and callers within depth. */
+  def callgraph(functionName: String, binary: Option[String] = None,
+      maxDepth: Int = 3): DataFrame = {
+    val calls = scopedCalls(binary)
+    val (ids, e) = withIds(calls)
+    val starts = startIds(functionName, binary)
+      .join(ids, "uid").select(col("id").as("node"))
+    val reach = Traversal.bfs(e, starts, maxDepth)
+      .withColumn("direction", lit("callee"))
+      .unionByName(Traversal.bfs(e, starts, maxDepth, reverse = true)
+        .withColumn("direction", lit("caller")))
+    reach.join(ids, reach("node") === ids("id"))
+      .join(g.functions, "uid")
+      .select(col("direction"), col("uid"), col("name"), col("address"), col("depth"))
+      .orderBy("direction", "depth", "uid")
+  }
+
+  /** `query call-path --show-paths` (call_path_analyzer.rs:20-110). */
+  def callPaths(functionName: String, binary: Option[String] = None,
+      maxDepth: Int = 3): DataFrame = {
+    val calls = scopedCalls(binary)
+    val (ids, e) = withIds(calls)
+    val starts = startIds(functionName, binary)
+      .join(ids, "uid").select(col("id").as("node"))
+    val w = Traversal.walks(e, starts, maxDepth)
+    w.join(ids, w("start") === ids("id"))
+      .select(col("uid").as("start_uid"), col("path"), col("offsets"), col("depth"))
+      .orderBy("start_uid", "depth", "path")
+  }
+
+  /** `--show-sequences`: direct callees in call-site order
+    * (call_path_analyzer.rs:196-251). */
+  def callSequences(functionName: String, binary: Option[String] = None): DataFrame = {
+    val starts = startIds(functionName, binary)
+    scopedCalls(binary)
+      .join(starts.withColumnRenamed("uid", "from_uid"), Seq("from_uid"), "left_semi")
+      .withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_uid")
+          .orderBy("call_offset", "to_uid")))
+      .select(col("from_uid").as("caller"), col("to_uid").as("callee"),
+        col("call_offset"), col("call_type"), col("ord"))
+      .orderBy("caller", "ord")
+  }
+
+  /** `--show-upward`: who calls this, in call-site order
+    * (call_path_analyzer.rs:433-500). */
+  def callerSequences(functionName: String, binary: Option[String] = None): DataFrame = {
+    val starts = startIds(functionName, binary)
+    scopedCalls(binary)
+      .join(starts.withColumnRenamed("uid", "to_uid"), Seq("to_uid"), "left_semi")
+      .withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("to_uid")
+          .orderBy("call_offset", "from_uid")))
+      .select(col("to_uid").as("callee"), col("from_uid").as("caller"),
+        col("call_offset"), col("call_type"), col("ord"))
+      .orderBy("callee", "ord")
+  }
+
+  /** Recursion detection (call_path_analyzer.rs:253-331). */
+  def findRecursion(functionName: String, binary: Option[String] = None,
+      maxDepth: Int = 10): DataFrame = {
+    val calls = scopedCalls(binary)
+    val (ids, e) = withIds(calls)
+    val starts = startIds(functionName, binary)
+      .join(ids, "uid").select(col("id").as("node"))
+    val rec = Traversal.recursion(e, starts, maxDepth)
+    rec.join(ids, rec("node") === ids("id"))
+      .join(starts.withColumnRenamed("node", "id"), Seq("id"), "left_semi")
+      .select(col("uid"), col("call_type"), col("depth"), col("n_cycles"))
+      .orderBy("call_type", "depth")
+  }
+
+  /** `query xrefs <address>` (importer.rs:552-602): calls touching a
+    * function at the given (normalized) address, plus import-table
+    * address hits. */
+  def xrefs(address: String, binary: Option[String] = None): DataFrame = {
+    val norm = graft.importer.Addresses
+    val target = g.functions
+      .filter(col("address") === norm.normalizeAddressLit(address))
+      .select(col("uid"))
+      .unionByName(g.importsFn
+        .filter(col("address") === norm.normalizeAddressLit(address))
+        .select(col("function_uid").as("uid")))
+      .distinct()
+    scopedCalls(binary)
+      .join(broadcast(target.withColumnRenamed("uid", "t")),
+        col("from_uid") === col("t") || col("to_uid") === col("t"))
+      .select(col("from_uid").as("from_function"), col("to_uid").as("to_function"),
+        col("call_offset"))
+      .distinct()
+      .orderBy("from_function", "to_function")
+  }
+
+  /** `query strings --pattern` via the distributed fulltext index
+    * (importer.rs:378-429): tf-idf score + per-binary sample count. */
+  def queryStrings(terms: Seq[String], binary: Option[String] = None,
+      limit: Int = 25): DataFrame = {
+    val scoped = binary match {
+      case None => g.containsString
+      case Some(b) =>
+        g.containsString.join(broadcast(binaryMatches(b)), "binary_hash")
+    }
+    val docs = g.strings
+      .join(scoped.select(col("string_uid").as("uid")).distinct(), Seq("uid"), "left_semi")
+      .select(col("uid").as("doc_id"), col("value").as("text"))
+    val hits = Fulltext.search(docs, terms, limit)
+    val sampleCount = scoped.groupBy(col("string_uid").as("doc_id"))
+      .agg(countDistinct("binary_hash").as("sample_count"))
+    hits.join(sampleCount, "doc_id")
+      .join(g.strings.withColumnRenamed("uid", "doc_id"), "doc_id")
+      .select(col("doc_id").as("uid"), col("value"), col("score"), col("sample_count"))
+      .orderBy(col("score").desc, col("uid"))
+  }
+
+  /** `database stats` (importer.rs:27-80). */
+  def stats(): DataFrame = graft.importer.JsonImporter.stats(g)
+}

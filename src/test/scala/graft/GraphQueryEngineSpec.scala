@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.importer.JsonImporter
+import graft.queries.GraphQueryEngine
+
+/** End-to-end reference-CLI parity: import the fixture analyses, then
+  * run every `query …` surface the reference exposes and check the
+  * hand-derived answers.
+  */
+class GraphQueryEngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  lazy val engine = new GraphQueryEngine(JsonImporter.importAnalysis(spark,
+    getClass.getResource("/analysis").getPath))
+
+  test("query functions by pattern, optionally binary-scoped") {
+    val all = engine.queryFunctions("main").collect()
+    assert(all.map(_.getAs[String]("uid")).toSet ==
+      Set("bbb222:0x1000")) // bin1 "main" was overwritten by export name
+    val scoped = engine.queryFunctions("e", Some("sample.exe")).collect()
+    assert(scoped.map(_.getAs[String]("uid")).toSet ==
+      Set("aaa111:0x401000", "aaa111:0x401200",
+        "imp:kernel32.dll:CreateFileA", "imp:ws2_32.dll:send"))
+  }
+
+  test("binary info lookup by filename fragment") {
+    val b = engine.queryBinaryInfo("other").collect()
+    assert(b.length == 1 && b(0).getAs[String]("hash") == "bbb222")
+  }
+
+  test("callgraph: callees and callers within depth") {
+    val cg = engine.callgraph("exported_entry", maxDepth = 3).collect()
+      .map(r => (r.getAs[String]("direction"), r.getAs[String]("uid"))).toSet
+    assert(cg == Set(
+      ("callee", "aaa111:0x401200"),
+      ("callee", "imp:kernel32.dll:CreateFileA")))
+  }
+
+  test("call paths carry the offset chain") {
+    val p = engine.callPaths("exported_entry", maxDepth = 3).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[String]("offsets"), r.getAs[Int]("depth")))
+    assert(p.length == 2) // entry→helper, entry→helper→CreateFileA
+    assert(p.exists(_._3 == 2))
+  }
+
+  test("call sequences ordered by call site") {
+    val s = engine.callSequences("exported_entry").collect()
+    assert(s.length == 1 && s(0).getAs[String]("callee") == "aaa111:0x401200")
+    val cs = engine.callerSequences("helper").collect()
+    assert(cs.length == 1 && cs(0).getAs[String]("caller") == "aaa111:0x401000")
+  }
+
+  test("recursion: direct self-loop found") {
+    val r = engine.findRecursion("loop_fn").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("call_type") == "Direct")
+  }
+
+  test("xrefs by address (import table hit included)") {
+    val x = engine.xrefs("0x403000").collect()
+    assert(x.length == 1)
+    assert(x(0).getAs[String]("from_function") == "aaa111:0x401200")
+    assert(x(0).getAs[String]("to_function") == "imp:kernel32.dll:CreateFileA")
+  }
+
+  test("fulltext strings search with per-binary sample count") {
+    val hits = engine.queryStrings(Seq("hello", "world")).collect()
+    assert(hits.length == 1)
+    assert(hits(0).getAs[String]("value") == "hello world")
+    assert(hits(0).getAs[Long]("sample_count") == 2) // in both binaries
+    val scoped = engine.queryStrings(Seq("bitcoin"), Some("sample.exe")).collect()
+    assert(scoped.length == 1 && scoped(0).getAs[String]("value") == "Pay Bitcoin now")
+  }
+}
