@@ -50,6 +50,14 @@ object TextOps {
   def minhashPermSql(sh: String, i: Int): String =
     s"($sh * ${MinhashA(i)} + ${MinhashB(i)}) % $P"
 
+  /** Tokenize to (doc_id, token) without positions — for bag-of-words
+    * consumers (tf, simhash, language-ID): skips the per-doc ordering
+    * window entirely, one narrow explode. */
+  def tokensBag(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+
   /** Tokenize to (doc_id, token, seq): lowercase, split on
     * non-alphanumeric, drop empties, renumber 1..n per doc. The
     * renumbering window is per-document — at scale documents are the

@@ -60,25 +60,27 @@ object Dedup {
     est.orderBy("doc_a", "doc_b")
   }
 
-  /** 24-bit SimHash signature per doc: token-frequency-weighted bit
-    * votes over the token hash. Pure aggregation — one shuffle. */
+  /** 40-bit SimHash signature per doc: token-frequency-weighted bit
+    * votes over the token hash (40 low bits of the base-31 poly are
+    * well-mixed; wider sig = selective hamming threshold even on
+    * small-vocabulary corpora). Pure aggregation — one shuffle. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tf = TextOps.tokens(docs)
+    val tf = TextOps.tokensBag(docs)
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
       .withColumn("th", TextOps.tokenHash(col("token")))
-    val votes = (0 until 24).map { i =>
+    val votes = (0 until 40).map { i =>
       sum(col("tf") * (shiftright(col("th"), i).bitwiseAND(1L) * 2L - 1L)).as(s"v$i")
     }
     tf.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 24).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))
+        (0 until 40).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))
           .reduce(_ + _).as("sig"))
   }
 
   /** D3 SimHash near-dup: pairs with Hamming distance ≤ 6 over the
-    * 24-bit signature. Candidates via 8 × 3-bit bands — pigeonhole
+    * 40-bit signature. Candidates via 8 × 5-bit bands — pigeonhole
     * guarantees every ≤6-distance pair shares ≥2 intact bands, so the
     * banded join is exact (same result as the O(n²) scan), never a
     * cross join. Returns (doc_a, doc_b, hamming).
@@ -88,15 +90,18 @@ object Dedup {
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), 3 * b).bitwiseAND(7L).as("bits"))): _*)).as("bb"))
+          shiftright(col("sig"), 5 * b).bitwiseAND(31L).as("bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bits"))
+    // hamming filter BEFORE the distinct: the cheap codegen'd
+    // bit_count prunes ~99% of candidate rows so the distinct only
+    // shuffles true near-dup pairs.
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -16,7 +16,7 @@ object TextAnalysis {
     * (The classic n-gram trick reduced to a deterministic,
     * oracle-replayable scoring.) */
   def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame =
-    TextOps.tokens(docs)
+    TextOps.tokensBag(docs)
       .groupBy("doc_id")
       .agg(
         round(avg(when(col("token").isInCollection(TextOps.Stopwords), 1.0)
@@ -27,7 +27,7 @@ object TextAnalysis {
 
   /** D9 quality scoring: length/digit/stopword signals in one pass. */
   def quality(docs: DataFrame): DataFrame = {
-    val tok = TextOps.tokens(docs)
+    val tok = TextOps.tokensBag(docs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(length(col("token"))), 4).as("avg_token_len"),

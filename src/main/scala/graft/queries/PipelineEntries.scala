@@ -75,7 +75,7 @@ object PipelineEntries {
     s"SELECT doc_id, $i AS perm, MIN(${TextOps.minhashPermSql("sh", i)}) AS mh FROM sh GROUP BY doc_id"
   }.mkString("\n  UNION ALL\n  ")
 
-  private val simhashBits = (0 until 24).map { i =>
+  private val simhashBits = (0 until 40).map { i =>
     s"(CASE WHEN SUM(tf * (((th >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" +\n         ")
 

@@ -18,7 +18,7 @@ object Fulltext {
 
   /** Postings with term frequency: (doc_id, token, tf). */
   def postings(docs: DataFrame): DataFrame =
-    TextOps.tokens(docs)
+    TextOps.tokensBag(docs)
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
 
