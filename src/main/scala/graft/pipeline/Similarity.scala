@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorOps
+
 /** Similarity search over an embedding column (SURVEY.md §2 D5–D7).
   *
   * Vectors stay as array columns end-to-end: dot products are
@@ -15,9 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two double-array columns: fused native Catalyst
+    * expression (graft.functions.DotProduct) — one primitive codegen
+    * loop, no intermediate array. Summation order matches the
+    * composable `aggregate(zip_with(...))` form exactly (sequential
+    * in array order), so results are bit-identical. */
+  def dot(a: Column, b: Column): Column = VectorOps.dotNative(a, b)
 
   /** Euclidean norm of a double-array column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
