@@ -1,0 +1,54 @@
+package graft.importer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Columnar persistence for [[BinaryGraph]] — the analogue of the
+  * reference's schema init / constraints / indexes
+  * (neo4j/schema.rs): uniqueness is enforced on write (tables are
+  * deduped by construction), and "indexes" become physical layout:
+  * every table is repartitioned by its lookup key and sorted within
+  * partitions, so parquet row-group min/max statistics give
+  * index-like skipping on uid/hash point lookups, and co-partitioned
+  * reads make the CALLS ⋈ functions joins shuffle-free after load.
+  * (On a cluster with a catalog this is `bucketBy(n, key)`; plain
+  * path-based parquet gets the same effect via repartition + sort.)
+  */
+object GraphStore {
+
+  private def writeKeyed(df: DataFrame, key: String, path: String, n: Int): Unit =
+    df.repartition(n, col(key)).sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
+
+  /** `database init` + import persistence in one: write all tables. */
+  def save(g: BinaryGraph, dir: String, partitions: Int = 32): Unit = {
+    writeKeyed(g.binaries, "hash", s"$dir/binaries", math.max(1, partitions / 8))
+    writeKeyed(g.functions, "uid", s"$dir/functions", partitions)
+    writeKeyed(g.strings, "uid", s"$dir/strings", partitions)
+    writeKeyed(g.libraries, "name", s"$dir/libraries", 1)
+    writeKeyed(g.contains, "function_uid", s"$dir/contains", partitions)
+    writeKeyed(g.importsFn, "function_uid", s"$dir/imports_fn", partitions)
+    writeKeyed(g.importsLib, "binary_hash", s"$dir/imports_lib", 1)
+    writeKeyed(g.belongsTo, "function_uid", s"$dir/belongs_to", partitions)
+    writeKeyed(g.containsString, "string_uid", s"$dir/contains_string", partitions)
+    writeKeyed(g.calls, "from_uid", s"$dir/calls", partitions)
+  }
+
+  /** Load a persisted graph (lazy scans — nothing materializes until
+    * a query runs). */
+  def load(spark: SparkSession, dir: String): BinaryGraph = {
+    def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name")
+    BinaryGraph(
+      binaries = t("binaries"), functions = t("functions"), strings = t("strings"),
+      libraries = t("libraries"), contains = t("contains"), importsFn = t("imports_fn"),
+      importsLib = t("imports_lib"), belongsTo = t("belongs_to"),
+      containsString = t("contains_string"), calls = t("calls"))
+  }
+
+  /** `database clear` (commands/database.rs:40). */
+  def clear(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true); () }
+  }
+}

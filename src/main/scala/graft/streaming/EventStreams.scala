@@ -57,6 +57,60 @@ object EventStreams {
       .orderBy("user_id", "session_id")
   }
 
+  case class Ev(user_id: Long, ts_us: Long, value: Double)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      session_start: String, session_end: String, sum_value: Double)
+
+  /** Sessionization via `flatMapGroupsWithState` — the custom-state
+    * formulation that carries over to continuous streaming (state =
+    * open session per user; with a real stream you'd add an event-time
+    * timeout to flush idle sessions). On batch input each user group
+    * arrives once and all its sessions are emitted. Produces exactly
+    * the same rows as the window-based [[sessionize]].
+    */
+  def sessionizeStateful(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    // NOTE: DateTimeFormatter is not Serializable — construct inside
+    // the executor-side closure, not in the driver scope.
+    def fmtUs(us: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(us / 1000000L))
+
+    val ds = events.select(col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value").cast("double").as("value")).as[Ev]
+
+    def emit(userId: Long, evs: Iterator[Ev],
+        state: GroupState[Long]): Iterator[SessionOut] = {
+      val sorted = evs.toSeq.sortBy(_.ts_us)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var sid = 0L; var start = 0L; var last = 0L; var n = 0L; var sum = 0.0
+        sorted.foreach { e =>
+          if (n == 0L || e.ts_us - last > gapUs) {
+            if (n > 0L)
+              out += SessionOut(userId, sid, n, fmtUs(start), fmtUs(last),
+                math.rint(sum * 100) / 100)
+            sid += 1L; start = e.ts_us; n = 0L; sum = 0.0
+          }
+          last = e.ts_us; n += 1L; sum += e.value
+        }
+        out += SessionOut(userId, sid, n, fmtUs(start), fmtUs(last),
+          math.rint(sum * 100) / 100)
+        state.update(sid)
+        out.iterator
+      }
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(emit)
+      .toDF()
+      .orderBy("user_id", "session_id")
+  }
+
   /** Streaming entry: wire a parquet-dir source through
     * [[hourlyTypeCounts]] with watermarking — used by the streaming
     * spec via the memory sink. */

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.importer.{GraphStore, JsonImporter}
+import graft.queries.GraphQueryEngine
+import graft.streaming.EventStreams
+
+class GraphStoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  test("graph save/load round-trip preserves tables and queries") {
+    val g = JsonImporter.importAnalysis(spark,
+      getClass.getResource("/analysis").getPath)
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    GraphStore.save(g, dir, partitions = 4)
+    val loaded = GraphStore.load(spark, dir)
+    assert(loaded.functions.count() == g.functions.count())
+    assert(loaded.calls.count() == g.calls.count())
+    val engine = new GraphQueryEngine(loaded)
+    val x = engine.xrefs("0x403000").collect()
+    assert(x.length == 1 && x(0).getString(1) == "imp:kernel32.dll:CreateFileA")
+    GraphStore.clear(spark, dir)
+    assert(!new java.io.File(dir).exists())
+  }
+
+  test("stateful sessionize matches window-based sessionize") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = EventStreams.events(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSet
+    assert(key(EventStreams.sessionizeStateful(spark, ev)) ==
+      key(EventStreams.sessionize(ev)))
+  }
+}
