@@ -228,6 +228,38 @@ object JsonImporter {
   def importAnalysis(spark: SparkSession, path: String): BinaryGraph =
     buildGraph(readAnalysis(spark, path))
 
+  /** Pre-import validation (api/client.rs:42-81): one row per input
+    * file with its error list — distributed, so a million-file
+    * directory validates as one scan. */
+  def validate(raw: DataFrame): DataFrame = {
+    val checks: Seq[(String, Column)] = Seq(
+      "binary_info is required" ->
+        (if (fieldType(raw, "binary_info").isDefined) col("binary_info").isNull
+         else lit(true)),
+      "binary_info missing required field: name" ->
+        optField(raw, "binary_info.name", StringType).isNull,
+      "binary_info missing required field: file_path" ->
+        optField(raw, "binary_info.file_path", StringType).isNull,
+      "binary_info missing required field: file_size" ->
+        optField(raw, "binary_info.file_size", LongType).isNull,
+      "binary_info missing required field: file_type" ->
+        (if (fieldType(raw, "binary_info.file_type").isDefined)
+           col("binary_info.file_type").isNull
+         else lit(true)),
+      "binary_info missing required field: hashes" ->
+        (if (fieldType(raw, "binary_info.hashes").isDefined)
+           col("binary_info.hashes").isNull
+         else lit(true)))
+    val errs = array(checks.map { case (msg, cond) =>
+      when(cond, msg).otherwise(lit(null))
+    }: _*)
+    raw.select(
+        coalesce(optField(raw, "binary_info.name", StringType), lit("<unknown>"))
+          .as("file"),
+        filter(errs, _.isNotNull).as("errors"))
+      .withColumn("valid", size(col("errors")) === 0)
+  }
+
   /** A5 database stats over an imported graph (importer.rs:27-80). */
   def stats(g: BinaryGraph): DataFrame =
     g.binaries.agg(count(lit(1)).as("n_binaries"))

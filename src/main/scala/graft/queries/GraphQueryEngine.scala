@@ -202,6 +202,61 @@ class GraphQueryEngine(g: BinaryGraph) {
       .orderBy(col("score").desc, col("uid"))
   }
 
+  /** Per-callee direct call frequency of a function
+    * (call_path_analyzer.rs:160-190). */
+  def callFrequencies(functionName: String, binary: Option[String] = None): DataFrame = {
+    val starts = startIds(functionName, binary)
+    scopedCalls(binary)
+      .join(starts.withColumnRenamed("uid", "from_uid"), Seq("from_uid"), "left_semi")
+      .groupBy(col("to_uid").as("callee_uid"))
+      .agg(count(lit(1)).as("frequency"))
+      .orderBy("callee_uid")
+  }
+
+  /** `query callgraph` enhanced form (call_path_analyzer.rs:112-193):
+    * distinct reachable callees annotated with the direct-call
+    * frequency (0 for transitively-reached functions). */
+  def enhancedCallGraph(functionName: String, binary: Option[String] = None,
+      maxDepth: Int = 3): DataFrame = {
+    val callees = callgraph(functionName, binary, maxDepth)
+      .filter(col("direction") === "callee")
+      .select(col("uid"), col("name"), col("address"), col("depth"))
+    callees
+      .join(callFrequencies(functionName, binary)
+        .withColumnRenamed("callee_uid", "uid"), Seq("uid"), "left")
+      .withColumn("frequency", coalesce(col("frequency"), lit(0L)))
+      .orderBy("depth", "uid")
+  }
+
+  /** `query call-path --show-context` (call_path_analyzer.rs:502-538):
+    * upward chains + downward paths in one frame, tagged by role. */
+  def analyzeCallContext(functionName: String, binary: Option[String] = None,
+      maxDepth: Int = 3): DataFrame = {
+    val down = callPaths(functionName, binary, maxDepth)
+      .withColumn("role", lit("downward_path"))
+    val calls = scopedCalls(binary)
+    val (ids, e) = withIds(calls)
+    val starts = startIds(functionName, binary)
+      .join(ids, "uid").select(col("id").as("node"))
+    val up = Traversal.walks(e, starts, maxDepth, reverse = true)
+    val upNamed = up.join(ids, up("start") === ids("id"))
+      .select(col("uid").as("start_uid"), col("path"), col("offsets"), col("depth"))
+      .withColumn("role", lit("upward_chain"))
+    down.unionByName(upNamed).orderBy("role", "start_uid", "depth", "path")
+  }
+
+  /** Context insights summary (CallContextAnalysis
+    * generate_context_insights, models/call_path.rs:209-223). */
+  def contextInsights(functionName: String, binary: Option[String] = None,
+      maxDepth: Int = 3): DataFrame = {
+    val ctx = analyzeCallContext(functionName, binary, maxDepth)
+    val callers = callerSequences(functionName, binary)
+    ctx.groupBy("role").agg(count(lit(1)).as("n"))
+      .unionByName(callers.agg(lit("caller_sequences").as("role"),
+        count(lit(1)).as("n")))
+      .orderBy("role")
+  }
+
   /** `database stats` (importer.rs:27-80). */
   def stats(): DataFrame = graft.importer.JsonImporter.stats(g)
 }

@@ -65,6 +65,35 @@ class GraphQueryEngineSpec extends AnyFunSuite {
     assert(x(0).getAs[String]("to_function") == "imp:kernel32.dll:CreateFileA")
   }
 
+  test("enhanced callgraph carries direct-call frequencies") {
+    val e = engine.enhancedCallGraph("exported_entry").collect()
+      .map(r => (r.getAs[String]("uid"), r.getAs[Long]("frequency"))).toMap
+    assert(e == Map("aaa111:0x401200" -> 1L, "imp:kernel32.dll:CreateFileA" -> 0L))
+  }
+
+  test("call context combines downward paths and upward chains") {
+    val ctx = engine.analyzeCallContext("helper").collect()
+    val roles = ctx.map(_.getAs[String]("role")).toSet
+    assert(roles == Set("downward_path", "upward_chain"))
+    val ins = engine.contextInsights("helper").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ins("caller_sequences") == 1L)
+  }
+
+  test("validate flags missing binary_info fields") {
+    import spark.implicits._
+    val bad = spark.read.json(Seq(
+      """{"binary_info": {"name": "x.exe"}}""",
+      """{"functions": []}""").toDS())
+    val v = graft.importer.JsonImporter.validate(bad).collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[Boolean]("valid")).toMap
+    assert(v("x.exe") == false && v("<unknown>") == false)
+    val good = graft.importer.JsonImporter.validate(
+      graft.importer.JsonImporter.readAnalysis(spark,
+        getClass.getResource("/analysis").getPath)).collect()
+    assert(good.forall(_.getAs[Boolean]("valid")))
+  }
+
   test("fulltext strings search with per-binary sample count") {
     val hits = engine.queryStrings(Seq("hello", "world")).collect()
     assert(hits.length == 1)
