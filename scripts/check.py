@@ -53,6 +53,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             fails += 1
             continue
         g, e = canon(got), canon(exp)
+        for c in set(g.columns) & set(e.columns):
+            gk, ek = g[c].dtype.kind, e[c].dtype.kind
+            if gk != ek and not (len(g) == 0 or len(e) == 0):
+                print(f"  WARN {name}.{c}: dtype kind {g[c].dtype} vs {e[c].dtype}")
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
             fails += 1

@@ -37,22 +37,27 @@ object Traversal {
     val e0 = edgeCols(edges)
     val e = if (reverse) e0.select(col("_dst").as("_src"), col("_src").as("_dst"))
             else e0.select("_src", "_dst")
-    var visited = starts.select(col("node").cast("long").as("node"),
-      lit(0).as("depth"))
-    var frontier = visited.select("node")
-    for (d <- 1 to maxDepth) {
+    // Each level is materialized (localCheckpoint) before the next:
+    // without this, level d's plan re-derives levels 1..d-1 → O(d²)
+    // recomputation and a hundred micro-stages. With it, every level
+    // runs exactly one join + distinct + anti-join over materialized
+    // inputs — the standard iterative-algorithm shape on Spark.
+    var frontier = starts.select(col("node").cast("long").as("node"))
+      .distinct().localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(
+      frontier.withColumn("depth", lit(0)))
+    var visited = frontier
+    for (d <- 1 to maxDepth if !frontier.isEmpty) {
       frontier = frontier
         .join(e, frontier("node") === e("_src"))
         .select(col("_dst").as("node"))
         .distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-      visited = visited.unionByName(
-        frontier.withColumn("depth", lit(d)))
-      // NOTE: for deep traversals (>8 levels) insert a localCheckpoint
-      // here to truncate lineage; bounded depths keep the plan small.
-      frontier = visited.filter(col("depth") === d).select("node")
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      levels += frontier.withColumn("depth", lit(d))
+      visited = visited.unionByName(frontier).localCheckpoint(true)
     }
-    visited.filter(col("depth") > 0)
+    levels.reduce(_ unionByName _).filter(col("depth") > 0)
   }
 
   /** Walk enumeration (call-path analysis): all walks of length
@@ -108,11 +113,25 @@ object Traversal {
     // Trail semantics (Cypher var-length): an edge is never reused
     // within one path, so a pure self-loop cannot form an "indirect"
     // cycle — exclude self-loop edges from the cycle walk entirely.
-    val indirect = walks(edgeCols(edges).filter(col("_src") =!= col("_dst"))
-        .toDF("src", "dst", "offset"), starts, maxDepth)
-      .filter(col("last") === col("start") && col("depth") >= 2)
-      .groupBy(col("start").as("node"), col("depth"))
-      .agg(count(lit(1)).as("n_cycles"))
+    //
+    // Cycle COUNTS need no walk enumeration: dynamic programming over
+    // walk counts — dp(d, start, node) = Σ_{edges u→node} dp(d-1,
+    // start, u) — is one join+agg per level with state ≤ |starts|×|V|,
+    // where enumeration is O(degree^depth). Counts are identical.
+    val e = edgeCols(edges).filter(col("_src") =!= col("_dst"))
+    var dp = starts.select(col("node").cast("long").as("start"))
+      .distinct()
+      .select(col("start"), col("start").as("cur"), lit(1L).as("walks"))
+    val cycles = (1 to maxDepth).map { d =>
+      dp = dp.join(e, dp("cur") === e("_src"))
+        .groupBy(col("start"), col("_dst").as("cur"))
+        .agg(sum(col("walks")).as("walks"))
+        .localCheckpoint(true)
+      dp.filter(col("cur") === col("start") && lit(d) >= 2)
+        .select(col("start").as("node"), lit(d).as("depth"),
+          col("walks").as("n_cycles"))
+    }
+    val indirect = cycles.reduce(_ unionByName _)
       .withColumn("call_type", lit("Indirect"))
       .select("node", "call_type", "depth", "n_cycles")
     direct.select("node", "call_type", "depth", "n_cycles")

@@ -35,6 +35,10 @@ object GraphQueries {
         col("l_linenumber").cast("long").as("off"))
       .groupBy("src", "dst")
       .agg(min("off").as("offset"))
+      // One shared in-memory copy per session+dir (CacheManager dedups
+      // by canonicalized plan): iterative traversals would otherwise
+      // rescan + reaggregate lineitem at every BFS/walk level.
+      .cache()
 
   private def downStarts(e: DataFrame): DataFrame =
     e.select(col("src").as("node")).filter(col("node") % 1000 === 7).distinct()
