@@ -45,7 +45,9 @@ object Dedup {
     * only candidate pairs.
     */
   def minhashLsh(docs: DataFrame): DataFrame = {
-    val mh = minhashLong(docs)
+    // The signature table is read 4× (both candidate sides + both
+    // scoring sides) — materialize it once; it is tiny (8 rows/doc).
+    val mh = minhashLong(docs).localCheckpoint(true)
     val cand = mh.as("x").join(mh.as("y"),
         col("x.perm") === col("y.perm") && col("x.mh") === col("y.mh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -86,7 +88,8 @@ object Dedup {
     * cross join. Returns (doc_a, doc_b, hamming).
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sig = simhashSignatures(docs)
+    // 1 row/doc, read by both join sides — materialize once.
+    val sig = simhashSignatures(docs).localCheckpoint(true)
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
@@ -112,7 +115,8 @@ object Dedup {
     * handled by AQE skew-split (or a df-cap filter upstream).
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
-    val sh = TextOps.shingles(docs).distinct()
+    // read 3× (sizes + both intersection sides) — materialize once.
+    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
