@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextOps
+import graft.pipeline.TextAnalysis
+import graft.search.Fulltext
+
+/** Unit semantics for tokenization, fulltext scoring, and the text
+  * analysis operators on hand-checked inputs.
+  */
+class TextSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenizer lowercases, splits on non-alnum, renumbers") {
+    val t = TextOps.tokens(docs(1L -> "Hello, World! 42x"))
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(t.toSeq == Seq(("hello", 1), ("world", 2), ("42x", 3)))
+  }
+
+  test("fulltext: tf-idf ranks the doc with more matches higher") {
+    val d = docs(
+      1L -> "spark spark spark query",
+      2L -> "spark and nothing else relevant",
+      3L -> "no relevant words at all")
+    val hits = Fulltext.search(d, Seq("spark", "query"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(hits.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 absent
+    assert(hits.head._2 == 2L) // doc 1 matched both terms
+  }
+
+  test("prefix search matches wildcard tokens") {
+    val hits = Fulltext.prefixSearch(docs(1L -> "windows window wind", 2L -> "door"),
+      "wind").collect()
+    assert(hits.length == 1 && hits(0).getLong(0) == 1L && hits(0).getLong(2) == 3L)
+  }
+
+  test("language-ID: stopword-free text is 'unknown'") {
+    val out = TextAnalysis.langId(docs(
+      1L -> "the cat sat on the mat", 2L -> "qwerty zxcvb plmkn"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "en", 2L -> "unknown"))
+  }
+
+  test("quality: digit-heavy text scores lower") {
+    val q = TextAnalysis.quality(docs(
+      1L -> "a normal sentence with words in it",
+      2L -> "1234567890 1234567890 1234567890"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(q(1L) > q(2L))
+  }
+
+  test("token counts: ws vs bpe-ish") {
+    val t = TextAnalysis.tokenCounts(docs(1L -> "hello world, it's 42"))
+      .collect()(0)
+    assert(t.getLong(1) == 4L)  // whitespace tokens
+    assert(t.getLong(2) == 7L)  // hello world , it ' s 42
+  }
+
+  test("fingerprint is content-determined and order-sensitive") {
+    val f = TextAnalysis.fingerprint(docs(
+      1L -> "one two three four", 2L -> "one two three four", 3L -> "four three two one"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(1L) == f(2L))
+    assert(f(1L) != f(3L))
+  }
+}
