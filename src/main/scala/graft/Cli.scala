@@ -62,9 +62,14 @@ object Cli {
         emit(engine.queryFunctions(opt(args, "--pattern").getOrElse(""),
           opt(args, "--binary")))
       case Seq("query", "strings", _*) =>
-        val terms = opt(args, "--pattern").getOrElse("")
-          .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-        emit(engine.queryStrings(terms, opt(args, "--binary")))
+        val pattern = opt(args, "--pattern").getOrElse("")
+        if (args.contains("--raw"))
+          emit(engine.queryStringsRaw(pattern, opt(args, "--binary")))
+        else {
+          val terms = pattern.toLowerCase.split("[^a-z0-9]+")
+            .filter(_.nonEmpty).toSeq
+          emit(engine.queryStrings(terms, opt(args, "--binary")))
+        }
       case Seq("query", "binary", _*) =>
         emit(engine.queryBinaryInfo(opt(args, "--binary-name").getOrElse("")))
       case Seq("query", "callgraph", fn, _*) =>

@@ -257,6 +257,24 @@ class GraphQueryEngine(g: BinaryGraph) {
       .orderBy("role")
   }
 
+  /** `query strings --raw`: boolean (Lucene-style) query over the
+    * fulltext index (README raw-query mode). */
+  def queryStringsRaw(query: String, binary: Option[String] = None,
+      limit: Int = 25): DataFrame = {
+    val scoped = binary match {
+      case None => g.containsString
+      case Some(b) =>
+        g.containsString.join(broadcast(binaryMatches(b)), "binary_hash")
+    }
+    val docs = g.strings
+      .join(scoped.select(col("string_uid").as("uid")).distinct(), Seq("uid"), "left_semi")
+      .select(col("uid").as("doc_id"), col("value").as("text"))
+    Fulltext.booleanSearch(docs, query, limit)
+      .join(g.strings.withColumnRenamed("uid", "doc_id"), "doc_id")
+      .select(col("doc_id").as("uid"), col("value"), col("score"), col("n_atoms"))
+      .orderBy(col("score").desc, col("uid"))
+  }
+
   /** `database stats` (importer.rs:27-80). */
   def stats(): DataFrame = graft.importer.JsonImporter.stats(g)
 }

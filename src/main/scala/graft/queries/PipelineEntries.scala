@@ -23,6 +23,8 @@ object PipelineEntries {
       Fulltext.search(Tables.documents(s, d), SearchTerms)),
     "fulltext_prefix" -> ((s, d) =>
       Fulltext.prefixSearch(Tables.documents(s, d), Prefix)),
+    "fulltext_bool" -> ((s, d) =>
+      Fulltext.booleanSearch(Tables.documents(s, d), "spark AND (wind* OR merge)")),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
@@ -82,6 +84,26 @@ object PipelineEntries {
   def oracleSql: Map[String, String] = Map(
     "fulltext_search" -> fulltextSql(s"token IN $termsIn"),
     "fulltext_prefix" -> fulltextSql(s"token LIKE '$Prefix%'"),
+    "fulltext_bool" ->
+      s"""WITH $TOK,
+         |$TF,
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |matched AS (
+         |  SELECT doc_id, token, tf, df FROM tf JOIN df USING (token)
+         |  WHERE token = 'spark' OR token LIKE 'wind%' OR token = 'merge'),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |         round(SUM(tf * ln((n + 1.0) / (df + 1.0))), 4) AS score,
+         |         MAX(CASE WHEN token = 'spark' THEN 1 ELSE 0 END) AS a0,
+         |         MAX(CASE WHEN token LIKE 'wind%' THEN 1 ELSE 0 END) AS a1,
+         |         MAX(CASE WHEN token = 'merge' THEN 1 ELSE 0 END) AS a2
+         |  FROM matched, n GROUP BY doc_id)
+         |SELECT doc_id, score, a0 + a1 + a2 AS n_atoms
+         |FROM perdoc
+         |WHERE a0 = 1 AND (a1 = 1 OR a2 = 1)
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
         |       MIN(doc_id) AS canonical_id
