@@ -42,7 +42,9 @@ object PipelineEntries {
       graft.streaming.EventStreams.hourlyTypeCounts(graft.streaming.EventStreams.events(s, d))),
     "events_sessionize" -> ((s, d) =>
       graft.streaming.EventStreams.sessionize(graft.streaming.EventStreams.events(s, d))),
-    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d)))
+    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d))),
+    "events_asof" -> ((s, d) => TemporalOps.purchaseAsofView(s, d)),
+    "events_quantiles" -> ((s, d) => TemporalOps.eventQuantiles(s, d))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -293,6 +295,29 @@ object PipelineEntries {
         |FROM sess
         |GROUP BY 1, 2
         |ORDER BY user_id, session_id""".stripMargin,
+    "events_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts AS t, 1 AS tag, CAST(NULL AS DOUBLE) AS rv
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, value FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT user_id, t, tag,
+        |         last_value(rv IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY t, tag
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_v
+        |  FROM u)
+        |SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       round(COALESCE(asof_v, -1.0), 2) AS last_view_value
+        |FROM w WHERE tag = 1
+        |ORDER BY user_id, purchase_ts""".stripMargin,
+    "events_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

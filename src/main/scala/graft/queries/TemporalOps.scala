@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Temporal operators beyond the reference's surface: as-of join and
+  * quantile summaries over the event stream.
+  */
+object TemporalOps {
+
+  /** As-of join, composed from built-ins (the (a) rung of the
+    * custom-operator ladder): for every left row, the latest right
+    * row with `rightTime <= leftTime` per key.
+    *
+    * Formulation: tag and union both sides, then one window sorted by
+    * (key, time, tag) carrying `last(right value ignoring nulls)` —
+    * a single shuffle+sort over left+right, which is the optimal
+    * distributed plan (no per-row lookups, no range join blowup; at
+    * scale both sides co-partition on the key).
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightValue: String): DataFrame = {
+    val l = left.withColumn("_tag", lit(1))
+      .withColumn("_t", col(leftTime))
+      .withColumn("_rv", lit(null).cast(right.schema(rightValue).dataType))
+    val r = right.select(col(key), col(rightTime).as("_t"),
+      lit(0).as("_tag"), col(rightValue).cast("double").as("_rv"))
+    val unioned = l.select(col(key), col("_t"), col("_tag"), col("_rv"))
+      .unionByName(r.select(col(key), col("_t"), col("_tag"), col("_rv")))
+    // right rows sort before left rows at equal time (tag 0 < 1) →
+    // a right row at exactly leftTime IS visible to that left row.
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col(key), col("_t").as(leftTime), col("_asof"))
+  }
+
+  /** Driver-contract query: for each purchase event, the value of the
+    * user's most recent prior (or simultaneous) view event. */
+  def purchaseAsofView(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    asofJoin(purchases.withColumnRenamed("ts", "p_ts"), views,
+        key = "user_id", leftTime = "p_ts", rightTime = "ts", rightValue = "value")
+      .select(col("user_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(coalesce(col("_asof"), lit(-1.0)), 2).as("last_view_value"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
+  /** Exact interpolated quantiles per event type (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`). The approx scale path is
+    * `approx_percentile` — same call shape, sketch-based. */
+  def eventQuantiles(s: SparkSession, d: String): DataFrame =
+    EventStreams.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+}
