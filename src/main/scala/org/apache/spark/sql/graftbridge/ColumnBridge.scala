@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.{ColumnConversions, ExpressionColumnNode}
 object ColumnBridge {
   def column(e: Expression): Column = Column(ExpressionColumnNode(e))
   def expression(c: Column): Expression = ColumnConversions.expression(c)
+
+  /** Register a SQL function on an already-built session (the
+    * builder-time path is `withExtensions(new GraftExtensions)`;
+    * this covers shared/reused sessions). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

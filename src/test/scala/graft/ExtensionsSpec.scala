@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftExtensions, Skew}
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("SQL users reach graft expressions (runtime registration path)") {
+    val spark = GraftSession.local(4)
+    graft.functions.GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+    val h1 = spark.sql("SELECT graft_token_hash('hello') AS h")
+      .collect()(0).getLong(0)
+    val h2 = spark.sql("SELECT graft_token_hash('hello') AS h")
+      .collect()(0).getLong(0)
+    assert(h1 == h2 && h1 > 0)
+  }
+
+  test("salted join equals plain join") {
+    val spark = GraftSession.local(4)
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "cold")).toDF("k", "name")
+    val plain = big.join(small, "k").count()
+    val salted = Skew.saltedJoin(big, small, "k").count()
+    assert(plain == salted)
+  }
+}
