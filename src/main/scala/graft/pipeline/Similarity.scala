@@ -97,6 +97,51 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF coarse assignment: distance to each of the `nCentroids`
+    * fixed coarse-quantizer centroids (vec_id < nCentroids — a
+    * deterministic stand-in for trained k-means centroids; the
+    * structure, probe flow and plan shape are what matter), ranked
+    * with rounded distances so assignment is engine-stable. */
+  private def ivfAssign(v: DataFrame, nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = v.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2 = v.crossJoin(broadcast(cents))
+      .withColumn("dist", round(
+        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+    d2.filter(col("crank") <= nProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), col("crank"))
+  }
+
+  /** D7b IVF-style ANN: vectors live in their nearest-centroid list
+    * (crank=1); queries probe their `nProbe` nearest lists and rerank
+    * exactly within them. At scale the inverted lists are the
+    * partition key — each query touches nProbe/nCentroids of the
+    * corpus instead of all of it.
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 3,
+      nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val v = withNorm(emb)
+    val assigned = ivfAssign(v, nCentroids, nProbe)
+    val lists = assigned.filter(col("crank") === 1)
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val probes = assigned.filter(queryPred)
+      .select(col("cid"), col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val pairs = lists.join(probes,
+        lists("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** D5 embedding near-dup: exact cosine ≥ threshold over a sampled
     * anchor set (anchor % sampleMod == 0) — the exact-semantics
     * complement to [[lshTopK]]'s ANN path. */

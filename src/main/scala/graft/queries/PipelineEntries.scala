@@ -34,6 +34,8 @@ object PipelineEntries {
     "sim_topk" -> ((s, d) =>
       Similarity.topKCosine(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "sim_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "sim_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -217,6 +219,45 @@ object PipelineEntries {
          |scored AS (
          |  SELECT query_id, nb_id AS neighbor_id,
          |         dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots
+         |  JOIN nrm na ON query_id = na.vec_id
+         |  JOIN nrm nb ON nb_id = nb.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY round(cos, 6) DESC, neighbor_id) AS INTEGER) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+    "sim_ivf" ->
+      s"""WITH $EX,
+         |$NRM,
+         |cents AS (SELECT vec_id AS cid, i, x FROM ex WHERE vec_id < 16),
+         |d2 AS (
+         |  SELECT e.vec_id, c.cid,
+         |         round(SUM((e.x - c.x) * (e.x - c.x)), 6) AS dist
+         |  FROM ex e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+         |ranked_c AS (
+         |  SELECT vec_id, cid,
+         |         CAST(row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY dist, cid) AS INTEGER) AS crank
+         |  FROM d2),
+         |lists AS (SELECT cid, vec_id FROM ranked_c WHERE crank = 1),
+         |probes AS (
+         |  SELECT cid, vec_id AS query_id FROM ranked_c
+         |  WHERE crank <= 2 AND vec_id % 100 = 0),
+         |cand AS (
+         |  SELECT p.query_id, l.vec_id AS nb_id
+         |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.vec_id <> p.query_id),
+         |dots AS (
+         |  SELECT c.query_id, c.nb_id, SUM(a.x * b.x) AS dot
+         |  FROM cand c
+         |  JOIN ex a ON a.vec_id = c.query_id
+         |  JOIN ex b ON b.vec_id = c.nb_id AND a.i = b.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, nb_id AS neighbor_id, dot / (na.nrm * nb.nrm) AS cos
          |  FROM dots
          |  JOIN nrm na ON query_id = na.vec_id
          |  JOIN nrm nb ON nb_id = nb.vec_id),
