@@ -1,7 +1,7 @@
 package graft.importer
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** Columnar persistence for [[BinaryGraph]] — the analogue of the
   * reference's schema init / constraints / indexes
@@ -43,6 +43,41 @@ object GraphStore {
       libraries = t("libraries"), contains = t("contains"), importsFn = t("imports_fn"),
       importsLib = t("imports_lib"), belongsTo = t("belongs_to"),
       containsString = t("contains_string"), calls = t("calls"))
+  }
+
+  /** Incremental import: merge a newly-imported batch into an
+    * existing graph with the reference's MERGE-then-SET semantics
+    * (neo4j/importer.rs `MERGE (n {key}) SET n.prop = …`): new rows
+    * win on key collision, everything else is preserved. One
+    * union + keyed dedup per table — no read-modify-write loops, so
+    * a nightly increment over a 100 TB store is a normal batch job.
+    */
+  def merge(existing: BinaryGraph, incoming: BinaryGraph): BinaryGraph = {
+    def newerWins(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
+      val tagged = old.withColumn("_gen", lit(0))
+        .unionByName(neu.withColumn("_gen", lit(1)))
+      tagged.withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(col("_gen").desc)))
+        .filter(col("_rn") === 1)
+        .drop("_gen", "_rn")
+    }
+    def unionDistinct(old: DataFrame, neu: DataFrame): DataFrame =
+      old.unionByName(neu).distinct()
+    BinaryGraph(
+      binaries = newerWins(existing.binaries, incoming.binaries, Seq("hash")),
+      functions = newerWins(existing.functions, incoming.functions, Seq("uid")),
+      strings = newerWins(existing.strings, incoming.strings, Seq("uid")),
+      libraries = unionDistinct(existing.libraries, incoming.libraries),
+      contains = unionDistinct(existing.contains, incoming.contains),
+      importsFn = newerWins(existing.importsFn, incoming.importsFn,
+        Seq("binary_hash", "function_uid")),
+      importsLib = unionDistinct(existing.importsLib, incoming.importsLib),
+      belongsTo = unionDistinct(existing.belongsTo, incoming.belongsTo),
+      containsString = unionDistinct(existing.containsString, incoming.containsString),
+      calls = newerWins(existing.calls, incoming.calls,
+        Seq("from_uid", "to_uid", "call_offset")))
   }
 
   /** `database clear` (commands/database.rs:40). */

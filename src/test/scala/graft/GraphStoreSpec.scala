@@ -25,6 +25,23 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(!new java.io.File(dir).exists())
   }
 
+  test("incremental merge: re-import is idempotent, new rows win") {
+    val g = JsonImporter.importAnalysis(spark,
+      getClass.getResource("/analysis").getPath)
+    // re-importing the same batch changes nothing
+    val same = GraphStore.merge(g, g)
+    assert(same.functions.count() == g.functions.count())
+    assert(same.calls.count() == g.calls.count())
+    // an updated function row (same uid, new size) replaces the old
+    import org.apache.spark.sql.functions._
+    val updated = g.copy(functions =
+      g.functions.filter("uid = 'aaa111:0x401200'").withColumn("size", lit(999L)))
+    val merged = GraphStore.merge(g, updated)
+    assert(merged.functions.count() == g.functions.count())
+    assert(merged.functions.filter("uid = 'aaa111:0x401200'")
+      .collect()(0).getAs[Long]("size") == 999L)
+  }
+
   test("stateful sessionize matches window-based sessionize") {
     val dir = "/root/testdata/sf0.001"
     val ev = EventStreams.events(spark, dir)
