@@ -57,6 +57,23 @@ object EventStreams {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessionization via Spark's native `session_window` (gap-merge
+    * semantics; identical sessions to [[sessionize]] except on
+    * exact-gap boundaries, which ns-resolution timestamps never hit).
+    * This is the formulation that runs unchanged under Structured
+    * Streaming with a watermark. */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val in = if (events.isStreaming)
+      events.withWatermark("ts", s"$gapMinutes minutes") else events
+    in.groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       session_start: String, session_end: String, sum_value: Double)
