@@ -31,6 +31,10 @@ object SparkEntry {
         Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d),
         Tables.region(s, d), regionName = "ASIA")),
     "q_window" -> ((s, d) => Relational.supplierRunningShipments(Tables.lineitem(s, d))),
+    "q6_forecast" -> ((s, d) => Relational.forecastRevenue(Tables.lineitem(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      Relational.largeOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
     // Graph query surface (SURVEY.md §2 B*, A5, C*)
     "callgraph_bfs" -> ((s, d) => GraphQueries.callgraphBfs(s, d)),
     "call_paths_down" -> ((s, d) => GraphQueries.callPathsDown(s, d)),
@@ -112,6 +116,26 @@ object SparkEntry {
         |) t
         |WHERE rn <= 5
         |ORDER BY l_suppkey, rn""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.08
+        |  AND l_quantity < 30.0""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) >= 210.0)
+        |SELECT c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       round(o_totalprice, 2) AS o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "callgraph_bfs" ->
       s"""WITH RECURSIVE $E,
         |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),

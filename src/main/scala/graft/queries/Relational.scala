@@ -89,6 +89,38 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6-shaped forecast revenue: pure selective scan →
+    * single-row agg; every predicate reaches the parquet reader, no
+    * shuffle at all (partial agg + final over 1 exchange of 1 row). */
+  def forecastRevenue(lineitem: DataFrame, year: String = "1997",
+      discLo: Double = 0.04, discHi: Double = 0.08, qtyMax: Double = 30.0): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(s"$year-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit(s"${year.toInt + 1}-01-01")) &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < qtyMax)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q18-shaped large-order customers: groupBy-HAVING on the
+    * fact table first (map-side partial agg shrinks it), then join
+    * the survivors to dims — never the other way around. */
+  def largeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQty: Double = 210.0): DataFrame = {
+    val big = lineitem.groupBy("l_orderkey")
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") >= minQty)
+    big
+      .join(orders, big("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name")),
+        orders("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Window functions: first-5-shipments running quantity per
     * supplier. Partition key = supplier (uniform), ordering fully
     * deterministic via the (date, orderkey, linenumber) tiebreak.
