@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.functions.TextOps
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curate, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.search.Fulltext
 
 /** Driver-contract wiring + DuckDB oracles for the LLM-data-pipeline
@@ -45,6 +45,7 @@ object PipelineEntries {
     "events_sessionize" -> ((s, d) =>
       graft.streaming.EventStreams.sessionize(graft.streaming.EventStreams.events(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d))),
+    "curate_pipeline" -> ((s, d) => Curate.curate(Tables.documents(s, d))),
     "events_asof" -> ((s, d) => TemporalOps.purchaseAsofView(s, d)),
     "events_quantiles" -> ((s, d) => TemporalOps.eventQuantiles(s, d))
   )
@@ -336,6 +337,40 @@ object PipelineEntries {
         |FROM sess
         |GROUP BY 1, 2
         |ORDER BY user_id, session_id""".stripMargin,
+    "curate_pipeline" ->
+      s"""WITH $TOK,
+         |t AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |           THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |  FROM tok GROUP BY 1),
+         |d AS (
+         |  SELECT doc_id,
+         |         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |           / length(text), 4) AS digit_ratio,
+         |         md5(text) AS h
+         |  FROM documents),
+         |canon AS (SELECT MIN(doc_id) AS doc_id, TRUE AS is_canonical
+         |          FROM documents GROUP BY md5(text)),
+         |j AS (
+         |  SELECT d.doc_id, t.n_tokens,
+         |         round(least(1.0, t.n_tokens / 100.0) * (1.0 - d.digit_ratio), 4)
+         |           AS quality,
+         |         CASE WHEN t.stopword_ratio >= 0.05 THEN 'en' ELSE 'unknown' END
+         |           AS lang_pred,
+         |         COALESCE(c.is_canonical, FALSE) AS is_canonical,
+         |         d.digit_ratio
+         |  FROM d JOIN t ON d.doc_id = t.doc_id
+         |  LEFT JOIN canon c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, n_tokens, quality, lang_pred,
+         |       (n_tokens >= 20 AND digit_ratio <= 0.3 AND quality >= 0.2)
+         |         AS pass_quality,
+         |       is_canonical,
+         |       (lang_pred = 'en') AS pass_lang,
+         |       (n_tokens >= 20 AND digit_ratio <= 0.3 AND quality >= 0.2
+         |        AND is_canonical AND lang_pred = 'en') AS kept
+         |FROM j
+         |ORDER BY doc_id""".stripMargin,
     "events_asof" ->
       """WITH u AS (
         |  SELECT user_id, ts AS t, 1 AS tag, CAST(NULL AS DOUBLE) AS rv
