@@ -63,13 +63,17 @@ class GraphQueryEngine(g: BinaryGraph) {
         .join(uids.withColumnRenamed("uid", "to_uid"), Seq("to_uid"), "left_semi")
   }
 
-  /** Dense long ids for one traversal: (uid, id) dictionary. */
+  /** Long ids for one traversal: (uid, id) dictionary via xxhash64 —
+    * embarrassingly parallel (a dense_rank over a global window would
+    * single-partition sort the whole uid set at scale). Collision
+    * probability is ~n²/2⁶⁵ (≈3% at 10⁹ nodes — acceptable for
+    * traversal; swap in a zipWithIndex dictionary if exactness over
+    * billions of nodes is required). */
   private def withIds(calls: DataFrame): (DataFrame, DataFrame) = {
     val ids = calls.select(col("from_uid").as("uid"))
       .unionByName(calls.select(col("to_uid").as("uid")))
       .distinct()
-      .withColumn("id", dense_rank().over(
-        org.apache.spark.sql.expressions.Window.orderBy("uid")).cast("long"))
+      .withColumn("id", xxhash64(col("uid")))
     val e = calls
       .join(ids.withColumnRenamed("uid", "from_uid").withColumnRenamed("id", "src"),
         Seq("from_uid"))
