@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.importer.JsonImporter
+import graft.queries.GraphQueryEngine
+
+/** Directory bulk import (reference `import directory --pattern`):
+  * many analysis files in one declarative plan, with call resolution
+  * across a large generated corpus. Deterministic synthetic inputs,
+  * hand-computable totals.
+  */
+class ImporterScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  val nBinaries = 60
+  val fnPerBinary = 40
+
+  def makeDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bulk")
+    (0 until nBinaries).foreach { b =>
+      val fns = (0 until fnPerBinary).map { i =>
+        s"""{"name": "fn_${b}_$i", "address": "0x${(0x1000 + i * 16).toHexString}", "size": 16}"""
+      }.mkString(",")
+      // each fn calls the next; last calls an import; plus one cycle
+      val calls = ((0 until fnPerBinary - 1).map { i =>
+        s"""{"from_address": "0x${(0x1000 + i * 16).toHexString}",
+           | "to_address": "0x${(0x1000 + (i + 1) * 16).toHexString}",
+           | "offset": "0x${(0x1000 + i * 16 + 4).toHexString}", "type": "direct"}""".stripMargin
+      } :+
+        s"""{"from_address": "0x${(0x1000 + (fnPerBinary - 1) * 16).toHexString}",
+           | "to_address": "0x9000", "offset": "0x2000", "type": "indirect"}""".stripMargin :+
+        s"""{"from_address": "0x${(0x1000 + (fnPerBinary / 2) * 16).toHexString}",
+           | "to_address": "0x1000", "offset": "0x2004", "type": "direct"}""".stripMargin)
+        .mkString(",")
+      val json =
+        s"""{
+           |"binary_info": {"hashes": {"sha256": "bin$b"}, "name": "b$b.exe",
+           |  "file_path": "/x/b$b.exe", "file_size": ${1000 + b},
+           |  "file_type": {"type": "PE32", "architecture": "x86_64"}},
+           |"functions": [$fns],
+           |"strings": [{"value": "shared marker", "address": "0x5000"},
+           |            {"value": "unique to $b", "address": "0x5008"}],
+           |"imports": [{"name": "ExitProcess", "library": "KERNEL32.dll", "address": "0x9000"}],
+           |"exports": [],
+           |"calls": [$calls]
+           |}""".stripMargin
+      java.nio.file.Files.writeString(dir.resolve(s"b$b.json"), json)
+    }
+    dir.toString
+  }
+
+  test("bulk directory import resolves every call and dedups globally") {
+    val g = JsonImporter.importAnalysis(spark, makeDir())
+    assert(g.binaries.count() == nBinaries)
+    // internal fns per binary + ONE global import node
+    assert(g.functions.count() == nBinaries * fnPerBinary + 1)
+    // chain + import call + cycle call per binary, all resolved
+    assert(g.calls.count() == nBinaries * (fnPerBinary + 1))
+    // strings: one shared across all + one unique per binary
+    assert(g.strings.count() == 1 + nBinaries)
+    assert(g.containsString.count() == 2L * nBinaries)
+    assert(g.libraries.count() == 1)
+
+    val engine = new GraphQueryEngine(g)
+    // deep callgraph from the chain head inside one binary
+    val cg = engine.callgraph("fn_7_0", Some("b7.exe"), maxDepth = 5)
+      .filter("direction = 'callee'").count()
+    assert(cg == 5)
+    // the shared string is found in every binary
+    val hits = engine.queryStrings(Seq("shared", "marker")).collect()
+    assert(hits.length == 1 && hits(0).getAs[Long]("sample_count") == nBinaries)
+  }
+}
