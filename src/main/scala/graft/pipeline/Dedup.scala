@@ -108,6 +108,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** D4b prefix-filtered n-gram Jaccard join (similarity-join prefix
+    * principle): order each doc's shingles by global rarity and keep
+    * only the first |x| − ⌈τ·|x|⌉ + 1 as candidate-join keys — any
+    * pair with J ≥ τ must share a prefix shingle, so the filter is
+    * LOSSLESS (the oracle equals plain [[ngramJaccard]] at the same
+    * τ) while candidate volume drops ~(1−τ)² and the hottest (most
+    * common) shingles never become join keys at all.
+    */
+  def ngramJaccardPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rarity = sh.groupBy("sh").agg(count(lit(1)).as("sh_df"))
+    val ranked = sh.join(rarity, "sh")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("sh_df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+      .select("doc_id", "sh")
+    val cand = ranked.as("x").join(ranked.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("sa.n_sh") + col("sb.n_sh") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** D4 n-gram Jaccard similarity join: candidates share ≥1 distinct
     * 3-gram shingle; J = |∩| / |∪| from per-doc set sizes. Returns
     * pairs with J ≥ minJaccard. The shared-shingle join is the

@@ -29,6 +29,8 @@ object PipelineEntries {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "dedup_ngram_prefix" -> ((s, d) =>
+      Dedup.ngramJaccardPrefix(Tables.documents(s, d), minJaccard = 0.5)),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.4)),
     "sim_topk" -> ((s, d) =>
@@ -159,6 +161,23 @@ object PipelineEntries {
          |  JOIN sizes sa ON doc_a = sa.doc_id
          |  JOIN sizes sb ON doc_b = sb.doc_id)
          |WHERE jaccard >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_prefix" ->
+      s"""WITH $TOK,
+         |$SH,
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |         round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id)
+         |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $EX,

@@ -48,6 +48,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(d == Set((1L, 2L, 1.0)))
   }
 
+  test("prefix-filtered jaccard equals plain jaccard (lossless)") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",
+      3L -> "one two three four five six seven eight",
+      4L -> "one two three four five six seven eight")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(Dedup.ngramJaccardPrefix(d, 0.5)) == key(Dedup.ngramJaccard(d, 0.5)))
+    assert(key(Dedup.ngramJaccardPrefix(d, 0.5)).nonEmpty)
+  }
+
   test("cosine top-k ranks the aligned vector first") {
     import spark.implicits._
     val emb = Seq(
