@@ -107,7 +107,7 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber, rn, round(run_qty, 2) AS run_qty
         |FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber,
-        |    row_number() OVER w AS rn,
+        |    CAST(row_number() OVER w AS INTEGER) AS rn,
         |    sum(l_quantity) OVER (PARTITION BY l_suppkey
         |      ORDER BY l_shipdate, l_orderkey, l_linenumber
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
