@@ -185,10 +185,7 @@ class GraphQueryEngine(g: BinaryGraph) {
       .orderBy("from_function", "to_function")
   }
 
-  /** `query strings --pattern` via the distributed fulltext index
-    * (importer.rs:378-429): tf-idf score + per-binary sample count. */
-  def queryStrings(terms: Seq[String], binary: Option[String] = None,
-      limit: Int = 25): DataFrame = {
+  private def scopedStrings(binary: Option[String]): (DataFrame, DataFrame) = {
     val scoped = binary match {
       case None => g.containsString
       case Some(b) =>
@@ -197,13 +194,35 @@ class GraphQueryEngine(g: BinaryGraph) {
     val docs = g.strings
       .join(scoped.select(col("string_uid").as("uid")).distinct(), Seq("uid"), "left_semi")
       .select(col("uid").as("doc_id"), col("value").as("text"))
-    val hits = Fulltext.search(docs, terms, limit)
+    (scoped, docs)
+  }
+
+  private def withSampleCount(hits: DataFrame, scoped: DataFrame): DataFrame = {
     val sampleCount = scoped.groupBy(col("string_uid").as("doc_id"))
       .agg(countDistinct("binary_hash").as("sample_count"))
     hits.join(sampleCount, "doc_id")
       .join(g.strings.withColumnRenamed("uid", "doc_id"), "doc_id")
       .select(col("doc_id").as("uid"), col("value"), col("score"), col("sample_count"))
       .orderBy(col("score").desc, col("uid"))
+  }
+
+  /** `query strings --pattern` via the distributed fulltext index
+    * (importer.rs:378-429): tf-idf score + per-binary sample count.
+    * Default mode mirrors the reference's
+    * `default_string_fulltext_query` (query.rs:113-135): every term
+    * is an infix wildcard `*term*`, terms AND-joined — so
+    * `--pattern bitcoin` matches "bitcoinwallet_v2". */
+  def queryStrings(terms: Seq[String], binary: Option[String] = None,
+      limit: Int = 25): DataFrame = {
+    val (scoped, docs) = scopedStrings(binary)
+    withSampleCount(Fulltext.containsSearch(docs, terms, limit), scoped)
+  }
+
+  /** Exact-token variant of [[queryStrings]] (no wildcards). */
+  def queryStringsExact(terms: Seq[String], binary: Option[String] = None,
+      limit: Int = 25): DataFrame = {
+    val (scoped, docs) = scopedStrings(binary)
+    withSampleCount(Fulltext.search(docs, terms, limit), scoped)
   }
 
   /** Per-callee direct call frequency of a function
@@ -265,14 +284,7 @@ class GraphQueryEngine(g: BinaryGraph) {
     * fulltext index (README raw-query mode). */
   def queryStringsRaw(query: String, binary: Option[String] = None,
       limit: Int = 25): DataFrame = {
-    val scoped = binary match {
-      case None => g.containsString
-      case Some(b) =>
-        g.containsString.join(broadcast(binaryMatches(b)), "binary_hash")
-    }
-    val docs = g.strings
-      .join(scoped.select(col("string_uid").as("uid")).distinct(), Seq("uid"), "left_semi")
-      .select(col("uid").as("doc_id"), col("value").as("text"))
+    val (_, docs) = scopedStrings(binary)
     Fulltext.booleanSearch(docs, query, limit)
       .join(g.strings.withColumnRenamed("uid", "doc_id"), "doc_id")
       .select(col("doc_id").as("uid"), col("value"), col("score"), col("n_atoms"))

@@ -18,11 +18,17 @@ object PipelineEntries {
   val SearchTerms = Seq("spark", "window", "query")
   val Prefix = "wind"
 
+  /** Infix terms for the reference's default `*term* AND *term*` mode
+    * (query.rs:113-135): "par" ⊂ {spark, part}, "indo" ⊂ {window}. */
+  val ContainsTerms = Seq("par", "indo")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fulltext_search" -> ((s, d) =>
       Fulltext.search(Tables.documents(s, d), SearchTerms)),
     "fulltext_prefix" -> ((s, d) =>
       Fulltext.prefixSearch(Tables.documents(s, d), Prefix)),
+    "fulltext_contains" -> ((s, d) =>
+      Fulltext.containsSearch(Tables.documents(s, d), ContainsTerms)),
     "fulltext_bool" -> ((s, d) =>
       Fulltext.booleanSearch(Tables.documents(s, d), "spark AND (wind* OR merge)")),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -91,6 +97,29 @@ object PipelineEntries {
   def oracleSql: Map[String, String] = Map(
     "fulltext_search" -> fulltextSql(s"token IN $termsIn"),
     "fulltext_prefix" -> fulltextSql(s"token LIKE '$Prefix%'"),
+    "fulltext_contains" -> {
+      val likes = ContainsTerms.map(t => s"token LIKE '%$t%'")
+      val flags = ContainsTerms.zipWithIndex.map { case (t, i) =>
+        s"MAX(CASE WHEN token LIKE '%$t%' THEN 1 ELSE 0 END) AS a$i"
+      }.mkString(",\n         ")
+      val sumFlags = ContainsTerms.indices.map(i => s"a$i").mkString(" + ")
+      val allFlags = ContainsTerms.indices.map(i => s"a$i = 1").mkString(" AND ")
+      s"""WITH $TOK,
+         |$TF,
+         |matched AS (
+         |  SELECT doc_id, token, tf FROM tf WHERE ${likes.mkString(" OR ")}),
+         |mdf AS (SELECT token, COUNT(*) AS df FROM matched GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |         round(SUM(tf * ln((n + 1.0) / (df + 1.0))), 4) AS score,
+         |         $flags
+         |  FROM matched JOIN mdf USING (token), n GROUP BY doc_id)
+         |SELECT doc_id, score, CAST($sumFlags AS INTEGER) AS n_terms
+         |FROM perdoc WHERE $allFlags
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin
+    },
     "fulltext_bool" ->
       s"""WITH $TOK,
          |$TF,

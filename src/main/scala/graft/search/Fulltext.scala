@@ -1,18 +1,29 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
+
+/** A persisted distributed inverted index: `postings` is the
+  * (doc_id, token, tf) table — term-partitionable, incrementally
+  * maintainable — and `meta` a 1-row (n) frame with the corpus size
+  * (the idf denominator rides along as a broadcast, never a driver
+  * constant, so the index composes into one lazy plan).
+  */
+case class FulltextIndex(postings: DataFrame, meta: DataFrame)
 
 /** Distributed fulltext search (SURVEY.md §2 B11) — the Spark-first
   * replacement for the reference's Lucene fulltext index
   * (importer.rs:378-429, schema.rs `string_value_fulltext`).
   *
   * The inverted index is itself a DataFrame (term → doc postings
-  * with tf), so it is incrementally maintainable and term-partition
-  * prunable at scale; scoring is tf-idf (the BM25 shape without
-  * length normalization, so the oracle can replay it exactly).
+  * with tf); scoring is tf-idf (the BM25 shape without length
+  * normalization, so the oracle can replay it exactly). Every query
+  * mode builds/filters the postings exactly ONCE: document frequency
+  * is derived from the term-filtered postings (df of a term = its
+  * row count there), so no second corpus pass and no full-vocabulary
+  * broadcast ever happens.
   */
 object Fulltext {
 
@@ -26,16 +37,35 @@ object Fulltext {
   def docFrequency(post: DataFrame): DataFrame =
     post.groupBy("token").agg(count(lit(1)).as("df"))
 
-  /** Keyword search: score(doc) = Σ_t tf·ln((N+1)/(df+1)) over the
-    * query terms; n_terms = how many distinct query terms matched.
-    * The term filter lands on the postings scan (partition-prunable
-    * by token at scale); N rides along as a 1-row broadcast. */
-  def search(docs: DataFrame, terms: Seq[String], limit: Int = 20): DataFrame = {
-    val post = postings(docs).filter(col("token").isInCollection(terms))
-    val df = docFrequency(postings(docs)).filter(col("token").isInCollection(terms))
-    val n = docs.agg(count(lit(1)).as("n"))
-    post.join(broadcast(df), "token")
-      .crossJoin(broadcast(n))
+  /** One-shot in-memory index over a document set. */
+  def buildIndex(docs: DataFrame): FulltextIndex =
+    FulltextIndex(postings(docs), docs.agg(count(lit(1)).as("n")))
+
+  /** Persist the index token-clustered: repartition by token so each
+    * parquet file covers a token range (min/max row-group stats make
+    * a term lookup skip non-matching files), sorted for locality. */
+  def saveIndex(index: FulltextIndex, dir: String): Unit = {
+    index.postings
+      .repartition(col("token"))
+      .sortWithinPartitions("token", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    index.meta.write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadIndex(spark: SparkSession, dir: String): FulltextIndex =
+    FulltextIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/meta"))
+
+  /** Shared scoring tail: score(doc) = Σ tf·ln((N+1)/(df+1)) over the
+    * postings rows passing `tokenPred`; n_terms = matched distinct
+    * tokens. The predicate lands on the postings scan (pushed to
+    * parquet for a loaded index); df comes from the *filtered*
+    * postings — identical values, one pass. */
+  private def scored(index: FulltextIndex, tokenPred: Column, limit: Int): DataFrame = {
+    val matched = index.postings.filter(tokenPred)
+    val df = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    matched.join(broadcast(df), "token")
+      .crossJoin(broadcast(index.meta))
       .groupBy("doc_id")
       .agg(
         round(sum(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))), 4).as("score"),
@@ -43,6 +73,61 @@ object Fulltext {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
+
+  /** Exact-term keyword search over a prebuilt index. */
+  def searchIndex(index: FulltextIndex, terms: Seq[String], limit: Int = 20): DataFrame =
+    scored(index, col("token").isInCollection(terms), limit)
+
+  /** Exact-term keyword search (builds the index inline, one pass). */
+  def search(docs: DataFrame, terms: Seq[String], limit: Int = 20): DataFrame =
+    searchIndex(buildIndex(docs), terms, limit)
+
+  /** Prefix (wildcard) search `pref*` — the reference's auto-wildcard
+    * Lucene mode (README "fulltext with auto wildcard"). */
+  def prefixSearchIndex(index: FulltextIndex, prefix: String, limit: Int = 20): DataFrame =
+    scored(index, col("token").startsWith(prefix), limit)
+
+  def prefixSearch(docs: DataFrame, prefix: String, limit: Int = 20): DataFrame =
+    prefixSearchIndex(buildIndex(docs), prefix, limit)
+
+  /** The reference's DEFAULT string-query mode
+    * (query.rs:113-135 `default_string_fulltext_query`): every
+    * whitespace-separated term is wrapped `*term*` and the terms are
+    * AND-joined — a document matches when, for EVERY query term, some
+    * token contains it as a substring. Scoring is tf-idf over all
+    * postings rows matching any term; n_terms counts the distinct
+    * query terms the doc covers (= terms.size after the AND filter).
+    *
+    * Scale note: a contains-predicate cannot prune a token-range
+    * index, so this mode scans the postings table (still one narrow
+    * pass over (token, df)-sized data, not the corpus text); for a
+    * 100 TB corpus a character-n-gram index over the vocabulary would
+    * pre-filter candidate tokens.
+    */
+  def containsSearchIndex(index: FulltextIndex, terms: Seq[String],
+      limit: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "contains search needs at least one term")
+    val lower = terms.map(_.toLowerCase)
+    val matched = index.postings.filter(
+      lower.map(t => col("token").contains(t)).reduce(_ || _))
+    val df = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    matched.join(broadcast(df), "token")
+      .crossJoin(broadcast(index.meta))
+      .withColumn("hits", array(lower.zipWithIndex.map { case (t, i) =>
+        when(col("token").contains(t), lit(i)).otherwise(lit(null))
+      }: _*))
+      .groupBy("doc_id")
+      .agg(
+        round(sum(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))), 4).as("score"),
+        size(array_distinct(flatten(collect_list(filter(col("hits"), _.isNotNull)))))
+          .as("n_terms"))
+      .filter(col("n_terms") === lower.size)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
+
+  def containsSearch(docs: DataFrame, terms: Seq[String], limit: Int = 20): DataFrame =
+    containsSearchIndex(buildIndex(docs), terms, limit)
 
   // ---- boolean ("raw Lucene") queries -----------------------------------
 
@@ -100,34 +185,34 @@ object Fulltext {
 
   /** Boolean fulltext search (reference `query strings --raw`):
     * documents satisfying the boolean expression, scored by tf-idf
-    * over every matched atom. One postings scan filtered to the
-    * query's atoms (partition-prunable), matched-atom sets folded
-    * per doc, the boolean tree evaluated as a Column expression.
+    * over every matched atom. One postings pass filtered to the
+    * query's atoms, matched-atom sets folded per doc, the boolean
+    * tree evaluated as a Column expression.
     */
-  def booleanSearch(docs: DataFrame, query: String, limit: Int = 20): DataFrame = {
+  def booleanSearchIndex(index: FulltextIndex, query: String,
+      limit: Int = 20): DataFrame = {
     val q = parseQuery(query)
     val leafList = atoms(q).distinct
     val atomId = leafList.zipWithIndex.toMap
-    val post = postings(docs)
-    val df = docFrequency(post)
     def atomPred(a: Q) = a match {
       case Term(t) => col("token") === t
       case Prefix(p) => col("token").startsWith(p)
       case _ => lit(false)
     }
-    val matchedPost = post.join(broadcast(df), "token")
+    val matched = index.postings
+      .filter(leafList.map(atomPred).reduce(_ || _))
+    val df = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    val matchedPost = matched.join(broadcast(df), "token")
       .withColumn("atom_ids", array(leafList.map(a =>
         when(atomPred(a), atomId(a)).otherwise(lit(null))): _*))
-      .filter(size(filter(col("atom_ids"), _.isNotNull)) > 0)
-    val n = docs.agg(count(lit(1)).as("n"))
     val perDoc = matchedPost
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(index.meta))
       .groupBy("doc_id")
       .agg(
         round(sum(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))), 4).as("score"),
         array_distinct(flatten(collect_list(filter(col("atom_ids"), _.isNotNull))))
           .as("matched"))
-    def sat(x: Q): org.apache.spark.sql.Column = x match {
+    def sat(x: Q): Column = x match {
       case And(l, r) => sat(l) && sat(r)
       case Or(l, r) => sat(l) || sat(r)
       case leaf => array_contains(col("matched"), atomId(leaf))
@@ -138,20 +223,6 @@ object Fulltext {
       .limit(limit)
   }
 
-  /** Prefix (wildcard) search `pref*`: same scoring over every term
-    * with the prefix — the analogue of the reference's auto-wildcard
-    * Lucene queries (README "fulltext with auto wildcard"). */
-  def prefixSearch(docs: DataFrame, prefix: String, limit: Int = 20): DataFrame = {
-    val post = postings(docs).filter(col("token").startsWith(prefix))
-    val df = docFrequency(postings(docs)).filter(col("token").startsWith(prefix))
-    val n = docs.agg(count(lit(1)).as("n"))
-    post.join(broadcast(df), "token")
-      .crossJoin(broadcast(n))
-      .groupBy("doc_id")
-      .agg(
-        round(sum(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0))), 4).as("score"),
-        count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(limit)
-  }
+  def booleanSearch(docs: DataFrame, query: String, limit: Int = 20): DataFrame =
+    booleanSearchIndex(buildIndex(docs), query, limit)
 }

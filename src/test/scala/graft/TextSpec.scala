@@ -41,6 +41,31 @@ class TextSpec extends AnyFunSuite {
     assert(hits.length == 1 && hits(0).getLong(0) == 1L && hits(0).getLong(2) == 3L)
   }
 
+  test("contains search: infix wildcard, terms AND-joined (reference default)") {
+    val d = docs(
+      1L -> "bitcoinwallet_v2 sendmoney",   // "coin" infix, "send" prefix-infix
+      2L -> "bitcoin only here",            // matches coin but not send
+      3L -> "sending stuff",                // matches send but not coin
+      4L -> "nothing relevant")
+    val hits = Fulltext.containsSearch(d, Seq("coin", "send"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(hits.map(_._1).toSeq == Seq(1L)) // AND semantics: only doc 1 has both
+    assert(hits.head._2 == 2)
+  }
+
+  test("index save/load round-trips and searches identically") {
+    val d = docs(
+      1L -> "spark spark window", 2L -> "spark query", 3L -> "plain words")
+    val dir = java.nio.file.Files.createTempDirectory("ftidx").toString
+    Fulltext.saveIndex(Fulltext.buildIndex(d), dir)
+    val loaded = Fulltext.loadIndex(spark, dir)
+    val direct = Fulltext.search(d, Seq("spark", "window")).collect().toSeq
+    val viaIndex = Fulltext.searchIndex(loaded, Seq("spark", "window")).collect().toSeq
+    assert(direct == viaIndex)
+    assert(Fulltext.containsSearchIndex(loaded, Seq("par")).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("language-ID: stopword-free text is 'unknown'") {
     val out = TextAnalysis.langId(docs(
       1L -> "the cat sat on the mat", 2L -> "qwerty zxcvb plmkn"))
