@@ -155,19 +155,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'up' AS direction, node, depth FROM umin WHERE depth > 0
         |ORDER BY direction, node""".stripMargin,
+    // Trail semantics (Cypher CALLS*1..k relationship-uniqueness): the
+    // recursion carries a |src->dst|-delimited used-edge string and
+    // refuses to reuse an edge — same construction as Traversal.walks.
     "call_paths_down" ->
       s"""WITH RECURSIVE $E,
         |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),
         |w AS (
         |  SELECT node AS start, node AS last, CAST(node AS VARCHAR) AS path,
-        |         '' AS offsets, 0 AS depth
+        |         '' AS offsets, '|' AS eseen, 0 AS depth
         |  FROM s
         |  UNION ALL
         |  SELECT w.start, e.dst, w.path || '->' || CAST(e.dst AS VARCHAR),
         |         CASE WHEN w.offsets = '' THEN CAST(e.call_offset AS VARCHAR)
         |              ELSE w.offsets || ',' || CAST(e.call_offset AS VARCHAR) END,
+        |         w.eseen || CAST(e.src AS VARCHAR) || '->' || CAST(e.dst AS VARCHAR) || '|',
         |         w.depth + 1
-        |  FROM w JOIN e ON e.src = w.last WHERE w.depth < 3)
+        |  FROM w JOIN e ON e.src = w.last
+        |  WHERE w.depth < 3
+        |    AND NOT contains(w.eseen,
+        |      '|' || CAST(e.src AS VARCHAR) || '->' || CAST(e.dst AS VARCHAR) || '|'))
         |SELECT start, path, offsets, depth FROM w WHERE depth > 0
         |ORDER BY start, depth, path""".stripMargin,
     "call_chain_up" ->
@@ -175,14 +182,18 @@ object SparkEntry {
         |s AS (SELECT DISTINCT dst AS node FROM e WHERE dst % 1000 = 3),
         |w AS (
         |  SELECT node AS start, node AS last, CAST(node AS VARCHAR) AS path,
-        |         '' AS offsets, 0 AS depth
+        |         '' AS offsets, '|' AS eseen, 0 AS depth
         |  FROM s
         |  UNION ALL
         |  SELECT w.start, e.src, w.path || '->' || CAST(e.src AS VARCHAR),
         |         CASE WHEN w.offsets = '' THEN CAST(e.call_offset AS VARCHAR)
         |              ELSE w.offsets || ',' || CAST(e.call_offset AS VARCHAR) END,
+        |         w.eseen || CAST(e.dst AS VARCHAR) || '->' || CAST(e.src AS VARCHAR) || '|',
         |         w.depth + 1
-        |  FROM w JOIN e ON e.dst = w.last WHERE w.depth < 3)
+        |  FROM w JOIN e ON e.dst = w.last
+        |  WHERE w.depth < 3
+        |    AND NOT contains(w.eseen,
+        |      '|' || CAST(e.dst AS VARCHAR) || '->' || CAST(e.src AS VARCHAR) || '|'))
         |SELECT start, path, offsets, depth FROM w WHERE depth > 0
         |ORDER BY start, depth, path""".stripMargin,
     "call_sequences" ->
@@ -199,14 +210,23 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY dst ORDER BY call_offset, src) AS INTEGER) AS ord
         |FROM e JOIN s ON e.dst = s.node
         |ORDER BY callee, ord""".stripMargin,
+    // Indirect cycles under trail semantics: the enumeration carries
+    // the used-edge set; the Spark side computes identical counts via
+    // walk-count DP + the exact depth-4 a->b->a->b->a correction
+    // (Traversal.recursionDp).
     "recursion_detect" ->
       s"""WITH RECURSIVE $E,
         |rs AS (SELECT DISTINCT src AS node FROM e WHERE src % 500 = 7),
         |w AS (
-        |  SELECT node AS start, node AS last, 0 AS depth FROM rs
+        |  SELECT node AS start, node AS last, '|' AS eseen, 0 AS depth FROM rs
         |  UNION ALL
-        |  SELECT w.start, e.dst, w.depth + 1 FROM w JOIN e ON e.src = w.last
-        |  WHERE w.depth < 4 AND e.src <> e.dst)
+        |  SELECT w.start, e.dst,
+        |         w.eseen || CAST(e.src AS VARCHAR) || '->' || CAST(e.dst AS VARCHAR) || '|',
+        |         w.depth + 1
+        |  FROM w JOIN e ON e.src = w.last
+        |  WHERE w.depth < 4 AND e.src <> e.dst
+        |    AND NOT contains(w.eseen,
+        |      '|' || CAST(e.src AS VARCHAR) || '->' || CAST(e.dst AS VARCHAR) || '|'))
         |SELECT DISTINCT src AS node, 'Direct' AS call_type, 1 AS depth,
         |       CAST(1 AS BIGINT) AS n_cycles
         |FROM e WHERE src = dst

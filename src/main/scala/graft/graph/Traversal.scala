@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph traversal over edge DataFrames.
@@ -60,15 +60,25 @@ object Traversal {
     levels.reduce(_ unionByName _).filter(col("depth") > 0)
   }
 
-  /** Walk enumeration (call-path analysis): all walks of length
-    * 1..maxDepth from `starts`, with the node path and per-hop call
-    * offsets rendered as strings (the reference returns node-name +
-    * offset arrays per path; call_path_analyzer.rs:20-110).
+  /** The `|src->dst|`-delimited key of an edge, for the carried
+    * used-edge set (delimiters prevent substring false-positives
+    * between e.g. `1->23` and `11->23`). */
+  private def edgeKey(src: Column, dst: Column): Column =
+    concat(src.cast("string"), lit("->"), dst.cast("string"), lit("|"))
+
+  /** Trail enumeration (call-path analysis): all TRAILS of length
+    * 1..maxDepth from `starts` — Cypher `CALLS*1..k` relationship-
+    * uniqueness: an edge is never reused within one path, so a
+    * 2-cycle graph yields `a→b→a` but never `a→b→a→b`. Node path and
+    * per-hop call offsets are rendered as strings (the reference
+    * returns node-name + offset arrays per path;
+    * call_path_analyzer.rs:20-110).
     *
     * Exponential by nature — callers bound maxDepth (≤4) and the
     * start set. Each level is one shuffle join keyed on the walk
-    * head; the carried state is three scalar columns, not arrays of
-    * structs, so the shuffle stays narrow.
+    * head; the carried state is scalar string columns (the used-edge
+    * set is a `|`-delimited string of ≤ maxDepth keys), so the
+    * shuffle stays narrow.
     */
   def walks(edges: DataFrame, starts: DataFrame, maxDepth: Int,
       reverse: Boolean = false): DataFrame = {
@@ -80,62 +90,124 @@ object Traversal {
       col("node").cast("long").as("last"),
       col("node").cast("string").as("path"),
       lit("").as("offsets"),
+      lit("|").as("eseen"),
       lit(0).as("depth"))
     val out = (1 to maxDepth).map { d =>
       level = level
         .join(e, level("last") === e("_src"))
+        .filter(!col("eseen").contains(
+          concat(lit("|"), edgeKey(col("_src"), col("_dst")))))
         .select(col("start"),
           col("_dst").as("last"),
           concat(col("path"), lit("->"), col("_dst").cast("string")).as("path"),
           when(col("offsets") === "", col("_off").cast("string"))
             .otherwise(concat(col("offsets"), lit(","), col("_off").cast("string")))
             .as("offsets"),
+          concat(col("eseen"), edgeKey(col("_src"), col("_dst"))).as("eseen"),
           lit(d).as("depth"))
       level
     }
-    out.reduce(_ unionByName _)
+    out.reduce(_ unionByName _).drop("eseen")
   }
 
-  /** Recursion detection (reference call_path_analyzer.rs:253-331):
-    * direct self-loops plus indirect cycles of length 2..maxDepth
-    * returning to the start node. Indirect cycles are aggregated to
-    * (node, depth, n_cycles) — path multiplicity without
-    * materializing every walk downstream.
-    */
-  def recursion(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
-    val direct = edgeCols(edges)
+  private def directSelfLoops(edges: DataFrame): DataFrame =
+    edgeCols(edges)
       .filter(col("_src") === col("_dst"))
       .select(col("_src").as("node"))
       .distinct()
       .withColumn("call_type", lit("Direct"))
       .withColumn("depth", lit(1))
       .withColumn("n_cycles", lit(1L))
-    // Trail semantics (Cypher var-length): an edge is never reused
-    // within one path, so a pure self-loop cannot form an "indirect"
-    // cycle — exclude self-loop edges from the cycle walk entirely.
-    //
-    // Cycle COUNTS need no walk enumeration: dynamic programming over
-    // walk counts — dp(d, start, node) = Σ_{edges u→node} dp(d-1,
-    // start, u) — is one join+agg per level with state ≤ |starts|×|V|,
-    // where enumeration is O(degree^depth). Counts are identical.
+      .select("node", "call_type", "depth", "n_cycles")
+
+  /** Recursion detection (reference call_path_analyzer.rs:253-331):
+    * direct self-loops plus indirect TRAIL cycles of length
+    * 2..maxDepth returning to the start node, aggregated to
+    * (node, depth, n_cycles). Trail semantics match Cypher
+    * `CALLS*2..k` relationship-uniqueness: no edge reused within one
+    * cycle (self-loop edges sit in the Direct bucket and are excluded
+    * from indirect search, as in the reference's direct/indirect
+    * split).
+    *
+    * For maxDepth ≤ 4 the count uses walk-count dynamic programming
+    * (one join+agg per level, state ≤ |starts|×|V| — never the
+    * O(degree^depth) enumeration) plus an exact closed-form trail
+    * correction; deeper queries fall back to [[recursionTrails]]
+    * enumeration (feasible for the engine's small per-function start
+    * sets).
+    */
+  def recursion(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame =
+    if (maxDepth <= 4) recursionDp(edges, starts, maxDepth)
+    else recursionTrails(edges, starts, maxDepth)
+
+  /** DP cycle counts with the depth-4 trail correction.
+    *
+    * Why this is exact for maxDepth ≤ 4: a returning walk of length
+    * d ≤ 3 over self-loop-free edges can never repeat an edge (any
+    * equal pair of its consecutive-node edges forces a self-loop),
+    * so every returning walk IS a trail. At d = 4 the only possible
+    * edge reuse is e1=e3 or e2=e4, and either forces the walk
+    * `a→b→a→b→a` — exactly one per 2-cycle partner b of the start a.
+    * Hence trails(4) = walks(4) − |{b ≠ a : (a,b) ∈ E ∧ (b,a) ∈ E}|.
+    */
+  private def recursionDp(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
     val e = edgeCols(edges).filter(col("_src") =!= col("_dst"))
-    var dp = starts.select(col("node").cast("long").as("start"))
-      .distinct()
+    val startSet = starts.select(col("node").cast("long").as("start")).distinct()
+    // 2-cycle partner count per start node (the depth-4 correction).
+    val c2 = e.as("f")
+      .join(e.select(col("_src").as("r_src"), col("_dst").as("r_dst")),
+        col("f._src") === col("r_dst") && col("f._dst") === col("r_src"))
+      .groupBy(col("f._src").as("start"))
+      .agg(count(lit(1)).as("n_two_cycles"))
+    var dp = startSet
       .select(col("start"), col("start").as("cur"), lit(1L).as("walks"))
     val cycles = (1 to maxDepth).map { d =>
       dp = dp.join(e, dp("cur") === e("_src"))
         .groupBy(col("start"), col("_dst").as("cur"))
         .agg(sum(col("walks")).as("walks"))
         .localCheckpoint(true)
-      dp.filter(col("cur") === col("start") && lit(d) >= 2)
-        .select(col("start").as("node"), lit(d).as("depth"),
-          col("walks").as("n_cycles"))
+      val returning = dp.filter(col("cur") === col("start") && lit(d) >= 2)
+        .select(col("start"), col("walks"))
+      val corrected =
+        if (d == 4)
+          returning.join(c2, Seq("start"), "left")
+            .select(col("start"),
+              (col("walks") - coalesce(col("n_two_cycles"), lit(0L))).as("walks"))
+            .filter(col("walks") > 0)
+        else returning
+      corrected.select(col("start").as("node"), lit(d).as("depth"),
+        col("walks").as("n_cycles"))
     }
     val indirect = cycles.reduce(_ unionByName _)
       .withColumn("call_type", lit("Indirect"))
       .select("node", "call_type", "depth", "n_cycles")
-    direct.select("node", "call_type", "depth", "n_cycles")
-      .unionByName(indirect)
+    directSelfLoops(edges).unionByName(indirect)
+  }
+
+  /** Trail-cycle counts by explicit enumeration with a carried
+    * used-edge set — exact at any depth; exponential in maxDepth, so
+    * reserved for small start sets (e.g. one function in
+    * `query call-path --max-depth 10`). */
+  def recursionTrails(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edgeCols(edges).filter(col("_src") =!= col("_dst"))
+    var level = starts.select(col("node").cast("long").as("start")).distinct()
+      .select(col("start"), col("start").as("cur"), lit("|").as("eseen"))
+    val cycles = (1 to maxDepth).map { d =>
+      level = level.join(e, level("cur") === e("_src"))
+        .filter(!col("eseen").contains(
+          concat(lit("|"), edgeKey(col("_src"), col("_dst")))))
+        .select(col("start"), col("_dst").as("cur"),
+          concat(col("eseen"), edgeKey(col("_src"), col("_dst"))).as("eseen"))
+        .localCheckpoint(true)
+      level.filter(col("cur") === col("start") && lit(d) >= 2)
+        .groupBy(col("start"))
+        .agg(count(lit(1)).as("n_cycles"))
+        .select(col("start").as("node"), lit(d).as("depth"), col("n_cycles"))
+    }
+    val indirect = cycles.reduce(_ unionByName _)
+      .withColumn("call_type", lit("Indirect"))
+      .select("node", "call_type", "depth", "n_cycles")
+    directSelfLoops(edges).unionByName(indirect)
   }
 
   /** Out-degree histogram: one full-edge agg, two narrow shuffles. */

@@ -49,6 +49,46 @@ class TraversalSpec extends AnyFunSuite {
     assert(r.contains((1L, "Indirect", 3, 1L))) // 1→2→3→1
   }
 
+  def twoCycle = {
+    import spark.implicits._
+    // a↔b 2-cycle plus a→c so non-returning trails exist too.
+    Seq((10L, 11L, 1L), (11L, 10L, 2L), (10L, 12L, 3L))
+      .toDF("src", "dst", "offset")
+  }
+
+  test("walks are trails: no edge reuse on a 2-cycle") {
+    val w = Traversal.walks(twoCycle, starts(10L), maxDepth = 4)
+      .collect().map(_.getAs[String]("path")).toSet
+    // 10→11→10→11 would reuse edge 10→11; 10→11→10→12 is a valid trail.
+    assert(w == Set("10->11", "10->12", "10->11->10", "10->11->10->12"))
+  }
+
+  test("recursion counts trail cycles only (depth-4 correction)") {
+    val r = Traversal.recursion(twoCycle, starts(10L), maxDepth = 4)
+      .collect()
+      .map(x => (x.getAs[String]("call_type"), x.getAs[Int]("depth"),
+        x.getAs[Long]("n_cycles"))).toSet
+    // One 2-cycle; the walk 10→11→10→11→10 (depth 4) reuses edges → no
+    // depth-4 row, and no spurious depth-3 rows exist on this graph.
+    assert(r == Set(("Indirect", 2, 1L)))
+  }
+
+  test("recursion DP + correction equals trail enumeration at depth 4") {
+    import spark.implicits._
+    // Denser fixture: two interlocking 2-cycles, a 3-cycle and a
+    // 4-cycle sharing nodes, plus a self-loop (excluded from indirect).
+    val g = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (1L, 4L), (4L, 5L), (5L, 1L), (5L, 4L), (4L, 4L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("src", "dst", "offset")
+    val st = starts(1L, 2L, 4L)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getAs[Long]("node"), x.getAs[String]("call_type"),
+        x.getAs[Int]("depth"), x.getAs[Long]("n_cycles"))).toSet
+    assert(normalize(Traversal.recursion(g, st, maxDepth = 4)) ==
+      normalize(Traversal.recursionTrails(g, st, maxDepth = 4)))
+  }
+
   test("connected components: {1,2,3,4}, {5}, {6,7}") {
     val cc = Components.labelPropagation(edges.select("src", "dst"), maxIter = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
