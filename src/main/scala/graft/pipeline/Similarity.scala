@@ -142,10 +142,32 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** D5 embedding near-dup: exact cosine ≥ threshold over a sampled
-    * anchor set (anchor % sampleMod == 0) — the exact-semantics
-    * complement to [[lshTopK]]'s ANN path. */
-  def embeddingNearDup(emb: DataFrame, threshold: Double, sampleMod: Int = 10): DataFrame = {
+  /** D5 embedding near-dup, scale path: LSH sign-bucket blocking +
+    * exact cosine rerank ≥ threshold within each bucket. The ONLY
+    * shuffle key is the (uniform by construction) bucket id — no
+    * corpus fraction is ever broadcast and no near-cross-join exists
+    * anywhere in the plan, so the same shape runs at 100 TB with
+    * ~n²/2^planes candidate pairs. Recall is the LSH bucket recall
+    * (measured against [[embeddingNearDupExact]] in SimilaritySpec).
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
+    val b = lshBucket(emb, planes)
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine",
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"), col("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact-semantics embedding near-dup over a sampled anchor set
+    * (anchor % sampleMod == 0): every anchor×corpus pair gets an
+    * exact cosine. Correct at any size but the anchor set is
+    * broadcast — small-corpus / ground-truth use only; the scale
+    * operator is [[embeddingNearDup]]. */
+  def embeddingNearDupExact(emb: DataFrame, threshold: Double,
+      sampleMod: Int = 10): DataFrame = {
     val v = withNorm(emb)
     val a = v.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))

@@ -39,6 +39,8 @@ object PipelineEntries {
       Dedup.ngramJaccardPrefix(Tables.documents(s, d), minJaccard = 0.5)),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.4)),
+    "dedup_embedding_exact" -> ((s, d) =>
+      Similarity.embeddingNearDupExact(Tables.embeddings(s, d), threshold = 0.4)),
     "sim_topk" -> ((s, d) =>
       Similarity.topKCosine(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "sim_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
@@ -208,7 +210,37 @@ object PipelineEntries {
          |  JOIN sizes sb ON doc_b = sb.doc_id)
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // LSH-blocked near-dup: the oracle replays the sign-bucket
+    // assignment, then exact cosine >= tau within buckets (same
+    // candidate space as the Spark plan, no all-pairs anywhere).
     "dedup_embedding" ->
+      s"""WITH $EX,
+         |$NRM,
+         |proj AS (
+         |  SELECT vec_id, j,
+         |         SUM(x * (((j * 64 + i) * 2654435761) % 97 - 48)) AS p
+         |  FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j)
+         |  GROUP BY 1, 2),
+         |bkt AS (
+         |  SELECT vec_id,
+         |         SUM((CASE WHEN round(p, 6) > 0 THEN 1 ELSE 0 END)
+         |             * CAST(power(2, j) AS BIGINT)) AS bucket
+         |  FROM proj GROUP BY 1),
+         |dots AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, SUM(xa.x * xb.x) AS dot
+         |  FROM bkt a
+         |  JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN ex xa ON xa.vec_id = a.vec_id
+         |  JOIN ex xb ON xb.vec_id = b.vec_id AND xa.i = xb.i
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, cosine FROM (
+         |  SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+         |  FROM dots
+         |  JOIN nrm na ON doc_a = na.vec_id
+         |  JOIN nrm nb ON doc_b = nb.vec_id)
+         |WHERE cosine >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_exact" ->
       s"""WITH $EX,
          |$NRM,
          |pairs AS (
