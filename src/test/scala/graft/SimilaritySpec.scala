@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Similarity
+
+/** ANN quality harness: recall of the LSH- and IVF-bucketed paths
+  * against brute-force cosine ground truth on the sf0.001 embeddings
+  * table (500 × 64d). The synthetic embeddings are near-isotropic
+  * (pairwise cosine mean ≈ 0, max ≈ 0.35), so top-3 "neighbors" sit
+  * at the noise floor — the interesting guarantees are (a) the
+  * recall-vs-nProbe tradeoff curve, (b) probing every list reduces
+  * IVF to exact brute force (recall 1.0), and (c) the LSH dedup
+  * blocker keeps high pair-recall where real structure exists
+  * (cosine ≥ τ near-dup pairs). Measured numbers go to SURVEY.md.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, dir)
+  private val queryPred = col("vec_id") % 100 === 0
+
+  private def neighbors(df: DataFrame, queries: Set[Long]): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .filter { case (q, _) => queries.contains(q) }
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+
+  private def recall(ann: Map[Long, Set[Long]], gt: Map[Long, Set[Long]]): Double = {
+    val per = gt.map { case (q, truth) =>
+      ann.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("IVF recall@3 rises with nProbe and hits 1.0 at nProbe = nCentroids") {
+    val gtDf = Similarity.topKCosine(emb, queryPred, k = 3)
+    val queries = gtDf.select("query_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val gt = neighbors(gtDf, queries)
+    assert(gt.nonEmpty)
+
+    val curve = Seq(2, 4, 8, 16).map { nProbe =>
+      val r = recall(
+        neighbors(Similarity.ivfTopK(emb, queryPred, k = 3, nProbe = nProbe), queries), gt)
+      nProbe -> r
+    }
+    info(curve.map { case (p, r) => f"nProbe=$p recall=$r%.3f" }.mkString("  "))
+    // Probing every list makes the candidate set the whole corpus →
+    // IVF degenerates to exact brute force.
+    assert(curve.last._2 == 1.0)
+    // More probes never lose recall (same rerank, superset candidates).
+    curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
+    assert(curve.head._2 >= 0.3, s"nProbe=2 recall ${curve.head._2} collapsed")
+
+    val rSeed = recall(
+      neighbors(Similarity.ivfTopK(emb, queryPred, k = 3, iters = 0), queries), gt)
+    val rLsh = recall(neighbors(Similarity.lshTopK(emb, k = 3), queries), gt)
+    info(f"ivf(seed-centroids)=$rSeed%.3f lsh(8 planes)=$rLsh%.3f")
+  }
+
+  test("LSH dedup blocker: pair-recall vs exact all-pairs at tau=0.4") {
+    // Exact ground truth: every pair with cosine >= 0.4 (500² is
+    // trivial here; at scale this is exactly what you cannot run —
+    // which is the point of the blocked operator).
+    val v = Similarity.withNorm(emb)
+    val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= 0.4)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.embeddingNearDup(emb, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(blocked.subsetOf(exact)) // no false positives: rerank is exact
+    val rec = if (exact.isEmpty) 1.0 else blocked.size.toDouble / exact.size
+    info(f"near-dup pair recall @tau=0.4: $rec%.3f (${blocked.size}/${exact.size})")
+    assert(rec >= 0.5, s"LSH dedup pair recall $rec collapsed")
+  }
+
+  test("trained centroids are means of their members (fixture)") {
+    import spark.implicits._
+    // Two obvious clusters around (0,…) and (10,…): after one Lloyd
+    // round from seeds {0,1} the centroids must be the cluster means.
+    val dim = 64
+    def vec(base: Double) = Array.tabulate(dim)(i => (base + (i % 3) * 0.01).toFloat)
+    val rows = Seq(
+      (0L, vec(0.0)), (1L, vec(10.0)),
+      (2L, vec(0.2)), (3L, vec(0.1)), (4L, vec(9.8)), (5L, vec(10.2)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, k = 2, iters = 1)
+      .collect().map(r => r.getAs[Long]("cid") ->
+        r.getAs[scala.collection.Seq[Double]]("cv").head).toMap
+    assert(math.abs(cents(0L) - 0.1) < 1e-6)   // mean(0.0, 0.2, 0.1)
+    assert(math.abs(cents(1L) - 10.0) < 1e-6)  // mean(10.0, 9.8, 10.2)
+  }
+}
