@@ -128,6 +128,80 @@ object EventStreams {
       .orderBy("user_id", "session_id")
   }
 
+  /** Open-session state for [[sessionizeStreaming]]. */
+  case class OpenSession(sid: Long, start_us: Long, last_us: Long, n: Long, sum: Double)
+
+  /** Streaming element with the watermarked event-time column intact. */
+  case class EvT(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** TRUE streaming sessionization: `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT. Closed-by-gap sessions are emitted as soon
+    * as the closing event arrives; an idle open session is flushed
+    * when the watermark passes `last_event + gap` — so sessions of
+    * users who simply stop emitting still complete, with exactly the
+    * rows the batch [[sessionize]] would produce. State per user is
+    * one [[OpenSession]]; the timeout timestamp is re-armed on every
+    * update.
+    *
+    * `events` must be a streaming DataFrame with (user_id, ts, value);
+    * a watermark on `ts` is applied here.
+    */
+  def sessionizeStreaming(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, watermarkDelay: String = "1 second"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    def fmtUs(us: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(us / 1000000L))
+    def closed(userId: Long, s: OpenSession): SessionOut =
+      SessionOut(userId, s.sid, s.n, fmtUs(s.start_us), fmtUs(s.last_us),
+        math.rint(s.sum * 100) / 100)
+
+    // The watermarked event-time column must flow INTO the stateful
+    // operator (projecting it away fails the streaming checker), so
+    // the element type keeps the raw timestamp.
+    val ds = events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .as[EvT]
+
+    def emit(userId: Long, evs: Iterator[EvT],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(closed(userId, s))
+      } else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var cur = state.getOption
+        evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val us = e.ts.getTime * 1000L
+          cur = cur match {
+            case Some(s) if us - s.last_us > gapUs =>
+              out += closed(userId, s)
+              Some(OpenSession(s.sid + 1, us, us, 1L, e.value))
+            case Some(s) =>
+              Some(s.copy(last_us = us, n = s.n + 1, sum = s.sum + e.value))
+            case None =>
+              Some(OpenSession(1L, us, us, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // Flush when the watermark passes the session gap boundary.
+          state.setTimeoutTimestamp(s.last_us / 1000L + gapMinutes * 60L * 1000L)
+        }
+        out.iterator
+      }
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(emit)
+      .toDF()
+  }
+
   /** Streaming entry: wire a parquet-dir source through
     * [[hourlyTypeCounts]] with watermarking — used by the streaming
     * spec via the memory sink. */

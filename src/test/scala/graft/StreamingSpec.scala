@@ -63,6 +63,42 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { case (k, v) => assert(batch(k) == v) }
   }
 
+  test("stateful streaming: event-time timeout flushes an idle session") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "value")
+    val q = graft.streaming.EventStreams.sessionizeStreaming(spark, sdf)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    // base offset: epoch-0 events would be dropped by the initial
+    // watermark's strict ts > wm late filter
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    try {
+      // user 1 emits two events then goes idle forever
+      mem.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // session still open
+      // another user's far-future events advance the watermark past
+      // user 1's gap boundary (5min + 30min)…
+      mem.addData((2L, ts(120), 9.0))
+      q.processAllAvailable()
+      // …and the next micro-batch fires the event-time timeout.
+      mem.addData((2L, ts(125), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getDouble(5)))
+      // exactly the row the batch formulation produces for user 1
+      val batch = graft.streaming.EventStreams.sessionize(
+        Seq((1L, ts(0), 1.0), (1L, ts(5), 2.0)).toDF("user_id", "ts", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getDouble(5)))
+      assert(rows.toSeq == batch.toSeq)
+      assert(rows.head == ((1L, 1L, 2L, "1970-01-01 01:00:00", "1970-01-01 01:05:00", 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionization: gap breaks create new sessions") {
     val s = EventStreams.sessionize(EventStreams.events(spark, dir = "/root/testdata/sf0.001"))
       .collect()
