@@ -49,9 +49,11 @@ object Cli {
         GraphStore.save(g, store)
         emit(JsonImporter.stats(g))
       case Seq("import", "directory", dir, _*) =>
-        val raw = JsonImporter.readAnalysis(spark, dir)
+        val raw = JsonImporter.readAnalysis(spark, dir, opt(args, "--pattern"))
         val invalid = JsonImporter.validate(raw).filter("NOT valid")
-        if (!opt(args, "--no-validate").isDefined && !invalid.isEmpty) {
+        // boolean flag: contains(), not opt() — a trailing --no-validate
+        // has no following token for the sliding-window opt() to match
+        if (!args.contains("--no-validate") && !invalid.isEmpty) {
           System.err.println("[warn] invalid inputs:")
           emit(invalid)
         }

@@ -12,13 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object Addresses {
 
-  /** Parse an address string to a long (null when unparseable). */
+  /** Hex string (any length; only the last 16 digits are significant,
+    * i.e. value mod 2⁶⁴) → the signed-long BIT PATTERN of the u64.
+    * Parsing the two 32-bit halves separately sidesteps the
+    * `conv(...).cast('long')` overflow that nulls every address ≥ 2⁶³
+    * (kernel/high-half addresses like 0xffffffff81000000) — the
+    * reference parses the full u64 range (utils/uid.rs parse_address).
+    */
+  private def hexToLong(h: Column): Column = {
+    val t16 = lpad(when(length(h) > 16, substring(h, -16, 16)).otherwise(h), 16, "0")
+    val hi = conv(substring(t16, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(t16, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32) + lo // low 32 bits of hi<<32 are zero → + ≡ bitwise or
+  }
+
+  /** Parse an address string to the u64 bit pattern in a long (null
+    * when unparseable). Decimal input is converted through hex so the
+    * full unsigned range survives. */
   def parseAddress(c: Column): Column = {
     val t = lower(trim(c))
     val noPrefix = regexp_replace(t, "^0x", "")
-    when(t.rlike("^0x[0-9a-f]+$"), conv(noPrefix, 16, 10).cast("long"))
-      .when(t.rlike("^[0-9a-f]*[a-f][0-9a-f]*$"), conv(t, 16, 10).cast("long"))
-      .when(t.rlike("^[0-9]+$"), t.cast("long"))
+    when(t.rlike("^0x[0-9a-f]+$"), hexToLong(noPrefix))
+      .when(t.rlike("^[0-9a-f]*[a-f][0-9a-f]*$"), hexToLong(t))
+      .when(t.rlike("^[0-9]+$"), hexToLong(lower(conv(t, 10, 16))))
       .otherwise(lit(null).cast("long"))
   }
 

@@ -32,6 +32,7 @@ object GraphStore {
     writeKeyed(g.belongsTo, "function_uid", s"$dir/belongs_to", partitions)
     writeKeyed(g.containsString, "string_uid", s"$dir/contains_string", partitions)
     writeKeyed(g.calls, "from_uid", s"$dir/calls", partitions)
+    writeKeyed(g.callSites, "from_uid", s"$dir/call_sites", partitions)
   }
 
   /** Load a persisted graph (lazy scans — nothing materializes until
@@ -42,7 +43,8 @@ object GraphStore {
       binaries = t("binaries"), functions = t("functions"), strings = t("strings"),
       libraries = t("libraries"), contains = t("contains"), importsFn = t("imports_fn"),
       importsLib = t("imports_lib"), belongsTo = t("belongs_to"),
-      containsString = t("contains_string"), calls = t("calls"))
+      containsString = t("contains_string"), calls = t("calls"),
+      callSites = t("call_sites"))
   }
 
   /** Incremental import: merge a newly-imported batch into an
@@ -77,6 +79,8 @@ object GraphStore {
       belongsTo = unionDistinct(existing.belongsTo, incoming.belongsTo),
       containsString = unionDistinct(existing.containsString, incoming.containsString),
       calls = newerWins(existing.calls, incoming.calls,
+        Seq("from_uid", "to_uid")),
+      callSites = newerWins(existing.callSites, incoming.callSites,
         Seq("from_uid", "to_uid", "call_offset")))
   }
 

@@ -20,7 +20,8 @@ case class BinaryGraph(
     importsLib: DataFrame,     // binary_hash, library_name
     belongsTo: DataFrame,      // function_uid, library_name
     containsString: DataFrame, // binary_hash, string_uid, address
-    calls: DataFrame)          // from_uid, to_uid, call_offset, call_type
+    calls: DataFrame,          // from_uid, to_uid, call_offset, call_type — ONE row per (from,to)
+    callSites: DataFrame)      // same columns, one row per call SITE
 
 /** Distributed analysis-JSON importer (SURVEY.md §2 A1–A3, A5–A6).
   *
@@ -35,9 +36,15 @@ case class BinaryGraph(
 object JsonImporter {
 
   /** Read one or many analysis JSON files (reference `import json` /
-    * `import directory`): one input row per file. */
-  def readAnalysis(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "true").json(path)
+    * `import directory --pattern`): one input row per file; `pattern`
+    * is a filename glob applied at the SOURCE (pathGlobFilter — files
+    * that don't match are never opened, reference import.rs:106-235). */
+  def readAnalysis(spark: SparkSession, path: String,
+      pattern: Option[String] = None): DataFrame = {
+    val r = spark.read.option("multiLine", "true")
+    pattern.foreach(p => r.option("pathGlobFilter", p))
+    r.json(path)
+  }
 
   /** Does a (possibly nested, dot-separated) field path exist, with
     * every array segment being an array of structs? */
@@ -193,35 +200,55 @@ object JsonImporter {
       col("uid").as("string_uid"), col("address")).distinct()
 
     // --- calls: two map joins replace the per-row HashMap lookups -------
-    val calls =
-      if (!hasField(raw0, "calls")) emptyCalls(raw0.sparkSession)
+    val (calls, callSites) =
+      if (!hasField(raw0, "calls"))
+        (emptyCalls(raw0.sparkSession), emptyCalls(raw0.sparkSession))
       else {
-        val c = raw.select(col("_hash"), explode(col("calls")).as("c"))
-          .select(col("_hash"),
-            coalesce(Addresses.normalizeAddress(col("c.from_address")),
-              col("c.from_address")).as("from_norm"),
-            coalesce(Addresses.normalizeAddress(col("c.to_address")),
-              col("c.to_address")).as("to_norm"),
-            coalesce(col("c.offset"), lit("0x0")).as("call_offset"),
-            lower(coalesce(col("c.type"), lit("direct"))).as("ct"))
+        val c = raw
+          .select(col("_hash"), input_file_name().as("_file"),
+            posexplode(col("calls")))
+          .withColumnRenamed("pos", "_pos")
+          .select(col("_hash"), col("_file"), col("_pos"),
+            coalesce(Addresses.normalizeAddress(col("col.from_address")),
+              col("col.from_address")).as("from_norm"),
+            coalesce(Addresses.normalizeAddress(col("col.to_address")),
+              col("col.to_address")).as("to_norm"),
+            coalesce(col("col.offset"), lit("0x0")).as("call_offset"),
+            lower(coalesce(col("col.type"), lit("direct"))).as("ct"))
           .withColumn("call_type",
             when(col("ct") === "indirect", "Indirect")
               .when(col("ct") === "virtual", "Virtual")
               .when(col("ct") === "tail", "Tail")
               .otherwise("Direct"))
-        c.join(addrMap.as("m1"),
+        val sites = c.join(addrMap.as("m1"),
             c("_hash") === col("m1._hash") && c("from_norm") === col("m1.norm_addr"))
-          .select(c("_hash").as("bh"), col("to_norm"), col("call_offset"),
-            col("call_type"), col("m1.uid").as("from_uid"))
+          .select(c("_hash").as("bh"), col("_file"), col("_pos"), col("to_norm"),
+            col("call_offset"), col("call_type"), col("m1.uid").as("from_uid"))
           .join(addrMap.as("m2"),
             col("bh") === col("m2._hash") && col("to_norm") === col("m2.norm_addr"))
           .select(col("from_uid"), col("m2.uid").as("to_uid"), col("call_offset"),
-            col("call_type"))
+            col("call_type"), col("_file"), col("_pos"))
+        // Reference parity: MERGE (from)-[r:CALLS]->(to) SET r.offset
+        // (neo4j/importer.rs:300) keeps exactly ONE edge per (from,to)
+        // with last-write-wins properties. The declarative analogue of
+        // "last write" is the max (file, array-position) — the order
+        // the reference's sequential import would visit.
+        val deduped = sites
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("from_uid", "to_uid")
+              .orderBy(col("_file").desc, col("_pos").desc)))
+          .filter(col("_rn") === 1)
+          .select("from_uid", "to_uid", "call_offset", "call_type")
+        // Per-call-site table (a Spark-native addition the flat edge
+        // list can't represent): one row per distinct call site.
+        val perSite = sites
+          .select("from_uid", "to_uid", "call_offset", "call_type")
           .dropDuplicates("from_uid", "to_uid", "call_offset")
+        (deduped, perSite)
       }
 
     BinaryGraph(binaries, functions, strings, libraries, contains, importsFn,
-      importsLib, belongsTo, containsString, calls)
+      importsLib, belongsTo, containsString, calls, callSites)
   }
 
   /** One-call convenience: read + build (reference `import json`). */
@@ -281,6 +308,7 @@ object JsonImporter {
     g.belongsTo.write.mode("overwrite").json(s"$dir/belongs_to")
     g.containsString.write.mode("overwrite").json(s"$dir/contains_string")
     g.calls.write.mode("overwrite").json(s"$dir/calls")
+    g.callSites.write.mode("overwrite").json(s"$dir/call_sites")
   }
 
   // empty frames with the right schemas for absent input sections

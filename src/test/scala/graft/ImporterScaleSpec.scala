@@ -72,4 +72,38 @@ class ImporterScaleSpec extends AnyFunSuite {
     val hits = engine.queryStrings(Seq("shared", "marker")).collect()
     assert(hits.length == 1 && hits(0).getAs[Long]("sample_count") == nBinaries)
   }
+
+  test("--pattern glob filters non-matching files at the source") {
+    val dir = makeDir()
+    // drop a decoy that would break the import if read
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "notes.txt"), "not json at all {")
+    val raw = JsonImporter.readAnalysis(spark, dir, Some("*.json"))
+    val g = JsonImporter.buildGraph(raw)
+    assert(g.binaries.count() == nBinaries)
+  }
+
+  test("duplicate (from,to) call sites: calls keeps last write, callSites keeps all") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lww")
+    val json =
+      """{
+        |"binary_info": {"hashes": {"sha256": "lww"}, "name": "l.exe",
+        |  "file_path": "/x/l.exe", "file_size": 10,
+        |  "file_type": {"type": "PE32", "architecture": "x86_64"}},
+        |"functions": [{"name": "f", "address": "0x1000", "size": 16},
+        |              {"name": "g", "address": "0x2000", "size": 16}],
+        |"strings": [], "imports": [], "exports": [],
+        |"calls": [
+        |  {"from_address": "0x1000", "to_address": "0x2000", "offset": "0x1004", "type": "direct"},
+        |  {"from_address": "0x1000", "to_address": "0x2000", "offset": "0x1008", "type": "tail"}]
+        |}""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("l.json"), json)
+    val g = JsonImporter.importAnalysis(spark, dir.toString)
+    val edges = g.calls.collect()
+    // reference MERGE…SET semantics: one edge, last call site wins
+    assert(edges.length == 1)
+    assert(edges(0).getAs[String]("call_offset") == "0x1008")
+    assert(edges(0).getAs[String]("call_type") == "Tail")
+    assert(g.callSites.count() == 2) // both sites preserved separately
+  }
 }

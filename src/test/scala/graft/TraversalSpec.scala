@@ -112,4 +112,18 @@ class TraversalSpec extends AnyFunSuite {
     assert(rows("xyz") == (None, None))
     assert(rows("") == (None, None))
   }
+
+  test("addresses >= 2^63 round-trip as u64 bit patterns") {
+    import spark.implicits._
+    val df = Seq("0xffffffff81000000", "0xffffffffffffffff",
+      "18446744073709551615", "0x8000000000000000")
+      .toDF("a")
+      .select(col("a"), Addresses.parseAddress(col("a")).as("p"),
+        Addresses.normalizeAddress(col("a")).as("n"))
+    val rows = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows("0xffffffff81000000") == (0xffffffff81000000L, "0xffffffff81000000"))
+    assert(rows("0xffffffffffffffff") == (-1L, "0xffffffffffffffff"))
+    assert(rows("18446744073709551615") == (-1L, "0xffffffffffffffff"))
+    assert(rows("0x8000000000000000") == (Long.MinValue, "0x8000000000000000"))
+  }
 }
