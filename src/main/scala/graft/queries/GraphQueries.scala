@@ -25,20 +25,27 @@ object GraphQueries {
     * enumeration stays bounded) while the graph still has cycles. */
   val M = 5000L
 
+  /** One cached edge DataFrame per (session, dir): repeated queries
+    * in a session reuse the same object, so the CacheManager never
+    * sees a second (plan-identical) cache registration — no
+    * "already cached" churn/warnings across a 40-query bench run. */
+  private val edgeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** The derived CALLS edge table: one narrow groupBy over lineitem;
     * at scale this is a single shuffle on the (caller, callee) pair,
-    * partial-aggregated map-side.
+    * partial-aggregated map-side. Cached once per (session, dir) —
+    * iterative traversals would otherwise rescan + reaggregate
+    * lineitem at every BFS/walk level.
     */
   def callEdges(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"),
-        col("l_linenumber").cast("long").as("off"))
-      .groupBy("src", "dst")
-      .agg(min("off").as("offset"))
-      // One shared in-memory copy per session+dir (CacheManager dedups
-      // by canonicalized plan): iterative traversals would otherwise
-      // rescan + reaggregate lineitem at every BFS/walk level.
-      .cache()
+    edgeMemo.getOrElseUpdate((s, d),
+      Tables.lineitem(s, d)
+        .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"),
+          col("l_linenumber").cast("long").as("off"))
+        .groupBy("src", "dst")
+        .agg(min("off").as("offset"))
+        .cache())
 
   private def downStarts(e: DataFrame): DataFrame =
     e.select(col("src").as("node")).filter(col("node") % 1000 === 7).distinct()
@@ -177,9 +184,10 @@ object GraphQueries {
   }
 
   /** C1 connected components over the hierarchy graph: label = the
-    * region key (min id in each component by construction). */
+    * region key (min id in each component by construction). Runs to
+    * fixpoint (the hierarchy diameter is 3; maxIter is a safety cap). */
   def graphComponents(s: SparkSession, d: String): DataFrame =
-    Components.labelPropagation(hierarchyEdges(s, d), maxIter = 6)
+    Components.labelPropagation(hierarchyEdges(s, d))
       .orderBy("node")
 
   /** Upward lineage context (order → customer → nation → region):

@@ -63,26 +63,66 @@ class GraphQueryEngine(g: BinaryGraph) {
         .join(uids.withColumnRenamed("uid", "to_uid"), Seq("to_uid"), "left_semi")
   }
 
-  /** Long ids for one traversal: (uid, id) dictionary via xxhash64 —
+  /** (ids, edges) dictionaries cached once per binary scope — a
+    * long-lived engine serving many callgraph/callPaths/findRecursion
+    * calls reuses one cached pair per scope instead of leaking a new
+    * cache registration per query. [[close]] releases them. */
+  private val dictMemo =
+    scala.collection.mutable.Map.empty[Option[String], (DataFrame, DataFrame)]
+
+  /** Long ids for traversal: (uid, id) dictionary via xxhash64 —
     * embarrassingly parallel (a dense_rank over a global window would
-    * single-partition sort the whole uid set at scale). Collision
-    * probability is ~n²/2⁶⁵ (≈3% at 10⁹ nodes — acceptable for
-    * traversal; swap in a zipWithIndex dictionary if exactness over
-    * billions of nodes is required). */
-  private def withIds(calls: DataFrame): (DataFrame, DataFrame) = {
-    val ids = calls.select(col("from_uid").as("uid"))
-      .unionByName(calls.select(col("to_uid").as("uid")))
-      .distinct()
-      .withColumn("id", xxhash64(col("uid")))
-    val e = calls
-      .join(ids.withColumnRenamed("uid", "from_uid").withColumnRenamed("id", "src"),
-        Seq("from_uid"))
-      .join(ids.withColumnRenamed("uid", "to_uid").withColumnRenamed("id", "dst"),
-        Seq("to_uid"))
-      .select(col("src"), col("dst"),
-        coalesce(graft.importer.Addresses.parseAddress(col("call_offset")), lit(0L))
-          .as("offset"))
-    (ids.cache(), e.cache())
+    * single-partition sort the whole uid set at scale). A collision
+    * (~n²/2⁶⁵) would silently merge two functions, so the build
+    * CHECKS: if distinct(id) < distinct(uid) it falls back to a
+    * zipWithIndex dictionary (exact, one extra pass). The check rides
+    * on the same cache-materializing action, so it costs one small agg.
+    */
+  private def withIds(binary: Option[String]): (DataFrame, DataFrame) =
+    dictMemo.synchronized {
+      dictMemo.getOrElseUpdate(binary, {
+        val calls = scopedCalls(binary).cache()
+        val uids = calls.select(col("from_uid").as("uid"))
+          .unionByName(calls.select(col("to_uid").as("uid")))
+          .distinct()
+        val hashed = uids.withColumn("id", xxhash64(col("uid"))).cache()
+        val counts = hashed
+          .agg(count(lit(1)).as("n"), countDistinct("id").as("nid")).head()
+        val ids =
+          if (counts.getLong(0) == counts.getLong(1)) hashed
+          else {
+            hashed.unpersist()
+            val s = calls.sparkSession
+            s.createDataFrame(
+              uids.rdd.zipWithIndex().map { case (r, i) =>
+                org.apache.spark.sql.Row(r.getString(0), i)
+              },
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("uid",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("id",
+                  org.apache.spark.sql.types.LongType)))).cache()
+          }
+        val e = calls
+          .join(ids.withColumnRenamed("uid", "from_uid").withColumnRenamed("id", "src"),
+            Seq("from_uid"))
+          .join(ids.withColumnRenamed("uid", "to_uid").withColumnRenamed("id", "dst"),
+            Seq("to_uid"))
+          .select(col("src"), col("dst"),
+            coalesce(graft.importer.Addresses.parseAddress(col("call_offset")), lit(0L))
+              .as("offset"))
+        (ids, e.cache())
+      })
+    }
+
+  /** Release every cached dictionary/edge frame this engine holds.
+    * The engine remains usable — the next query rebuilds its scope. */
+  def close(): Unit = dictMemo.synchronized {
+    dictMemo.values.foreach { case (ids, e) =>
+      ids.unpersist()
+      e.unpersist()
+    }
+    dictMemo.clear()
   }
 
   private def startIds(functionName: String, binary: Option[String]): DataFrame =
@@ -95,8 +135,7 @@ class GraphQueryEngine(g: BinaryGraph) {
     * callees and callers within depth. */
   def callgraph(functionName: String, binary: Option[String] = None,
       maxDepth: Int = 3): DataFrame = {
-    val calls = scopedCalls(binary)
-    val (ids, e) = withIds(calls)
+    val (ids, e) = withIds(binary)
     val starts = startIds(functionName, binary)
       .join(ids, "uid").select(col("id").as("node"))
     val reach = Traversal.bfs(e, starts, maxDepth)
@@ -112,8 +151,7 @@ class GraphQueryEngine(g: BinaryGraph) {
   /** `query call-path --show-paths` (call_path_analyzer.rs:20-110). */
   def callPaths(functionName: String, binary: Option[String] = None,
       maxDepth: Int = 3): DataFrame = {
-    val calls = scopedCalls(binary)
-    val (ids, e) = withIds(calls)
+    val (ids, e) = withIds(binary)
     val starts = startIds(functionName, binary)
       .join(ids, "uid").select(col("id").as("node"))
     val w = Traversal.walks(e, starts, maxDepth)
@@ -153,8 +191,7 @@ class GraphQueryEngine(g: BinaryGraph) {
   /** Recursion detection (call_path_analyzer.rs:253-331). */
   def findRecursion(functionName: String, binary: Option[String] = None,
       maxDepth: Int = 10): DataFrame = {
-    val calls = scopedCalls(binary)
-    val (ids, e) = withIds(calls)
+    val (ids, e) = withIds(binary)
     val starts = startIds(functionName, binary)
       .join(ids, "uid").select(col("id").as("node"))
     val rec = Traversal.recursion(e, starts, maxDepth)
@@ -257,8 +294,7 @@ class GraphQueryEngine(g: BinaryGraph) {
       maxDepth: Int = 3): DataFrame = {
     val down = callPaths(functionName, binary, maxDepth)
       .withColumn("role", lit("downward_path"))
-    val calls = scopedCalls(binary)
-    val (ids, e) = withIds(calls)
+    val (ids, e) = withIds(binary)
     val starts = startIds(functionName, binary)
       .join(ids, "uid").select(col("id").as("node"))
     val up = Traversal.walks(e, starts, maxDepth, reverse = true)

@@ -95,6 +95,16 @@ class TraversalSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("components converge on a 10-hop path without an iteration budget") {
+    import spark.implicits._
+    // path 0-1-2-…-10: min-label needs ~diameter rounds; the
+    // convergence loop must keep going past any small fixed count.
+    val path = (0L until 10L).map(i => (i, i + 1, 0L)).toDF("src", "dst", "offset")
+    val cc = Components.labelPropagation(path.select("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 11 && cc.values.forall(_ == 0L))
+  }
+
   test("address parse/normalize matches reference semantics") {
     import spark.implicits._
     val df = Seq("0x1000", "0X00001000", "4096", "abcd", "ABCD", "xyz", "")
