@@ -177,29 +177,44 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** The [[planeWeightSql]] formula evaluated driver-side for the
+    * broadcast weight table (j = plane, i = 1-based dim). */
+  private def planeWeightValue(j: Int, i1: Int): Long = {
+    val v = j.toLong * 64 + i1
+    ((v * v) % 10007) * 2654435761L % 97 - 48
+  }
+
   /** Banded sign-LSH: `bands` independent hash tables of
-    * `planesPerBand` hyperplane sign bits each — one exploded row per
+    * `planesPerBand` hyperplane sign bits each — one row per
     * (vector, band). Two vectors are candidates when ANY band's full
     * signature matches: P(candidate) = 1 − (1 − (1 − θ/π)^r)^B, the
     * classic S-curve that keeps high-recall candidates for pairs at
     * or above the similarity threshold while pruning the noise floor.
+    *
+    * Implementation: dims exploded once and joined against a tiny
+    * broadcast (plane, dim, weight) table, then two narrow partial
+    * aggs — small codegen'd expressions at any B·r (a single
+    * projection computing B·r array folds would blow the codegen
+    * budget and fall back to interpreted eval).
     */
   def lshBandBuckets(emb: DataFrame, bands: Int = 24,
       planesPerBand: Int = 5): DataFrame = {
-    val v = withNorm(emb)
-    val bucketCols = (0 until bands).map { b =>
-      val sig = (0 until planesPerBand).map { r =>
-        val j = b * planesPerBand + r
-        val p = aggregate(
-          zip_with(col("v"), sequence(lit(0), lit(63)),
-            (x, i) => x * planeWeight(j, i).cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-        when(round(p, 6) > 0, 1L << r).otherwise(0L)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), sig.as("bucket"))
-    }
-    v.select(col("vec_id"), explode(array(bucketCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val planes = bands * planesPerBand
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val weights = (0 until planes).flatMap { j =>
+      (1 to 64).map(i1 => (j, i1, planeWeightValue(j, i1).toDouble))
+    }.toDF("j", "i1", "w")
+    val ex = withNorm(emb)
+      .select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), (col("pos") + 1).as("i1"), col("col").as("x"))
+    ex.join(broadcast(weights), "i1")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(sum(col("x") * col("w")), 6).as("p"))
+      .groupBy(col("vec_id"), (col("j") / planesPerBand).cast("int").as("band"))
+      .agg(sum(when(col("p") > 0,
+        pow(lit(2.0), (col("j") % planesPerBand).cast("double")).cast("long"))
+        .otherwise(0L)).as("bucket"))
   }
 
   /** D5 embedding near-dup, scale path: banded-LSH candidate
