@@ -12,7 +12,7 @@ import graft.queries.GraphQueryEngine
   * {{{
   * graft.Cli --store /warehouse import json analysis.json
   * graft.Cli --store /warehouse import directory ./analyses
-  * graft.Cli --store /warehouse query functions --pattern main [--binary sample.exe]
+  * graft.Cli --store /warehouse query functions --pattern main [--binary sample.exe] [--limit 50] [--format table|csv|json]
   * graft.Cli --store /warehouse query strings --pattern "bitcoin wallet"
   * graft.Cli --store /warehouse query binary --binary-name sample.exe
   * graft.Cli --store /warehouse query callgraph main --max-depth 3
@@ -21,27 +21,74 @@ import graft.queries.GraphQueryEngine
   * graft.Cli --store /warehouse database stats|export <dir>|clear
   * }}}
   *
-  * Output is JSON lines on stdout (the reference's `--format json`).
+  * Output defaults to a fixed-width `table` (the reference default,
+  * cli.rs:66 `default_value = "table"`, rendered as in
+  * commands/query.rs:166-183); `--format csv` and `--format json`
+  * (JSON lines) are the alternatives. Every query takes `--limit`
+  * (cli.rs:65,77, default 100).
   */
 object Cli {
 
   private def opt(args: Seq[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Seq(`name`, v) => v }
 
+  /** Render collected rows in the reference's table shape: header,
+    * dash rule, fixed-width columns sized to the widest cell. */
+  private[graft] def renderTable(header: Seq[String], rows: Seq[Seq[String]]): String = {
+    val widths = header.indices.map { i =>
+      (header(i).length +: rows.map(_(i).length)).max
+    }
+    def line(cells: Seq[String]): String =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString(" ").stripTrailing()
+    (line(header) +: "-" * math.min(110, widths.sum + widths.size) +: rows.map(line))
+      .mkString("\n")
+  }
+
+  private[graft] def renderCsv(header: Seq[String], rows: Seq[Seq[String]]): String = {
+    def cell(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    (header +: rows).map(_.map(cell).mkString(",")).mkString("\n")
+  }
+
+  /** Emit a result frame in the chosen `--format`. The collect is
+    * driver-side display of an already-limited result — never a
+    * distributed hot path. */
+  private def emitAs(df: DataFrame, format: String): Unit = format match {
+    case "json" => df.toJSON.collect().foreach(println)
+    case other =>
+      val header = df.columns.toSeq
+      val rows = df.collect().toSeq.map(_.toSeq.map {
+        case null => "N/A"
+        case v => v.toString.replace("\n", "\\n").replace("\r", "\\r")
+      })
+      if (rows.isEmpty) println("No results found")
+      else println(
+        if (other == "csv") renderCsv(header, rows) else renderTable(header, rows))
+  }
+
   def main(rawArgs: Array[String]): Unit = {
-    val args = rawArgs.toSeq
-    val store = opt(args, "--store").getOrElse(
-      sys.error("--store <dir> is required"))
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    try run(rawArgs.toSeq, spark)
+    finally spark.stop()
+  }
+
+  /** The command dispatch, session-agnostic (testable without tearing
+    * down a shared session). */
+  def run(args: Seq[String], spark: org.apache.spark.sql.SparkSession): Unit = {
+    val store = opt(args, "--store").getOrElse(
+      sys.error("--store <dir> is required"))
     val rest = args.dropWhile(_ != "--store").drop(2) match {
       case s if s.nonEmpty => s
       case _ => args.takeWhile(_ != "--store")
     }
 
+    val format = opt(args, "--format").getOrElse("table")
+    val limit = opt(args, "--limit").map(_.toInt).getOrElse(100)
     def engine = new GraphQueryEngine(GraphStore.load(spark, store))
-    def emit(df: DataFrame): Unit =
-      df.toJSON.collect().foreach(println)
+    def emit(df: DataFrame): Unit = emitAs(df, format)
 
     rest match {
       case Seq("import", "json", path, _*) =>
@@ -62,29 +109,29 @@ object Cli {
         emit(JsonImporter.stats(g))
       case Seq("query", "functions", _*) =>
         emit(engine.queryFunctions(opt(args, "--pattern").getOrElse(""),
-          opt(args, "--binary")))
+          opt(args, "--binary"), limit))
       case Seq("query", "strings", _*) =>
         val pattern = opt(args, "--pattern").getOrElse("")
         if (args.contains("--raw"))
-          emit(engine.queryStringsRaw(pattern, opt(args, "--binary")))
+          emit(engine.queryStringsRaw(pattern, opt(args, "--binary"), limit))
         else {
           val terms = pattern.toLowerCase.split("[^a-z0-9]+")
             .filter(_.nonEmpty).toSeq
-          emit(engine.queryStrings(terms, opt(args, "--binary")))
+          emit(engine.queryStrings(terms, opt(args, "--binary"), limit))
         }
       case Seq("query", "binary", _*) =>
         emit(engine.queryBinaryInfo(opt(args, "--binary-name").getOrElse("")))
       case Seq("query", "callgraph", fn, _*) =>
         emit(engine.callgraph(fn, opt(args, "--binary"),
-          opt(args, "--max-depth").map(_.toInt).getOrElse(3)))
+          opt(args, "--max-depth").map(_.toInt).getOrElse(3)).limit(limit))
       case Seq("query", "call-path", fn, _*) =>
         val depth = opt(args, "--max-depth").map(_.toInt).getOrElse(3)
-        if (args.contains("--show-sequences")) emit(engine.callSequences(fn, opt(args, "--binary")))
-        else if (args.contains("--show-upward")) emit(engine.callerSequences(fn, opt(args, "--binary")))
-        else if (args.contains("--show-context")) emit(engine.analyzeCallContext(fn, opt(args, "--binary"), depth))
-        else emit(engine.callPaths(fn, opt(args, "--binary"), depth))
+        if (args.contains("--show-sequences")) emit(engine.callSequences(fn, opt(args, "--binary")).limit(limit))
+        else if (args.contains("--show-upward")) emit(engine.callerSequences(fn, opt(args, "--binary")).limit(limit))
+        else if (args.contains("--show-context")) emit(engine.analyzeCallContext(fn, opt(args, "--binary"), depth).limit(limit))
+        else emit(engine.callPaths(fn, opt(args, "--binary"), depth).limit(limit))
       case Seq("query", "xrefs", addr, _*) =>
-        emit(engine.xrefs(addr, opt(args, "--binary")))
+        emit(engine.xrefs(addr, opt(args, "--binary")).limit(limit))
       case Seq("database", "stats", _*) =>
         emit(engine.stats())
       case Seq("database", "export", out, _*) =>
@@ -96,6 +143,5 @@ object Cli {
       case other =>
         sys.error(s"unknown command: ${other.mkString(" ")}")
     }
-    spark.stop()
   }
 }

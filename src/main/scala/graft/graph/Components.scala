@@ -21,7 +21,13 @@ object Components {
     * Returns (node, component) where component = min node id in the
     * component.
     */
-  def labelPropagation(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def labelPropagation(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    propagate(edges, maxIter)._1
+
+  /** Min-label propagation loop; also reports whether the fixpoint was
+    * reached within `maxIter` (false ⇒ the graph's diameter exceeds
+    * the round budget — [[auto]] uses this to switch engines). */
+  private def propagate(edges: DataFrame, maxIter: Int): (DataFrame, Boolean) = {
     val und = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .unionByName(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
       .distinct()
@@ -36,23 +42,36 @@ object Components {
         .join(labels, und("b") === labels("node"))
         .groupBy(col("a").as("node2"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels
+      // Carry the previous label through the materialization so the
+      // convergence check is a column compare on the already-checkpointed
+      // frame — no extra label-join job per round. Labels only ever
+      // decrease, so zero strict decreases is a true fixpoint.
+      val nextWide = labels
         .join(neighborMin, labels("node") === neighborMin("node2"), "left")
-        .select(col("node"),
+        .select(col("node"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      // Labels only ever decrease, so a strict decrease count of zero
-      // is a fixpoint. One small agg per round — the standard price of
-      // convergence-checked iteration.
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") < col("o.component"))
-        .count()
+      val changed = nextWide.filter(col("component") < col("prev")).limit(1).count()
       converged = changed == 0
-      labels = next
+      labels = nextWide.select("node", "component")
       iter += 1
     }
-    labels
+    (labels, converged)
+  }
+
+  /** Engine-choosing components: min-label propagation needs
+    * O(diameter) shuffle rounds, so it wins on the low-diameter graphs
+    * this engine mostly sees (hierarchies, call graphs with hubs) but
+    * loses badly on long paths. `auto` gives propagation a bounded
+    * round budget and, if the fixpoint isn't reached, hands the whole
+    * graph to GraphX's Pregel connected components (C3) — the
+    * general-diameter scale path. Both produce (node, component = min
+    * node id), so callers can't tell which engine ran.
+    */
+  def auto(edges: DataFrame, lpRoundBudget: Int = 8): DataFrame = {
+    val (labels, converged) = propagate(edges, lpRoundBudget)
+    if (converged) labels
+    else Pregel.connectedComponents(edges.sparkSession, edges)
   }
 }

@@ -39,12 +39,21 @@ object GraphStore {
     * a query runs). */
   def load(spark: SparkSession, dir: String): BinaryGraph = {
     def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name")
+    val calls = t("calls")
+    // Graphs persisted before the call_sites table existed still load:
+    // absent directory degrades to an empty frame with the calls schema
+    // (call_sites is per-site rows of the same shape).
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/call_sites")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sites =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/call_sites"))) t("call_sites")
+      else calls.limit(0)
     BinaryGraph(
       binaries = t("binaries"), functions = t("functions"), strings = t("strings"),
       libraries = t("libraries"), contains = t("contains"), importsFn = t("imports_fn"),
       importsLib = t("imports_lib"), belongsTo = t("belongs_to"),
-      containsString = t("contains_string"), calls = t("calls"),
-      callSites = t("call_sites"))
+      containsString = t("contains_string"), calls = calls,
+      callSites = sites)
   }
 
   /** Incremental import: merge a newly-imported batch into an

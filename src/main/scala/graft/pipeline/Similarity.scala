@@ -165,8 +165,11 @@ object Similarity {
     val probes = assigned.filter(queryPred)
       .select(col("cid"), col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val pairs = lists.join(probes,
-        lists("cid") === probes("cid") && col("vec_id") =!= col("query_id"))
+    // alias both sides: lists/probes derive from the same plan, and
+    // an unaliased cid === cid reads as trivially-true to the analyzer
+    // (lint warning) even though the join is real
+    val pairs = lists.as("l").join(probes.as("p"),
+        col("l.cid") === col("p.cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     pairs
       .withColumn("rnk", row_number().over(

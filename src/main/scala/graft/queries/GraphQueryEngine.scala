@@ -39,12 +39,14 @@ class GraphQueryEngine(g: BinaryGraph) {
   }
 
   /** `query functions --pattern` (importer.rs:322-376): substring on
-    * name or uid, optional binary scope, first 100 by uid. */
-  def queryFunctions(pattern: String, binary: Option[String] = None): DataFrame =
+    * name or uid, optional binary scope, first `limit` by uid
+    * (cli.rs:65 `--limit`, default 100). */
+  def queryFunctions(pattern: String, binary: Option[String] = None,
+      limit: Int = 100): DataFrame =
     g.functions
       .join(scopeUids(binary), Seq("uid"), "left_semi")
       .filter(col("name").contains(pattern) || col("uid").contains(pattern))
-      .orderBy("uid").limit(100)
+      .orderBy("uid").limit(limit)
 
   /** `query binary --binary-name` (importer.rs:431-469). */
   def queryBinaryInfo(name: String): DataFrame =
@@ -68,7 +70,7 @@ class GraphQueryEngine(g: BinaryGraph) {
     * calls reuses one cached pair per scope instead of leaking a new
     * cache registration per query. [[close]] releases them. */
   private val dictMemo =
-    scala.collection.mutable.Map.empty[Option[String], (DataFrame, DataFrame)]
+    scala.collection.mutable.Map.empty[Option[String], (DataFrame, DataFrame, DataFrame)]
 
   /** Long ids for traversal: (uid, id) dictionary via xxhash64 —
     * embarrassingly parallel (a dense_rank over a global window would
@@ -78,8 +80,8 @@ class GraphQueryEngine(g: BinaryGraph) {
     * zipWithIndex dictionary (exact, one extra pass). The check rides
     * on the same cache-materializing action, so it costs one small agg.
     */
-  private def withIds(binary: Option[String]): (DataFrame, DataFrame) =
-    dictMemo.synchronized {
+  private def withIds(binary: Option[String]): (DataFrame, DataFrame) = {
+    val (_, ids, e) = dictMemo.synchronized {
       dictMemo.getOrElseUpdate(binary, {
         val calls = scopedCalls(binary).cache()
         val uids = calls.select(col("from_uid").as("uid"))
@@ -111,14 +113,20 @@ class GraphQueryEngine(g: BinaryGraph) {
           .select(col("src"), col("dst"),
             coalesce(graft.importer.Addresses.parseAddress(col("call_offset")), lit(0L))
               .as("offset"))
-        (ids, e.cache())
+        // calls rides in the memo so close() can unpersist it — the
+        // dictionary build is the only consumer, but its cache
+        // registration lives until explicitly released.
+        (calls, ids, e.cache())
       })
     }
+    (ids, e)
+  }
 
   /** Release every cached dictionary/edge frame this engine holds.
     * The engine remains usable — the next query rebuilds its scope. */
   def close(): Unit = dictMemo.synchronized {
-    dictMemo.values.foreach { case (ids, e) =>
+    dictMemo.values.foreach { case (calls, ids, e) =>
+      calls.unpersist()
       ids.unpersist()
       e.unpersist()
     }
@@ -250,14 +258,14 @@ class GraphQueryEngine(g: BinaryGraph) {
     * is an infix wildcard `*term*`, terms AND-joined — so
     * `--pattern bitcoin` matches "bitcoinwallet_v2". */
   def queryStrings(terms: Seq[String], binary: Option[String] = None,
-      limit: Int = 25): DataFrame = {
+      limit: Int = 100): DataFrame = {
     val (scoped, docs) = scopedStrings(binary)
     withSampleCount(Fulltext.containsSearch(docs, terms, limit), scoped)
   }
 
   /** Exact-token variant of [[queryStrings]] (no wildcards). */
   def queryStringsExact(terms: Seq[String], binary: Option[String] = None,
-      limit: Int = 25): DataFrame = {
+      limit: Int = 100): DataFrame = {
     val (scoped, docs) = scopedStrings(binary)
     withSampleCount(Fulltext.search(docs, terms, limit), scoped)
   }
@@ -319,7 +327,7 @@ class GraphQueryEngine(g: BinaryGraph) {
   /** `query strings --raw`: boolean (Lucene-style) query over the
     * fulltext index (README raw-query mode). */
   def queryStringsRaw(query: String, binary: Option[String] = None,
-      limit: Int = 25): DataFrame = {
+      limit: Int = 100): DataFrame = {
     val (_, docs) = scopedStrings(binary)
     Fulltext.booleanSearch(docs, query, limit)
       .join(g.strings.withColumnRenamed("uid", "doc_id"), "doc_id")

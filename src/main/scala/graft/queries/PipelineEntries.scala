@@ -27,8 +27,11 @@ object PipelineEntries {
       Fulltext.search(Tables.documents(s, d), SearchTerms)),
     "fulltext_prefix" -> ((s, d) =>
       Fulltext.prefixSearch(Tables.documents(s, d), Prefix)),
+    // contains mode goes through the char-n-gram vocabulary pre-filter
+    // (the 100 TB path: candidate tokens pruned before the postings
+    // scan); output is identical to the plain contains sweep.
     "fulltext_contains" -> ((s, d) =>
-      Fulltext.containsSearch(Tables.documents(s, d), ContainsTerms)),
+      Fulltext.containsSearchNgram(Tables.documents(s, d), ContainsTerms)),
     "fulltext_bool" -> ((s, d) =>
       Fulltext.booleanSearch(Tables.documents(s, d), "spark AND (wind* OR merge)")),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -236,7 +239,7 @@ object PipelineEntries {
          |  JOIN sizes sb ON doc_b = sb.doc_id)
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // Banded-LSH near-dup: the oracle replays the 16-band × 5-plane
+    // Banded-LSH near-dup: the oracle replays the 24-band × 5-plane
     // signature assignment, unions candidates across bands (DISTINCT),
     // then exact cosine >= tau rerank — same candidate space as the
     // Spark plan, no all-pairs anywhere.
@@ -507,11 +510,26 @@ object PipelineEntries {
         |       round(quantile_cont(value, 0.99), 4) AS p99,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Spark round-trips real container bytes (synthesized PNG/JPEG/WAV
+    // headers, parsed back by magic-byte sniffing); the oracle replays
+    // the header fields arithmetically — same deterministic mapping,
+    // two independent formulations.
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
-        |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        |       CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+        |                 ELSE doc_id % 509 + 16 END AS BIGINT) AS width,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+        |                 ELSE (doc_id * 7) % 509 + 16 END AS BIGINT) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 * (doc_id % 5 + 1)
+        |                 ELSE -1 END AS BIGINT) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1
+        |                 ELSE -1 END AS BIGINT) AS channels,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 45
+        |                 WHEN doc_id % 3 = 1 THEN 23
+        |                 ELSE 44 + (doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2
+        |            END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -56,6 +56,18 @@ object Fulltext {
     FulltextIndex(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/meta"))
 
+  /** Incremental maintenance: fold newly-appended documents into an
+    * existing index without re-tokenizing the old corpus — union the
+    * new postings, re-aggregate the corpus size. Document ids are
+    * append-only (the importer's uid construction guarantees it), so
+    * the union never double-counts. searchIndex(merge(i, d)) ≡
+    * searchIndex(buildIndex(old ∪ d)) — spec-checked. */
+  def mergeIndex(index: FulltextIndex, newDocs: DataFrame): FulltextIndex =
+    FulltextIndex(
+      index.postings.unionByName(postings(newDocs)),
+      index.meta.unionByName(newDocs.agg(count(lit(1)).as("n")))
+        .agg(sum(col("n")).cast("long").as("n")))
+
   /** Shared scoring tail: score(doc) = Σ tf·ln((N+1)/(df+1)) over the
     * postings rows passing `tokenPred`; n_terms = matched distinct
     * tokens. The predicate lands on the postings scan (pushed to
@@ -100,9 +112,9 @@ object Fulltext {
     *
     * Scale note: a contains-predicate cannot prune a token-range
     * index, so this mode scans the postings table (still one narrow
-    * pass over (token, df)-sized data, not the corpus text); for a
-    * 100 TB corpus a character-n-gram index over the vocabulary would
-    * pre-filter candidate tokens.
+    * pass over (token, df)-sized data, not the corpus text); at scale
+    * use [[containsSearchNgramIndex]], which prunes candidate tokens
+    * through the [[ngramVocab]] character-n-gram index first.
     */
   def containsSearchIndex(index: FulltextIndex, terms: Seq[String],
       limit: Int = 20): DataFrame = {
@@ -128,6 +140,62 @@ object Fulltext {
 
   def containsSearch(docs: DataFrame, terms: Seq[String], limit: Int = 20): DataFrame =
     containsSearchIndex(buildIndex(docs), terms, limit)
+
+  // ---- char-n-gram vocabulary pre-filter for contains mode --------------
+
+  /** Character-n-gram index over the VOCABULARY (not the corpus):
+    * (gram, token) rows, one per distinct 3-gram of each distinct
+    * token. This is what makes `*term*` prunable at scale — the
+    * vocabulary is orders of magnitude smaller than the postings, and
+    * a term's candidate tokens are exactly the tokens containing every
+    * one of its 3-grams (then verified contiguous with one contains).
+    * Persist next to the postings and partition-prune by gram. */
+  def ngramVocab(index: FulltextIndex, n: Int = 3): DataFrame =
+    index.postings.select("token").distinct()
+      .select(col("token"), explode(when(length(col("token")) >= n, expr(
+        s"array_distinct(transform(sequence(0, length(token) - $n), i -> substring(token, i + 1, $n)))"))
+        // tokens shorter than n ride along as their own degenerate gram
+        // so the short-term fallback scan still sees the full vocabulary
+        .otherwise(array(col("token"))))
+        .as("gram"))
+
+  /** Candidate tokens for one contains-term via the n-gram vocab:
+    * tokens covering ALL the term's n-grams, contains-verified (the
+    * gram test is necessary but not sufficient — grams can match
+    * non-contiguously). Terms shorter than n fall back to a direct
+    * vocabulary scan — still vocabulary-sized, not postings-sized. */
+  private def candidateTokens(grams: DataFrame, term: String, n: Int): DataFrame = {
+    if (term.length < n)
+      grams.select("token").distinct().filter(col("token").contains(term))
+    else {
+      val tg = term.sliding(n).toSeq.distinct
+      grams.filter(col("gram").isInCollection(tg))
+        .groupBy("token").agg(count(lit(1)).as("g"))
+        .filter(col("g") === tg.size && col("token").contains(term))
+        .select("token")
+    }
+  }
+
+  /** [[containsSearchIndex]] through the n-gram pre-filter: postings
+    * are semi-joined to the (small, broadcast) candidate token set
+    * before the contains scoring pass — identical output, but the scan
+    * over the postings table becomes a pruned hash lookup instead of a
+    * full contains sweep. */
+  def containsSearchNgramIndex(index: FulltextIndex, grams: DataFrame,
+      terms: Seq[String], limit: Int = 20, n: Int = 3): DataFrame = {
+    require(terms.nonEmpty, "contains search needs at least one term")
+    val cands = terms.map(t => candidateTokens(grams, t.toLowerCase, n))
+      .reduce(_ unionByName _).distinct()
+    val pruned = index.copy(
+      postings = index.postings.join(broadcast(cands), Seq("token"), "left_semi"))
+    containsSearchIndex(pruned, terms, limit)
+  }
+
+  def containsSearchNgram(docs: DataFrame, terms: Seq[String],
+      limit: Int = 20): DataFrame = {
+    val idx = buildIndex(docs)
+    containsSearchNgramIndex(idx, ngramVocab(idx), terms, limit)
+  }
 
   // ---- boolean ("raw Lucene") queries -----------------------------------
 

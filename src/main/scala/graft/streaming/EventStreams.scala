@@ -167,18 +167,32 @@ object EventStreams {
         col("value").cast("double").as("value"))
       .as[EvT]
 
+    // Microsecond event time (same timeline as the batch path's
+    // unix_micros) — getTime() would truncate to milliseconds and can
+    // split/merge sessions differently at exact gap boundaries.
+    def micros(ts: java.sql.Timestamp): Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
     def emit(userId: Long, evs: Iterator[EvT],
         state: GroupState[OpenSession]): Iterator[SessionOut] = {
       if (state.hasTimedOut) {
         val s = state.get
-        state.remove()
+        // Keep a tombstone (n = 0) holding the last-used sid so a user
+        // who resumes emitting continues the batch numbering instead of
+        // restarting at 1. Costs one tiny state entry per flushed user;
+        // removing it would duplicate (user_id, session_id) keys.
+        state.update(s.copy(n = 0L, sum = 0.0))
         Iterator.single(closed(userId, s))
       } else {
         val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
         var cur = state.getOption
-        evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          val us = e.ts.getTime * 1000L
+        evs.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+          val us = micros(e.ts)
           cur = cur match {
+            case Some(s) if s.n == 0L => // tombstone: resume numbering
+              Some(OpenSession(s.sid + 1, us, us, 1L, e.value))
             case Some(s) if us - s.last_us > gapUs =>
               out += closed(userId, s)
               Some(OpenSession(s.sid + 1, us, us, 1L, e.value))

@@ -1,0 +1,86 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-CLI output parity: `--format table` (the reference
+  * default, cli.rs:66) renders a fixed-width header + dash rule +
+  * rows; `--format csv` / `--format json` are the alternatives;
+  * `--limit` caps every query (cli.rs:65,77). All three formats carry
+  * the same rows on a fixture graph.
+  */
+class CliSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  lazy val store: String = {
+    val dir = java.nio.file.Files.createTempDirectory("cli_store").toString
+    Cli.run(Seq("--store", dir, "import", "directory",
+      getClass.getResource("/analysis").getPath, "--no-validate"), spark)
+    dir
+  }
+
+  private def capture(args: String*): String = {
+    val s = store // force the lazy import OUTSIDE the capture window
+    val bos = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(bos, true, "UTF-8")) {
+      Cli.run(Seq("--store", s) ++ args, spark)
+    }
+    bos.toString("UTF-8").trim
+  }
+
+  test("default format is a fixed-width table with a dash rule") {
+    val out = capture("query", "functions", "--pattern", "e")
+    val lines = out.linesIterator.toSeq
+    assert(lines.head.startsWith("uid"))          // header row
+    assert(lines(1).matches("-+"))                // dash rule
+    assert(lines.length > 2)                      // data rows follow
+    // fixed width: every data row's uid column starts at position 0
+    // and the header tokens align with at least one space between
+    assert(lines.head.contains("  ") || lines.head.split("\\s+").length > 1)
+  }
+
+  test("csv and json formats carry the same rows as the table") {
+    val table = capture("query", "functions", "--pattern", "e")
+    val csv = capture("query", "functions", "--pattern", "e", "--format", "csv")
+    val json = capture("query", "functions", "--pattern", "e", "--format", "json")
+    val nTable = table.linesIterator.size - 2 // header + rule
+    val nCsv = csv.linesIterator.size - 1     // header
+    val nJson = json.linesIterator.size
+    assert(nTable == nCsv && nCsv == nJson && nJson > 0)
+    assert(csv.linesIterator.next().split(",").contains("uid"))
+    assert(json.linesIterator.next().startsWith("{"))
+  }
+
+  test("--limit caps the result") {
+    val out = capture("query", "functions", "--pattern", "", "--limit", "2",
+      "--format", "json")
+    assert(out.linesIterator.size == 2)
+  }
+
+  test("strings query renders in table mode; empty result says so") {
+    val hit = capture("query", "strings", "--pattern", "bitcoin")
+    assert(hit.linesIterator.next().contains("score") ||
+      hit.linesIterator.next().contains("uid"))
+    val miss = capture("query", "strings", "--pattern", "zzzznotthere")
+    assert(miss == "No results found")
+  }
+
+  test("csv quoting escapes commas and quotes") {
+    val csv = Cli.renderCsv(Seq("a", "b"),
+      Seq(Seq("""say "hi"""", "x,y"), Seq("plain", "z")))
+    assert(csv.linesIterator.toSeq(1) == "\"say \"\"hi\"\"\",\"x,y\"")
+    assert(csv.linesIterator.toSeq(2) == "plain,z")
+  }
+
+  test("table widths fit the widest cell") {
+    val t = Cli.renderTable(Seq("col", "n"), Seq(Seq("short", "1"),
+      Seq("a-much-longer-cell", "22")))
+    val lines = t.linesIterator.toSeq
+    // the "n" column starts after the widest col-1 cell in every row
+    val off = lines.last.indexOf("22")
+    assert(lines.head.substring(off).startsWith("n"))
+    assert(lines(2).substring(off).startsWith("1") || lines(2).trim.endsWith("1"))
+  }
+}

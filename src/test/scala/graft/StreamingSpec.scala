@@ -99,6 +99,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming: a user resuming after a timeout continues session numbering") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "value")
+    val q = graft.streaming.EventStreams.sessionizeStreaming(spark, sdf)
+      .writeStream.outputMode("append").format("memory").queryName("sess_resume").start()
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    try {
+      // user 1's first session; user 2 advances the watermark far past
+      // the gap boundary so the event-time timeout flushes it
+      mem.addData((1L, ts(0), 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts(120), 9.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts(121), 9.0))
+      q.processAllAvailable()
+      // user 1 RESUMES after the flush — the tombstone state must carry
+      // the last-used sid so this opens session 2, not a duplicate 1
+      mem.addData((1L, ts(130), 5.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts(300), 9.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts(301), 9.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_resume")
+        .filter("user_id = 1").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(u1.toSeq == Seq((1L, 1L), (2L, 1L))) // two sessions, distinct ids
+    } finally q.stop()
+  }
+
   test("sessionization: gap breaks create new sessions") {
     val s = EventStreams.sessionize(EventStreams.events(spark, dir = "/root/testdata/sf0.001"))
       .collect()

@@ -66,6 +66,37 @@ class TextSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("mergeIndex: append docs, search merged == search rebuilt") {
+    val base = docs(1L -> "spark spark window", 2L -> "spark query")
+    val extra = docs(3L -> "window merge spark", 4L -> "unrelated words")
+    val merged = Fulltext.mergeIndex(Fulltext.buildIndex(base), extra)
+    val rebuilt = Fulltext.buildIndex(docs(
+      1L -> "spark spark window", 2L -> "spark query",
+      3L -> "window merge spark", 4L -> "unrelated words"))
+    for (terms <- Seq(Seq("spark"), Seq("window", "merge"))) {
+      val a = Fulltext.searchIndex(merged, terms).collect().toSeq
+      val b = Fulltext.searchIndex(rebuilt, terms).collect().toSeq
+      assert(a == b, s"merged != rebuilt for $terms")
+    }
+    // the merged corpus size (idf denominator) re-aggregated correctly
+    assert(merged.meta.collect()(0).getLong(0) == 4L)
+  }
+
+  test("char-n-gram pre-filter: contains search identical through the vocab index") {
+    val d = docs(
+      1L -> "bitcoinwallet_v2 sendmoney",
+      2L -> "bitcoin only here",
+      3L -> "sending stuff",
+      4L -> "nothing relevant ab") // "ab" exercises the <n short-term fallback
+    val idx = Fulltext.buildIndex(d)
+    val grams = Fulltext.ngramVocab(idx)
+    for (terms <- Seq(Seq("coin", "send"), Seq("coin"), Seq("ab"))) {
+      val plain = Fulltext.containsSearchIndex(idx, terms).collect().toSeq
+      val pruned = Fulltext.containsSearchNgramIndex(idx, grams, terms).collect().toSeq
+      assert(plain == pruned, s"n-gram path diverged for $terms")
+    }
+  }
+
   test("language-ID: stopword-free text is 'unknown'") {
     val out = TextAnalysis.langId(docs(
       1L -> "the cat sat on the mat", 2L -> "qwerty zxcvb plmkn"))

@@ -105,6 +105,22 @@ class TraversalSpec extends AnyFunSuite {
     assert(cc.size == 11 && cc.values.forall(_ == 0L))
   }
 
+  test("Components.auto falls back to Pregel past the round budget, same labels") {
+    import spark.implicits._
+    // 30-hop path: diameter far exceeds a budget of 4 label-prop
+    // rounds, so auto must hand off to GraphX Pregel — and still
+    // produce the identical (node, min-id component) labels.
+    val path = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Components.auto(path, lpRoundBudget = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 31 && cc.values.forall(_ == 0L))
+    // low-diameter graph converges inside the budget on the fast path
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val cs = Components.auto(star, lpRoundBudget = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cs.size == 7 && cs.values.forall(_ == 0L))
+  }
+
   test("address parse/normalize matches reference semantics") {
     import spark.implicits._
     val df = Seq("0x1000", "0X00001000", "4096", "abcd", "ABCD", "xyz", "")
