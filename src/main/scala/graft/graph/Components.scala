@@ -60,18 +60,77 @@ object Components {
     (labels, converged)
   }
 
+  /** Connected components via the ALTERNATING large-star / small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014): per round, large-star links every strictly-larger
+    * neighbor of u to m(u) = min(Γ(u) ∪ {u}); small-star links the
+    * ≤-neighbors and u itself to m(u). The edge set contracts to a
+    * star forest around component minima in O(log n) rounds REGARDLESS
+    * OF DIAMETER — the property min-label propagation (O(diameter)
+    * rounds) lacks, and the reason this is the 100 TB path for deep
+    * chains. Each round is two narrow (node-keyed) shuffles; the
+    * convergence check is a count+hash fingerprint agg on the already-
+    * checkpointed edge set.
+    */
+  def alternatingStar(edges: DataFrame, maxRounds: Int = 60): DataFrame = {
+    val orig = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val nodes = orig.select(col("a").as("node"))
+      .unionByName(orig.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("a"), least(col("x"), col("y")).as("b"))
+      .distinct()
+    def neighbors(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    def withMin(nb: DataFrame): DataFrame =
+      nb.join(nb.groupBy(col("a").as("u")).agg(min(col("b")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m")),
+        col("a") === col("u"))
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // order-independent set fingerprint; bit_xor cannot overflow
+      // under ANSI mode (sum of hashes would)
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = canon(orig.select(col("a").as("x"), col("b").as("y"))).localCheckpoint(true)
+    var fp = fingerprint(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nb = withMin(neighbors(e))
+      val ls = canon(nb.filter(col("b") > col("a"))
+        .select(col("b").as("x"), col("m").as("y")))
+      val nb2 = withMin(neighbors(ls))
+      val ss = canon(
+        nb2.filter(col("b") <= col("a")).select(col("b").as("x"), col("m").as("y"))
+          .unionByName(nb2.select(col("a").as("x"), col("m").as("y"))))
+        .localCheckpoint(true)
+      val fp2 = fingerprint(ss)
+      converged = fp2 == fp
+      fp = fp2
+      e = ss
+      round += 1
+    }
+    // fixpoint edge set is a star forest: (v, component-min) rows;
+    // centers and isolated nodes label themselves
+    nodes.join(e.groupBy(col("a").as("node2")).agg(min(col("b")).as("c")),
+        col("node") === col("node2"), "left")
+      .select(col("node"), coalesce(col("c"), col("node")).as("component"))
+  }
+
   /** Engine-choosing components: min-label propagation needs
     * O(diameter) shuffle rounds, so it wins on the low-diameter graphs
     * this engine mostly sees (hierarchies, call graphs with hubs) but
     * loses badly on long paths. `auto` gives propagation a bounded
-    * round budget and, if the fixpoint isn't reached, hands the whole
-    * graph to GraphX's Pregel connected components (C3) — the
-    * general-diameter scale path. Both produce (node, component = min
-    * node id), so callers can't tell which engine ran.
+    * round budget and, if the fixpoint isn't reached, restarts on the
+    * O(log n)-round [[alternatingStar]] — the general-diameter scale
+    * path. Both produce (node, component = min node id), so callers
+    * can't tell which engine ran.
     */
   def auto(edges: DataFrame, lpRoundBudget: Int = 8): DataFrame = {
     val (labels, converged) = propagate(edges, lpRoundBudget)
     if (converged) labels
-    else Pregel.connectedComponents(edges.sparkSession, edges)
+    else alternatingStar(edges)
   }
 }

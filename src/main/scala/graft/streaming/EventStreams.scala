@@ -141,7 +141,11 @@ object EventStreams {
     * users who simply stop emitting still complete, with exactly the
     * rows the batch [[sessionize]] would produce. State per user is
     * one [[OpenSession]]; the timeout timestamp is re-armed on every
-    * update.
+    * update. A flushed session leaves an n=0 TOMBSTONE holding the
+    * last-used session id, so a user who resumes emitting continues
+    * the batch numbering instead of duplicating (user_id, session_id)
+    * keys — one small state entry per idle user, the price of exact
+    * batch parity.
     *
     * `events` must be a streaming DataFrame with (user_id, ts, value);
     * a watermark on `ts` is applied here.

@@ -25,6 +25,22 @@ class GraphStoreSpec extends AnyFunSuite {
     assert(!new java.io.File(dir).exists())
   }
 
+  test("load degrades gracefully when call_sites is absent (pre-upgrade store)") {
+    val g = JsonImporter.importAnalysis(spark,
+      getClass.getResource("/analysis").getPath)
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_old").toString
+    GraphStore.save(g, dir, partitions = 4)
+    // simulate a store written before the call_sites table existed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/call_sites"), true)
+    val loaded = GraphStore.load(spark, dir)
+    assert(loaded.callSites.count() == 0)
+    assert(loaded.callSites.columns.toSeq == loaded.calls.columns.toSeq)
+    assert(loaded.calls.count() == g.calls.count()) // everything else intact
+    GraphStore.clear(spark, dir)
+  }
+
   test("incremental merge: re-import is idempotent, new rows win") {
     val g = JsonImporter.importAnalysis(spark,
       getClass.getResource("/analysis").getPath)

@@ -119,6 +119,39 @@ class SimilaritySpec extends AnyFunSuite {
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
   }
 
+  test("bandingFor scales planes with corpus size and keeps the recall S-curve") {
+    // r (planes/band) must grow with n — fixed banding is the measured
+    // 10×-scale killer (24×5: 3.5 s at 2k vectors, 105 s at 20k)
+    val picks = Seq(2000L, 20000L, 200000L, 2000000L)
+      .map(n => Similarity.bandingFor(n, 0.4))
+    info(picks.map { case (b, r) => s"${b}x$r" }.mkString("  "))
+    picks.map(_._2).sliding(2).foreach { case Seq(a, b) => assert(b >= a) }
+    // every pick satisfies the recall target under the S-curve model
+    val s = 1.0 - math.acos(0.4) / math.Pi
+    picks.foreach { case (bands, r) =>
+      val recall = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), bands.toDouble)
+      assert(recall >= 0.9, s"($bands,$r) model recall $recall")
+    }
+    // at a high (true near-dup) threshold the signature stays small
+    val (bHi, rHi) = Similarity.bandingFor(2000000L, 0.9)
+    assert(bHi * rHi <= 24 * 10, s"tau=0.9 pick ($bHi,$rHi) over-sized")
+
+    // the auto variant stays exact-subset correct on the real table
+    val auto = Similarity.embeddingNearDupAuto(emb, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val v = Similarity.withNorm(emb)
+    val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= 0.4)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact))
+    val rec = if (exact.isEmpty) 1.0 else auto.size.toDouble / exact.size
+    info(f"auto-banded pair recall @tau=0.4: $rec%.3f (${auto.size}/${exact.size})")
+    assert(rec >= 0.5)
+  }
+
   test("trained centroids are means of their members (fixture)") {
     import spark.implicits._
     // Two obvious clusters around (0,…) and (10,…): after one Lloyd

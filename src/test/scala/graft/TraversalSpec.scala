@@ -105,11 +105,11 @@ class TraversalSpec extends AnyFunSuite {
     assert(cc.size == 11 && cc.values.forall(_ == 0L))
   }
 
-  test("Components.auto falls back to Pregel past the round budget, same labels") {
+  test("Components.auto falls back to alternating-star past the round budget, same labels") {
     import spark.implicits._
     // 30-hop path: diameter far exceeds a budget of 4 label-prop
-    // rounds, so auto must hand off to GraphX Pregel — and still
-    // produce the identical (node, min-id component) labels.
+    // rounds, so auto must hand off to the O(log n) star algorithm —
+    // and still produce the identical (node, min-id component) labels.
     val path = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
     val cc = Components.auto(path, lpRoundBudget = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -119,6 +119,23 @@ class TraversalSpec extends AnyFunSuite {
     val cs = Components.auto(star, lpRoundBudget = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cs.size == 7 && cs.values.forall(_ == 0L))
+  }
+
+  test("alternatingStar == labelPropagation on varied graphs") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // fixture graph, a 50-hop path, a pseudo-random sparse graph (with
+    // cycles + multiple components), and self-loops/isolates
+    val cases = Seq(
+      edges.select("src", "dst"),
+      (0L until 50L).map(i => (i, i + 1)).toDF("src", "dst"),
+      (0L until 400L).map(i => (i % 97, (i * 53 + 11) % 89)).toDF("src", "dst"),
+      Seq((5L, 5L), (7L, 8L), (8L, 7L)).toDF("src", "dst"))
+    cases.zipWithIndex.foreach { case (g, i) =>
+      assert(labels(Components.alternatingStar(g)) ==
+        labels(Components.labelPropagation(g, maxIter = 60)), s"case $i")
+    }
   }
 
   test("address parse/normalize matches reference semantics") {
