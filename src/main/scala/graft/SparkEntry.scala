@@ -49,8 +49,31 @@ object SparkEntry {
     "graph_stats" -> ((s, d) => GraphQueries.graphStats(s, d)),
     "graph_degrees" -> ((s, d) => GraphQueries.graphDegrees(s, d)),
     "graph_components" -> ((s, d) => GraphQueries.graphComponents(s, d)),
+    "graph_pagerank" -> ((s, d) => GraphQueries.graphPageRank(s, d)),
+    "graph_triangles" -> ((s, d) => GraphQueries.graphTriangles(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
+
+  /** Unrolled fixed-point PageRank CTEs: ppm integers, floor-div
+    * contributions, damping as the exact fraction 17/20 — bit-exact
+    * replay with no float summation-order hazard. */
+  private def pageRankCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """nodes AS (SELECT DISTINCT n AS node FROM
+        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) t),
+        |od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)""".stripMargin)
+    for (t <- 1 to iters) sb.append(s""",
+       |c$t AS (
+       |  SELECT e.dst AS node, SUM(p.pr // o.outdeg) AS c
+       |  FROM pr${t - 1} p JOIN od o ON p.node = o.node JOIN e ON e.src = p.node
+       |  GROUP BY 1),
+       |pr$t AS (
+       |  SELECT n.node,
+       |         CAST(150000 + (17 * COALESCE(c.c, 0)) // 20 AS BIGINT) AS pr
+       |  FROM nodes n LEFT JOIN c$t c ON n.node = c.node)""".stripMargin)
+    sb.toString
+  }
 
   /** Shared oracle CTE: the derived CALLS edge table (SURVEY.md §4). */
   private val E =
@@ -286,6 +309,27 @@ object SparkEntry {
         |SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT)
         |FROM region
         |ORDER BY node""".stripMargin,
+    "graph_pagerank" ->
+      s"""WITH $E,
+        |${pageRankCtes(3)}
+        |SELECT node, pr AS pagerank_ppm FROM pr3
+        |ORDER BY node""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH $E,
+        |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM e WHERE src <> dst),
+        |dg AS (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT a AS n FROM u0 UNION ALL SELECT b FROM u0) t GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u0.a < u0.b)
+        |              THEN u0.a ELSE u0.b END AS x,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND u0.a < u0.b)
+        |              THEN u0.b ELSE u0.a END AS y
+        |  FROM u0 JOIN dg da ON u0.a = da.n JOIN dg db ON u0.b = db.n)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM o e1
+        |JOIN o e2 ON e1.y = e2.x
+        |JOIN o e3 ON e3.x = e1.x AND e3.y = e2.y""".stripMargin,
     "lineage_up" ->
       """SELECT o_orderkey, c_name, n_name, r_name,
         |  CAST(o_orderkey AS VARCHAR) || '->' || c_name || '->' || n_name

@@ -1,0 +1,82 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics beyond the reference's query surface
+  * (BinaryX-Graph delegates storage to Neo4j and ships no graph
+  * algorithms — Spark adds them): PageRank for function importance
+  * ranking and degree-ordered triangle counting for callgraph
+  * clustering structure.
+  */
+object Ranking {
+
+  /** PageRank in FIXED-POINT integer arithmetic: ranks are
+    * parts-per-million longs (sp₀ = 10⁶ ≙ the n-scaled rank 1.0), the
+    * per-edge contribution is integer floor division `pr div outdeg`,
+    * and the damping 0.85 is the exact fraction 17/20 — so every
+    * iteration is bit-identical across engines regardless of
+    * summation order (float PageRank with per-round rounding still
+    * flipped 1 node in 5000 at a round boundary; integers cannot).
+    * Dangling nodes simply leak mass (plain power iteration); the
+    * floor-div bias is ≤ outdeg ppm per node per round — noise at
+    * ranking granularity, and both engines replay it identically.
+    *
+    * Each iteration is one edge join + one narrow groupBy(dst) —
+    * at scale both shuffles key on node id; the rank frame is
+    * checkpointed per round so iteration t never re-derives t−1.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val e2 = e.join(
+        e.groupBy(col("src").as("u")).agg(count(lit(1)).as("outdeg")),
+        col("src") === col("u"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(e2, pr("node") === e2("src"))
+        .groupBy(col("dst").as("node2"))
+        .agg(sum(expr("pr div outdeg")).as("c"))
+      pr = nodes.join(contrib, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(17 * coalesce(c, 0L)) div 20")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), col("pr").as("pagerank_ppm"))
+  }
+
+  /** Triangle count via degree-ordered orientation (the standard
+    * MapReduce-era trick): orient every undirected edge from the
+    * (degree, id)-smaller endpoint to the larger, so each wedge is
+    * generated exactly once at its lowest-degree apex — candidate
+    * wedges are Σ deg_oriented(u)², bounded by O(m^1.5) instead of
+    * Σ deg(u)² (a hub of degree 10⁶ generates no wedges at all).
+    * Three self-joins on node keys; returns one (n_triangles) row.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.select(col("n").as("na"), col("d").as("da")), col("a") === col("na"))
+      .join(deg.select(col("n").as("nb"), col("d").as("db")), col("b") === col("nb"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("x"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("y"))
+      .localCheckpoint(true)
+    o.as("e1")
+      .join(o.as("e2"), col("e1.y") === col("e2.x"))
+      .join(o.as("e3"), col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

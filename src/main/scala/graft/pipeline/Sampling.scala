@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling and sequence-packing operators — the steps between
+  * a curated document set and actual training batches.
+  */
+object Sampling {
+
+  /** Deterministic stratified sampling: within each stratum (here the
+    * language-ID prediction), take the first `perStratum` documents in
+    * md5(doc_id) order — a reproducible uniform draw (the hash order
+    * is a fixed random permutation) that any engine can replay, unlike
+    * RNG-seeded sampling.
+    *
+    * Scale note: the per-stratum rank needs a per-stratum sort; with
+    * few strata and huge ones, use the threshold form instead (keep
+    * md5(doc_id) < cutoff — no window, fully parallel, approximate
+    * quota). The exact-rank form is the oracle-gated one.
+    */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 50): DataFrame =
+    TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("lang_pred").as("stratum"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("stratum").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= perStratum)
+      .select(col("doc_id"), col("stratum"), col("rn"))
+      .orderBy("stratum", "rn")
+
+  /** Sequence packing for training: documents are concatenated in
+    * doc_id order within a SHARD (doc_id div `shardSize` — each shard
+    * packs independently and in parallel, the way per-worker packing
+    * actually runs) and split at fixed `budget`-token sequence
+    * boundaries — exactly the pretraining convention where a document
+    * straddling a boundary continues in the next sequence. Emits per
+    * doc: its shard, the sequence its first token lands in, the offset
+    * there, and how many sequences it spans.
+    *
+    * One window (shard-partitioned cumulative sum) over the token
+    * counts — no global sort, no driver loop.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048,
+      shardSize: Int = 1000): DataFrame = {
+    val t = TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+      .withColumn("shard", (col("doc_id") / shardSize).cast("long"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start", col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        (col("start") / budget).cast("long").as("seq_id"),
+        (col("start") % budget).as("seq_offset"),
+        when(col("n_tokens") === 0, lit(1L)).otherwise(
+          ((col("cum") - 1) / budget).cast("long") - (col("start") / budget).cast("long") + 1L)
+          .as("n_seqs"))
+      .orderBy("doc_id")
+  }
+}

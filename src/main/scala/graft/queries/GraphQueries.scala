@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.graph.{Components, Traversal}
+import graft.graph.{Components, Ranking, Traversal}
 
 /** The reference's graph query surface (BinaryX-Graph: functions /
   * callgraph / call-path / xrefs / stats — src/commands/query.rs),
@@ -189,6 +189,16 @@ object GraphQueries {
   def graphComponents(s: SparkSession, d: String): DataFrame =
     Components.labelPropagation(hierarchyEdges(s, d))
       .orderBy("node")
+
+  /** C7 PageRank over the call graph: function importance ranking
+    * (3 power iterations, scaled formulation — Ranking.pageRank). */
+  def graphPageRank(s: SparkSession, d: String): DataFrame =
+    Ranking.pageRank(callEdges(s, d)).orderBy("node")
+
+  /** C8 triangle count: callgraph clustering structure via
+    * degree-ordered wedge join (Ranking.triangleCount). */
+  def graphTriangles(s: SparkSession, d: String): DataFrame =
+    Ranking.triangleCount(callEdges(s, d))
 
   /** Upward lineage context (order → customer → nation → region):
     * the natural-key analogue of analyze_call_context's upward chain.

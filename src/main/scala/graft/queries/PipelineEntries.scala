@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.functions.TextOps
-import graft.pipeline.{Curate, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.search.Fulltext
 
 /** Driver-contract wiring + DuckDB oracles for the LLM-data-pipeline
@@ -60,7 +60,12 @@ object PipelineEntries {
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d))),
     "curate_pipeline" -> ((s, d) => Curate.curate(Tables.documents(s, d))),
     "events_asof" -> ((s, d) => TemporalOps.purchaseAsofView(s, d)),
-    "events_quantiles" -> ((s, d) => TemporalOps.eventQuantiles(s, d))
+    "events_quantiles" -> ((s, d) => TemporalOps.eventQuantiles(s, d)),
+    "events_rolling" -> ((s, d) => TemporalOps.eventRolling(s, d)),
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d))),
+    "pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -510,6 +515,52 @@ object PipelineEntries {
         |       round(quantile_cont(value, 0.99), 4) AS p99,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_rolling" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |       CAST(row_number() OVER w AS INTEGER) AS rn,
+        |       round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_avg,
+        |       round(MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS roll_max
+        |FROM events
+        |WHERE user_id % 20 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH $TOK,
+         |lid AS (
+         |  SELECT doc_id,
+         |         CASE WHEN round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |                THEN 1.0 ELSE 0.0 END), 4) >= 0.05
+         |              THEN 'en' ELSE 'unknown' END AS stratum
+         |  FROM tok GROUP BY doc_id),
+         |h AS (SELECT doc_id, stratum, md5(CAST(doc_id AS VARCHAR)) AS h FROM lid),
+         |r AS (
+         |  SELECT doc_id, stratum,
+         |         CAST(row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id)
+         |           AS INTEGER) AS rn
+         |  FROM h)
+         |SELECT doc_id, stratum, rn FROM r WHERE rn <= 50
+         |ORDER BY stratum, rn""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(doc_id // 1000 AS BIGINT) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard,
+        |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+        |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset,
+        |       CAST(CASE WHEN n_tokens = 0 THEN 1
+        |                 ELSE (cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1
+        |            END AS BIGINT) AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Spark round-trips real container bytes (synthesized PNG/JPEG/WAV
     // headers, parsed back by magic-byte sniffing); the oracle replays
     // the header fields arithmetically — same deterministic mapping,

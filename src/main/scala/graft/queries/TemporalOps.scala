@@ -58,6 +58,27 @@ object TemporalOps {
       .orderBy("user_id", "purchase_ts")
   }
 
+  /** Rolling (trailing-5-event) mean and max of the event value per
+    * user — the feature-engineering shape of temporal aggregation
+    * (fraud/engagement features). One shuffle on user_id; the bounded
+    * ROWS frame keeps per-row state at 5 values regardless of history
+    * length, so the window never spills on long user timelines. */
+  def eventRolling(s: SparkSession, d: String, lastN: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(-(lastN - 1), Window.currentRow)
+    EventStreams.events(s, d)
+      .filter(col("user_id") % 20 === 0) // keyed sample (partition-key
+      // predicate — sits below the window) keeps the gate compact
+      .withColumn("rn", row_number().over(w))
+      .withColumn("roll_avg", round(avg(col("value")).over(frame), 4))
+      .withColumn("roll_max", round(max(col("value")).over(frame), 2))
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("rn"), col("roll_avg"), col("roll_max"))
+      .orderBy("user_id", "rn")
+  }
+
   /** Exact interpolated quantiles per event type (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). The approx scale path is
     * `approx_percentile` — same call shape, sketch-based. */

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Ranking
+import graft.pipeline.Sampling
+
+/** Hand-checkable semantics for the graph-analytics and
+  * sampling/packing operators.
+  */
+class RankingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  def edges(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  test("triangle count: K4 has 4, a square has 0, pendant edges add none") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(Ranking.triangleCount(k4).collect()(0).getLong(0) == 4L)
+    val square = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(Ranking.triangleCount(square).collect()(0).getLong(0) == 0L)
+    val triPendant = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L))
+    assert(Ranking.triangleCount(triPendant).collect()(0).getLong(0) == 1L)
+    // duplicate + reversed + self-loop edges don't change the count
+    val noisy = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 1L), (2L, 2L))
+    assert(Ranking.triangleCount(noisy).collect()(0).getLong(0) == 1L)
+  }
+
+  test("pagerank: a cycle is a fixpoint at 1.0; sinks accumulate rank") {
+    // 3-cycle: every node keeps exactly 10^6 ppm at every iteration
+    val cyc = Ranking.pageRank(edges((1L, 2L), (2L, 3L), (3L, 1L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cyc == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // chain 1 -> 2 -> 3: rank strictly increases downstream
+    val chain = Ranking.pageRank(edges((1L, 2L), (2L, 3L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain(1L) < chain(2L) && chain(2L) < chain(3L))
+    assert(chain(1L) == 150000L) // no in-edges: bare teleport mass
+  }
+
+  def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("stratified sample: per-stratum quota, deterministic hash order") {
+    val d = docs(
+      1L -> "the cat is on the mat", 2L -> "the dog is in the house",
+      3L -> "it was the best of times", 4L -> "qwerty zxcvb",
+      5L -> "plmkn wsxed", 6L -> "the sun is up")
+    val s = Sampling.stratifiedSample(d, perStratum = 2)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(s.count(_._1 == "en") == 2 && s.count(_._1 == "unknown") == 2)
+    // re-running yields the identical draw (hash order, not RNG)
+    val s2 = Sampling.stratifiedSample(d, perStratum = 2)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(s.toSeq == s2.toSeq)
+  }
+
+  test("pack sequences: offsets and boundary spans") {
+    // doc token counts: "a b c d" = 4 BPE tokens each
+    val d = docs(1L -> "a b c d", 2L -> "e f g h", 3L -> "i j k l")
+    val p = Sampling.packSequences(d, budget = 10, shardSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // starts at 0, 4, 8; budget 10: doc 3 starts in seq 0 at offset 8
+    // and spans into seq 1 (tokens 8..11)
+    assert(p.toSeq == Seq(
+      (1L, 4L, 0L, 0L, 1L),
+      (2L, 4L, 0L, 4L, 1L),
+      (3L, 4L, 0L, 8L, 2L)))
+    // shard isolation: a doc in another shard starts its own sequences
+    val far = docs(1L -> "a b c d", 2001L -> "e f g h")
+    val p2 = Sampling.packSequences(far, budget = 10, shardSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(p2.toSeq == Seq((1L, 0L, 0L, 0L), (2001L, 2L, 0L, 0L)))
+  }
+}
