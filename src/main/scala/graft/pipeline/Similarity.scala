@@ -287,6 +287,45 @@ object Similarity {
     embeddingNearDup(emb, threshold, bands, planes)
   }
 
+  /** Scalar int8 quantization of the embedding column: per-vector
+    * symmetric max-abs scale, code_i = round(127·x_i/maxabs) — the
+    * 4× storage/bandwidth cut that makes a 100 TB ANN corpus fit the
+    * page cache; reconstruction x̂_i = code_i·maxabs/127. Pure
+    * higher-order-function arithmetic (codegen'd, no UDF). Returns
+    * (vec_id, scale, codes, recon_mse) — downstream rerank can score
+    * on codes (int dot) and rescale, or use recon for exactness
+    * bounds. Rounding pinned to 6/8 dp so the oracle replays it.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("maxabs",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("scale", round(col("maxabs") / 127.0, 8))
+    v.withColumn("codes", transform(col("v"),
+        x => when(col("maxabs") === 0, 0L)
+          .otherwise(round(x * 127.0 / col("maxabs"), 0).cast("long"))))
+      .withColumn("recon_mse", round(
+        aggregate(
+          zip_with(col("v"), col("codes"),
+            (x, c) => {
+              val err = x - c.cast("double") * col("maxabs") / 127.0
+              err * err
+            }),
+          lit(0.0), (acc, x) => acc + x) / size(col("v")), 8))
+      .select(col("vec_id"), col("scale"), col("codes"), col("recon_mse"))
+  }
+
+  /** Driver-contract view of [[quantizeInt8]]: scalar summary per
+    * vector (array column hashing is engine-dependent, so the gate
+    * carries the code checksum instead of the raw array). */
+  def quantizeSummary(emb: DataFrame): DataFrame =
+    quantizeInt8(emb)
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c * c).as("code_sq_sum"),
+        col("recon_mse"))
+      .orderBy("vec_id")
+
   /** Exact-semantics embedding near-dup over a sampled anchor set
     * (anchor % sampleMod == 0): every anchor×corpus pair gets an
     * exact cosine. Correct at any size but the anchor set is

@@ -62,6 +62,8 @@ object PipelineEntries {
     "events_asof" -> ((s, d) => TemporalOps.purchaseAsofView(s, d)),
     "events_quantiles" -> ((s, d) => TemporalOps.eventQuantiles(s, d)),
     "events_rolling" -> ((s, d) => TemporalOps.eventRolling(s, d)),
+    "embed_quantize" -> ((s, d) =>
+      Similarity.quantizeSummary(Tables.embeddings(s, d))),
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) =>
@@ -515,6 +517,22 @@ object PipelineEntries {
         |       round(quantile_cont(value, 0.99), 4) AS p99,
         |       COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "embed_quantize" ->
+      s"""WITH $EX,
+         |ma AS (SELECT vec_id, MAX(abs(x)) AS maxabs FROM ex GROUP BY 1),
+         |codes AS (
+         |  SELECT e.vec_id, e.x, m.maxabs,
+         |         CASE WHEN m.maxabs = 0 THEN 0
+         |              ELSE CAST(round(e.x * 127.0 / m.maxabs, 0) AS BIGINT)
+         |         END AS c
+         |  FROM ex e JOIN ma m USING (vec_id))
+         |SELECT vec_id, round(maxabs / 127.0, 8) AS scale,
+         |       CAST(SUM(c) AS BIGINT) AS code_sum,
+         |       CAST(SUM(c * c) AS BIGINT) AS code_sq_sum,
+         |       round(SUM((x - c * maxabs / 127.0) * (x - c * maxabs / 127.0))
+         |             / COUNT(*), 8) AS recon_mse
+         |FROM codes GROUP BY vec_id, maxabs
+         |ORDER BY vec_id""".stripMargin,
     "events_rolling" ->
       """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |       CAST(row_number() OVER w AS INTEGER) AS rn,
