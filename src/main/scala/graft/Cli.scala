@@ -18,7 +18,7 @@ import graft.queries.GraphQueryEngine
   * graft.Cli --store /warehouse query callgraph main --max-depth 3
   * graft.Cli --store /warehouse query call-path main --show-paths|--show-sequences|--show-upward|--show-context
   * graft.Cli --store /warehouse query xrefs 0x401000
-  * graft.Cli --store /warehouse database stats|export <dir>|clear
+  * graft.Cli --store /warehouse database init|stats|export <dir>|clear --confirm
   * }}}
   *
   * Output defaults to a fixed-width `table` (the reference default,
@@ -122,24 +122,48 @@ object Cli {
       case Seq("query", "binary", _*) =>
         emit(engine.queryBinaryInfo(opt(args, "--binary-name").getOrElse("")))
       case Seq("query", "callgraph", fn, _*) =>
-        emit(engine.callgraph(fn, opt(args, "--binary"),
-          opt(args, "--max-depth").map(_.toInt).getOrElse(3)).limit(limit))
+        // --show-callees / --show-callers restrict the direction
+        // (cli.rs:96-99); default shows both, as the reference does
+        val cg = engine.callgraph(fn, opt(args, "--binary"),
+          opt(args, "--max-depth").map(_.toInt).getOrElse(3))
+        val dir =
+          if (args.contains("--show-callees") && !args.contains("--show-callers"))
+            cg.filter(org.apache.spark.sql.functions.col("direction") === "callee")
+          else if (args.contains("--show-callers") && !args.contains("--show-callees"))
+            cg.filter(org.apache.spark.sql.functions.col("direction") === "caller")
+          else cg
+        emit(dir.limit(limit))
       case Seq("query", "call-path", fn, _*) =>
         val depth = opt(args, "--max-depth").map(_.toInt).getOrElse(3)
         if (args.contains("--show-sequences")) emit(engine.callSequences(fn, opt(args, "--binary")).limit(limit))
         else if (args.contains("--show-upward")) emit(engine.callerSequences(fn, opt(args, "--binary")).limit(limit))
         else if (args.contains("--show-context")) emit(engine.analyzeCallContext(fn, opt(args, "--binary"), depth).limit(limit))
+        else if (args.contains("--show-recursive")) emit(engine.findRecursion(fn, opt(args, "--binary"), math.max(depth, 4)).limit(limit))
         else emit(engine.callPaths(fn, opt(args, "--binary"), depth).limit(limit))
       case Seq("query", "xrefs", addr, _*) =>
         emit(engine.xrefs(addr, opt(args, "--binary")).limit(limit))
       case Seq("database", "stats", _*) =>
         emit(engine.stats())
+      case Seq("database", "init", _*) =>
+        // reference `database init` creates constraints/indexes
+        // (commands/database.rs:24); the columnar analogue — keyed
+        // layout + uniqueness — is enforced on every save, so init
+        // just prepares the store directory.
+        val p = new org.apache.hadoop.fs.Path(store)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+        println(s"""{"initialized":"$store"}""")
       case Seq("database", "export", out, _*) =>
         JsonImporter.exportJson(GraphStore.load(spark, store), out)
         println(s"""{"exported":"$out"}""")
       case Seq("database", "clear", _*) =>
-        GraphStore.clear(spark, store)
-        println("""{"cleared":true}""")
+        // reference requires --confirm or interactive y/N
+        // (commands/database.rs:40-52); non-interactive callers must
+        // pass the flag.
+        if (args.contains("--confirm")) {
+          GraphStore.clear(spark, store)
+          println("""{"cleared":true}""")
+        } else println(
+          """{"cancelled":"pass --confirm to delete ALL data in the store"}""")
       case other =>
         sys.error(s"unknown command: ${other.mkString(" ")}")
     }

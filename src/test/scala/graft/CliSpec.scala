@@ -67,6 +67,32 @@ class CliSpec extends AnyFunSuite {
     assert(miss == "No results found")
   }
 
+  test("database clear refuses without --confirm; init prepares the dir") {
+    val out = capture("database", "clear")
+    assert(out.contains("cancelled") && new java.io.File(store).exists())
+    val tmp = java.nio.file.Files.createTempDirectory("cli_init").toString + "/sub"
+    val bos = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(bos, true, "UTF-8")) {
+      Cli.run(Seq("--store", tmp, "database", "init"), spark)
+    }
+    assert(bos.toString("UTF-8").contains("initialized") &&
+      new java.io.File(tmp).isDirectory)
+  }
+
+  test("callgraph --show-callees restricts the direction") {
+    val both = capture("query", "callgraph", "exported_entry", "--format", "json")
+    val callees = capture("query", "callgraph", "exported_entry",
+      "--show-callees", "--format", "json")
+    assert(both.linesIterator.size >= callees.linesIterator.size)
+    assert(callees.linesIterator.forall(_.contains("\"direction\":\"callee\"")))
+  }
+
+  test("call-path --show-recursive routes to recursion detection") {
+    val out = capture("query", "call-path", "loop_fn", "--show-recursive",
+      "--format", "json")
+    assert(out.contains("\"call_type\":\"Direct\""))
+  }
+
   test("csv quoting escapes commas and quotes") {
     val csv = Cli.renderCsv(Seq("a", "b"),
       Seq(Seq("""say "hi"""", "x,y"), Seq("plain", "z")))
