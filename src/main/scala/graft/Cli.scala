@@ -54,15 +54,20 @@ object Cli {
 
   /** Emit a result frame in the chosen `--format`. The collect is
     * driver-side display of an already-limited result — never a
-    * distributed hot path. */
+    * distributed hot path. Table cells escape newlines for display
+    * (the reference does the same, query.rs:231); csv keeps raw
+    * values — renderCsv's RFC quoting handles embedded newlines
+    * losslessly. */
   private def emitAs(df: DataFrame, format: String): Unit = format match {
     case "json" => df.toJSON.collect().foreach(println)
     case other =>
       val header = df.columns.toSeq
-      val rows = df.collect().toSeq.map(_.toSeq.map {
+      def cells(escape: Boolean) = df.collect().toSeq.map(_.toSeq.map {
         case null => "N/A"
-        case v => v.toString.replace("\n", "\\n").replace("\r", "\\r")
+        case v if escape => v.toString.replace("\n", "\\n").replace("\r", "\\r")
+        case v => v.toString
       })
+      val rows = cells(escape = other == "table")
       if (rows.isEmpty) println("No results found")
       else println(
         if (other == "csv") renderCsv(header, rows) else renderTable(header, rows))
@@ -86,6 +91,8 @@ object Cli {
     }
 
     val format = opt(args, "--format").getOrElse("table")
+    if (!Set("table", "csv", "json").contains(format))
+      sys.error(s"unknown --format '$format' (expected table, csv, or json)")
     val limit = opt(args, "--limit").map(_.toInt).getOrElse(100)
     def engine = new GraphQueryEngine(GraphStore.load(spark, store))
     def emit(df: DataFrame): Unit = emitAs(df, format)

@@ -104,6 +104,9 @@ object ScaleBench {
     }
     val nLine = spark.read.parquet(s"$out/lineitem.parquet").count()
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+    // stamp whether on-disk data was reused: a reused dir may have been
+    // built with different replicate/base values than this run's env,
+    // so the label below is only authoritative when reused=false
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, out).count() } catch { case _: Throwable => -1L }
@@ -114,7 +117,7 @@ object ScaleBench {
     val rows = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"replicate":$rep,"base":"$base","lineitem_rows":$nLine,"documents_rows":$nDocs,"note":"single run per query on ${rep}x-replicated sf0.1"}""")
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"replicate":$rep,"reused_existing_data":$reuse,"base":"$base","lineitem_rows":$nLine,"documents_rows":$nDocs,"note":"single run per query on ${rep}x-replicated sf0.1"}""")
     spark.stop()
   }
 }

@@ -111,19 +111,28 @@ object Multimodal {
     if (b.length >= 24 && PngSig.indices.forall(i => u8(b, i) == PngSig(i)))
       img("png", rdBe32(b, 16), rdBe32(b, 20))
     else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
-      // marker scan for SOF0..SOF3 (baseline/progressive dimensions)
+      // marker scan for SOF0..SOF3 (baseline/progressive dimensions).
+      // Spec-legal quirks handled: 0xFF fill bytes before a marker
+      // (ISO 10918 B.1.1.2), standalone markers with no length field
+      // (TEM, RSTn, SOI), and a SOF segment ending flush at the
+      // payload end.
       var i = 2
       var out: MediaMeta = MediaMeta(m.doc_id, "unknown", -1L, -1L, -1L, -1L, len)
       var done = false
-      while (!done && i + 9 < b.length) {
+      while (!done && i + 1 < b.length) {
         if (u8(b, i) != 0xff) { done = true }
         else {
           val marker = u8(b, i + 1)
-          if (marker >= 0xc0 && marker <= 0xc3) {
-            out = img("jpeg", rdBe16(b, i + 7), rdBe16(b, i + 5))
+          if (marker == 0xff) i += 1 // fill byte
+          else if (marker >= 0xc0 && marker <= 0xc3) {
+            if (i + 8 < b.length)
+              out = img("jpeg", rdBe16(b, i + 7), rdBe16(b, i + 5))
             done = true
-          } else if (marker == 0xd9) done = true
-          else i += 2 + rdBe16(b, i + 2).toInt
+          } else if (marker == 0xd9) done = true // EOI
+          else if (marker == 0x01 || marker == 0xd8 ||
+              (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+          else if (i + 3 < b.length) i += 2 + rdBe16(b, i + 2).toInt
+          else done = true
         }
       }
       out

@@ -56,17 +56,30 @@ object Fulltext {
     FulltextIndex(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/meta"))
 
-  /** Incremental maintenance: fold newly-appended documents into an
-    * existing index without re-tokenizing the old corpus — union the
-    * new postings, re-aggregate the corpus size. Document ids are
-    * append-only (the importer's uid construction guarantees it), so
-    * the union never double-counts. searchIndex(merge(i, d)) ≡
-    * searchIndex(buildIndex(old ∪ d)) — spec-checked. */
-  def mergeIndex(index: FulltextIndex, newDocs: DataFrame): FulltextIndex =
+  /** Incremental maintenance: fold new or UPDATED documents into an
+    * existing index without re-tokenizing the old corpus. Re-imported
+    * doc ids get last-write-wins semantics (matching
+    * GraphStore.merge): their stale postings are anti-joined away
+    * before the union, and the corpus size is corrected by a lazy
+    * negative overlap count — the whole merge stays one composable
+    * plan, no driver action. searchIndex(merge(i, d)) ≡
+    * searchIndex(buildIndex(old-minus-overlap ∪ d)) — spec-checked
+    * for both append and update. (A re-imported doc that had NO
+    * tokens is invisible to the postings-derived overlap count and
+    * would double-count in n — tokenless docs don't score, so idf is
+    * off by at most that rare count.) */
+  def mergeIndex(index: FulltextIndex, newDocs: DataFrame): FulltextIndex = {
+    val newIds = newDocs.select(col("doc_id")).distinct()
+    val kept = index.postings.join(newIds, Seq("doc_id"), "left_anti")
+    val overlapNeg = index.postings.select("doc_id").distinct()
+      .join(newIds, Seq("doc_id"), "left_semi")
+      .agg((-count(lit(1))).as("n"))
     FulltextIndex(
-      index.postings.unionByName(postings(newDocs)),
+      kept.unionByName(postings(newDocs)),
       index.meta.unionByName(newDocs.agg(count(lit(1)).as("n")))
+        .unionByName(overlapNeg)
         .agg(sum(col("n")).cast("long").as("n")))
+  }
 
   /** Shared scoring tail: score(doc) = Σ tf·ln((N+1)/(df+1)) over the
     * postings rows passing `tokenPred`; n_terms = matched distinct

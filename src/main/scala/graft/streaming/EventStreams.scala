@@ -151,7 +151,8 @@ object EventStreams {
     * a watermark on `ts` is applied here.
     */
   def sessionizeStreaming(spark: SparkSession, events: DataFrame,
-      gapMinutes: Int = 30, watermarkDelay: String = "1 second"): DataFrame = {
+      gapMinutes: Int = 30, watermarkDelay: String = "1 second",
+      tombstoneTtlMinutes: Int = 24 * 60): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
@@ -183,12 +184,22 @@ object EventStreams {
         state: GroupState[OpenSession]): Iterator[SessionOut] = {
       if (state.hasTimedOut) {
         val s = state.get
-        // Keep a tombstone (n = 0) holding the last-used sid so a user
-        // who resumes emitting continues the batch numbering instead of
-        // restarting at 1. Costs one tiny state entry per flushed user;
-        // removing it would duplicate (user_id, session_id) keys.
-        state.update(s.copy(n = 0L, sum = 0.0))
-        Iterator.single(closed(userId, s))
+        if (s.n == 0L) {
+          // tombstone TTL expired: drop it so state stays bounded by
+          // RECENTLY-idle users, not lifetime-distinct users; a user
+          // returning after the TTL restarts numbering at 1 — the
+          // documented trade for bounded state.
+          state.remove()
+          Iterator.empty
+        } else {
+          // Keep a tombstone (n = 0) holding the last-used sid so a user
+          // who resumes emitting continues the batch numbering instead of
+          // restarting at 1; it self-expires after tombstoneTtlMinutes.
+          state.update(s.copy(n = 0L, sum = 0.0))
+          state.setTimeoutTimestamp(
+            s.last_us / 1000L + tombstoneTtlMinutes * 60L * 1000L)
+          Iterator.single(closed(userId, s))
+        }
       } else {
         val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
         var cur = state.getOption

@@ -38,6 +38,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.byte_len == 44L + (id % 1000 + 1) * (id % 2 + 1) * 2)
   }
 
+  test("JPEG with fill bytes, standalone markers, and SOF at payload end still decodes") {
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(99) ++ be16(42) ++ Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    // SOI + fill bytes + APP0 segment + RST0 standalone + fills + SOF0, no EOI
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(4) ++ Array[Byte](1, 2)
+    val payload = Array(0xff, 0xd8).map(_.toByte) ++
+      Array(0xff.toByte) ++ // fill before APP0 (ISO 10918 B.1.1.2)
+      app0 ++
+      Array(0xff, 0xd0).map(_.toByte) ++ // standalone RST0, no length
+      Array(0xff.toByte, 0xff.toByte) ++ // two fills
+      sof0 // ends flush at the payload end
+    val m = Multimodal.decode(RawMedia(0L, payload))
+    assert(m.format == "jpeg" && m.width == 42L && m.height == 99L)
+  }
+
   test("garbage bytes quarantine as 'unknown', never throw") {
     val cases = Seq(
       Array.empty[Byte],

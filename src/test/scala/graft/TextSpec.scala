@@ -82,6 +82,23 @@ class TextSpec extends AnyFunSuite {
     assert(merged.meta.collect()(0).getLong(0) == 4L)
   }
 
+  test("mergeIndex: re-imported doc id gets last-write-wins, no double count") {
+    val base = docs(1L -> "spark spark window", 2L -> "spark query")
+    // doc 2 re-imported with NEW content (the GraphStore.merge case)
+    val update = docs(2L -> "merge words only", 3L -> "window spark")
+    val merged = Fulltext.mergeIndex(Fulltext.buildIndex(base), update)
+    val rebuilt = Fulltext.buildIndex(docs(
+      1L -> "spark spark window", 2L -> "merge words only", 3L -> "window spark"))
+    for (terms <- Seq(Seq("spark"), Seq("query"), Seq("merge"))) {
+      assert(Fulltext.searchIndex(merged, terms).collect().toSeq ==
+        Fulltext.searchIndex(rebuilt, terms).collect().toSeq, s"terms $terms")
+    }
+    assert(merged.meta.collect()(0).getLong(0) == 3L) // not 4
+    // doc 2's stale tokens no longer match
+    assert(!Fulltext.searchIndex(merged, Seq("query")).collect()
+      .map(_.getLong(0)).contains(2L))
+  }
+
   test("char-n-gram pre-filter: contains search identical through the vocab index") {
     val d = docs(
       1L -> "bitcoinwallet_v2 sendmoney",
