@@ -184,10 +184,12 @@ object GraphQueries {
   }
 
   /** C1 connected components over the hierarchy graph: label = the
-    * region key (min id in each component by construction). Runs to
-    * fixpoint (the hierarchy diameter is 3; maxIter is a safety cap). */
+    * region key (min id in each component by construction). Goes
+    * through the engine chooser (C6): the diameter-3 hierarchy
+    * converges inside the label-prop budget; a high-diameter graph
+    * would restart on the O(log n) alternating-star path. */
   def graphComponents(s: SparkSession, d: String): DataFrame =
-    Components.labelPropagation(hierarchyEdges(s, d))
+    Components.auto(hierarchyEdges(s, d))
       .orderBy("node")
 
   /** C7 PageRank over the call graph: function importance ranking
