@@ -39,7 +39,17 @@ object GraftExtensions {
       ((children: Seq[Expression]) => DotProduct(children(0), children(1))),
     "graft_token_hash" ->
       ((children: Seq[Expression]) =>
-        bridge.expression(TextOps.tokenHash(bridge.column(children.head)))))
+        bridge.expression(TextOps.tokenHash(bridge.column(children.head)))),
+    // graft_topk(score, id, k): partial top-k aggregate — k must be a
+    // foldable int literal (it shapes the aggregation buffer)
+    "graft_topk" ->
+      ((children: Seq[Expression]) =>
+        TopKByScore(children(0), children(1),
+          children(2).eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => sys.error(s"graft_topk k must be an int literal, got $other")
+          }).toAggregateExpression()))
 
   /** Register on an already-built (possibly shared) session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.functions.{TopKAgg, VectorOps}
 
 /** Similarity search over an embedding column (SURVEY.md §2 D5–D7).
   *
@@ -34,6 +34,21 @@ object Similarity {
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** Shared rerank tail: (query_id, cand_id, cos) pairs → top-k per
+    * query via the PARTIAL top-k aggregate (graft.functions.TopKAgg):
+    * each map task combines down to k rows per query before the
+    * shuffle, where the Window/row_number formulation would shuffle
+    * every candidate into one sorted partition per query first. Rank
+    * order — (round(cos,6) desc, id asc) — is identical to the window
+    * form, so gated outputs are unchanged. */
+  private def rankTopK(pairs: DataFrame, candId: String, k: Int): DataFrame =
+    pairs.groupBy("query_id")
+      .agg(TopKAgg.topK(col("cos"), col(candId), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 4).as("cosine"), (col("pos") + 1).as("rnk"))
+      .orderBy("query_id", "rnk")
+
   /** D6 brute-force cosine top-k for a query subset: query rows ×
     * corpus with array-local dot products; ranking on the rounded
     * cosine keeps cross-engine order stable. The corpus side is the
@@ -45,13 +60,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 4).as("cosine"), col("rnk"))
-      .orderBy("query_id", "rnk")
+    rankTopK(pairs, "vec_id", k)
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane j,
@@ -91,15 +100,9 @@ object Similarity {
     val b = lshBucket(emb)
     val pairs = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"),
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("nb_id"),
         (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
-    pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"),
-        col("rnk"))
-      .orderBy("query_id", "rnk")
+    rankTopK(pairs, "nb_id", k)
   }
 
   /** Rounded squared-L2 distance of each vector to each centroid,
@@ -171,13 +174,7 @@ object Similarity {
     val pairs = lists.as("l").join(probes.as("p"),
         col("l.cid") === col("p.cid") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(round(col("cos"), 6).desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 4).as("cosine"), col("rnk"))
-      .orderBy("query_id", "rnk")
+    rankTopK(pairs, "vec_id", k)
   }
 
   /** The [[planeWeightSql]] formula evaluated driver-side for the

@@ -152,6 +152,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rec >= 0.5)
   }
 
+  test("partial top-k aggregate == window row_number formulation, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKAgg
+    // deterministic pseudo-random scores with DELIBERATE 6dp ties so
+    // the id tiebreak is exercised; many groups, k smaller than group
+    val rows = for (g <- 0L until 20L; i <- 0L until 30L) yield {
+      val score = ((g * 31 + i * 17) % 7).toDouble / 7.0 // dense ties
+      (g, i, score)
+    }
+    val df = rows.toDF("query_id", "cand", "cos").repartition(8)
+    val viaAgg = df.groupBy("query_id")
+      .agg(TopKAgg.topK(col("cos"), col("cand"), 5).as("top"))
+      .select(col("query_id"), org.apache.spark.sql.functions.posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("cand"),
+        org.apache.spark.sql.functions.round(col("col.score"), 4).as("cos"),
+        (col("pos") + 1).as("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaWindow = df
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(org.apache.spark.sql.functions.round(col("cos"), 6).desc, col("cand"))))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("cand"),
+        org.apache.spark.sql.functions.round(col("cos"), 4).as("cos"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("trained centroids are means of their members (fixture)") {
     import spark.implicits._
     // Two obvious clusters around (0,…) and (10,…): after one Lloyd
