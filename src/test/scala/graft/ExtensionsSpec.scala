@@ -19,6 +19,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val h2 = spark.sql("SELECT graft_token_hash('hello') AS h")
       .collect()(0).getLong(0)
     assert(h1 == h2 && h1 > 0)
+    // aggregate function path: top-2 by score with id tiebreak
+    val top = spark.sql(
+      """SELECT g, graft_topk(s, i, 2) AS top FROM VALUES
+        |  (1, 0.5D, 10L), (1, 0.9D, 11L), (1, 0.9D, 7L), (1, 0.1D, 3L)
+        |  AS t(g, s, i)
+        |GROUP BY g""".stripMargin)
+      .selectExpr("top.id AS ids").collect()(0).getSeq[Long](0)
+    assert(top == Seq(7L, 11L)) // 0.9 tie broken by smaller id first
   }
 
   test("salted join equals plain join") {
