@@ -43,13 +43,18 @@ object GraftExtensions {
     // graft_topk(score, id, k): partial top-k aggregate — k must be a
     // foldable int literal (it shapes the aggregation buffer)
     "graft_topk" ->
-      ((children: Seq[Expression]) =>
-        TopKByScore(children(0), children(1),
-          children(2).eval(null) match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => sys.error(s"graft_topk k must be an int literal, got $other")
-          }).toAggregateExpression()))
+      ((children: Seq[Expression]) => {
+        if (children.length != 3)
+          sys.error(s"graft_topk takes (score, id, k); got ${children.length} args")
+        if (!children(2).foldable)
+          sys.error("graft_topk k must be a constant int literal")
+        val k = children(2).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => sys.error(s"graft_topk k must be an int literal, got $other")
+        }
+        TopKByScore(children(0), children(1), k).toAggregateExpression()
+      }))
 
   /** Register on an already-built (possibly shared) session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

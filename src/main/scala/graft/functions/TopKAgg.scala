@@ -6,9 +6,9 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -20,10 +20,13 @@ import org.apache.spark.sql.types._
   * with billions of candidate pairs this is the difference between a
   * k-bounded combine and a full sort of the candidate space.
   *
-  * Ordering matches the Window formulation exactly: score rounded
-  * HALF_UP to 6dp (via BigDecimal.valueOf, identical to Spark's
-  * `round`) descending, id ascending as the tiebreak — so swapping the
-  * formulations cannot change a gated result.
+  * Ordering matches the Window formulation exactly, including edge
+  * values: score rounded HALF_UP to 6dp (identical to Spark's `round`,
+  * which passes NaN/Infinity through) descending with Spark's sort
+  * semantics (NaN ranks above +Inf, nulls LAST as in `desc`), id
+  * ascending as the tiebreak — so swapping the formulations cannot
+  * change a result. The rounded ordering key is computed ONCE per
+  * input row, never per comparison.
   */
 case class TopKByScore(
     score: Expression,
@@ -31,70 +34,91 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
+    extends TypedImperativeAggregate[ArrayBuffer[TopKAgg.Entry]]
+    with ImplicitCastInputTypes {
+
+  import TopKAgg.Entry
 
   override def children: Seq[Expression] = Seq(score, id)
+  // Seq is covariant, so the public DataType satisfies the
+  // Seq[AbstractDataType] contract (AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType), StructField("score", DoubleType))))
 
-  private def round6(d: Double): Double =
-    java.math.BigDecimal.valueOf(d)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  /** true when a ranks strictly better than b (desc by key, NULLS
+    * LAST, NaN greatest — java.lang.Double.compare gives exactly
+    * Spark's double sort order — then id asc). */
+  private def better(a: Entry, b: Entry): Boolean =
+    if (a.hasScore != b.hasScore) a.hasScore
+    else if (a.hasScore) {
+      val c = java.lang.Double.compare(a.key, b.key)
+      c > 0 || (c == 0 && a.id < b.id)
+    } else a.id < b.id
 
-  /** true when (sa, ia) ranks strictly better than (sb, ib). */
-  private def better(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
-    val ra = round6(sa); val rb = round6(sb)
-    ra > rb || (ra == rb && ia < ib)
-  }
+  override def createAggregationBuffer(): ArrayBuffer[Entry] = ArrayBuffer.empty
 
-  override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
-    ArrayBuffer.empty
-
-  private def insert(buf: ArrayBuffer[(Double, Long)], s: Double, i: Long): Unit = {
+  private def insert(buf: ArrayBuffer[Entry], e: Entry): Unit = {
     // buf kept sorted best-first, length ≤ k; k is small (≤ dozens) so
     // linear insertion beats heap constant factors
     var pos = 0
-    while (pos < buf.length && !better(s, i, buf(pos)._1, buf(pos)._2)) pos += 1
+    while (pos < buf.length && !better(e, buf(pos))) pos += 1
     if (pos < k) {
-      buf.insert(pos, (s, i))
+      buf.insert(pos, e)
       if (buf.length > k) buf.remove(buf.length - 1)
     }
   }
 
-  override def update(buf: ArrayBuffer[(Double, Long)],
-      input: InternalRow): ArrayBuffer[(Double, Long)] = {
+  override def update(buf: ArrayBuffer[Entry], input: InternalRow): ArrayBuffer[Entry] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      insert(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (i != null) {
+      val e =
+        if (s == null) Entry(hasScore = false, 0.0, 0.0, i.asInstanceOf[Long])
+        else {
+          val raw = s.asInstanceOf[Double]
+          Entry(hasScore = true, raw, TopKAgg.round6(raw), i.asInstanceOf[Long])
+        }
+      insert(buf, e)
+    }
     buf
   }
 
-  override def merge(buf: ArrayBuffer[(Double, Long)],
-      other: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
-    other.foreach { case (s, i) => insert(buf, s, i) }
+  override def merge(buf: ArrayBuffer[Entry],
+      other: ArrayBuffer[Entry]): ArrayBuffer[Entry] = {
+    other.foreach(insert(buf, _))
     buf
   }
 
-  override def eval(buf: ArrayBuffer[(Double, Long)]): Any =
-    new GenericArrayData(buf.map { case (s, i) =>
-      InternalRow(i, s)
+  override def eval(buf: ArrayBuffer[Entry]): Any =
+    new GenericArrayData(buf.map { e =>
+      InternalRow(e.id, if (e.hasScore) e.raw else null)
     }.toArray[Any])
 
-  override def serialize(buf: ArrayBuffer[(Double, Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 16 * buf.length)
+  override def serialize(buf: ArrayBuffer[Entry]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 17 * buf.length)
     bb.putInt(buf.length)
-    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    buf.foreach { e =>
+      bb.put(if (e.hasScore) 1.toByte else 0.toByte)
+      bb.putDouble(e.raw); bb.putLong(e.id)
+    }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Entry] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = ArrayBuffer.empty[(Double, Long)]
+    val buf = ArrayBuffer.empty[Entry]
     var j = 0
-    while (j < n) { buf += ((bb.getDouble, bb.getLong)); j += 1 }
+    while (j < n) {
+      val has = bb.get() == 1
+      val raw = bb.getDouble
+      val i = bb.getLong
+      buf += (if (has) Entry(hasScore = true, raw, TopKAgg.round6(raw), i)
+        else Entry(hasScore = false, 0.0, 0.0, i))
+      j += 1
+    }
     buf
   }
 
@@ -108,6 +132,19 @@ case class TopKByScore(
 }
 
 object TopKAgg {
+
+  /** Buffer element: raw score for output, precomputed rounded
+    * ordering key, id tiebreak. hasScore=false models a null score
+    * (ranked last, like `desc` NULLS LAST). */
+  final case class Entry(hasScore: Boolean, raw: Double, key: Double, id: Long)
+
+  /** HALF_UP 6dp, matching Spark's `round` exactly — including its
+    * NaN/Infinity passthrough (BigDecimal.valueOf would throw). */
+  private[functions] def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Column API: aggregate to the k best (id, score) structs, ranked
     * by (round(score, 6) desc, id asc) — the ANN rerank contract. */
   def topK(score: Column, id: Column, k: Int): Column =

@@ -195,9 +195,14 @@ object EventStreams {
           // Keep a tombstone (n = 0) holding the last-used sid so a user
           // who resumes emitting continues the batch numbering instead of
           // restarting at 1; it self-expires after tombstoneTtlMinutes.
+          // The TTL is anchored to last_us, which may already be far
+          // behind the watermark (restart after downtime, a big
+          // watermark jump, or ttl <= gap) — setTimeoutTimestamp
+          // throws if handed a pre-watermark time, so clamp forward.
           state.update(s.copy(n = 0L, sum = 0.0))
-          state.setTimeoutTimestamp(
-            s.last_us / 1000L + tombstoneTtlMinutes * 60L * 1000L)
+          state.setTimeoutTimestamp(math.max(
+            state.getCurrentWatermarkMs() + 1L,
+            s.last_us / 1000L + tombstoneTtlMinutes * 60L * 1000L))
           Iterator.single(closed(userId, s))
         }
       } else {

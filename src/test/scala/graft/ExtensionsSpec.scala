@@ -27,6 +27,13 @@ class ExtensionsSpec extends AnyFunSuite {
         |GROUP BY g""".stripMargin)
       .selectExpr("top.id AS ids").collect()(0).getSeq[Long](0)
     assert(top == Seq(7L, 11L)) // 0.9 tie broken by smaller id first
+    // implicit input casts: FLOAT score + INT id coerce instead of
+    // crashing at execution time
+    val cast = spark.sql(
+      """SELECT graft_topk(CAST(s AS FLOAT), i, 1) AS top FROM VALUES
+        |  (0.5, 10), (0.9, 11) AS t(s, i)""".stripMargin)
+      .selectExpr("top.id AS ids").collect()(0).getSeq[Long](0)
+    assert(cast == Seq(11L))
   }
 
   test("salted join equals plain join") {

@@ -159,7 +159,10 @@ class SimilaritySpec extends AnyFunSuite {
     // deterministic pseudo-random scores with DELIBERATE 6dp ties so
     // the id tiebreak is exercised; many groups, k smaller than group
     val rows = for (g <- 0L until 20L; i <- 0L until 30L) yield {
-      val score = ((g * 31 + i * 17) % 7).toDouble / 7.0 // dense ties
+      // dense ties plus sprinkled NULL scores (the zero-norm-vector
+      // case): window `desc` puts them LAST — the aggregate must too
+      val score = if ((g + i) % 11 == 0) None
+        else Some(((g * 31 + i * 17) % 7).toDouble / 7.0)
       (g, i, score)
     }
     val df = rows.toDF("query_id", "cand", "cos").repartition(8)
@@ -169,7 +172,8 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("query_id"), col("col.id").as("cand"),
         org.apache.spark.sql.functions.round(col("col.score"), 4).as("cos"),
         (col("pos") + 1).as("rnk"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3))).toSet
     val viaWindow = df
       .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
         Window.partitionBy("query_id")
@@ -177,7 +181,8 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("cand"),
         org.apache.spark.sql.functions.round(col("cos"), 4).as("cos"), col("rnk"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3))).toSet
     assert(viaAgg == viaWindow)
   }
 
