@@ -107,6 +107,40 @@ object TextOps {
        |WHERE h3 IS NOT NULL""".stripMargin
   }
 
+  /** Word k-gram rolling hashes per doc: (doc_id, gh). Generalizes
+    * [[shingles]] to any k with a uniform fold
+    * `acc = (acc * 1000003 + h_i) % P` over the token hashes — one
+    * lead() window per offset, all inside the per-document partition
+    * (never a wide shuffle). Used by decontamination, where k is the
+    * overlap length (13-gram in the GPT-3 recipe; smaller on short
+    * docs). */
+  def kgrams(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k-gram needs k >= 2")
+    val w = Window.partitionBy("doc_id").orderBy("seq")
+    val base = tokens(docs).withColumn("h1", tokenHash(col("token")))
+    val withLeads = (2 to k).foldLeft(base) { (df, i) =>
+      df.withColumn(s"h$i", lead("h1", i - 1).over(w))
+    }
+    val gh = (2 to k).foldLeft(col("h1") % P) { (acc, i) =>
+      ((acc * 1000003L) + col(s"h$i")) % P
+    }
+    withLeads.filter(col(s"h$k").isNotNull).select(col("doc_id"), gh.as("gh"))
+  }
+
+  /** DuckDB twin of [[kgrams]] as a CTE body; expects CTE `tok`. */
+  def kgramsSql(k: Int): String = {
+    val th = tokenHashSql("token")
+    val leads = (2 to k).map(i => s"lead($th, ${i - 1}) OVER w AS h$i").mkString(",\n         ")
+    val gh = (2 to k).foldLeft(s"(h1 % $P)")((acc, i) => s"((($acc) * 1000003 + h$i) % $P)")
+    s"""SELECT doc_id, $gh AS gh
+       |FROM (
+       |  SELECT doc_id, $th AS h1,
+       |         $leads
+       |  FROM tok
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY seq))
+       |WHERE h$k IS NOT NULL""".stripMargin
+  }
+
   /** English stopword list for the language-ID / quality heuristics. */
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with", "by")

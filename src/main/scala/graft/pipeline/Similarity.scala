@@ -191,30 +191,32 @@ object Similarity {
     * classic S-curve that keeps high-recall candidates for pairs at
     * or above the similarity threshold while pruning the noise floor.
     *
-    * Implementation: dims exploded once and joined against a tiny
-    * broadcast (plane, dim, weight) table, then two narrow partial
-    * aggs — small codegen'd expressions at any B·r (a single
-    * projection computing B·r array folds would blow the codegen
-    * budget and fall back to interpreted eval).
+    * Implementation: every projection is a native codegen'd
+    * [[VectorOps.dotNative]] against a LITERAL weight array — the
+    * whole B·r-plane signature is one shuffle-free projection per
+    * vector (the earlier explode-join formulation materialized
+    * n·64·B·r intermediate rows through two aggregations; at 20k
+    * vectors that was 150M rows of pure signature plumbing). Rounding
+    * (6dp before the sign test) matches the oracle's replay exactly —
+    * the dot's sequential array-order summation and the previous
+    * groupBy sum land on the same rounded values.
     */
   def lshBandBuckets(emb: DataFrame, bands: Int = 24,
       planesPerBand: Int = 5): DataFrame = {
-    val planes = bands * planesPerBand
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val weights = (0 until planes).flatMap { j =>
-      (1 to 64).map(i1 => (j, i1, planeWeightValue(j, i1).toDouble))
-    }.toDF("j", "i1", "w")
-    val ex = withNorm(emb)
-      .select(col("vec_id"), posexplode(col("v")))
-      .select(col("vec_id"), (col("pos") + 1).as("i1"), col("col").as("x"))
-    ex.join(broadcast(weights), "i1")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(round(sum(col("x") * col("w")), 6).as("p"))
-      .groupBy(col("vec_id"), (col("j") / planesPerBand).cast("int").as("band"))
-      .agg(sum(when(col("p") > 0,
-        pow(lit(2.0), (col("j") % planesPerBand).cast("double")).cast("long"))
-        .otherwise(0L)).as("bucket"))
+    val v = withNorm(emb)
+    def weightArr(j: Int): Array[Double] =
+      Array.tabulate(64)(i0 => planeWeightValue(j, i0 + 1).toDouble)
+    val bucketCols = (0 until bands).map { b =>
+      (0 until planesPerBand).map { p =>
+        val j = b * planesPerBand + p
+        when(round(dot(col("v"), typedLit(weightArr(j))), 6) > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"_b$b")
+    }
+    v.select(col("vec_id") +: bucketCols: _*)
+      .select(col("vec_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"_b$b").as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
   }
 
   /** D5 embedding near-dup, scale path: banded-LSH candidate
