@@ -24,22 +24,40 @@ object Bench {
       "region", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A thrown query must not masquerade as a fast run: its timing is
+    // still reported (the regression is visible) but the error rides
+    // along in an "errors" map so the JSON is self-diagnosing.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").take(160))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> median((1 to runs).map(_ => time(fn)))
+      val rs = (1 to runs).map(_ => time(fn))
+      name -> ((median(rs.map(_._1)), rs.flatMap(_._2).headOption))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"note":"per-query median of $runs runs"}""")
+    val errs = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val nErr = results.count { case (_, (_, e)) => e.isDefined }
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir","runs":$runs,"note":"per-query median of $runs runs"}""")
     spark.stop()
   }
 }

@@ -112,6 +112,10 @@ object Components {
       e = ss
       round += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"alternatingStar: round budget $maxRounds exhausted before the edge-set " +
+          "fixpoint; returned components may be under-merged")
     // fixpoint edge set is a star forest: (v, component-min) rows;
     // centers and isolated nodes label themselves
     nodes.join(e.groupBy(col("a").as("node2")).agg(min(col("b")).as("c")),

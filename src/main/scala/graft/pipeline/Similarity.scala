@@ -77,19 +77,29 @@ object Similarity {
     ((v * v) % 10007) * lit(2654435761L) % 97 - 48
   }
 
-  /** 8-bit LSH bucket from random-hyperplane sign bits. The
-    * projection is rounded before the sign test so FP noise cannot
-    * flip a bucket between engines. */
+  /** FIXED-POINT copy of a double-array column: round(x·10⁶) as long.
+    * The single multiply is exact deterministic IEEE on both engines
+    * (same parquet bits in, same double out), and everything after it
+    * is integer arithmetic — so LSH sign tests over the quantized
+    * vector cannot drift across engines no matter what order the
+    * oracle sums in. */
+  private def quantize(v: Column): Column =
+    transform(v, x => round(x * 1000000).cast("long"))
+
+  /** 8-bit LSH bucket from random-hyperplane sign bits. Projections
+    * are exact long dots over the 1e6-quantized vector (integer plane
+    * weights), so the sign test is order-independent and bit-identical
+    * across engines — no rounding boundary to land on. */
   def lshBucket(emb: DataFrame, planes: Int = 8): DataFrame = {
-    val v = withNorm(emb)
+    val v = withNorm(emb).withColumn("qv", quantize(col("v")))
     val proj = (0 until planes).map { j =>
       val p = aggregate(
-        zip_with(col("v"), sequence(lit(0), lit(63)),
-          (x, i) => x * planeWeight(j, i).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(round(p, 6) > 0, 1L << j).otherwise(0L)
+        zip_with(col("qv"), sequence(lit(0), lit(63)),
+          (x, i) => x * planeWeight(j, i)),
+        lit(0L), (acc, x) => acc + x)
+      when(p > 0, 1L << j).otherwise(0L)
     }
-    v.withColumn("bucket", proj.reduce(_ + _))
+    v.withColumn("bucket", proj.reduce(_ + _)).drop("qv")
   }
 
   /** D7 LSH-bucketed ANN: exact cosine within each bucket only,
@@ -192,24 +202,24 @@ object Similarity {
     * or above the similarity threshold while pruning the noise floor.
     *
     * Implementation: every projection is a native codegen'd
-    * [[VectorOps.dotNative]] against a LITERAL weight array — the
-    * whole B·r-plane signature is one shuffle-free projection per
-    * vector (the earlier explode-join formulation materialized
-    * n·64·B·r intermediate rows through two aggregations; at 20k
-    * vectors that was 150M rows of pure signature plumbing). Rounding
-    * (6dp before the sign test) matches the oracle's replay exactly —
-    * the dot's sequential array-order summation and the previous
-    * groupBy sum land on the same rounded values.
+    * [[VectorOps.dotLong]] against a LITERAL integer weight array over
+    * the 1e6-quantized vector — the whole B·r-plane signature is one
+    * shuffle-free projection per vector (the earlier explode-join
+    * formulation materialized n·64·B·r intermediate rows through two
+    * aggregations; at 20k vectors that was 150M rows of pure signature
+    * plumbing), and the exact-integer sign test cannot drift across
+    * engines regardless of the oracle's summation order (the previous
+    * round-to-6dp float form had a latent ulp-at-the-boundary hazard).
     */
   def lshBandBuckets(emb: DataFrame, bands: Int = 24,
       planesPerBand: Int = 5): DataFrame = {
-    val v = withNorm(emb)
-    def weightArr(j: Int): Array[Double] =
-      Array.tabulate(64)(i0 => planeWeightValue(j, i0 + 1).toDouble)
+    val v = withNorm(emb).withColumn("qv", quantize(col("v")))
+    def weightArr(j: Int): Array[Long] =
+      Array.tabulate(64)(i0 => planeWeightValue(j, i0 + 1))
     val bucketCols = (0 until bands).map { b =>
       (0 until planesPerBand).map { p =>
         val j = b * planesPerBand + p
-        when(round(dot(col("v"), typedLit(weightArr(j))), 6) > 0,
+        when(VectorOps.dotLong(col("qv"), typedLit(weightArr(j))) > 0,
           lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"_b$b")
     }

@@ -249,18 +249,21 @@ object PipelineEntries {
     // Banded-LSH near-dup: the oracle replays the 24-band × 5-plane
     // signature assignment, unions candidates across bands (DISTINCT),
     // then exact cosine >= tau rerank — same candidate space as the
-    // Spark plan, no all-pairs anywhere.
+    // Spark plan, no all-pairs anywhere. Projections are exact integer
+    // dots over the 1e6-quantized vector (matching Similarity.quantize),
+    // so the sign test is order-independent across engines.
     "dedup_embedding" ->
       s"""WITH $EX,
          |$NRM,
          |proj AS (
          |  SELECT vec_id, j,
-         |         SUM(x * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
+         |         SUM(CAST(round(x * 1000000, 0) AS BIGINT)
+         |             * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
          |  FROM ex CROSS JOIN (SELECT unnest(range(120)) AS j)
          |  GROUP BY 1, 2),
          |bkt AS (
          |  SELECT vec_id, j // 5 AS band,
-         |         SUM((CASE WHEN round(p, 6) > 0 THEN 1 ELSE 0 END)
+         |         SUM((CASE WHEN p > 0 THEN 1 ELSE 0 END)
          |             * CAST(power(2, j % 5) AS BIGINT)) AS bucket
          |  FROM proj GROUP BY 1, 2),
          |cand AS (
@@ -323,12 +326,13 @@ object PipelineEntries {
          |$NRM,
          |proj AS (
          |  SELECT vec_id, j,
-         |         SUM(x * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
+         |         SUM(CAST(round(x * 1000000, 0) AS BIGINT)
+         |             * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
          |  FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j)
          |  GROUP BY 1, 2),
          |bkt AS (
          |  SELECT vec_id,
-         |         SUM((CASE WHEN round(p, 6) > 0 THEN 1 ELSE 0 END)
+         |         SUM((CASE WHEN p > 0 THEN 1 ELSE 0 END)
          |             * CAST(power(2, j) AS BIGINT)) AS bucket
          |  FROM proj GROUP BY 1),
          |dots AS (

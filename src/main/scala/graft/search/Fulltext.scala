@@ -64,19 +64,24 @@ object Fulltext {
     * negative overlap count — the whole merge stays one composable
     * plan, no driver action. searchIndex(merge(i, d)) ≡
     * searchIndex(buildIndex(old-minus-overlap ∪ d)) — spec-checked
-    * for both append and update. (A re-imported doc that had NO
-    * tokens is invisible to the postings-derived overlap count and
-    * would double-count in n — tokenless docs don't score, so idf is
-    * off by at most that rare count.) */
+    * for both append and update. Duplicate doc_id rows INSIDE one
+    * merge batch are collapsed first (deterministically: max text
+    * wins) so they neither inflate the corpus count nor duplicate
+    * postings rows; the meta delta counts DISTINCT new doc ids. (A
+    * re-imported doc that had NO tokens is invisible to the
+    * postings-derived overlap count and would double-count in n —
+    * tokenless docs don't score, so idf is off by at most that rare
+    * count.) */
   def mergeIndex(index: FulltextIndex, newDocs: DataFrame): FulltextIndex = {
-    val newIds = newDocs.select(col("doc_id")).distinct()
+    val dedup = newDocs.groupBy("doc_id").agg(max(col("text")).as("text"))
+    val newIds = dedup.select(col("doc_id"))
     val kept = index.postings.join(newIds, Seq("doc_id"), "left_anti")
     val overlapNeg = index.postings.select("doc_id").distinct()
       .join(newIds, Seq("doc_id"), "left_semi")
       .agg((-count(lit(1))).as("n"))
     FulltextIndex(
-      kept.unionByName(postings(newDocs)),
-      index.meta.unionByName(newDocs.agg(count(lit(1)).as("n")))
+      kept.unionByName(postings(dedup)),
+      index.meta.unionByName(dedup.agg(count(lit(1)).as("n")))
         .unionByName(overlapNeg)
         .agg(sum(col("n")).cast("long").as("n")))
   }

@@ -99,6 +99,25 @@ class TextSpec extends AnyFunSuite {
       .map(_.getLong(0)).contains(2L))
   }
 
+  test("mergeIndex: duplicate doc_id rows inside one batch collapse, no double count") {
+    val base = docs(1L -> "spark spark window")
+    // doc 3 appears TWICE in the batch: must count once in the corpus
+    // size and produce one postings set (deterministically: max text)
+    val update = docs(3L -> "alpha words", 3L -> "zeta words", 4L -> "window spark")
+    val merged = Fulltext.mergeIndex(Fulltext.buildIndex(base), update)
+    val rebuilt = Fulltext.buildIndex(docs(
+      1L -> "spark spark window", 3L -> "zeta words", 4L -> "window spark"))
+    assert(merged.meta.collect()(0).getLong(0) == 3L) // not 4
+    for (terms <- Seq(Seq("spark"), Seq("zeta"), Seq("alpha"), Seq("words"))) {
+      assert(Fulltext.searchIndex(merged, terms).collect().toSeq ==
+        Fulltext.searchIndex(rebuilt, terms).collect().toSeq, s"terms $terms")
+    }
+    // no duplicated postings rows for doc 3
+    val p3 = merged.postings.filter(org.apache.spark.sql.functions.col("doc_id") === 3L)
+      .collect()
+    assert(p3.map(_.getString(1)).distinct.length == p3.length)
+  }
+
   test("char-n-gram pre-filter: contains search identical through the vocab index") {
     val d = docs(
       1L -> "bitcoinwallet_v2 sendmoney",
