@@ -51,6 +51,7 @@ object SparkEntry {
     "graph_components" -> ((s, d) => GraphQueries.graphComponents(s, d)),
     "graph_pagerank" -> ((s, d) => GraphQueries.graphPageRank(s, d)),
     "graph_triangles" -> ((s, d) => GraphQueries.graphTriangles(s, d)),
+    "graph_kcore" -> ((s, d) => GraphQueries.graphKCore(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
 
@@ -330,6 +331,29 @@ object SparkEntry {
         |FROM o e1
         |JOIN o e2 ON e1.y = e2.x
         |JOIN o e3 ON e3.x = e1.x AND e3.y = e2.y""".stripMargin,
+    // Bounded k-core peeling, 8 unrolled rounds. The round CTEs are
+    // MATERIALIZED: each ed{r} is referenced three times (degree agg +
+    // both endpoint filters), and DuckDB's default CTE inlining would
+    // otherwise blow up exponentially across rounds.
+    "graph_kcore" -> {
+      val rounds = (0 until 8).map { r =>
+        s"""s$r AS MATERIALIZED (
+           |  SELECT u FROM (SELECT u, COUNT(*) AS deg FROM ed$r GROUP BY 1)
+           |  WHERE deg >= 5),
+           |ed${r + 1} AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM ed$r e
+           |  JOIN s$r x ON e.u = x.u JOIN s$r y ON e.v = y.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $E,
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |ed0 AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+         |$rounds
+         |SELECT u AS node, COUNT(*) AS core_deg FROM ed8 GROUP BY 1
+         |ORDER BY node""".stripMargin
+    },
     "lineage_up" ->
       """SELECT o_orderkey, c_name, n_name, r_name,
         |  CAST(o_orderkey AS VARCHAR) || '->' || c_name || '->' || n_name

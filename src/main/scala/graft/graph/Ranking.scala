@@ -49,6 +49,41 @@ object Ranking {
     pr.select(col("node"), col("pr").as("pagerank_ppm"))
   }
 
+  /** C9 k-core decomposition, bounded peeling: `rounds` iterations of
+    * "drop every node whose degree in the surviving subgraph is < k",
+    * over the undirected deduped edge set. Returns the surviving
+    * (node, core_deg) — the k-core members with their within-core
+    * degree, the callgraph's dense backbone (utility hubs + tightly
+    * interlinked subsystems survive; leaf/wrapper functions peel off).
+    *
+    * The round count is FIXED so the DuckDB oracle replays the
+    * identical bounded recursion (peeling is monotone — once converged
+    * further rounds are no-ops, so bounded ≡ exact whenever the cascade
+    * terminates within budget; observed ≤ 8 rounds on the derived
+    * graphs). Each round is one narrow degree agg + two node-keyed
+    * semi joins; at scale that is two shuffles per round on node id,
+    * and the edge set only ever shrinks.
+    */
+  def kCoreBounded(edges: DataFrame, k: Int = 5, rounds: Int = 8): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    var ed = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = ed.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      ed = ed.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
   /** Triangle count via degree-ordered orientation (the standard
     * MapReduce-era trick): orient every undirected edge from the
     * (degree, id)-smaller endpoint to the larger, so each triangle is

@@ -152,6 +152,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** D17 near-dup CLUSTERING: the step after pair generation that a
+    * real dedup pipeline needs — connected components over the
+    * minhash candidate pairs at `minEstJaccard`, so transitive chains
+    * (a~b, b~c but a≁c) collapse into ONE keep-group with a single
+    * canonical doc (the min doc_id, which is also the cluster id).
+    * Returns (doc_id, cluster_id, cluster_size) for every doc in at
+    * least one qualifying pair.
+    *
+    * Components run BOUNDED min-label rounds ([[graft.graph.Components
+    * .labelPropagation]], `rounds` max): labels are fixpoint-stable,
+    * so early convergence equals running all rounds — the DuckDB
+    * oracle replays the identical bounded recursion. At 100 TB scale
+    * the pair graph is tiny relative to the corpus (only near-dups),
+    * and the label loop shuffles one narrow (node, component) frame
+    * per round; [[graft.graph.Components.auto]] is the unbounded
+    * production path.
+    */
+  def clusters(docs: DataFrame, minEstJaccard: Double = 0.5,
+      rounds: Int = 12): DataFrame = {
+    val pairs = minhashLsh(docs).filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.graph.Components.labelPropagation(pairs, maxIter = rounds)
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** D4 n-gram Jaccard similarity join: candidates share ≥1 distinct
     * 3-gram shingle; J = |∩| / |∪| from per-doc set sizes. Returns
     * pairs with J ≥ minJaccard. The shared-shingle join is the

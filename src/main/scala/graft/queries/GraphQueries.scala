@@ -202,6 +202,12 @@ object GraphQueries {
   def graphTriangles(s: SparkSession, d: String): DataFrame =
     Ranking.triangleCount(callEdges(s, d))
 
+  /** C9 k-core backbone of the call graph (Ranking.kCoreBounded):
+    * survivors of 8 peel-below-degree-5 rounds with their core
+    * degree. */
+  def graphKCore(s: SparkSession, d: String): DataFrame =
+    Ranking.kCoreBounded(callEdges(s, d))
+
   /** Upward lineage context (order → customer → nation → region):
     * the natural-key analogue of analyze_call_context's upward chain.
     * Dims broadcast; single pass over orders. */

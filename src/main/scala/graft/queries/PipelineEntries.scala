@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.functions.TextOps
-import graft.pipeline.{Curate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, Curate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.search.Fulltext
 
 /** Driver-contract wiring + DuckDB oracles for the LLM-data-pipeline
@@ -40,6 +40,11 @@ object PipelineEntries {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "dedup_ngram_prefix" -> ((s, d) =>
       Dedup.ngramJaccardPrefix(Tables.documents(s, d), minJaccard = 0.5)),
+    "dedup_cluster" -> ((s, d) => Dedup.clusters(Tables.documents(s, d))),
+    "decontaminate" -> ((s, d) =>
+      Contamination.decontaminate(Tables.documents(s, d), col("doc_id") % 97 === 0)),
+    "text_pii" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
+    "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.4)),
     "dedup_embedding_exact" -> ((s, d) =>
@@ -246,6 +251,94 @@ object PipelineEntries {
          |  JOIN sizes sb ON doc_b = sb.doc_id)
          |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Near-dup clustering: minhash pairs at est_jaccard >= 0.5, then
+    // 12 unrolled bounded min-label rounds (the Spark side runs the
+    // identical bounded recursion; labels are fixpoint-stable, so
+    // early convergence == running all rounds). Round CTEs are
+    // MATERIALIZED — each l{t} is referenced twice and DuckDB's
+    // default inlining would recompute the whole chain per reference.
+    "dedup_cluster" -> {
+      val labelRounds = (0 until 12).map { t =>
+        s"""l${t + 1} AS MATERIALIZED (
+           |  SELECT l.node,
+           |         least(l.component, COALESCE(MIN(n.component), l.component))
+           |           AS component
+           |  FROM l$t l
+           |  LEFT JOIN und u ON u.a = l.node
+           |  LEFT JOIN l$t n ON n.node = u.b
+           |  GROUP BY l.node, l.component)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $TOK,
+         |$SH,
+         |mh AS MATERIALIZED (
+         |  $minhashUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM mh x JOIN mh y
+         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         |est AS MATERIALIZED (
+         |  SELECT doc_a, doc_b,
+         |         round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
+         |           AS est_jaccard
+         |  FROM cand
+         |  JOIN mh a ON doc_a = a.doc_id
+         |  JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+         |  GROUP BY 1, 2),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= 0.5
+         |    UNION ALL
+         |    SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.5)),
+         |l0 AS (SELECT DISTINCT a AS node, a AS component FROM und),
+         |$labelRounds,
+         |sz AS (SELECT component, COUNT(*) AS cluster_size FROM l12 GROUP BY 1)
+         |SELECT node AS doc_id, component AS cluster_id, cluster_size
+         |FROM l12 JOIN sz USING (component)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // Decontamination: distinct 4-gram overlap vs the benchmark subset.
+    "decontaminate" ->
+      s"""WITH $TOK,
+         |kg AS (
+         |${TextOps.kgramsSql(4)}),
+         |kgd AS MATERIALIZED (SELECT DISTINCT doc_id, gh FROM kg),
+         |bench AS (SELECT DISTINCT gh FROM kgd WHERE doc_id % 97 = 0),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits
+         |  FROM kgd WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM bench)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 97 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+    // PII scrub: Spark runs the real regex detector/redactor over the
+    // deterministically injected spans; the oracle never runs a regex —
+    // it CONSTRUCTS the expected counts and redacted string
+    // arithmetically (the multimodal two-formulations pattern), so an
+    // over- or under-matching pattern hash-mismatches immediately.
+    "text_pii" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_emails,
+        |         CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ips,
+        |         CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_phones,
+        |         text
+        |           || CASE WHEN doc_id % 3 = 0 THEN ' contact [EMAIL]' ELSE '' END
+        |           || CASE WHEN doc_id % 4 = 0 THEN ' from [IP]' ELSE '' END
+        |           || CASE WHEN doc_id % 5 = 0 THEN ' call [PHONE]' ELSE '' END
+        |           AS redacted
+        |  FROM documents)
+        |SELECT doc_id, n_emails, n_ips, n_phones,
+        |       CAST(length(redacted) AS BIGINT) AS redacted_len,
+        |       md5(redacted) AS redacted_hash
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      s"""WITH $TOK
+         |SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf
+         |FROM tok GROUP BY 1
+         |ORDER BY df DESC, token
+         |LIMIT 100""".stripMargin,
     // Banded-LSH near-dup: the oracle replays the 24-band × 5-plane
     // signature assignment, unions candidates across bands (DISTINCT),
     // then exact cosine >= tau rerank — same candidate space as the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Contamination, Dedup, Similarity, TextAnalysis}
 
 /** Semantics checks for the dedup/similarity operators on crafted
   * inputs where the expected answer is hand-checkable.
@@ -58,6 +58,62 @@ class PipelineSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(key(Dedup.ngramJaccardPrefix(d, 0.5)) == key(Dedup.ngramJaccard(d, 0.5)))
     assert(key(Dedup.ngramJaccardPrefix(d, 0.5)).nonEmpty)
+  }
+
+  test("clusters: transitive near-dup chain collapses to one cluster, min id canonical") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // 5 ~ 6 and 6 ~ 7 (each one word changed from its neighbor) but
+    // 5 ~ 7 may or may not pair directly — the cluster must still be
+    // one group via transitivity; 9 is unrelated.
+    val d = docs(
+      5L -> base, 6L -> (base + " extra"), 7L -> (base + " extra more"),
+      9L -> "completely different words here entirely unrelated stuff")
+    val c = Dedup.clusters(d, minEstJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.map(_._1).toSet == Set(5L, 6L, 7L))
+    assert(c.forall(_._2 == 5L), s"canonical id must be the min: ${c.toSeq}")
+    assert(c.forall(_._3 == 3L))
+  }
+
+  test("decontaminate: flags train docs sharing a k-gram with the benchmark set") {
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon zeta", // benchmark (pred: id == 0)
+      1L -> "intro words then alpha beta gamma delta closing", // shares a 4-gram
+      2L -> "totally unrelated text with other words entirely")
+    val r = Contamination.decontaminate(d, org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+    // exactly one shared 4-gram window: (alpha beta gamma delta)
+    assert(r == Seq((1L, 1L, true), (2L, 0L, false)))
+  }
+
+  test("pii redaction: counts and typed placeholders for injected spans") {
+    import spark.implicits._
+    val d = Seq((0L, "plain words"), (7L, "other words")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 0: 0%3=0%4=0%5=0 -> all three injected; doc 7: none
+    assert(r(0L) == ((1L, 1L, 1L)) && r(7L) == ((0L, 0L, 0L)))
+    val red = TextAnalysis.piiRedact(d)
+      .select("doc_id").collect() // force plan; content checked below
+    val redacted = TextAnalysis.withSyntheticPii(d)
+      .select(org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.col("pii_text"),
+            TextAnalysis.EmailPat, "[EMAIL]"),
+          TextAnalysis.IpPat, "[IP]"),
+        TextAnalysis.PhonePat, "[PHONE]"))
+      .collect().map(_.getString(0))
+    assert(redacted.contains("plain words contact [EMAIL] from [IP] call [PHONE]"))
+    assert(red.length == 2)
+  }
+
+  test("vocabulary: df-ordered top-k with deterministic tie-break") {
+    val v = TextAnalysis.vocabulary(docs(
+      1L -> "apple banana apple", 2L -> "apple cherry", 3L -> "banana"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // apple df=2 tf=3; banana df=2 tf=2; cherry df=1 — tie apple<banana
+    assert(v == Seq(("apple", 2L, 3L), ("banana", 2L, 2L)))
   }
 
   test("cosine top-k ranks the aligned vector first") {

@@ -29,6 +29,24 @@ class RankingSpec extends AnyFunSuite {
     assert(Ranking.triangleCount(noisy).collect()(0).getLong(0) == 1L)
   }
 
+  test("k-core: pendant chain peels off, K4 survives as the 3-core") {
+    // K4 plus a pendant chain 4-5-6: at k=3 the chain peels in
+    // cascade (6 first, then 5, then 4 keeps the K4 degree only)
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val core = Ranking.kCoreBounded(g, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree empties the graph
+    assert(Ranking.kCoreBounded(g, k = 10, rounds = 4).collect().isEmpty)
+    // duplicate/reversed/self-loop edges don't change the core
+    val noisy = edges((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (3L, 3L), (4L, 5L), (5L, 6L))
+    val core2 = Ranking.kCoreBounded(noisy, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == core)
+  }
+
   test("pagerank: a cycle is a fixpoint at 1.0; sinks accumulate rank") {
     // 3-cycle: every node keeps exactly 10^6 ppm at every iteration
     val cyc = Ranking.pageRank(edges((1L, 2L), (2L, 3L), (3L, 1L)))
