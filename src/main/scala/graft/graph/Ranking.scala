@@ -73,12 +73,24 @@ object Ranking {
     var ed = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // Early-exit on fixpoint: peeling only ever REMOVES edges, so an
+    // unchanged edge count means nothing fell below k — every further
+    // round is a no-op and the result equals the full `rounds` budget
+    // (the oracle's unrolled recursion). The count is a cheap action
+    // on the already-checkpointed frame.
+    var prev = ed.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       val keep = ed.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
       ed = ed.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .localCheckpoint(true)
+      val n = ed.count()
+      converged = n == prev
+      prev = n
+      round += 1
     }
     ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy("node")

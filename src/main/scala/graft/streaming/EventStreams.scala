@@ -236,6 +236,21 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming ingestion dedup (E11): drop duplicate records by key
+    * within the watermark horizon — the streaming twin of
+    * `Dedup.exact` for continuous corpus ingestion (at-least-once
+    * sources redeliver; a re-crawled document arrives twice). Built on
+    * `dropDuplicatesWithinWatermark`, so the dedup state is EVICTED
+    * once the watermark passes a key's event time: state is bounded by
+    * the delay window (the documented trade vs global-history dedup,
+    * which is the batch operator's job downstream). Keys typically:
+    * a content hash (`md5(text)`) or an event id.
+    */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Streaming entry: wire a parquet-dir source through
     * [[hourlyTypeCounts]] with watermarking — used by the streaming
     * spec via the memory sink. */

@@ -132,6 +132,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: redelivered keys within the watermark emit once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = mem.toDF.toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupStream(sdf, Seq("doc_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    def ts(min: Long) = new java.sql.Timestamp((60 + min) * 60000L)
+    try {
+      mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"))
+      q.processAllAvailable()
+      // doc 1 redelivered in a later micro-batch, still inside the
+      // 1-hour watermark horizon: must be dropped; doc 3 is new
+      mem.addData((1L, ts(5), "a"), (3L, ts(6), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionization: gap breaks create new sessions") {
     val s = EventStreams.sessionize(EventStreams.events(spark, dir = "/root/testdata/sf0.001"))
       .collect()
