@@ -75,6 +75,86 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token"))
       .limit(topK)
 
+  /** D21 BPE merge induction — the core loop of tokenizer training as
+    * set-oriented DataFrame ops: per round, count adjacent symbol
+    * pairs over the word-frequency table, pick the most frequent
+    * (ties: lexicographically smallest — deterministic), and merge it
+    * everywhere; repeat.
+    *
+    * Symbol strings use DOUBLE-SPACE separators with double-space
+    * padding ("  a  b  c  ") so plain left-to-right `replace` with
+    * the pattern `' x  y '` IS the greedy BPE merge: consecutive pair
+    * occurrences ("a b a b") don't share characters (a single-space
+    * encoding makes them overlap, dropping every second merge), and
+    * the one-space anchors stop the pattern matching a SUFFIX of a
+    * longer symbol ("ta b" must not merge as "a b"). Both engines'
+    * replace is non-overlapping left-to-right, so Spark and the
+    * oracle replay identical merges.
+    *
+    * Scale shape: pair counting shuffles on the pair key over the
+    * word-TYPE table (not the corpus); the winning rule is a 1-row
+    * broadcast; the merge is a codegen'd string replace. Returns the
+    * merge table (merge_round, pair, merged, pair_freq).
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy("i")
+    def pairCounts(sym: DataFrame): DataFrame =
+      sym.select(col("token"), col("freq"),
+          posexplode(split(trim(col("sym")), "  ")))
+        .toDF("token", "freq", "i", "s")
+        .withColumn("pr", concat(col("s"), lit(" "), lead(col("s"), 1).over(w)))
+        .filter(col("pr").isNotNull)
+        .groupBy("pr").agg(sum(col("freq")).as("f"))
+    var sym = TextOps.tokensBag(docs)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("sym", concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  ")))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val top = pairCounts(sym)
+        .orderBy(col("f").desc, col("pr")).limit(1)
+        .select(col("pr"),
+          expr("replace(pr, ' ', '')").as("merged"),
+          expr("' ' || replace(pr, ' ', '  ') || ' '").as("pat"),
+          col("f"))
+        .localCheckpoint(true)
+      val rule = top.select(lit(r).as("merge_round"), col("pr").as("pair"),
+        col("merged"), col("f").as("pair_freq"))
+      out = if (out == null) rule else out.unionByName(rule)
+      sym = sym.crossJoin(broadcast(top.select(col("pat").as("_p"), col("merged").as("_m"))))
+        .withColumn("sym", expr("replace(sym, _p, ' ' || _m || ' ')"))
+        .drop("_p", "_m")
+        .localCheckpoint(true)
+    }
+    out.orderBy("merge_round")
+  }
+
+  /** D22 training-mixture weights: per-source token counts →
+    * temperature-scaled sampling weights (the PaLM/LLaMA-style α=0.5
+    * mixing that upsamples small high-value sources). The weight base
+    * is the FIXED-POINT integer ⌊√(n_tokens·10⁶)⌋ — sqrt of the same
+    * integer is the same correctly-rounded double on every engine, so
+    * weights are ratios of exact integers and immune to summation
+    * order. One groupBy(source) + a 1-row broadcast of the totals.
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double") * 1000000.0)).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"), sum(col("w")).as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("share"),
+        round(col("w") / col("tot_w"), 6).as("mix_weight"),
+        round((col("w") / col("tot_w")) / (col("n_tokens") / col("tot_tokens")), 4)
+          .as("upsample"))
+      .orderBy("source")
+  }
+
   /** PII regex patterns (D20). Written with `[.]` instead of `\.` and
     * `[0-9]` instead of `\d` so the identical pattern string is valid
     * in Java regex AND RE2 with the same match extents. */

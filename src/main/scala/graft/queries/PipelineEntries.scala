@@ -45,6 +45,8 @@ object PipelineEntries {
       Contamination.decontaminate(Tables.documents(s, d), col("doc_id") % 97 === 0)),
     "text_pii" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
+    "vocab_bpe" -> ((s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d))),
+    "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.4)),
     "dedup_embedding_exact" -> ((s, d) =>
@@ -339,6 +341,64 @@ object PipelineEntries {
          |FROM tok GROUP BY 1
          |ORDER BY df DESC, token
          |LIMIT 100""".stripMargin,
+    // BPE merge induction, 3 unrolled rounds over the word-frequency
+    // table. Double-space symbol encoding (see TextAnalysis.bpeMerges)
+    // makes plain replace() the exact greedy merge on both engines.
+    "vocab_bpe" -> {
+      val roundCtes = (1 to 3).map { r =>
+        val p = r - 1
+        s"""px$r AS (
+           |  SELECT token, freq, unnest(string_split(trim(sym), '  ')) AS s,
+           |         generate_subscripts(string_split(trim(sym), '  '), 1) AS i
+           |  FROM sym$p),
+           |pc$r AS (
+           |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS f FROM (
+           |    SELECT freq, s || ' ' || lead(s) OVER (PARTITION BY token ORDER BY i) AS pr
+           |    FROM px$r)
+           |  WHERE pr IS NOT NULL GROUP BY 1),
+           |top$r AS MATERIALIZED (
+           |  SELECT pr, replace(pr, ' ', '') AS merged, f
+           |  FROM pc$r ORDER BY f DESC, pr LIMIT 1),
+           |sym$r AS MATERIALIZED (
+           |  SELECT token, freq,
+           |         replace(sym, ' ' || (SELECT replace(pr, ' ', '  ') FROM top$r) || ' ',
+           |                 ' ' || (SELECT merged FROM top$r) || ' ') AS sym
+           |  FROM sym$p)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $TOK,
+         |words AS MATERIALIZED (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
+         |sym0 AS MATERIALIZED (
+         |  SELECT token, freq, '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS sym
+         |  FROM words),
+         |$roundCtes
+         |SELECT * FROM (
+         |  SELECT 1 AS merge_round, pr AS pair, merged, f AS pair_freq FROM top1
+         |  UNION ALL SELECT 2, pr, merged, f FROM top2
+         |  UNION ALL SELECT 3, pr, merged, f FROM top3)
+         |ORDER BY merge_round""".stripMargin
+    },
+    // Mixture weights: integer-floor sqrt base (see
+    // TextAnalysis.mixtureWeights) — weights are ratios of exact
+    // integers, no float-summation-order hazard.
+    "mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         CAST(floor(sqrt(n_tokens * 1000000.0)) AS BIGINT) AS w
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |         CAST(SUM(w) AS BIGINT) AS tot_w
+        |  FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |       round(n_tokens / tot_tokens, 6) AS share,
+        |       round(w / tot_w, 6) AS mix_weight,
+        |       round((w / tot_w) / (n_tokens / tot_tokens), 4) AS upsample
+        |FROM w, tot ORDER BY source""".stripMargin,
     // Banded-LSH near-dup: the oracle replays the 24-band × 5-plane
     // signature assignment, unions candidates across bands (DISTINCT),
     // then exact cosine >= tau rerank — same candidate space as the

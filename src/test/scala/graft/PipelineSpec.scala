@@ -116,6 +116,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(v == Seq(("apple", 2L, 3L), ("banana", 2L, 2L)))
   }
 
+  test("bpe merges: greedy overlapping-run and multi-char-symbol semantics") {
+    // word freqs: "aaab" x2, "ab" x1.
+    // round 1: pairs (a,a)=4 [two per "aaab" occurrence], (a,b)=3 -> merge "a a"
+    //   greedy left-to-right: a a a b -> (aa) a b — only ONE merge in the run
+    // round 2: (aa,a)=2, (a,b)=3 -> merge "a b" (must NOT match inside "aa")
+    // round 3: (aa,ab)=2 -> merge multi-char symbols
+    val d = docs(1L -> "aaab ab", 2L -> "aaab")
+    val m = TextAnalysis.bpeMerges(d, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq((1, "a a", "aa", 4L), (2, "a b", "ab", 3L), (3, "aa ab", "aaab", 2L)))
+  }
+
+  test("mixture weights: sqrt temperature upsamples the smaller source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "one two three four five six seven eight", "big"),
+      (2L, "nine ten eleven twelve thirteen fourteen", "big"),
+      (3L, "just a few", "small")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixtureWeights(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r("big")._1 == 2L && r("small")._1 == 1L)
+    assert(r("big")._2 == 14L && r("small")._2 == 3L)
+    // shares sum to ~1; sqrt temperature pulls weights toward uniform,
+    // so the small source is upsampled (>1) and the big one damped (<1)
+    assert(math.abs(r("big")._3 + r("small")._3 - 1.0) < 1e-5)
+    assert(r("small")._5 > 1.0 && r("big")._5 < 1.0)
+  }
+
   test("cosine top-k ranks the aligned vector first") {
     import spark.implicits._
     val emb = Seq(
