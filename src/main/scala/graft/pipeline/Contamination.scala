@@ -27,14 +27,16 @@ object Contamination {
     * GPT-3 recipe; smaller for short-document corpora.
     */
   def decontaminate(docs: DataFrame, benchPred: Column, k: Int = 4): DataFrame = {
-    val grams = TextOps.kgrams(docs, k).distinct()
-    val benchIds = docs.filter(benchPred).select("doc_id")
-    val benchGrams = grams.join(benchIds, Seq("doc_id"), "left_semi")
+    // Filter BEFORE tokenizing on each branch: the benchmark side only
+    // ever tokenizes the (tiny) eval subset — a semi join placed after
+    // kgrams cannot push below the tokenize window, which would cost a
+    // second full-corpus tokenization at scale.
+    val benchGrams = TextOps.kgrams(docs.filter(benchPred), k)
       .select("gh").distinct()
-    val train = grams.join(benchIds, Seq("doc_id"), "left_anti")
+    val train = TextOps.kgrams(docs.filter(!benchPred), k).distinct()
     val hits = train.join(broadcast(benchGrams), Seq("gh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    docs.select("doc_id").join(benchIds, Seq("doc_id"), "left_anti")
+    docs.filter(!benchPred).select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))

@@ -145,6 +145,9 @@ object TextAnalysis {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("w", floor(sqrt(col("n_tokens").cast("double") * 1000000.0)).cast("long"))
+      // one row per source — materialize so the totals row below reuses
+      // this aggregate instead of re-scanning the corpus
+      .localCheckpoint(true)
     val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"), sum(col("w")).as("tot_w"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
