@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation: the D-operators composed into
@@ -42,4 +42,43 @@ object Curate {
   /** The curated corpus itself (what downstream training reads). */
   def curatedDocs(docs: DataFrame): DataFrame =
     docs.join(curate(docs).filter(col("kept")).select("doc_id"), "doc_id")
+
+  /** D23 FULL curation: [[curate]]'s quality/exact-dedup/language
+    * gates composed with the round-4 operators — NEAR-DUP CLUSTER
+    * canonical selection ([[Dedup.clusters]]: only the min-id member
+    * of each minhash near-dup cluster survives) and benchmark
+    * DECONTAMINATION ([[Contamination.decontaminate]]: benchmark docs
+    * themselves and any training doc sharing a k-gram with them are
+    * dropped). Emits one boolean decision record per document —
+    * exactly the gate sequence of a production pretraining corpus
+    * build (C4/Dolma/SlimPajama shape).
+    *
+    * `benchPred` must be a predicate over `doc_id` (it is re-applied
+    * to the decision frame). Every stage is a doc_id-keyed join of
+    * per-stage signals; at scale the cluster/contamination sides are
+    * tiny relative to the corpus (near-dup members and eval-gram hits
+    * only), so the composition adds two broadcast-ish joins to
+    * [[curate]]'s plan.
+    */
+  def curateFull(docs: DataFrame, benchPred: Column,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val base = curate(docs)
+    val nd = Dedup.clusters(docs, minEstJaccard)
+      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("nd_canonical"))
+    val contam = Contamination.decontaminate(docs, benchPred)
+      .select(col("doc_id"), col("contaminated"))
+    base
+      .join(nd, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("pass_neardup", coalesce(col("nd_canonical"), lit(true)))
+      .withColumn("is_bench", benchPred)
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("pass_decontam", !col("is_bench") && !col("contaminated"))
+      .select(col("doc_id"), col("pass_quality"), col("is_canonical"),
+        col("pass_lang"), col("pass_neardup"), col("is_bench"),
+        col("contaminated"),
+        (col("pass_quality") && col("is_canonical") && col("pass_lang") &&
+          col("pass_neardup") && col("pass_decontam")).as("kept"))
+      .orderBy("doc_id")
+  }
 }

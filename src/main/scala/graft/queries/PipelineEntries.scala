@@ -66,6 +66,8 @@ object PipelineEntries {
       graft.streaming.EventStreams.sessionize(graft.streaming.EventStreams.events(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d))),
     "curate_pipeline" -> ((s, d) => Curate.curate(Tables.documents(s, d))),
+    "curate_full" -> ((s, d) =>
+      Curate.curateFull(Tables.documents(s, d), col("doc_id") % 97 === 0)),
     "events_asof" -> ((s, d) => TemporalOps.purchaseAsofView(s, d)),
     "events_quantiles" -> ((s, d) => TemporalOps.eventQuantiles(s, d)),
     "events_rolling" -> ((s, d) => TemporalOps.eventRolling(s, d)),
@@ -138,6 +140,43 @@ object PipelineEntries {
   private val simhashBits = (0 until 40).map { i =>
     s"(CASE WHEN SUM(tf * (((th >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" +\n         ")
+
+  /** Shared near-dup-cluster CTE chain (expects `tok`/`sh`): minhash
+    * signatures → candidate pairs → est_jaccard ≥ 0.5 edge set → 12
+    * unrolled min-label rounds ending in `l12 (node, component)`. */
+  private lazy val clusterChain: String = {
+    val labelRounds = (0 until 12).map { t =>
+      s"""l${t + 1} AS MATERIALIZED (
+         |  SELECT l.node,
+         |         least(l.component, COALESCE(MIN(n.component), l.component))
+         |           AS component
+         |  FROM l$t l
+         |  LEFT JOIN und u ON u.a = l.node
+         |  LEFT JOIN l$t n ON n.node = u.b
+         |  GROUP BY l.node, l.component)""".stripMargin
+    }.mkString(",\n")
+    s"""mh AS MATERIALIZED (
+       |  $minhashUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM mh x JOIN mh y
+       |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id),
+       |est AS MATERIALIZED (
+       |  SELECT doc_a, doc_b,
+       |         round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
+       |           AS est_jaccard
+       |  FROM cand
+       |  JOIN mh a ON doc_a = a.doc_id
+       |  JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+       |  GROUP BY 1, 2),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= 0.5
+       |    UNION ALL
+       |    SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.5)),
+       |l0 AS (SELECT DISTINCT a AS node, a AS component FROM und),
+       |$labelRounds""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "fulltext_search" -> fulltextSql(s"token IN $termsIn"),
@@ -259,45 +298,63 @@ object PipelineEntries {
     // early convergence == running all rounds). Round CTEs are
     // MATERIALIZED — each l{t} is referenced twice and DuckDB's
     // default inlining would recompute the whole chain per reference.
-    "dedup_cluster" -> {
-      val labelRounds = (0 until 12).map { t =>
-        s"""l${t + 1} AS MATERIALIZED (
-           |  SELECT l.node,
-           |         least(l.component, COALESCE(MIN(n.component), l.component))
-           |           AS component
-           |  FROM l$t l
-           |  LEFT JOIN und u ON u.a = l.node
-           |  LEFT JOIN l$t n ON n.node = u.b
-           |  GROUP BY l.node, l.component)""".stripMargin
-      }.mkString(",\n")
+    "dedup_cluster" ->
       s"""WITH $TOK,
          |$SH,
-         |mh AS MATERIALIZED (
-         |  $minhashUnion),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM mh x JOIN mh y
-         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id),
-         |est AS MATERIALIZED (
-         |  SELECT doc_a, doc_b,
-         |         round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
-         |           AS est_jaccard
-         |  FROM cand
-         |  JOIN mh a ON doc_a = a.doc_id
-         |  JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
-         |  GROUP BY 1, 2),
-         |und AS MATERIALIZED (
-         |  SELECT DISTINCT a, b FROM (
-         |    SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= 0.5
-         |    UNION ALL
-         |    SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.5)),
-         |l0 AS (SELECT DISTINCT a AS node, a AS component FROM und),
-         |$labelRounds,
+         |$clusterChain,
          |sz AS (SELECT component, COUNT(*) AS cluster_size FROM l12 GROUP BY 1)
          |SELECT node AS doc_id, component AS cluster_id, cluster_size
          |FROM l12 JOIN sz USING (component)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+    // Full curation: the curate_pipeline gates composed with near-dup
+    // cluster canonical selection (cluster CTEs above) and benchmark
+    // decontamination (kgram CTEs as in `decontaminate`) — one boolean
+    // decision record per document.
+    "curate_full" ->
+      s"""WITH $TOK,
+         |$SH,
+         |$clusterChain,
+         |kg AS (
+         |${TextOps.kgramsSql(4)}),
+         |kgd AS MATERIALIZED (SELECT DISTINCT doc_id, gh FROM kg),
+         |bench AS (SELECT DISTINCT gh FROM kgd WHERE doc_id % 97 = 0),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits
+         |  FROM kgd WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM bench)
+         |  GROUP BY 1),
+         |t AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |           THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |  FROM tok GROUP BY 1),
+         |dq AS (
+         |  SELECT doc_id,
+         |         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |           / length(text), 4) AS digit_ratio
+         |  FROM documents),
+         |canon AS (SELECT MIN(doc_id) AS doc_id, TRUE AS is_canonical
+         |          FROM documents GROUP BY md5(text)),
+         |flags AS (
+         |  SELECT dq.doc_id,
+         |         (t.n_tokens >= 20 AND dq.digit_ratio <= 0.3
+         |          AND round(least(1.0, t.n_tokens / 100.0) * (1.0 - dq.digit_ratio), 4)
+         |              >= 0.2) AS pass_quality,
+         |         COALESCE(c.is_canonical, FALSE) AS is_canonical,
+         |         (t.stopword_ratio >= 0.05) AS pass_lang
+         |  FROM dq JOIN t ON dq.doc_id = t.doc_id
+         |  LEFT JOIN canon c ON dq.doc_id = c.doc_id)
+         |SELECT f.doc_id, pass_quality, is_canonical, pass_lang,
+         |       COALESCE(l.component = f.doc_id, TRUE) AS pass_neardup,
+         |       (f.doc_id % 97 = 0) AS is_bench,
+         |       COALESCE(h.n_hits > 0, FALSE) AS contaminated,
+         |       (pass_quality AND is_canonical AND pass_lang
+         |        AND COALESCE(l.component = f.doc_id, TRUE)
+         |        AND NOT (f.doc_id % 97 = 0)
+         |        AND NOT COALESCE(h.n_hits > 0, FALSE)) AS kept
+         |FROM flags f
+         |LEFT JOIN l12 l ON l.node = f.doc_id
+         |LEFT JOIN hits h ON h.doc_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
     // Decontamination: distinct 4-gram overlap vs the benchmark subset.
     "decontaminate" ->
       s"""WITH $TOK,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Contamination, Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, Curate, Dedup, Similarity, TextAnalysis}
 
 /** Semantics checks for the dedup/similarity operators on crafted
   * inputs where the expected answer is hand-checkable.
@@ -114,6 +114,32 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     // apple df=2 tf=3; banana df=2 tf=2; cherry df=1 — tie apple<banana
     assert(v == Seq(("apple", 2L, 3L), ("banana", 2L, 2L)))
+  }
+
+  test("curateFull: every gate fires on its own doc") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "today with more filler words to pass the length gate easily"
+    val other = "completely different content entirely about other things " +
+      "with plenty of words included to meet the token threshold for the gate"
+    val d = docs(
+      0L -> ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"), // benchmark
+      1L -> base,              // near-dup cluster canonical -> kept
+      2L -> (base + " extra"), // near-dup, not canonical -> dropped
+      3L -> ("intro words here alpha beta gamma delta then continues with " +
+        "many other words to satisfy the minimum token requirement"), // contaminated
+      4L -> other,             // clean -> kept
+      5L -> other)             // exact dup of 4 -> dropped
+    val r = Curate.curateFull(d, org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(4), x.getBoolean(5), x.getBoolean(6), x.getBoolean(7)))).toMap
+    // (pass_neardup, is_bench, contaminated, kept)
+    assert(r(0L)._2 && !r(0L)._4)            // benchmark doc excluded
+    assert(r(1L)._1 && r(1L)._4)             // cluster canonical kept
+    assert(!r(2L)._1 && !r(2L)._4)           // near-dup member dropped
+    assert(r(3L)._3 && !r(3L)._4)            // contaminated dropped
+    assert(r(4L)._4 && !r(5L)._4)            // exact-dup canonical only
+    assert(r.values.count(_._4) == 2)
   }
 
   test("bpe merges: greedy overlapping-run and multi-char-symbol semantics") {
