@@ -337,4 +337,46 @@ class GraphQueryEngine(g: BinaryGraph) {
 
   /** `database stats` (importer.rs:27-80). */
   def stats(): DataFrame = graft.importer.JsonImporter.stats(g)
+
+  // ---- whole-graph analytics (Spark-native additions; the Neo4j
+  // reference has no analogue) over the optionally binary-scoped call
+  // graph, results mapped back to function uids ---------------------
+
+  /** Connected components of the call graph (undirected), labeled by
+    * a member uid — [[graft.graph.Components.auto]] under the hood
+    * (label-prop budget, alternating-star fallback). */
+  def components(binary: Option[String] = None): DataFrame = {
+    val (ids, e) = withIds(binary)
+    graft.graph.Components.auto(e)
+      .join(ids, col("node") === col("id"))
+      .join(ids.select(col("uid").as("component_uid"), col("id").as("cid")),
+        col("component") === col("cid"))
+      .select(col("uid"), col("component_uid"))
+      .orderBy("uid")
+  }
+
+  /** Function importance via fixed-point PageRank
+    * ([[graft.graph.Ranking.pageRank]]), most important first. */
+  def pageRank(binary: Option[String] = None, iters: Int = 3): DataFrame = {
+    val (ids, e) = withIds(binary)
+    graft.graph.Ranking.pageRank(e, iters)
+      .join(ids, col("node") === col("id"))
+      .select(col("uid"), col("pagerank_ppm"))
+      .orderBy(col("pagerank_ppm").desc, col("uid"))
+  }
+
+  /** Dense callgraph backbone: k-core survivors with their core
+    * degree ([[graft.graph.Ranking.kCoreBounded]]). */
+  def kCore(k: Int = 3, binary: Option[String] = None): DataFrame = {
+    val (ids, e) = withIds(binary)
+    graft.graph.Ranking.kCoreBounded(e, k)
+      .join(ids, col("node") === col("id"))
+      .select(col("uid"), col("core_deg"))
+      .orderBy("uid")
+  }
+
+  /** Callgraph clustering structure: total triangle count
+    * ([[graft.graph.Ranking.triangleCount]]). */
+  def triangleCount(binary: Option[String] = None): DataFrame =
+    graft.graph.Ranking.triangleCount(withIds(binary)._2)
 }

@@ -94,6 +94,21 @@ class GraphQueryEngineSpec extends AnyFunSuite {
     assert(good.forall(_.getAs[Boolean]("valid")))
   }
 
+  test("graph analytics over the imported callgraph map back to uids") {
+    // components: entry->helper->CreateFileA are one component
+    val comp = engine.components().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp("aaa111:0x401000") == comp("aaa111:0x401200") &&
+      comp("aaa111:0x401200") == comp("imp:kernel32.dll:CreateFileA"))
+    // pagerank: the sink (CreateFileA) outranks the root in its chain
+    val pr = engine.pageRank().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("imp:kernel32.dll:CreateFileA") > pr("aaa111:0x401000"))
+    // the fixture chain graph has no 2-core and no triangles
+    assert(engine.kCore(k = 2).collect().isEmpty)
+    assert(engine.triangleCount().collect()(0).getLong(0) == 0L)
+  }
+
   test("fulltext strings search with per-binary sample count") {
     val hits = engine.queryStrings(Seq("hello", "world")).collect()
     assert(hits.length == 1)
