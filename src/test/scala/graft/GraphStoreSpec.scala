@@ -41,6 +41,30 @@ class GraphStoreSpec extends AnyFunSuite {
     GraphStore.clear(spark, dir)
   }
 
+  test("bucketed catalog save: co-bucketed equi-join runs shuffle-free") {
+    val g = JsonImporter.importAnalysis(spark,
+      getClass.getResource("/analysis").getPath)
+    GraphStore.saveBucketed(g, prefix = "bspec", buckets = 4)
+    try {
+      val loaded = GraphStore.loadBucketed(spark, "bspec")
+      assert(loaded.functions.count() == g.functions.count())
+      // force a sort-merge join; matching bucket specs must elide BOTH
+      // shuffle Exchanges (bucket join), leaving no Exchange in the plan
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = loaded.calls.join(loaded.functions,
+          loaded.calls("from_uid") === loaded.functions("uid"))
+        assert(j.count() > 0)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally
+      Seq("binaries", "functions", "strings", "libraries", "contains",
+        "imports_fn", "imports_lib", "belongs_to", "contains_string",
+        "calls", "call_sites").foreach(t => spark.sql(s"DROP TABLE IF EXISTS bspec_$t"))
+  }
+
   test("incremental merge: re-import is idempotent, new rows win") {
     val g = JsonImporter.importAnalysis(spark,
       getClass.getResource("/analysis").getPath)
