@@ -18,6 +18,7 @@ import graft.queries.GraphQueryEngine
   * graft.Cli --store /warehouse query callgraph main --max-depth 3
   * graft.Cli --store /warehouse query call-path main --show-paths|--show-sequences|--show-upward|--show-context
   * graft.Cli --store /warehouse query xrefs 0x401000
+  * graft.Cli --store /warehouse query analytics components|pagerank|kcore|triangles  (extension)
   * graft.Cli --store /warehouse database init|stats|export <dir>|clear --confirm
   * }}}
   *
@@ -149,6 +150,20 @@ object Cli {
         else emit(engine.callPaths(fn, opt(args, "--binary"), depth).limit(limit))
       case Seq("query", "xrefs", addr, _*) =>
         emit(engine.xrefs(addr, opt(args, "--binary")).limit(limit))
+      case Seq("query", "analytics", kind, _*) =>
+        // Spark-native EXTENSION (no reference analogue): whole-graph
+        // analytics over the stored call graph.
+        val b = opt(args, "--binary")
+        kind match {
+          case "components" => emit(engine.components(b).limit(limit))
+          case "pagerank" => emit(engine.pageRank(b).limit(limit))
+          case "kcore" =>
+            emit(engine.kCore(opt(args, "--k").map(_.toInt).getOrElse(3), b)
+              .limit(limit))
+          case "triangles" => emit(engine.triangleCount(b))
+          case other => sys.error(
+            s"unknown analytics '$other' (expected components, pagerank, kcore, or triangles)")
+        }
       case Seq("database", "stats", _*) =>
         emit(engine.stats())
       case Seq("database", "init", _*) =>

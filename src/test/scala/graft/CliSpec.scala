@@ -93,6 +93,14 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("\"call_type\":\"Direct\""))
   }
 
+  test("query analytics (extension) renders pagerank and rejects unknown kinds") {
+    val pr = capture("query", "analytics", "pagerank", "--limit", "3")
+    assert(pr.linesIterator.next().startsWith("uid"))
+    assert(pr.contains("pagerank_ppm"))
+    assert(intercept[RuntimeException](
+      capture("query", "analytics", "bogus")).getMessage.contains("unknown analytics"))
+  }
+
   test("csv quoting escapes commas and quotes") {
     val csv = Cli.renderCsv(Seq("a", "b"),
       Seq(Seq("""say "hi"""", "x,y"), Seq("plain", "z")))
