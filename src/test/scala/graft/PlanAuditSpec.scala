@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gates: the scale claims in SURVEY.md §5
+  * ("filters pushed to the scan", "column pruning reaches parquet",
+  * "dims broadcast") asserted against the actual PHYSICAL plans, so a
+  * refactor that silently loses a pushdown fails CI instead of
+  * shipping a full-scan at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Formatted physical plan (scan details incl. PushedFilters /
+    * ReadSchema), not the parsed/logical sections — those print the
+    * full relation schema and would false-negative pruning checks. */
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("fn_search pushes the contains filter into the parquet scan") {
+    val p = planOf("fn_search")
+    assert(p.contains("StringContains(p_name,gear)"),
+      s"contains filter not pushed:\n$p")
+  }
+
+  test("q6_forecast pushes every predicate and prunes to the 4 needed columns") {
+    val p = planOf("q6_forecast")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity,30.0)"),
+      s"range predicates not pushed:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.exists(s => !s.contains("l_comment") && !s.contains("l_orderkey")
+      && s.split(",").length == 4),
+      s"scan reads more than the 4 needed columns: $read")
+  }
+
+  test("q1_pricing prunes unused lineitem columns from the scan") {
+    val p = planOf("q1_pricing")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.exists(s => !s.contains("l_partkey") && !s.contains("l_suppkey")),
+      s"aggregation scan not pruned: $read")
+  }
+
+  test("q5_star broadcasts every dimension") {
+    val p = planOf("q5_star")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected all 3 dims broadcast, got $broadcasts:\n$p")
+  }
+
+  test("decontaminate broadcasts the benchmark gram set") {
+    val p = planOf("decontaminate")
+    assert("BroadcastHashJoin LeftSemi".r.findFirstIn(p).isDefined,
+      s"bench gram semi join not broadcast:\n$p")
+  }
+}
