@@ -158,8 +158,10 @@ object Cli {
           case "components" => emit(engine.components(b).limit(limit))
           case "pagerank" => emit(engine.pageRank(b).limit(limit))
           case "kcore" =>
-            emit(engine.kCore(opt(args, "--k").map(_.toInt).getOrElse(3), b)
-              .limit(limit))
+            val k = opt(args, "--k").map(s =>
+              s.toIntOption.filter(_ >= 1).getOrElse(
+                sys.error(s"--k must be a positive integer, got '$s'"))).getOrElse(3)
+            emit(engine.kCore(k, b).limit(limit))
           case "triangles" => emit(engine.triangleCount(b))
           case other => sys.error(
             s"unknown analytics '$other' (expected components, pagerank, kcore, or triangles)")

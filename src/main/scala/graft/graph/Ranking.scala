@@ -92,6 +92,11 @@ object Ranking {
       prev = n
       round += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCoreBounded: round budget $rounds exhausted before the peel cascade " +
+          "settled; surviving nodes may include non-core members (long chains " +
+          "peel two nodes per round — raise `rounds` for such graphs)")
     ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy("node")
   }

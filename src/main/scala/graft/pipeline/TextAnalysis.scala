@@ -97,6 +97,7 @@ object TextAnalysis {
     * merge table (merge_round, pair, merged, pair_freq).
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "bpeMerges needs at least one round")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("token").orderBy("i")
     def pairCounts(sym: DataFrame): DataFrame =
@@ -110,8 +111,13 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .withColumn("sym", concat(lit("  "), regexp_replace(col("token"), "(.)", "$1  ")))
       .localCheckpoint(true)
-    var out: DataFrame = null
-    for (r <- 1 to rounds) {
+    // rule rows accumulate here; starting from an empty typed frame
+    // keeps the degenerate all-rounds-empty case a normal empty result
+    var out = sym.sparkSession.range(0).select(
+      lit(0).as("merge_round"), lit("").as("pair"), lit("").as("merged"),
+      lit(0L).as("pair_freq"))
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val top = pairCounts(sym)
         .orderBy(col("f").desc, col("pr")).limit(1)
         .select(col("pr"),
@@ -119,13 +125,18 @@ object TextAnalysis {
           expr("' ' || replace(pr, ' ', '  ') || ' '").as("pat"),
           col("f"))
         .localCheckpoint(true)
-      val rule = top.select(lit(r).as("merge_round"), col("pr").as("pair"),
-        col("merged"), col("f").as("pair_freq"))
-      out = if (out == null) rule else out.unionByName(rule)
-      sym = sym.crossJoin(broadcast(top.select(col("pat").as("_p"), col("merged").as("_m"))))
-        .withColumn("sym", expr("replace(sym, _p, ' ' || _m || ' ')"))
-        .drop("_p", "_m")
-        .localCheckpoint(true)
+      // no adjacent pairs left (single-symbol words only): stop — a
+      // crossJoin against the empty top frame would DELETE every sym
+      // row and silently conflate "nothing to merge" with "no corpus"
+      if (top.isEmpty) exhausted = true
+      else {
+        out = out.unionByName(top.select(lit(r).as("merge_round"),
+          col("pr").as("pair"), col("merged"), col("f").as("pair_freq")))
+        sym = sym.crossJoin(broadcast(top.select(col("pat").as("_p"), col("merged").as("_m"))))
+          .withColumn("sym", expr("replace(sym, _p, ' ' || _m || ' ')"))
+          .drop("_p", "_m")
+          .localCheckpoint(true)
+      }
     }
     out.orderBy("merge_round")
   }
@@ -159,9 +170,11 @@ object TextAnalysis {
   }
 
   /** PII regex patterns (D20). Written with `[.]` instead of `\.` and
-    * `[0-9]` instead of `\d` so the identical pattern string is valid
-    * in Java regex AND RE2 with the same match extents. */
-  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+    * `[0-9]`/`[a-zA-Z]` instead of `\d`/case flags so the identical
+    * pattern string is valid in Java regex AND RE2 with the same
+    * match extents (mixed-case real-world PII matches too — the gate's
+    * synthetic spans are lowercase, but the detector must not be). */
+  val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
   val IpPat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
   val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 

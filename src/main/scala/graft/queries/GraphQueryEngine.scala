@@ -342,13 +342,18 @@ class GraphQueryEngine(g: BinaryGraph) {
   // reference has no analogue) over the optionally binary-scoped call
   // graph, results mapped back to function uids ---------------------
 
+  /** Map a numeric-id analytics result back to function uids: joins
+    * `node` against the scope's id dictionary and keeps `extra`. */
+  private def mapBack(df: DataFrame, ids: DataFrame, extra: String): DataFrame =
+    df.join(ids, col("node") === col("id"))
+      .select(col("uid"), col(extra))
+
   /** Connected components of the call graph (undirected), labeled by
     * a member uid — [[graft.graph.Components.auto]] under the hood
     * (label-prop budget, alternating-star fallback). */
   def components(binary: Option[String] = None): DataFrame = {
     val (ids, e) = withIds(binary)
-    graft.graph.Components.auto(e)
-      .join(ids, col("node") === col("id"))
+    mapBack(graft.graph.Components.auto(e), ids, "component")
       .join(ids.select(col("uid").as("component_uid"), col("id").as("cid")),
         col("component") === col("cid"))
       .select(col("uid"), col("component_uid"))
@@ -359,9 +364,7 @@ class GraphQueryEngine(g: BinaryGraph) {
     * ([[graft.graph.Ranking.pageRank]]), most important first. */
   def pageRank(binary: Option[String] = None, iters: Int = 3): DataFrame = {
     val (ids, e) = withIds(binary)
-    graft.graph.Ranking.pageRank(e, iters)
-      .join(ids, col("node") === col("id"))
-      .select(col("uid"), col("pagerank_ppm"))
+    mapBack(graft.graph.Ranking.pageRank(e, iters), ids, "pagerank_ppm")
       .orderBy(col("pagerank_ppm").desc, col("uid"))
   }
 
@@ -369,9 +372,7 @@ class GraphQueryEngine(g: BinaryGraph) {
     * degree ([[graft.graph.Ranking.kCoreBounded]]). */
   def kCore(k: Int = 3, binary: Option[String] = None): DataFrame = {
     val (ids, e) = withIds(binary)
-    graft.graph.Ranking.kCoreBounded(e, k)
-      .join(ids, col("node") === col("id"))
-      .select(col("uid"), col("core_deg"))
+    mapBack(graft.graph.Ranking.kCoreBounded(e, k), ids, "core_deg")
       .orderBy("uid")
   }
 

@@ -244,12 +244,15 @@ object EventStreams {
     * once the watermark passes a key's event time: state is bounded by
     * the delay window (the documented trade vs global-history dedup,
     * which is the batch operator's job downstream). Keys typically:
-    * a content hash (`md5(text)`) or an event id.
+    * a content hash (`md5(text)`) or an event id. `tsCol` names the
+    * event-time column the watermark rides on.
     */
   def dedupStream(stream: DataFrame, keyCols: Seq[String],
-      watermarkDelay: String = "1 hour"): DataFrame =
-    stream.withWatermark("ts", watermarkDelay)
+      watermarkDelay: String = "1 hour", tsCol: String = "ts"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
+    stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Streaming entry: wire a parquet-dir source through
     * [[hourlyTypeCounts]] with watermarking — used by the streaming
