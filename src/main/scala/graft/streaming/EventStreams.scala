@@ -254,6 +254,32 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Stream-stream INTERVAL JOIN (E12): attribute each purchase to
+    * the same user's view events within the trailing `windowMinutes`
+    * — the classic streaming attribution join. Both sides are
+    * watermarked so Spark can bound the join state: the views buffer
+    * is evicted once the watermark passes `view.ts + window`, and
+    * late rows beyond `watermarkDelay` drop. Works identically on
+    * batch DataFrames (watermarks skipped) for backtesting.
+    */
+  def attributePurchases(purchases: DataFrame, views: DataFrame,
+      windowMinutes: Int = 60, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p0 = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+      col("value").as("purchase_value"))
+    val v0 = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("value").as("view_value"))
+    val (p, v) =
+      if (p0.isStreaming) (p0.withWatermark("p_ts", watermarkDelay),
+        v0.withWatermark("v_ts", watermarkDelay))
+      else (p0, v0)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("v_ts"),
+        col("purchase_value"), col("view_value"))
+  }
+
   /** Streaming entry: wire a parquet-dir source through
     * [[hourlyTypeCounts]] with watermarking — used by the streaming
     * spec via the memory sink. */

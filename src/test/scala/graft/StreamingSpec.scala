@@ -153,6 +153,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attribute to in-window views only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pm = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val vm = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(min: Long) = new java.sql.Timestamp((600 + min) * 60000L)
+    val q = EventStreams.attributePurchases(
+        pm.toDF.toDF("user_id", "ts", "value"),
+        vm.toDF.toDF("user_id", "ts", "value"), windowMinutes = 60)
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try {
+      // view 30 min before the purchase: attributed; view 2 h before:
+      // outside the window; other user's view: no match
+      vm.addData((1L, ts(0), 5.0), (1L, ts(-120), 7.0), (2L, ts(10), 9.0))
+      pm.addData((1L, ts(30), 42.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+      assert(rows.toSeq == Seq((1L, 42.0, 5.0)))
+      // batch mode: identical semantics without watermarks
+      val batch = EventStreams.attributePurchases(
+        Seq((1L, ts(30), 42.0)).toDF("user_id", "ts", "value"),
+        Seq((1L, ts(0), 5.0), (1L, ts(-120), 7.0), (2L, ts(10), 9.0))
+          .toDF("user_id", "ts", "value"), windowMinutes = 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+      assert(batch.toSeq == rows.toSeq)
+    } finally q.stop()
+  }
+
   test("sessionization: gap breaks create new sessions") {
     val s = EventStreams.sessionize(EventStreams.events(spark, dir = "/root/testdata/sf0.001"))
       .collect()
