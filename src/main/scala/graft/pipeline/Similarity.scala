@@ -115,31 +115,38 @@ object Similarity {
     rankTopK(pairs, "nb_id", k)
   }
 
-  /** Rounded squared-L2 distance of each vector to each centroid,
-    * ranked per vector (tie-break min cid) — rounding keeps the
-    * assignment engine-stable. `cents`: (cid, cv). */
+  /** Exact integer squared-L2 distance of each quantized vector to
+    * each centroid, ranked per vector (tie-break min cid). FIXED
+    * POINT end-to-end: `v` carries `qv` (round(x·10⁶) longs), `cents`
+    * carries integer `cv` — so the distance is a plain long sum,
+    * order-independent and bit-identical across engines (the earlier
+    * round-to-6dp float distance shared the LSH sign test's
+    * ulp-at-the-boundary hazard, and the float centroid AVERAGES
+    * compounded it across Lloyd rounds). */
   private def centroidRanks(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
-      .withColumn("dist", round(
-        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
       .withColumn("crank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
 
-  /** One k-means (Lloyd) iteration: assign every vector to its
-    * nearest centroid, then recompute each centroid as the per-dim
-    * mean of its members, rounded to 6dp (so the DuckDB oracle —
-    * which sums in a different order — lands on identical centroids).
-    * Clusters that lose all members drop out (both engines agree by
-    * construction). Each iteration is one broadcast-join + two
-    * narrow shuffles on (cid, dim) / cid.
+  /** One k-means (Lloyd) iteration over quantized coordinates: assign
+    * every vector to its nearest centroid (exact integer distance),
+    * then recompute each centroid per-dim as ⌊Σqx / n⌋ — the long sum
+    * is exact in any order and the single floor-divide is the same
+    * IEEE double on both engines, so centroids are integer-identical
+    * with no float summation anywhere in training. Clusters that lose
+    * all members drop out (both engines agree by construction). Each
+    * iteration is one broadcast-join + two narrow shuffles on
+    * (cid, dim) / cid.
     */
   private def kmeansIterate(v: DataFrame, cents: DataFrame): DataFrame = {
     val asg = centroidRanks(v, cents).filter(col("crank") === 1)
-      .select(col("vec_id"), col("cid"), col("v"))
-    asg.select(col("cid"), posexplode(col("v")))
+      .select(col("vec_id"), col("cid"), col("qv"))
+    asg.select(col("cid"), posexplode(col("qv")))
       .groupBy("cid", "pos")
-      .agg(round(avg(col("col")), 6).as("x"))
+      .agg(floor(sum(col("col")) / count(lit(1))).cast("long").as("x"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
         s => s.getField("x")).as("cv"))
@@ -149,11 +156,12 @@ object Similarity {
     * first `k` vec_ids) refined by `iters` Lloyd iterations. The
     * whole loop is DataFrame-native — centroids are only ever
     * broadcast (k ≤ a few thousand), the corpus is never collected.
+    * Returned `cv` is in the 10⁶-quantized integer space.
     */
   def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    val v = withNorm(emb)
+    val v = withNorm(emb).withColumn("qv", quantize(col("v")))
     var cents = v.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
     for (_ <- 1 to iters)
       cents = kmeansIterate(v, cents).localCheckpoint(true)
     cents
@@ -168,7 +176,7 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 3,
       nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 2): DataFrame = {
-    val v = withNorm(emb)
+    val v = withNorm(emb).withColumn("qv", quantize(col("v")))
     val cents = kmeansCentroids(emb, nCentroids, iters)
     val assigned = centroidRanks(v, cents)
       .filter(col("crank") <= nProbe)

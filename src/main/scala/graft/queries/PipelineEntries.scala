@@ -94,27 +94,32 @@ object PipelineEntries {
   private val termsIn = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
   /** Unrolled k-means (Lloyd) CTE chain — the DuckDB twin of
-    * Similarity.kmeansCentroids: seeds = vec_id < k, each round
-    * reassigns on rounded L2² (tie-break min cid) and re-averages
-    * per dimension rounded to 6dp. Returns (cte_sql, final_name). */
+    * Similarity.kmeansCentroids, FIXED POINT like the Spark side:
+    * coordinates quantized to round(x·10⁶) longs, distances exact
+    * integer sums (order-free), centroids ⌊Σqx / n⌋ (one IEEE divide,
+    * identical on both engines). Returns (cte_sql, final_name) with
+    * `exq` (vec_id, qx, i) defined for downstream distance CTEs. */
   private def kmeansCtes(k: Int, iters: Int): (String, String) = {
     val sb = new StringBuilder(
-      s"cents0 AS (SELECT vec_id AS cid, i, x FROM ex WHERE vec_id < $k)")
+      s"""exq AS (
+         |  SELECT vec_id, CAST(round(x * 1000000, 0) AS BIGINT) AS qx, i FROM ex),
+         |cents0 AS (SELECT vec_id AS cid, i, qx AS cx FROM exq WHERE vec_id < $k)""".stripMargin)
     for (t <- 1 to iters) {
       val p = t - 1
       sb.append(s""",
          |kd$p AS (
          |  SELECT e.vec_id, c.cid,
-         |         round(SUM((e.x - c.x) * (e.x - c.x)), 6) AS dist
-         |  FROM ex e JOIN cents$p c ON e.i = c.i GROUP BY 1, 2),
+         |         CAST(SUM((e.qx - c.cx) * (e.qx - c.cx)) AS BIGINT) AS dist
+         |  FROM exq e JOIN cents$p c ON e.i = c.i GROUP BY 1, 2),
          |ka$p AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
          |    FROM kd$p) t WHERE rn = 1),
          |cents$t AS (
-         |  SELECT a.cid, e.i, round(AVG(e.x), 6) AS x
-         |  FROM ka$p a JOIN ex e USING (vec_id) GROUP BY 1, 2)""".stripMargin)
+         |  SELECT a.cid, e.i,
+         |         CAST(floor(SUM(e.qx) / (1.0 * COUNT(*))) AS BIGINT) AS cx
+         |  FROM ka$p a JOIN exq e USING (vec_id) GROUP BY 1, 2)""".stripMargin)
     }
     (sb.toString, s"cents$iters")
   }
@@ -573,8 +578,8 @@ object PipelineEntries {
          |$km,
          |d2 AS (
          |  SELECT e.vec_id, c.cid,
-         |         round(SUM((e.x - c.x) * (e.x - c.x)), 6) AS dist
-         |  FROM ex e JOIN $cents c ON e.i = c.i GROUP BY 1, 2),
+         |         CAST(SUM((e.qx - c.cx) * (e.qx - c.cx)) AS BIGINT) AS dist
+         |  FROM exq e JOIN $cents c ON e.i = c.i GROUP BY 1, 2),
          |ranked_c AS (
          |  SELECT vec_id, cid,
          |         CAST(row_number() OVER (PARTITION BY vec_id

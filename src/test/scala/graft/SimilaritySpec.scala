@@ -196,10 +196,12 @@ class SimilaritySpec extends AnyFunSuite {
       (0L, vec(0.0)), (1L, vec(10.0)),
       (2L, vec(0.2)), (3L, vec(0.1)), (4L, vec(9.8)), (5L, vec(10.2)))
     val df = rows.toDF("vec_id", "embedding")
+    // centroids live in the 10^6-quantized integer space: floor of the
+    // per-dim mean of round(x*1e6)
     val cents = Similarity.kmeansCentroids(df, k = 2, iters = 1)
       .collect().map(r => r.getAs[Long]("cid") ->
-        r.getAs[scala.collection.Seq[Double]]("cv").head).toMap
-    assert(math.abs(cents(0L) - 0.1) < 1e-6)   // mean(0.0, 0.2, 0.1)
-    assert(math.abs(cents(1L) - 10.0) < 1e-6)  // mean(10.0, 9.8, 10.2)
+        r.getAs[scala.collection.Seq[Long]]("cv").head).toMap
+    assert(math.abs(cents(0L) - 100000L) <= 1L)    // mean(0.0, 0.2, 0.1)·1e6
+    assert(math.abs(cents(1L) - 10000000L) <= 1L)  // mean(10.0, 9.8, 10.2)·1e6
   }
 }
