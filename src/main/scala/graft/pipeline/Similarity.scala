@@ -29,10 +29,21 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Embeddings with precomputed norm: (vec_id, v, nrm). */
+  /** Embeddings with their FIXED-POINT twin and its norm:
+    * (vec_id, v, qv, nrm) — qv = round(v·10⁶) longs,
+    * nrm = √(qv·qv). Every ANN cosine divides an exact integer dot by
+    * these norms, so scores come out BIT-IDENTICAL across engines:
+    * the integer sums are order-free, and the sqrt/multiply/divide
+    * are single correctly-rounded IEEE ops over identical inputs —
+    * not merely equal-within-rounding, which still left a latent
+    * boundary hazard when the oracle summed a float dot in a
+    * different order. Quantization shifts a cosine by ~1e-6 relative,
+    * far below the 4dp output rounding; `v` rides along for raw-
+    * coordinate consumers. */
   def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("qv", quantize(col("v")))
+      .withColumn("nrm", sqrt(VectorOps.dotLong(col("qv"), col("qv")).cast("double")))
 
   /** Shared rerank tail: (query_id, cand_id, cos) pairs → top-k per
     * query via the PARTIAL top-k aggregate (graft.functions.TopKAgg):
@@ -57,9 +68,10 @@ object Similarity {
   def topKCosine(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     val v = withNorm(emb)
     val q = v.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("qn"))
     val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos",
+        VectorOps.dotLong(col("q_qv"), col("qv")) / (col("qn") * col("nrm")))
     rankTopK(pairs, "vec_id", k)
   }
 
@@ -91,7 +103,7 @@ object Similarity {
     * weights), so the sign test is order-independent and bit-identical
     * across engines — no rounding boundary to land on. */
   def lshBucket(emb: DataFrame, planes: Int = 8): DataFrame = {
-    val v = withNorm(emb).withColumn("qv", quantize(col("v")))
+    val v = withNorm(emb)
     val proj = (0 until planes).map { j =>
       val p = aggregate(
         zip_with(col("qv"), sequence(lit(0), lit(63)),
@@ -99,7 +111,7 @@ object Similarity {
         lit(0L), (acc, x) => acc + x)
       when(p > 0, 1L << j).otherwise(0L)
     }
-    v.withColumn("bucket", proj.reduce(_ + _)).drop("qv")
+    v.withColumn("bucket", proj.reduce(_ + _))
   }
 
   /** D7 LSH-bucketed ANN: exact cosine within each bucket only,
@@ -111,7 +123,8 @@ object Similarity {
     val pairs = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("nb_id"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+        (VectorOps.dotLong(col("x.qv"), col("y.qv"))
+          / (col("x.nrm") * col("y.nrm"))).as("cos"))
     rankTopK(pairs, "nb_id", k)
   }
 
@@ -176,22 +189,23 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 3,
       nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 2): DataFrame = {
-    val v = withNorm(emb).withColumn("qv", quantize(col("v")))
+    val v = withNorm(emb)
     val cents = kmeansCentroids(emb, nCentroids, iters)
     val assigned = centroidRanks(v, cents)
       .filter(col("crank") <= nProbe)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), col("crank"))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"), col("crank"))
     val lists = assigned.filter(col("crank") === 1)
-      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("cid"), col("vec_id"), col("qv"), col("nrm"))
     val probes = assigned.filter(queryPred)
-      .select(col("cid"), col("vec_id").as("query_id"), col("v").as("qv"),
+      .select(col("cid"), col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("qn"))
     // alias both sides: lists/probes derive from the same plan, and
     // an unaliased cid === cid reads as trivially-true to the analyzer
     // (lint warning) even though the join is real
     val pairs = lists.as("l").join(probes.as("p"),
         col("l.cid") === col("p.cid") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos",
+        VectorOps.dotLong(col("q_qv"), col("qv")) / (col("qn") * col("nrm")))
     rankTopK(pairs, "vec_id", k)
   }
 
@@ -221,7 +235,7 @@ object Similarity {
     */
   def lshBandBuckets(emb: DataFrame, bands: Int = 24,
       planesPerBand: Int = 5): DataFrame = {
-    val v = withNorm(emb).withColumn("qv", quantize(col("v")))
+    val v = withNorm(emb)
     def weightArr(j: Int): Array[Long] =
       Array.tabulate(64)(i0 => planeWeightValue(j, i0 + 1))
     val bucketCols = (0 until bands).map { b =>
@@ -257,11 +271,12 @@ object Similarity {
       .distinct()
     val v = withNorm(emb)
     cand
-      .join(v.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")),
+      .join(v.select(col("vec_id").as("doc_a"), col("qv").as("qa"), col("nrm").as("na")),
         "doc_a")
-      .join(v.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")),
+      .join(v.select(col("vec_id").as("doc_b"), col("qv").as("qb"), col("nrm").as("nb")),
         "doc_b")
-      .withColumn("cosine", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("cosine",
+        round(VectorOps.dotLong(col("qa"), col("qb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
       .orderBy("doc_a", "doc_b")
@@ -352,9 +367,10 @@ object Similarity {
       sampleMod: Int = 10): DataFrame = {
     val v = withNorm(emb)
     val a = v.filter(col("vec_id") % sampleMod === 0)
-      .select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+      .select(col("vec_id").as("doc_a"), col("qv").as("qa"), col("nrm").as("na"))
     v.join(broadcast(a), col("doc_a") < col("vec_id"))
-      .withColumn("cosine", round(dot(col("va"), col("v")) / (col("na") * col("nrm")), 4))
+      .withColumn("cosine",
+        round(VectorOps.dotLong(col("qa"), col("qv")) / (col("na") * col("nrm")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("vec_id").as("doc_b"), col("cosine"))
       .orderBy("doc_a", "doc_b")

@@ -89,7 +89,14 @@ object PipelineEntries {
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |         generate_subscripts(embedding, 1) AS i
       |  FROM embeddings)""".stripMargin
-  private val NRM = "nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM ex GROUP BY 1)"
+
+  /** Fixed-point twin of EX (matches Similarity.quantize): every ANN
+    * dot/norm below is computed from qx so the integer sums are
+    * order-free and the resulting cosines BIT-match the Spark side. */
+  private val EXQ =
+    "exq AS (SELECT vec_id, CAST(round(x * 1000000, 0) AS BIGINT) AS qx, i FROM ex)"
+  private val NRM =
+    "nrm AS (SELECT vec_id, sqrt(CAST(SUM(qx * qx) AS DOUBLE)) AS nrm FROM exq GROUP BY 1)"
 
   private val termsIn = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
@@ -97,13 +104,11 @@ object PipelineEntries {
     * Similarity.kmeansCentroids, FIXED POINT like the Spark side:
     * coordinates quantized to round(x·10⁶) longs, distances exact
     * integer sums (order-free), centroids ⌊Σqx / n⌋ (one IEEE divide,
-    * identical on both engines). Returns (cte_sql, final_name) with
-    * `exq` (vec_id, qx, i) defined for downstream distance CTEs. */
+    * identical on both engines). Expects the shared `exq` CTE
+    * upstream. Returns (cte_sql, final_name). */
   private def kmeansCtes(k: Int, iters: Int): (String, String) = {
     val sb = new StringBuilder(
-      s"""exq AS (
-         |  SELECT vec_id, CAST(round(x * 1000000, 0) AS BIGINT) AS qx, i FROM ex),
-         |cents0 AS (SELECT vec_id AS cid, i, qx AS cx FROM exq WHERE vec_id < $k)""".stripMargin)
+      s"cents0 AS (SELECT vec_id AS cid, i, qx AS cx FROM exq WHERE vec_id < $k)")
     for (t <- 1 to iters) {
       val p = t - 1
       sb.append(s""",
@@ -469,12 +474,12 @@ object PipelineEntries {
     // so the sign test is order-independent across engines.
     "dedup_embedding" ->
       s"""WITH $EX,
+         |$EXQ,
          |$NRM,
          |proj AS (
          |  SELECT vec_id, j,
-         |         SUM(CAST(round(x * 1000000, 0) AS BIGINT)
-         |             * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
-         |  FROM ex CROSS JOIN (SELECT unnest(range(120)) AS j)
+         |         SUM(qx * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
+         |  FROM exq CROSS JOIN (SELECT unnest(range(120)) AS j)
          |  GROUP BY 1, 2),
          |bkt AS (
          |  SELECT vec_id, j // 5 AS band,
@@ -487,10 +492,10 @@ object PipelineEntries {
          |  JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket
          |             AND a.vec_id < b.vec_id),
          |dots AS (
-         |  SELECT c.doc_a, c.doc_b, SUM(xa.x * xb.x) AS dot
+         |  SELECT c.doc_a, c.doc_b, CAST(SUM(xa.qx * xb.qx) AS BIGINT) AS dot
          |  FROM cand c
-         |  JOIN ex xa ON xa.vec_id = c.doc_a
-         |  JOIN ex xb ON xb.vec_id = c.doc_b AND xa.i = xb.i
+         |  JOIN exq xa ON xa.vec_id = c.doc_a
+         |  JOIN exq xb ON xb.vec_id = c.doc_b AND xa.i = xb.i
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, cosine FROM (
          |  SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
@@ -501,10 +506,12 @@ object PipelineEntries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_exact" ->
       s"""WITH $EX,
+         |$EXQ,
          |$NRM,
          |pairs AS (
-         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, SUM(a.x * b.x) AS dot
-         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |         CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot
+         |  FROM exq a JOIN exq b ON a.i = b.i AND a.vec_id < b.vec_id
          |  WHERE a.vec_id % 10 = 0
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, cosine FROM (
@@ -516,10 +523,12 @@ object PipelineEntries {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "sim_topk" ->
       s"""WITH $EX,
+         |$EXQ,
          |$NRM,
          |dots AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS nb_id, SUM(a.x * b.x) AS dot
-         |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nb_id,
+         |         CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot
+         |  FROM exq a JOIN exq b ON a.i = b.i AND a.vec_id <> b.vec_id
          |  WHERE a.vec_id % 100 = 0
          |  GROUP BY 1, 2),
          |scored AS (
@@ -538,12 +547,12 @@ object PipelineEntries {
          |ORDER BY query_id, rnk""".stripMargin,
     "sim_lsh" ->
       s"""WITH $EX,
+         |$EXQ,
          |$NRM,
          |proj AS (
          |  SELECT vec_id, j,
-         |         SUM(CAST(round(x * 1000000, 0) AS BIGINT)
-         |             * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
-         |  FROM ex CROSS JOIN (SELECT unnest(range(8)) AS j)
+         |         SUM(qx * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
+         |  FROM exq CROSS JOIN (SELECT unnest(range(8)) AS j)
          |  GROUP BY 1, 2),
          |bkt AS (
          |  SELECT vec_id,
@@ -551,11 +560,12 @@ object PipelineEntries {
          |             * CAST(power(2, j) AS BIGINT)) AS bucket
          |  FROM proj GROUP BY 1),
          |dots AS (
-         |  SELECT xa.vec_id AS query_id, xb.vec_id AS nb_id, SUM(xa.x * xb.x) AS dot
+         |  SELECT xa.vec_id AS query_id, xb.vec_id AS nb_id,
+         |         CAST(SUM(xa.qx * xb.qx) AS BIGINT) AS dot
          |  FROM bkt a
          |  JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-         |  JOIN ex xa ON xa.vec_id = a.vec_id
-         |  JOIN ex xb ON xb.vec_id = b.vec_id AND xa.i = xb.i
+         |  JOIN exq xa ON xa.vec_id = a.vec_id
+         |  JOIN exq xb ON xb.vec_id = b.vec_id AND xa.i = xb.i
          |  GROUP BY 1, 2),
          |scored AS (
          |  SELECT query_id, nb_id AS neighbor_id,
@@ -574,6 +584,7 @@ object PipelineEntries {
     "sim_ivf" -> {
       val (km, cents) = kmeansCtes(k = 16, iters = 2)
       s"""WITH $EX,
+         |$EXQ,
          |$NRM,
          |$km,
          |d2 AS (
@@ -593,10 +604,10 @@ object PipelineEntries {
          |  SELECT p.query_id, l.vec_id AS nb_id
          |  FROM probes p JOIN lists l ON p.cid = l.cid AND l.vec_id <> p.query_id),
          |dots AS (
-         |  SELECT c.query_id, c.nb_id, SUM(a.x * b.x) AS dot
+         |  SELECT c.query_id, c.nb_id, CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot
          |  FROM cand c
-         |  JOIN ex a ON a.vec_id = c.query_id
-         |  JOIN ex b ON b.vec_id = c.nb_id AND a.i = b.i
+         |  JOIN exq a ON a.vec_id = c.query_id
+         |  JOIN exq b ON b.vec_id = c.nb_id AND a.i = b.i
          |  GROUP BY 1, 2),
          |scored AS (
          |  SELECT query_id, nb_id AS neighbor_id, dot / (na.nrm * nb.nrm) AS cos

@@ -63,13 +63,15 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("LSH dedup blocker: pair-recall vs exact all-pairs at tau=0.4") {
-    // Exact ground truth: every pair with cosine >= 0.4 (500² is
-    // trivial here; at scale this is exactly what you cannot run —
-    // which is the point of the blocked operator).
+    // Exact ground truth: every pair with cosine >= 0.4 under the
+    // operator's exact scoring contract (quantized integer dot, 4dp
+    // rounding) — 500² is trivial here; at scale this is exactly what
+    // you cannot run, which is the point of the blocked operator.
     val v = Similarity.withNorm(emb)
     val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos",
-        Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+      .withColumn("cos", org.apache.spark.sql.functions.round(
+        graft.functions.VectorOps.dotLong(col("x.qv"), col("y.qv"))
+          / (col("x.nrm") * col("y.nrm")), 4))
       .filter(col("cos") >= 0.4)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -141,8 +143,9 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val v = Similarity.withNorm(emb)
     val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos",
-        Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+      .withColumn("cos", org.apache.spark.sql.functions.round(
+        graft.functions.VectorOps.dotLong(col("x.qv"), col("y.qv"))
+          / (col("x.nrm") * col("y.nrm")), 4))
       .filter(col("cos") >= 0.4)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
