@@ -138,15 +138,20 @@ object TopKAgg {
     * (ranked last, like `desc` NULLS LAST). */
   final case class Entry(hasScore: Boolean, raw: Double, key: Double, id: Long)
 
-  /** HALF_UP 6dp, matching Spark's `round` exactly — including its
-    * NaN/Infinity passthrough (BigDecimal.valueOf would throw). */
+  /** Floor-form 6dp rounding: ⌊d·10⁶ + 0.5⌋/10⁶ — single IEEE ops,
+    * so the SAME value on every engine given the same double.
+    * (BigDecimal HALF_UP — Spark's `round` — rounds the SHORTEST
+    * DECIMAL string of the double instead of its binary value, which
+    * can land one ulp differently from DuckDB's `round`; the floor
+    * form has no such representational fork.) NaN/Infinity pass
+    * through like Spark's round. */
   private[functions] def round6(d: Double): Double =
     if (d.isNaN || d.isInfinite) d
-    else java.math.BigDecimal.valueOf(d)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    else math.floor(d * 1e6 + 0.5) / 1e6
 
   /** Column API: aggregate to the k best (id, score) structs, ranked
-    * by (round(score, 6) desc, id asc) — the ANN rerank contract. */
+    * by (⌊score·10⁶+0.5⌋ desc, id asc) — the ANN rerank contract,
+    * replayed by the oracle with the identical floor expression. */
   def topK(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
       TopKByScore(ColumnBridge.expression(score), ColumnBridge.expression(id), k)

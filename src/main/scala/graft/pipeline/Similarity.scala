@@ -17,17 +17,18 @@ import graft.functions.{TopKAgg, VectorOps}
   */
 object Similarity {
 
-  /** Dot product of two double-array columns: fused native Catalyst
-    * expression (graft.functions.DotProduct) — one primitive codegen
-    * loop, no intermediate array. Summation order matches the
-    * composable `aggregate(zip_with(...))` form exactly (sequential
-    * in array order), so results are bit-identical. */
-  def dot(a: Column, b: Column): Column = VectorOps.dotNative(a, b)
-
-  /** Euclidean norm of a double-array column. */
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Floor-form decimal rounding ⌊c·10ˢ + 0.5⌋/10ˢ: single IEEE ops,
+    * so identical values on every engine given identical doubles —
+    * Spark's `round` (BigDecimal HALF_UP over the double's SHORTEST
+    * DECIMAL string) and DuckDB's `round` (over the binary value) can
+    * disagree by one last-place decimal on the same input; the floor
+    * form cannot. The oracle replays the same expression. */
+  private def rnd(c: Column, s: Int): Column = {
+    val f = math.pow(10, s.toDouble)
+    floor(c * f + 0.5) / f
+  }
 
   /** Embeddings with their FIXED-POINT twin and its norm:
     * (vec_id, v, qv, nrm) — qv = round(v·10⁶) longs,
@@ -50,14 +51,14 @@ object Similarity {
     * each map task combines down to k rows per query before the
     * shuffle, where the Window/row_number formulation would shuffle
     * every candidate into one sorted partition per query first. Rank
-    * order — (round(cos,6) desc, id asc) — is identical to the window
-    * form, so gated outputs are unchanged. */
+    * order — (⌊cos·10⁶+0.5⌋ desc, id asc) — matches the window
+    * formulation and the oracle's identical floor expression. */
   private def rankTopK(pairs: DataFrame, candId: String, k: Int): DataFrame =
     pairs.groupBy("query_id")
       .agg(TopKAgg.topK(col("cos"), col(candId), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
-        round(col("col.score"), 4).as("cosine"), (col("pos") + 1).as("rnk"))
+        rnd(col("col.score"), 4).as("cosine"), (col("pos") + 1).as("rnk"))
       .orderBy("query_id", "rnk")
 
   /** D6 brute-force cosine top-k for a query subset: query rows ×
@@ -66,7 +67,9 @@ object Similarity {
     * big side — Catalyst broadcasts the (small) query side.
     */
   def topKCosine(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
-    val v = withNorm(emb)
+    // zero-norm (all-zero-quantized) vectors have no direction: both
+    // engines exclude them from every cosine (oracle: HAVING in nrm)
+    val v = withNorm(emb).filter(col("nrm") > 0)
     val q = v.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("qn"))
     val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -119,7 +122,7 @@ object Similarity {
     * bucket id is the shuffle key; bucket population is ~n/2^planes.
     */
   def lshTopK(emb: DataFrame, k: Int = 3): DataFrame = {
-    val b = lshBucket(emb)
+    val b = lshBucket(emb).filter(col("nrm") > 0)
     val pairs = b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("nb_id"),
@@ -172,7 +175,7 @@ object Similarity {
     * Returned `cv` is in the 10⁶-quantized integer space.
     */
   def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    val v = withNorm(emb).withColumn("qv", quantize(col("v")))
+    val v = withNorm(emb)
     var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     for (_ <- 1 to iters)
@@ -192,7 +195,7 @@ object Similarity {
     val v = withNorm(emb)
     val cents = kmeansCentroids(emb, nCentroids, iters)
     val assigned = centroidRanks(v, cents)
-      .filter(col("crank") <= nProbe)
+      .filter(col("crank") <= nProbe && col("nrm") > 0)
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid"), col("crank"))
     val lists = assigned.filter(col("crank") === 1)
       .select(col("cid"), col("vec_id"), col("qv"), col("nrm"))
@@ -269,14 +272,14 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
       .distinct()
-    val v = withNorm(emb)
+    val v = withNorm(emb).filter(col("nrm") > 0)
     cand
       .join(v.select(col("vec_id").as("doc_a"), col("qv").as("qa"), col("nrm").as("na")),
         "doc_a")
       .join(v.select(col("vec_id").as("doc_b"), col("qv").as("qb"), col("nrm").as("nb")),
         "doc_b")
       .withColumn("cosine",
-        round(VectorOps.dotLong(col("qa"), col("qb")) / (col("na") * col("nb")), 4))
+        rnd(VectorOps.dotLong(col("qa"), col("qb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
       .orderBy("doc_a", "doc_b")
@@ -365,12 +368,12 @@ object Similarity {
     * operator is [[embeddingNearDup]]. */
   def embeddingNearDupExact(emb: DataFrame, threshold: Double,
       sampleMod: Int = 10): DataFrame = {
-    val v = withNorm(emb)
+    val v = withNorm(emb).filter(col("nrm") > 0)
     val a = v.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("doc_a"), col("qv").as("qa"), col("nrm").as("na"))
     v.join(broadcast(a), col("doc_a") < col("vec_id"))
       .withColumn("cosine",
-        round(VectorOps.dotLong(col("qa"), col("qv")) / (col("na") * col("nrm")), 4))
+        rnd(VectorOps.dotLong(col("qa"), col("qv")) / (col("na") * col("nrm")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("vec_id").as("doc_b"), col("cosine"))
       .orderBy("doc_a", "doc_b")

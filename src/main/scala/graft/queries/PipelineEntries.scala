@@ -96,7 +96,9 @@ object PipelineEntries {
   private val EXQ =
     "exq AS (SELECT vec_id, CAST(round(x * 1000000, 0) AS BIGINT) AS qx, i FROM ex)"
   private val NRM =
-    "nrm AS (SELECT vec_id, sqrt(CAST(SUM(qx * qx) AS DOUBLE)) AS nrm FROM exq GROUP BY 1)"
+    """nrm AS (
+      |  SELECT vec_id, sqrt(CAST(SUM(qx * qx) AS DOUBLE)) AS nrm
+      |  FROM exq GROUP BY 1 HAVING SUM(qx * qx) > 0)""".stripMargin
 
   private val termsIn = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
@@ -498,7 +500,8 @@ object PipelineEntries {
          |  JOIN exq xb ON xb.vec_id = c.doc_b AND xa.i = xb.i
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, cosine FROM (
-         |  SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+         |  SELECT doc_a, doc_b,
+         |         floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
          |  FROM dots
          |  JOIN nrm na ON doc_a = na.vec_id
          |  JOIN nrm nb ON doc_b = nb.vec_id)
@@ -515,7 +518,8 @@ object PipelineEntries {
          |  WHERE a.vec_id % 10 = 0
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, cosine FROM (
-         |  SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+         |  SELECT doc_a, doc_b,
+         |         floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
          |  FROM pairs
          |  JOIN nrm na ON doc_a = na.vec_id
          |  JOIN nrm nb ON doc_b = nb.vec_id)
@@ -540,9 +544,9 @@ object PipelineEntries {
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos,
          |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY round(cos, 6) DESC, neighbor_id) AS INTEGER) AS rnk
+         |           ORDER BY floor(cos * 1000000 + 0.5) DESC, neighbor_id) AS INTEGER) AS rnk
          |  FROM scored)
-         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk
+         |SELECT query_id, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cosine, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
     "sim_lsh" ->
@@ -576,9 +580,9 @@ object PipelineEntries {
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos,
          |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY round(cos, 6) DESC, neighbor_id) AS INTEGER) AS rnk
+         |           ORDER BY floor(cos * 1000000 + 0.5) DESC, neighbor_id) AS INTEGER) AS rnk
          |  FROM scored)
-         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk
+         |SELECT query_id, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cosine, rnk
          |FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
     "sim_ivf" -> {
@@ -617,9 +621,9 @@ object PipelineEntries {
          |ranked AS (
          |  SELECT query_id, neighbor_id, cos,
          |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY round(cos, 6) DESC, neighbor_id) AS INTEGER) AS rnk
+         |           ORDER BY floor(cos * 1000000 + 0.5) DESC, neighbor_id) AS INTEGER) AS rnk
          |  FROM scored)
-         |SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk
+         |SELECT query_id, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cosine, rnk
          |FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin
     },

@@ -264,6 +264,7 @@ object EventStreams {
     */
   def attributePurchases(purchases: DataFrame, views: DataFrame,
       windowMinutes: Int = 60, watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(windowMinutes >= 1, "attribution window must be at least one minute")
     val p0 = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
       col("value").as("purchase_value"))
     val v0 = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),

@@ -69,9 +69,9 @@ class SimilaritySpec extends AnyFunSuite {
     // you cannot run, which is the point of the blocked operator.
     val v = Similarity.withNorm(emb)
     val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", org.apache.spark.sql.functions.round(
+      .withColumn("cos", org.apache.spark.sql.functions.floor(
         graft.functions.VectorOps.dotLong(col("x.qv"), col("y.qv"))
-          / (col("x.nrm") * col("y.nrm")), 4))
+          / (col("x.nrm") * col("y.nrm")) * 10000 + 0.5) / 10000)
       .filter(col("cos") >= 0.4)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -143,9 +143,9 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val v = Similarity.withNorm(emb)
     val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", org.apache.spark.sql.functions.round(
+      .withColumn("cos", org.apache.spark.sql.functions.floor(
         graft.functions.VectorOps.dotLong(col("x.qv"), col("y.qv"))
-          / (col("x.nrm") * col("y.nrm")), 4))
+          / (col("x.nrm") * col("y.nrm")) * 10000 + 0.5) / 10000)
       .filter(col("cos") >= 0.4)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
