@@ -71,6 +71,7 @@ object PipelineEntries {
     "events_asof" -> ((s, d) => TemporalOps.purchaseAsofView(s, d)),
     "events_quantiles" -> ((s, d) => TemporalOps.eventQuantiles(s, d)),
     "events_rolling" -> ((s, d) => TemporalOps.eventRolling(s, d)),
+    "events_anomaly" -> ((s, d) => TemporalOps.eventAnomalies(s, d)),
     "embed_quantize" -> ((s, d) =>
       Similarity.quantizeSummary(Tables.embeddings(s, d))),
     "sample_stratified" -> ((s, d) =>
@@ -778,6 +779,24 @@ object PipelineEntries {
         |WHERE user_id % 20 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, rn""".stripMargin,
+    // Integer z-score outliers (see TemporalOps.eventAnomalies): the
+    // z > 2 test is (n*qx - S)^2 > 4*(n*Sq - S^2) over exact cent sums.
+    "events_anomaly" ->
+      """WITH q AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+        |  FROM events WHERE user_id % 20 = 0),
+        |st AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |         CAST(SUM(value_cents) AS BIGINT) AS s,
+        |         CAST(SUM(value_cents * value_cents) AS BIGINT) AS sq
+        |  FROM q GROUP BY 1)
+        |SELECT q.user_id, q.event_id, q.value_cents,
+        |       (st.n * st.sq - st.s * st.s > 0 AND
+        |        (st.n * q.value_cents - st.s) * (st.n * q.value_cents - st.s)
+        |          > 4 * (st.n * st.sq - st.s * st.s)) AS is_outlier
+        |FROM q JOIN st USING (user_id)
+        |ORDER BY q.user_id, q.event_id""".stripMargin,
     "sample_stratified" ->
       s"""WITH $TOK,
          |lid AS (

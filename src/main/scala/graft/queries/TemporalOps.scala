@@ -79,6 +79,38 @@ object TemporalOps {
       .orderBy("user_id", "rn")
   }
 
+  /** E13 deterministic anomaly flags: per-user z-score outliers with
+    * NO float arithmetic anywhere. Values quantize to cents
+    * (⌊100·v + 0.5⌋ — floor-form, identical on both engines) and the
+    * z > 2 test is the integer inequality
+    * `(n·qx − S)² > 4·(n·Sq − S²)` (with positive variance), derived
+    * from z² = (n·qx−S)²/(n·Sq−S²): exact long sums in any order, so
+    * flags can never drift cross-engine. Long headroom: safe while
+    * n·|qx| < 3·10⁹ per user (≈ millions of events at these value
+    * magnitudes); beyond that, promote the sums to decimal(38,0).
+    * One groupBy(user_id) + a user-keyed join — two narrow shuffles.
+    */
+  def eventAnomalies(s: SparkSession, d: String): DataFrame =
+    anomalies(EventStreams.events(s, d)
+      .filter(col("user_id") % 20 === 0)) // keyed sample, as eventRolling
+
+  /** Core of [[eventAnomalies]] over any (user_id, event_id, value)
+    * frame. */
+  def anomalies(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
+    val st = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("value_cents")).as("s"),
+      sum(col("value_cents") * col("value_cents")).as("sq"))
+    val dev = col("n") * col("value_cents") - col("s")
+    val varN2 = col("n") * col("sq") - col("s") * col("s")
+    ev.join(st, "user_id")
+      .select(col("user_id"), col("event_id"), col("value_cents"),
+        (varN2 > 0 && dev * dev > lit(4L) * varN2).as("is_outlier"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Exact interpolated quantiles per event type (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). The approx scale path is
     * `approx_percentile` — same call shape, sketch-based. */

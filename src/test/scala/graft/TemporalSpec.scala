@@ -22,4 +22,22 @@ class TemporalSpec extends AnyFunSuite {
       (1L, 25L, Some(300.0)),  // latest before 25 is 20
       (2L, 5L, None)))         // nothing at or before 5
   }
+
+  test("integer z-score anomalies: spike flagged, constant series silent") {
+    import spark.implicits._
+    // user 1: three 1.00s and one 100.00 — the spike's z ≈ 1.73·(spread)
+    // over these cents: n=4, qx=10000, S=10300, Sq=100030000:
+    // dev = 4·10000−10300 = 29700; dev² ≈ 8.8e8; 4·(n·Sq−S²) ≈ 1.18e9?
+    // compute: n·Sq = 400120000, S² = 106090000, varN2 = 294030000,
+    // 4·varN2 = 1176120000 > 882090000 → the spike is NOT flagged at
+    // z>2 for n=4 (max z in a 4-sample is √3 ≈ 1.73) — use n=10.
+    val ev = ((1 to 9).map(i => (1L, i.toLong, 1.0)) :+ ((1L, 10L, 100.0))) ++
+      Seq((2L, 11L, 5.0), (2L, 12L, 5.0), (2L, 13L, 5.0))
+    val out = graft.queries.TemporalOps.anomalies(
+        ev.toDF("user_id", "event_id", "value"))
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out(10L))                               // the spike
+    assert((1L to 9L).forall(i => !out(i)))        // the baseline
+    assert(!out(11L) && !out(12L) && !out(13L))    // zero variance
+  }
 }
