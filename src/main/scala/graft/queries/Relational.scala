@@ -40,6 +40,13 @@ object Relational {
     * broadcast to the orders join; only the surviving orders shuffle
     * against lineitem. Revenue rounded before the ordering so the
     * top-k cutoff is deterministic across engines.
+    *
+    * Only the filtered CUSTOMER dim carries a broadcast hint. The
+    * date filter on orders keeps a constant *fraction* of a fact
+    * table, so hinting it broadcast would force a multi-GB driver
+    * collect at 100× scale; the orders⋈lineitem join is left to
+    * shuffle (AQE still auto-broadcasts when the filtered side is
+    * genuinely small). PlanAuditSpec pins this.
     */
   def topUnshippedOrders(
       customer: DataFrame,
@@ -55,7 +62,7 @@ object Relational {
     val l = lineitem
       .filter(col("l_shipdate") > to_timestamp(lit(date)))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
+    l.join(o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
         l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),

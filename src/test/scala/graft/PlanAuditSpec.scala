@@ -44,6 +44,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"aggregation scan not pruned: $read")
   }
 
+  test("q3_topk never broadcasts the orders fact side (only the customer dim hint)") {
+    // With auto-broadcast disabled, the only BroadcastHashJoin left must be
+    // the explicit customer-dim hint; orders⋈lineitem has to shuffle. A
+    // broadcast() hint on the date-filtered orders side would survive this
+    // conf and show up as a second BroadcastHashJoin — the 100×-scale OOM.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = planOf("q3_topk")
+      // FormattedMode prints each node twice (tree + numbered detail
+      // section); count only the numbered detail entries.
+      val broadcasts = """\(\d+\) BroadcastHashJoin""".r.findAllIn(p).size
+      assert(broadcasts == 1,
+        s"expected exactly the customer-dim broadcast, got $broadcasts:\n$p")
+      assert("SortMergeJoin".r.findFirstIn(p).isDefined,
+        s"orders⋈lineitem should shuffle when auto-broadcast is off:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q5_star broadcasts every dimension") {
     val p = planOf("q5_star")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
