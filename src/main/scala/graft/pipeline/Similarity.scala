@@ -322,6 +322,25 @@ object Similarity {
     embeddingNearDup(emb, threshold, bands, planes)
   }
 
+  /** The corpus plus one deterministically jittered twin per vector
+    * (ids offset by `offset`): dim d is scaled by
+    * 1 + ((d·7 mod 5) − 2)·0.2 ∈ {0.6 … 1.4}, which lands each
+    * (original, twin) cosine at ≈ 1/√E[f²] ≈ 0.96 while leaving every
+    * other pair untouched (max cross cosine in the test corpus is
+    * ~0.51). Gives the τ=0.9 near-dup gate planted positives — the
+    * synthetic embeddings have NO natural pairs above cosine 0.52, so
+    * a high-threshold gate over the raw table would be vacuous. The
+    * jitter is applied to the DOUBLE-cast value in a fixed per-dim
+    * pattern so the oracle replays it bit-identically. */
+  def withJitteredTwins(emb: DataFrame, offset: Long = 1000000L): DataFrame = {
+    val twin = emb.select((col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding"), (x, d) =>
+        x.cast("double") * (lit(1.0) + (d * 7 % 5 - 2).cast("double") * lit(0.2)))
+        .as("embedding"))
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .unionByName(twin)
+  }
+
   /** Scalar int8 quantization of the embedding column: per-vector
     * symmetric max-abs scale, code_i = round(127·x_i/maxabs) — the
     * 4× storage/bandwidth cut that makes a 100 TB ANN corpus fit the

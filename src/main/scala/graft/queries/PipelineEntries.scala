@@ -22,6 +22,16 @@ object PipelineEntries {
     * (query.rs:113-135): "par" ⊂ {spark, part}, "indo" ⊂ {window}. */
   val ContainsTerms = Seq("par", "indo")
 
+  /** dedup_embedding_auto operating point: τ = 0.9 with (bands,
+    * planesPerBand) from the [[Similarity.bandingFor]] cost model at
+    * the pinned 10×-scale corpus size (200k vectors) — deterministic,
+    * so the oracle replays the exact signature. The model picks
+    * (10, 10): a 100-plane signature whose theoretical candidate
+    * volume is ~77× below the τ=0.4 24×5 default at that n. */
+  val AutoTau = 0.9
+  val AutoN = 200000L
+  val AutoBanding: (Int, Int) = Similarity.bandingFor(AutoN, AutoTau)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fulltext_search" -> ((s, d) =>
       Fulltext.search(Tables.documents(s, d), SearchTerms)),
@@ -51,6 +61,14 @@ object PipelineEntries {
       Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.4)),
     "dedup_embedding_exact" -> ((s, d) =>
       Similarity.embeddingNearDupExact(Tables.embeddings(s, d), threshold = 0.4)),
+    // the cost-model path: banding comes from bandingFor at the pinned
+    // 10×-scale corpus size, τ=0.9 (the realistic near-dup threshold,
+    // made non-vacuous by planted jittered twins at cosine ≈ 0.96 —
+    // the raw synthetic corpus has no pair above 0.52)
+    "dedup_embedding_auto" -> ((s, d) =>
+      Similarity.embeddingNearDup(
+        Similarity.withJitteredTwins(Tables.embeddings(s, d)),
+        threshold = AutoTau, bands = AutoBanding._1, planesPerBand = AutoBanding._2)),
     "sim_topk" -> ((s, d) =>
       Similarity.topKCosine(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "sim_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
@@ -508,6 +526,54 @@ object PipelineEntries {
          |  JOIN nrm nb ON doc_b = nb.vec_id)
          |WHERE cosine >= 0.4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // cost-model banding (AutoBanding, pinned n) + planted-twin input:
+    // ex2 doubles the corpus with per-dim jittered copies (factor
+    // 1 + ((d·7 mod 5) − 2)·0.2 over the DOUBLE-cast value, 0-based d
+    // = i − 1), then the banded signature / candidate / rerank chain
+    // is the same shape as dedup_embedding with (bands, planes) and τ
+    // interpolated from the SAME Scala constants the Spark plan uses.
+    "dedup_embedding_auto" -> {
+      val (bands, planes) = AutoBanding
+      s"""WITH $EX,
+         |ex2 AS (
+         |  SELECT vec_id, x, i FROM ex
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, x * (1.0 + (((i - 1) * 7) % 5 - 2) * 0.2), i
+         |  FROM ex),
+         |exq AS (SELECT vec_id, CAST(round(x * 1000000, 0) AS BIGINT) AS qx, i FROM ex2),
+         |nrm AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(qx * qx) AS DOUBLE)) AS nrm
+         |  FROM exq GROUP BY 1 HAVING SUM(qx * qx) > 0),
+         |proj AS (
+         |  SELECT vec_id, j,
+         |         SUM(qx * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
+         |  FROM exq CROSS JOIN (SELECT unnest(range(${bands * planes})) AS j)
+         |  GROUP BY 1, 2),
+         |bkt AS (
+         |  SELECT vec_id, j // $planes AS band,
+         |         SUM((CASE WHEN p > 0 THEN 1 ELSE 0 END)
+         |             * CAST(power(2, j % $planes) AS BIGINT)) AS bucket
+         |  FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM bkt a
+         |  JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket
+         |             AND a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(SUM(xa.qx * xb.qx) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN exq xa ON xa.vec_id = c.doc_a
+         |  JOIN exq xb ON xb.vec_id = c.doc_b AND xa.i = xb.i
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, cosine FROM (
+         |  SELECT doc_a, doc_b,
+         |         floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
+         |  FROM dots
+         |  JOIN nrm na ON doc_a = na.vec_id
+         |  JOIN nrm nb ON doc_b = nb.vec_id)
+         |WHERE cosine >= $AutoTau
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_embedding_exact" ->
       s"""WITH $EX,
          |$EXQ,

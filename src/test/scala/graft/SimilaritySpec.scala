@@ -155,6 +155,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rec >= 0.5)
   }
 
+  test("jittered twins plant τ=0.9 positives and the cost-model banding finds them") {
+    // every (original, twin) pair must land at cosine ≈ 1/√E[f²] ≈ 0.96
+    // and NO other pair may cross 0.9 (raw corpus max cosine ≈ 0.51)
+    val twinned = Similarity.withJitteredTwins(emb)
+    val v = Similarity.withNorm(twinned).filter(col("nrm") > 0)
+    val nOrig = v.filter(col("vec_id") < 1000000L).count()
+    val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        graft.functions.VectorOps.dotLong(col("x.qv"), col("y.qv"))
+          / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= 0.9)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no planted pair crossed tau=0.9")
+    assert(exact.forall { case (a, b) => b == a + 1000000L },
+      s"non-twin pair above 0.9: ${exact.filterNot { case (a, b) => b == a + 1000000L }}")
+    assert(exact.size == nOrig, s"${exact.size} twin pairs for $nOrig originals")
+
+    // the gate's operating point: bandingFor at the pinned scale n
+    val (bands, planes) = graft.queries.PipelineEntries.AutoBanding
+    info(s"pinned-200k tau=0.9 banding: ${bands}x$planes")
+    assert(bands * planes <= 120, "tau=0.9 signature should be <= the 24x5 default")
+    val found = Similarity.embeddingNearDup(twinned, 0.9, bands, planes)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(found.subsetOf(exact))
+    val rec = found.size.toDouble / exact.size
+    info(f"banded twin-pair recall @tau=0.9: $rec%.3f (${found.size}/${exact.size})")
+    assert(rec >= 0.9, f"S-curve promises >= 0.9 recall, got $rec%.3f")
+  }
+
   test("partial top-k aggregate == window row_number formulation, ties included") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
