@@ -157,15 +157,21 @@ object Similarity {
     * iteration is one broadcast-join + two narrow shuffles on
     * (cid, dim) / cid.
     */
+  private val Dim = 64
+
   private def kmeansIterate(v: DataFrame, cents: DataFrame): DataFrame = {
     val asg = centroidRanks(v, cents).filter(col("crank") === 1)
-      .select(col("vec_id"), col("cid"), col("qv"))
-    asg.select(col("cid"), posexplode(col("qv")))
-      .groupBy("cid", "pos")
-      .agg(floor(sum(col("col")) / count(lit(1))).cast("long").as("x"))
-      .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
-        s => s.getField("x")).as("cv"))
+      .select(col("cid"), col("qv"))
+    // element-wise sums as 64 long agg buffers on the cid key alone:
+    // map-side partial agg combines each partition down to one row per
+    // centroid before the shuffle. The earlier posexplode form blew
+    // every vector up 64× and funneled the shuffle into a k×64-key
+    // space (~1k reducers max at any corpus size).
+    val sums = (0 until Dim).map(i => sum(col("qv")(i)).as(s"_s$i"))
+    asg.groupBy("cid")
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .select(col("cid"), array((0 until Dim).map(i =>
+        floor(col(s"_s$i") / col("_n")).cast("long")): _*).as("cv"))
   }
 
   /** Trained coarse-quantizer centroids: deterministic seeds (the
