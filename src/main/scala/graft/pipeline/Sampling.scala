@@ -30,6 +30,26 @@ object Sampling {
       .select(col("doc_id"), col("stratum"), col("rn"))
       .orderBy("stratum", "rn")
 
+  /** Threshold-form stratified sample — the scale path the exact-rank
+    * form's note promises: keep a document iff the first 4 hex digits
+    * of md5(doc_id) sort below the cutoff for `frac`. No window, no
+    * per-stratum sort — a pure filter, embarrassingly parallel at any
+    * stratum count or size (the exact-rank form sorts each stratum in
+    * ONE partition, which with 2 strata means the whole corpus sorts
+    * on 2 cores). The price: the per-stratum quota is
+    * binomial(|stratum|, frac) rather than exact. Hex strings compare
+    * byte-lexicographically on every engine, so the draw is
+    * deterministic and the oracle replays it verbatim.
+    */
+  def stratifiedSampleThreshold(docs: DataFrame, frac: Double = 0.25): DataFrame = {
+    val cutoff = f"${math.round(frac * 65536).toInt}%04x"
+    TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("lang_pred").as("stratum"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .filter(substring(col("h"), 1, 4) < lit(cutoff))
+      .orderBy("stratum", "doc_id")
+  }
+
   /** Sequence packing for training: documents are concatenated in
     * doc_id order within a SHARD (doc_id div `shardSize` — each shard
     * packs independently and in parallel, the way per-worker packing

@@ -94,6 +94,8 @@ object PipelineEntries {
       Similarity.quantizeSummary(Tables.embeddings(s, d))),
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(Tables.documents(s, d))),
+    "sample_threshold" -> ((s, d) =>
+      Sampling.stratifiedSampleThreshold(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) =>
       Sampling.packSequences(Tables.documents(s, d)))
   )
@@ -879,6 +881,20 @@ object PipelineEntries {
          |  FROM h)
          |SELECT doc_id, stratum, rn FROM r WHERE rn <= 50
          |ORDER BY stratum, rn""".stripMargin,
+    // threshold form: same langid strata, pure hash-prefix filter
+    // (frac=0.25 → cutoff '4000'), no window anywhere
+    "sample_threshold" ->
+      s"""WITH $TOK,
+         |lid AS (
+         |  SELECT doc_id,
+         |         CASE WHEN round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |                THEN 1.0 ELSE 0.0 END), 4) >= 0.05
+         |              THEN 'en' ELSE 'unknown' END AS stratum
+         |  FROM tok GROUP BY doc_id),
+         |h AS (SELECT doc_id, stratum, md5(CAST(doc_id AS VARCHAR)) AS h FROM lid)
+         |SELECT doc_id, stratum, h FROM h
+         |WHERE substr(h, 1, 4) < '4000'
+         |ORDER BY stratum, doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -78,6 +78,28 @@ class RankingSpec extends AnyFunSuite {
     assert(s.toSeq == s2.toSeq)
   }
 
+  test("threshold sample: quota within binomial tolerance, deterministic, no window") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = d.count()
+    val s = Sampling.stratifiedSampleThreshold(d, frac = 0.25)
+    val rows = s.collect().map(r => (r.getLong(0), r.getString(1)))
+    // overall quota: binomial(n, 0.25), allow ±4σ
+    val sigma = math.sqrt(n * 0.25 * 0.75)
+    assert(math.abs(rows.length - n * 0.25) <= 4 * sigma,
+      s"${rows.length} kept of $n at frac=0.25")
+    // identical draw on re-run (hash cutoff, not RNG)
+    val again = Sampling.stratifiedSampleThreshold(d, frac = 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == again.toSeq)
+    // monotone in frac: the half-rate draw is a subset of the full one
+    val half = Sampling.stratifiedSampleThreshold(d, frac = 0.125)
+      .collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(rows.map(_._1).toSet))
+    // scale shape: a filter, not a per-stratum window sort
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"threshold form must not window:\n$plan")
+  }
+
   test("pack sequences: offsets and boundary spans") {
     // doc token counts: "a b c d" = 4 BPE tokens each
     val d = docs(1L -> "a b c d", 2L -> "e f g h", 3L -> "i j k l")
