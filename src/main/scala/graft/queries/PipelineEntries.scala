@@ -44,6 +44,8 @@ object PipelineEntries {
       Fulltext.containsSearchNgram(Tables.documents(s, d), ContainsTerms)),
     "fulltext_bool" -> ((s, d) =>
       Fulltext.booleanSearch(Tables.documents(s, d), "spark AND (wind* OR merge)")),
+    "fulltext_bm25" -> ((s, d) =>
+      Fulltext.bm25Search(Tables.documents(s, d), SearchTerms)),
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
@@ -214,6 +216,34 @@ object PipelineEntries {
   def oracleSql: Map[String, String] = Map(
     "fulltext_search" -> fulltextSql(s"token IN $termsIn"),
     "fulltext_prefix" -> fulltextSql(s"token LIKE '$Prefix%'"),
+    // BM25 (k1=1.2, b=0.75): every fractional literal is ::DOUBLE so
+    // DuckDB cannot fall into DECIMAL arithmetic, the expression tree
+    // mirrors Fulltext.bm25SearchIndex operation for operation, and
+    // per-(doc,term) contributions are quantized to 1e-6 longs BEFORE
+    // the per-doc sum — exact integer summation, order-independent.
+    "fulltext_bm25" ->
+      s"""WITH $TOK,
+         |$TF,
+         |len AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_dl FROM len),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |matched AS (SELECT doc_id, token, tf FROM tf WHERE token IN $termsIn),
+         |mdf AS (SELECT token, COUNT(*) AS df FROM matched GROUP BY 1),
+         |contrib AS (
+         |  SELECT m.doc_id,
+         |         CAST(floor(
+         |           ln(1.0::DOUBLE + ((n - df) + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+         |           * (tf * (1.2::DOUBLE + 1.0::DOUBLE)
+         |              / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+         |                 + 0.75::DOUBLE * (dl / (total_dl / n)))))
+         |           * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS cq
+         |  FROM matched m JOIN mdf USING (token) JOIN len USING (doc_id), n, tot)
+         |SELECT doc_id,
+         |       floor(CAST(SUM(cq) AS BIGINT) / 100.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS score,
+         |       COUNT(*) AS n_terms
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
     "fulltext_contains" -> {
       val likes = ContainsTerms.map(t => s"token LIKE '%$t%'")
       val flags = ContainsTerms.zipWithIndex.map { case (t, i) =>

@@ -108,6 +108,51 @@ object Fulltext {
   def searchIndex(index: FulltextIndex, terms: Seq[String], limit: Int = 20): DataFrame =
     scored(index, col("token").isInCollection(terms), limit)
 
+  /** BM25-scored keyword search — the length-normalized scoring the
+    * reference actually returns (its Lucene `score` is BM25,
+    * importer.rs:386-398), where [[searchIndex]]'s tf-idf is the
+    * shape WITHOUT the dl/avgdl penalty: on length-skewed corpora the
+    * two can rank-diverge (a verbose doc repeating a term outranks a
+    * short exact hit under tf-idf but not BM25 — spec'd).
+    *
+    *   score(d) = Σ_t ln(1 + (N−df+0.5)/(df+0.5))
+    *              · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Doc lengths are one postings-sized aggregation (dl = Σ tf per
+    * doc), avgdl = Σdl/N a broadcast 1-row frame; the matched⋈lengths
+    * join keys on doc_id (shuffle or AQE-broadcast — never the corpus
+    * to the driver). Per-(doc,term) contributions are quantized to
+    * 1e-6 BEFORE the per-doc sum, so the score is an exact long sum —
+    * order-independent across engines, one class stronger than
+    * round-after-float-sum (the contribution doubles themselves are
+    * identical on both engines: every input is an exact integer and
+    * the expression tree is replayed verbatim by the oracle). */
+  def bm25SearchIndex(index: FulltextIndex, terms: Seq[String], limit: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lengths = index.postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val totals = lengths.agg(sum(col("dl")).cast("long").as("total_dl"))
+    val matched = index.postings.filter(col("token").isInCollection(terms))
+    val df = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    matched.join(broadcast(df), "token")
+      .join(lengths, "doc_id")
+      .crossJoin(broadcast(index.meta))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * (col("dl") / (col("total_dl") / col("n"))))))
+      .withColumn("cq", floor(col("idf") * col("w") * lit(1000000.0) + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg((floor(sum(col("cq")) / 100.0 + 0.5) / 10000.0).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
+
+  def bm25Search(docs: DataFrame, terms: Seq[String], limit: Int = 20): DataFrame =
+    bm25SearchIndex(buildIndex(docs), terms, limit)
+
   /** Exact-term keyword search (builds the index inline, one pass). */
   def search(docs: DataFrame, terms: Seq[String], limit: Int = 20): DataFrame =
     searchIndex(buildIndex(docs), terms, limit)

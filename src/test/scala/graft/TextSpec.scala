@@ -35,6 +35,27 @@ class TextSpec extends AnyFunSuite {
     assert(hits.head._2 == 2L) // doc 1 matched both terms
   }
 
+  test("bm25 rank-diverges from tf-idf on a length-skewed corpus") {
+    // doc 1: short, one exact hit. doc 2: verbose, repeats the term.
+    // tf-idf (no length norm) must put doc 2 first; BM25's dl/avgdl
+    // penalty must flip the order — the Lucene-parity behavior the
+    // reference's score column exhibits.
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val d = docs(
+      1L -> "spark overview",
+      2L -> s"spark spark $filler",
+      3L -> "completely unrelated text")
+    val tfidf = Fulltext.search(d, Seq("spark")).collect().map(_.getLong(0)).toSeq
+    val bm25 = Fulltext.bm25Search(d, Seq("spark")).collect().map(_.getLong(0)).toSeq
+    assert(tfidf == Seq(2L, 1L), s"tf-idf should favor raw tf: $tfidf")
+    assert(bm25 == Seq(1L, 2L), s"bm25 should favor the short exact hit: $bm25")
+    // and at b = 0, BM25 degrades to pure tf saturation (no length
+    // penalty): the verbose doc leads again
+    val noNorm = Fulltext.bm25SearchIndex(Fulltext.buildIndex(d), Seq("spark"), b = 0.0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(noNorm == Seq(2L, 1L), s"b=0 should drop the length penalty: $noNorm")
+  }
+
   test("prefix search matches wildcard tokens") {
     val hits = Fulltext.prefixSearch(docs(1L -> "windows window wind", 2L -> "door"),
       "wind").collect()
