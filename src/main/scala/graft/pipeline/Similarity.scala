@@ -218,6 +218,23 @@ object Similarity {
     rankTopK(pairs, "vec_id", k)
   }
 
+  /** [[ivfTopK]] with corpus-size-aware parameters — the ANN twin of
+    * [[embeddingNearDupAuto]]: nCentroids = ⌈√n⌉ balances the two
+    * costs that scale oppositely in k (assignment does k centroid
+    * distances per vector, a probe scans ~n/k per list), and nProbe
+    * defaults to ⌈nCentroids/8⌉ (≥ 2) so the probed corpus fraction
+    * stays ~constant as the list count grows. One count() sizes
+    * everything; fixed-parameter [[ivfTopK]] stays for oracle parity.
+    */
+  def ivfTopKAuto(emb: DataFrame, queryPred: Column, k: Int = 3,
+      nProbe: Int = 0, iters: Int = 2): DataFrame = {
+    val n = emb.count()
+    val nCentroids = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val probes = if (nProbe > 0) nProbe
+      else math.max(2, (nCentroids + 7) / 8)
+    ivfTopK(emb, queryPred, k, nCentroids, probes, iters)
+  }
+
   /** The [[planeWeightSql]] formula evaluated driver-side for the
     * broadcast weight table (j = plane, i = 1-based dim). */
   private def planeWeightValue(j: Int, i1: Int): Long = {

@@ -119,6 +119,12 @@ class SimilaritySpec extends AnyFunSuite {
     // isotropic table cannot express.
     assert(curve(1)._2 >= 0.9, s"clustered IVF recall ${curve(1)._2} at nProbe=2")
     curve.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(b >= a) }
+
+    // the auto form sizes itself: n=200 → ⌈√200⌉=15 centroids,
+    // nProbe=2; on clustered data it must stay near the fixed-8 curve
+    val rAuto = recall(neighbors(Similarity.ivfTopKAuto(df, qp, k = 3), queries), gt)
+    info(f"auto (15 lists, 2 probes) recall=$rAuto%.3f")
+    assert(rAuto >= 0.8, s"auto-sized IVF recall $rAuto")
   }
 
   test("bandingFor scales planes with corpus size and keeps the recall S-curve") {
