@@ -87,24 +87,7 @@ class GraphQueryEngine(g: BinaryGraph) {
         val uids = calls.select(col("from_uid").as("uid"))
           .unionByName(calls.select(col("to_uid").as("uid")))
           .distinct()
-        val hashed = uids.withColumn("id", xxhash64(col("uid"))).cache()
-        val counts = hashed
-          .agg(count(lit(1)).as("n"), countDistinct("id").as("nid")).head()
-        val ids =
-          if (counts.getLong(0) == counts.getLong(1)) hashed
-          else {
-            hashed.unpersist()
-            val s = calls.sparkSession
-            s.createDataFrame(
-              uids.rdd.zipWithIndex().map { case (r, i) =>
-                org.apache.spark.sql.Row(r.getString(0), i)
-              },
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("uid",
-                  org.apache.spark.sql.types.StringType),
-                org.apache.spark.sql.types.StructField("id",
-                  org.apache.spark.sql.types.LongType)))).cache()
-          }
+        val ids = GraphQueryEngine.uidDictionary(uids)
         val e = calls
           .join(ids.withColumnRenamed("uid", "from_uid").withColumnRenamed("id", "src"),
             Seq("from_uid"))
@@ -380,4 +363,37 @@ class GraphQueryEngine(g: BinaryGraph) {
     * ([[graft.graph.Ranking.triangleCount]]). */
   def triangleCount(binary: Option[String] = None): DataFrame =
     graft.graph.Ranking.triangleCount(withIds(binary)._2)
+}
+
+object GraphQueryEngine {
+
+  /** (uid → dense long id) dictionary: xxhash64, embarrassingly
+    * parallel; a collision (~n²/2⁶⁵) would silently merge two
+    * functions, so the build CHECKS — if distinct(id) < count(uid) it
+    * falls back to an exact zipWithIndex dictionary (one extra pass).
+    * The uid column is selected BY NAME on both branches, so the
+    * fallback survives `uids` growing extra columns. `hash` is
+    * injectable only so the fallback branch is spec-exercised
+    * (a real xxhash64 collision is not constructible in a test).
+    * Input must be distinct on uid; the returned frame is cached. */
+  private[graft] def uidDictionary(uids: DataFrame,
+      hash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
+    val hashed = uids.select(col("uid")).withColumn("id", hash(col("uid"))).cache()
+    val counts = hashed
+      .agg(count(lit(1)).as("n"), countDistinct("id").as("nid")).head()
+    if (counts.getLong(0) == counts.getLong(1)) hashed
+    else {
+      hashed.unpersist()
+      uids.sparkSession.createDataFrame(
+        uids.select(col("uid")).rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getAs[String]("uid"), i)
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("uid",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType)))).cache()
+    }
+  }
 }

@@ -109,6 +109,26 @@ class GraphQueryEngineSpec extends AnyFunSuite {
     assert(engine.triangleCount().collect()(0).getLong(0) == 0L)
   }
 
+  test("uid dictionary: collision check falls back to exact zipWithIndex ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val uids = Seq("fn:a", "fn:b", "fn:c", "longer:uid").toDF("uid")
+    // injected degenerate hash (length) collides for the three 4-char
+    // uids → the build must detect it and produce exact distinct ids
+    val dict = GraphQueryEngine.uidDictionary(uids, u => length(u).cast("long"))
+    val rows = dict.collect().map(r => (r.getAs[String]("uid"), r.getAs[Long]("id")))
+    assert(rows.map(_._1).toSet == Set("fn:a", "fn:b", "fn:c", "longer:uid"))
+    assert(rows.map(_._2).distinct.length == 4, s"ids not distinct: ${rows.toSeq}")
+    // the fallback selects uid BY NAME: an extra leading column in the
+    // input must not corrupt the dictionary
+    val wide = uids.select(lit(99).as("junk"), col("uid"))
+    val dict2 = GraphQueryEngine.uidDictionary(wide, u => length(u).cast("long"))
+    assert(dict2.collect().map(_.getAs[String]("uid")).toSet == rows.map(_._1).toSet)
+    // non-colliding path keeps the hash ids (no fallback pass)
+    val hashed = GraphQueryEngine.uidDictionary(uids)
+    assert(hashed.collect().map(_.getAs[Long]("id")).distinct.length == 4)
+  }
+
   test("fulltext strings search with per-binary sample count") {
     val hits = engine.queryStrings(Seq("hello", "world")).collect()
     assert(hits.length == 1)
