@@ -52,6 +52,10 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => GraphQueries.graphPageRank(s, d)),
     "graph_triangles" -> ((s, d) => GraphQueries.graphTriangles(s, d)),
     "graph_kcore" -> ((s, d) => GraphQueries.graphKCore(s, d)),
+    "graph_sssp" -> ((s, d) => GraphQueries.graphSssp(s, d)),
+    "graph_ppr" -> ((s, d) => GraphQueries.graphPpr(s, d)),
+    "recursion_groups" -> ((s, d) => GraphQueries.recursionGroups(s, d)),
+    "graph_neighbor_sim" -> ((s, d) => GraphQueries.neighborSim(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
 
@@ -75,6 +79,58 @@ object SparkEntry {
        |  FROM nodes n LEFT JOIN c$t c ON n.node = c.node)""".stripMargin)
     sb.toString
   }
+
+  /** Unrolled bounded Bellman-Ford rounds: d{t} = min(d{t-1},
+    * relax-once) — exact long arithmetic, no drift surface. */
+  private def ssspCtes(rounds: Int): String =
+    (1 to rounds).map { t =>
+      s"""d$t AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${t - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, d${t - 1}.dist + e.call_offset AS dist
+         |  FROM d${t - 1} JOIN e ON e.src = d${t - 1}.node) t$t GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled personalized-PageRank CTEs: the [[pageRankCtes]] contract
+    * (ppm longs, floor-div, 17/20) with the teleport term restricted
+    * to the seed set `sd`. */
+  private def pprCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """nodes AS (SELECT DISTINCT n AS node FROM
+        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) t),
+        |od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |sd AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),
+        |pr0 AS (SELECT n.node,
+        |          CAST(CASE WHEN sd.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+        |        FROM nodes n LEFT JOIN sd ON n.node = sd.node)""".stripMargin)
+    for (t <- 1 to iters) sb.append(s""",
+       |c$t AS (
+       |  SELECT e.dst AS node, SUM(p.pr // o.outdeg) AS c
+       |  FROM pr${t - 1} p JOIN od o ON p.node = o.node JOIN e ON e.src = p.node
+       |  GROUP BY 1),
+       |pr$t AS (
+       |  SELECT n.node,
+       |         CAST((CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END)
+       |              + (17 * COALESCE(c.c, 0)) // 20 AS BIGINT) AS pr
+       |  FROM nodes n LEFT JOIN c$t c ON n.node = c.node
+       |  LEFT JOIN sd ON n.node = sd.node)""".stripMargin)
+    sb.toString
+  }
+
+  /** 12 unrolled min-label rounds over the undirected pair CTE `und`
+    * (the Dedup.clusters oracle contract: labels are fixpoint-stable,
+    * so bounded replay ≡ the Spark fixpoint). */
+  private def labelRoundCtes(rounds: Int): String =
+    (0 until rounds).map { t =>
+      s"""l${t + 1} AS MATERIALIZED (
+         |  SELECT l.node,
+         |         least(l.component, COALESCE(MIN(n.component), l.component))
+         |           AS component
+         |  FROM l$t l
+         |  LEFT JOIN und u ON u.a = l.node
+         |  LEFT JOIN l$t n ON n.node = u.b
+         |  GROUP BY l.node, l.component)""".stripMargin
+    }.mkString(",\n")
 
   /** Shared oracle CTE: the derived CALLS edge table (SURVEY.md §4). */
   private val E =
@@ -354,6 +410,64 @@ object SparkEntry {
          |SELECT u AS node, COUNT(*) AS core_deg FROM ed8 GROUP BY 1
          |ORDER BY node""".stripMargin
     },
+    "graph_sssp" ->
+      s"""WITH $E,
+        |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM s),
+        |${ssspCtes(4)}
+        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
+    "graph_ppr" ->
+      s"""WITH $E,
+        |${pprCtes(3)}
+        |SELECT node, pr AS ppr_ppm FROM pr3 WHERE pr > 0
+        |ORDER BY node""".stripMargin,
+    // Bounded mutual reachability (each reaches the other within ≤2
+    // hops) is checked over DISTINCT walk states — pruned BFS and the
+    // walk closure agree on the reachable SET because a shortest
+    // path never revisits a node; self-re-reach is excluded on both
+    // sides (Direct recursion is B8's bucket, not a mutual pair).
+    "recursion_groups" ->
+      s"""WITH RECURSIVE $E,
+        |sc AS (SELECT DISTINCT src AS node FROM e WHERE src % 50 = 7),
+        |r AS (
+        |  SELECT node AS start, node AS cur, 0 AS depth FROM sc
+        |  UNION
+        |  SELECT r.start, e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.cur
+        |  WHERE r.depth < 2),
+        |reach AS (
+        |  SELECT DISTINCT r.start, r.cur FROM r JOIN sc ON r.cur = sc.node
+        |  WHERE r.depth > 0 AND r.cur <> r.start),
+        |mp AS (
+        |  SELECT f.start AS a, f.cur AS b
+        |  FROM reach f JOIN reach b2 ON f.start = b2.cur AND f.cur = b2.start
+        |  WHERE f.start < f.cur),
+        |und AS MATERIALIZED (SELECT a, b FROM mp UNION SELECT b, a FROM mp),
+        |l0 AS (SELECT DISTINCT a AS node, a AS component FROM und),
+        |${labelRoundCtes(12)},
+        |sz AS (SELECT component, COUNT(*) AS group_size FROM l12 GROUP BY 1)
+        |SELECT l.node, l.component AS group_id, sz.group_size
+        |FROM l12 l JOIN sz USING (component) ORDER BY node""".stripMargin,
+    // J ≥ 1/5 as the exact integer inequality 5·shared ≥ union; the
+    // output jaccard is the floor-form 4dp rounding of one IEEE
+    // divide (identical doubles both engines).
+    "graph_neighbor_sim" ->
+      s"""WITH $E,
+        |ind AS (SELECT dst, COUNT(*) AS indeg FROM e GROUP BY 1),
+        |capped AS (
+        |  SELECT e.src, e.dst FROM e JOIN ind ON e.dst = ind.dst
+        |  WHERE ind.indeg <= 100),
+        |sizes AS (SELECT src, COUNT(*) AS deg FROM capped GROUP BY 1),
+        |sh AS (
+        |  SELECT x.src AS fn_a, y.src AS fn_b, COUNT(*) AS shared
+        |  FROM capped x JOIN capped y ON x.dst = y.dst AND x.src < y.src
+        |  GROUP BY 1, 2)
+        |SELECT fn_a, fn_b, shared,
+        |       sa.deg + sb.deg - shared AS union_size,
+        |       floor(shared / (sa.deg + sb.deg - shared) * 10000 + 0.5) / 10000
+        |         AS jaccard
+        |FROM sh JOIN sizes sa ON fn_a = sa.src JOIN sizes sb ON fn_b = sb.src
+        |WHERE shared * 5 >= (sa.deg + sb.deg - shared) * 1
+        |ORDER BY fn_a, fn_b""".stripMargin,
     "lineage_up" ->
       """SELECT o_orderkey, c_name, n_name, r_name,
         |  CAST(o_orderkey AS VARCHAR) || '->' || c_name || '->' || n_name

@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-structure analytics over the call graph: function
+  * similarity by shared callees (the binary-diffing primitive — two
+  * functions that call the same set of helpers are near-certain
+  * port/clone candidates) and mutual-recursion group extraction
+  * (bounded SCC families, the multi-node generalization of the
+  * reference's per-node recursion detection,
+  * call_path_analyzer.rs:253-331).
+  */
+object Neighborhood {
+
+  /** Floor-form decimal rounding ⌊c·10ˢ+0.5⌋/10ˢ — single IEEE ops,
+    * replayed verbatim by the oracle (see Similarity.rnd for why
+    * engine-native `round` is not cross-engine safe). */
+  private def rnd(c: Column, s: Int): Column = {
+    val f = math.pow(10, s.toDouble)
+    floor(c * f + 0.5) / f
+  }
+
+  /** Callee-set Jaccard similarity between caller functions: pairs
+    * (fn_a < fn_b) whose deduped out-neighbor sets satisfy
+    * J = |∩|/|∪| ≥ tauNum/tauDen, with the threshold tested as the
+    * EXACT integer inequality tauDen·|∩| ≥ tauNum·(|A|+|B|−|∩|) — no
+    * float compare anywhere near the cut.
+    *
+    * Scale shape: candidates come from an equality self-join on the
+    * shared callee, so a "hub" callee of in-degree h contributes h²/2
+    * candidate pairs while carrying no discriminative signal (every
+    * function calls memcpy). Callees with in-degree > `hubCap` are
+    * dropped from the universe BEFORE sizes and intersections are
+    * computed — the same stopword move the text-dedup prefix filter
+    * makes — which bounds the join at hubCap·|callees| pairs. Both
+    * set sizes are measured over the same capped universe, so the
+    * scores stay internally consistent and the oracle replays the cap
+    * exactly. `callers` (column `node`) scopes both pair endpoints.
+    */
+  def calleeJaccard(edges: DataFrame, callers: DataFrame, hubCap: Int = 100,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+    val capped = e.join(
+        e.groupBy(col("dst").as("hd")).agg(count(lit(1)).as("indeg"))
+          .filter(col("indeg") <= hubCap).select("hd"),
+        col("dst") === col("hd"), "left_semi")
+      .join(callers.select(col("node").cast("long").as("node")).distinct(),
+        col("src") === col("node"), "left_semi")
+      .localCheckpoint(true)
+    val sizes = capped.groupBy(col("src").as("fn")).agg(count(lit(1)).as("deg"))
+    val shared = capped.as("x").join(capped.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("fn_a"), col("y.src").as("fn_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("fn").as("fa"), col("deg").as("da")), col("fn_a") === col("fa"))
+      .join(sizes.select(col("fn").as("fb"), col("deg").as("db")), col("fn_b") === col("fb"))
+      .filter(col("shared") * tauDen >= (col("da") + col("db") - col("shared")) * tauNum)
+      .select(col("fn_a"), col("fn_b"), col("shared"),
+        (col("da") + col("db") - col("shared")).as("union_size"),
+        rnd(col("shared") / (col("da") + col("db") - col("shared")), 4).as("jaccard"))
+      .orderBy("fn_a", "fn_b")
+  }
+
+  /** Mutual-recursion groups: connected components over the
+    * bounded-mutual-reachability pair graph. Two scoped functions a, b
+    * are a mutual pair when each reaches the other within ≤ maxDepth
+    * hops ([[Traversal.reachWithin]] both ways is one reach table
+    * self-joined with the roles swapped); groups are then BOUNDED
+    * min-label components over those pairs (`ccRounds` fixed — labels
+    * are fixpoint-stable, so early convergence equals running all
+    * rounds and the oracle replays the identical recursion, the
+    * Dedup.clusters contract). Returns (node, group_id, group_size)
+    * for every node in a mutual pair; group_id = min node id in the
+    * group.
+    *
+    * Bounded mutual reachability is NOT transitive, which is exactly
+    * why the honest group definition is components over the pair
+    * graph, not "nodes sharing a reach set". Direct self-cycles are
+    * excluded by construction (reachWithin never emits start = node);
+    * they belong to the Direct bucket of recursion().
+    */
+  def recursionGroups(edges: DataFrame, scope: DataFrame, maxDepth: Int = 3,
+      ccRounds: Int = 12): DataFrame = {
+    val reach = Traversal.reachWithin(edges, scope, maxDepth)
+      .join(scope.select(col("node").cast("long").as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    val pairs = reach.as("f").join(
+        reach.select(col("start").as("rstart"), col("node").as("rnode")).as("r"),
+        col("f.start") === col("rnode") && col("f.node") === col("rstart")
+          && col("f.start") < col("f.node"))
+      .select(col("f.start").as("src"), col("f.node").as("dst"))
+    val labels = Components.labelPropagation(pairs, maxIter = ccRounds)
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "component")
+      .select(col("node"), col("component").as("group_id"), col("group_size"))
+      .orderBy("node")
+  }
+}

@@ -49,6 +49,48 @@ object Ranking {
     pr.select(col("node"), col("pr").as("pagerank_ppm"))
   }
 
+  /** PERSONALIZED PageRank: rank relative to a seed set — "which
+    * functions matter from THESE entry points" (e.g. exported symbols
+    * of one binary), vs [[pageRank]]'s global importance. Same
+    * fixed-point contract (ppm longs, floor-div contributions,
+    * damping 17/20, bit-identical across engines); the only change is
+    * that the teleport term lands ONLY on seeds: pr₀ = 10⁶·[v ∈ S],
+    * prₜ(v) = 150000·[v ∈ S] + ⌊17·Σ⌊pr/outdeg⌋ / 20⌋. Nodes the
+    * seed set cannot reach stay at exactly 0 and are dropped, so the
+    * output is restricted to the seeds' forward cone — at scale this
+    * touches the cone, not the whole graph, once ranks go sparse.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val s = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("is_seed", lit(1L))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(s, Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    val e2 = e.join(
+        e.groupBy(col("src").as("u")).agg(count(lit(1)).as("outdeg")),
+        col("src") === col("u"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", col("is_seed") * lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = pr.filter(col("pr") > 0)
+        .join(e2, pr("node") === e2("src"))
+        .groupBy(col("dst").as("node2"))
+        .agg(sum(expr("pr div outdeg")).as("c"))
+      pr = nodes.join(contrib, col("node") === col("node2"), "left")
+        .select(col("node"), col("is_seed"),
+          (col("is_seed") * lit(150000L) + expr("(17 * coalesce(c, 0L)) div 20")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.filter(col("pr") > 0).select(col("node"), col("pr").as("ppr_ppm"))
+  }
+
   /** C9 k-core decomposition, bounded peeling: `rounds` iterations of
     * "drop every node whose degree in the surviving subgraph is < k",
     * over the undirected deduped edge set. Returns the surviving

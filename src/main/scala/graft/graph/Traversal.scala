@@ -217,4 +217,69 @@ object Traversal {
       .agg(count(lit(1)).as("out_deg"))
       .groupBy(col("out_deg"))
       .agg(count(lit(1)).as("n_nodes"))
+
+  /** Multi-source WEIGHTED shortest paths, bounded Bellman-Ford: the
+    * cheapest ≤`rounds`-hop cost from any start to each reachable
+    * node, edge weight = the call offset (integer, ≥ 1 — a proxy for
+    * "how early in the caller the call sits"). `rounds` is FIXED so
+    * the oracle replays the identical bounded relaxation; like k-core,
+    * bounded ≡ exact once distances stop improving within budget.
+    *
+    * Every round is one frontier⋈edges join + one narrow groupBy(node)
+    * min — both shuffles key on node id, and the carried state is one
+    * (node, dist) long pair, so the relaxation scales the same way the
+    * BFS does. All arithmetic is exact long addition/min: no float,
+    * nothing to drift cross-engine.
+    */
+  def shortestPaths(edges: DataFrame, starts: DataFrame, rounds: Int): DataFrame = {
+    val e = edgeCols(edges)
+    var dist = starts.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node") === e("_src"))
+        .select(col("_dst").as("node"), (col("dist") + col("_off")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node")
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Per-start bounded reachability: (start, node) pairs where `node`
+    * is reachable from `start` in 1..maxDepth hops. Unlike [[bfs]]
+    * (which merges the start set into ONE frontier), the frontier here
+    * is keyed (start, node) — the shape recursion-group analysis
+    * needs. Level-synchronous with a per-start visited anti-join, so
+    * each (start, node) pair is expanded at most once: total work is
+    * O(|starts| × reachable set), never the walk blowup.
+    */
+  def reachWithin(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edgeCols(edges).select("_src", "_dst")
+    var frontier = starts.select(col("node").cast("long").as("start"))
+      .distinct()
+      .select(col("start"), col("start").as("node"))
+      .localCheckpoint(true)
+    var visited = frontier
+    val reached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to maxDepth if !frontier.isEmpty) {
+      frontier = frontier
+        .join(e, frontier("node") === e("_src"))
+        .select(col("start"), col("_dst").as("node"))
+        .distinct()
+        .join(visited, Seq("start", "node"), "left_anti")
+        .localCheckpoint(true)
+      reached += frontier
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    // (start, start) is seeded into visited at depth 0, so self-
+    // re-reach via a cycle is EXCLUDED: pairs are always start ≠ node.
+    // That is the semantics recursion-group analysis wants — a node's
+    // own cycles are the Direct-recursion bucket (recursion()), not a
+    // mutual pair.
+    if (reached.isEmpty) frontier.limit(0)
+    else reached.reduce(_ unionByName _)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.graph.{Components, Ranking, Traversal}
+import graft.graph.{Components, Neighborhood, Ranking, Traversal}
 
 /** The reference's graph query surface (BinaryX-Graph: functions /
   * callgraph / call-path / xrefs / stats — src/commands/query.rs),
@@ -207,6 +207,44 @@ object GraphQueries {
     * degree. */
   def graphKCore(s: SparkSession, d: String): DataFrame =
     Ranking.kCoreBounded(callEdges(s, d))
+
+  /** C10 multi-source weighted shortest paths: cheapest ≤4-hop call
+    * cost from the entry set to every reachable function (bounded
+    * Bellman-Ford, Traversal.shortestPaths — integer offsets as
+    * weights, fixed 4 rounds replayed by the oracle). */
+  def graphSssp(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    Traversal.shortestPaths(e, downStarts(e), rounds = 4).orderBy("node")
+  }
+
+  /** C11 personalized PageRank: importance relative to the entry set
+    * (teleport mass only on seeds — Ranking.personalizedPageRank),
+    * restricted to the seeds' forward cone. */
+  def graphPpr(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    Ranking.personalizedPageRank(e, downStarts(e)).orderBy("node")
+  }
+
+  /** B15 mutual-recursion groups: components over the bounded
+    * (depth ≤ 2) mutual-reachability pairs among the scoped functions
+    * (Neighborhood.recursionGroups) — the multi-node generalization of
+    * B8's per-node recursion flags. */
+  def recursionGroups(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val scope = e.select(col("src").as("node"))
+      .filter(col("node") % 50 === 7).distinct()
+    Neighborhood.recursionGroups(e, scope, maxDepth = 2)
+  }
+
+  /** C12 callee-set Jaccard similarity (binary-diffing candidate
+    * pairs): hub callees capped at in-degree 100, threshold J ≥ 1/5
+    * tested as an exact integer inequality
+    * (Neighborhood.calleeJaccard). */
+  def neighborSim(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val callers = e.select(col("src").as("node")).distinct()
+    Neighborhood.calleeJaccard(e, callers, hubCap = 100, tauNum = 1, tauDen = 5)
+  }
 
   /** Upward lineage context (order → customer → nation → region):
     * the natural-key analogue of analyze_call_context's upward chain.
