@@ -35,6 +35,8 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) =>
       Relational.largeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
+    "q4_priority" -> ((s, d) =>
+      Relational.orderPriorityReturns(Tables.orders(s, d), Tables.lineitem(s, d))),
     // Graph query surface (SURVEY.md §2 B*, A5, C*)
     "callgraph_bfs" -> ((s, d) => GraphQueries.callgraphBfs(s, d)),
     "call_paths_down" -> ((s, d) => GraphQueries.callPathsDown(s, d)),
@@ -173,6 +175,14 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q5_star" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -93,6 +93,36 @@ object TextOps {
       .select(col("doc_id"), shingleHash(col("h1"), col("h2"), col("h3")).as("sh"))
   }
 
+  /** [[shingles]] with the shingle's token position kept:
+    * (doc_id, seq, sh) where seq = 1-based position of the shingle's
+    * FIRST token. Positional consumers (winnowing) need the offset;
+    * the bag form stays separate so its narrower shuffle is
+    * untouched. */
+  def shinglesSeq(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("seq")
+    tokens(docs)
+      .withColumn("h1", tokenHash(col("token")))
+      .withColumn("h2", lead("h1", 1).over(w))
+      .withColumn("h3", lead("h1", 2).over(w))
+      .filter(col("h3").isNotNull)
+      .select(col("doc_id"), col("seq"),
+        shingleHash(col("h1"), col("h2"), col("h3")).as("sh"))
+  }
+
+  /** DuckDB twin of [[shinglesSeq]]; expects a CTE `tok`. */
+  val shinglesSeqSql: String = {
+    val th = tokenHashSql("token")
+    s"""SELECT doc_id, seq,
+       |       ${shingleHashSql("h1", "h2", "h3")} AS sh
+       |FROM (
+       |  SELECT doc_id, seq, $th AS h1,
+       |         lead($th, 1) OVER w AS h2,
+       |         lead($th, 2) OVER w AS h3
+       |  FROM tok
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY seq))
+       |WHERE h3 IS NOT NULL""".stripMargin
+  }
+
   /** DuckDB twin of [[shingles]]; expects a CTE `tok` = [[tokensSql]]. */
   val shinglesSql: String = {
     val th = tokenHashSql("token")

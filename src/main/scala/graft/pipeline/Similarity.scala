@@ -420,4 +420,41 @@ object Similarity {
       .select(col("doc_a"), col("vec_id").as("doc_b"), col("cosine"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** D26 SemDeDup (Abbas et al. 2023): cluster the corpus with the
+    * trained integer k-means, then dedup PAIRWISE ONLY WITHIN EACH
+    * CLUSTER — the clusters bound the quadratic: total pair work is
+    * Σ nᵢ²/2 ≈ n²/(2k) instead of n²/2, and each cluster's pairs are
+    * one equality join on cid. With k ~ √n (the [[ivfTopKAuto]]
+    * sizing) the per-cluster population stays ~√n at any corpus
+    * size. Cross-cluster near-dups are the recall loss the paper
+    * accepts; [[embeddingNearDup]] is the recall-oriented sibling.
+    *
+    * A vector is DROPPED when some smaller-id vector in its cluster
+    * has cosine ≥ threshold; its anchor is the SMALLEST such id
+    * (deterministic, and the min-struct aggregation carries the
+    * anchor's cosine along). Cosines ride the fixed-point contract
+    * (integer dots ÷ quantized norms — bit-identical cross-engine).
+    * Returns (vec_id, cid, anchor_id, cosine).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val v = withNorm(emb)
+    val cents = kmeansCentroids(emb, k, iters)
+    val asg = centroidRanks(v, cents).filter(col("crank") === 1)
+      .select(col("cid"), col("vec_id"), col("qv"), col("nrm"))
+      .localCheckpoint(true)
+    val pairs = asg.as("a").join(asg.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id")
+          && col("a.nrm") > 0 && col("b.nrm") > 0)
+      .withColumn("cos",
+        VectorOps.dotLong(col("a.qv"), col("b.qv")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+    pairs
+      .groupBy(col("b.vec_id").as("vec_id"), col("b.cid").as("cid"))
+      .agg(min(struct(col("a.vec_id").as("aid"), col("cos"))).as("m"))
+      .select(col("vec_id"), col("cid"), col("m.aid").as("anchor_id"),
+        rnd(col("m.cos"), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
@@ -221,5 +222,88 @@ object TextAnalysis {
         length(redacted).cast("long").as("redacted_len"),
         md5(redacted).as("redacted_hash"))
       .orderBy("doc_id")
+  }
+
+  /** Floor-form decimal rounding ⌊c·10ˢ+0.5⌋/10ˢ — the cross-engine-
+    * safe form (see Similarity.rnd); the oracle replays it verbatim. */
+  private def rnd(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = {
+    val f = math.pow(10, s.toDouble)
+    floor(c * f + 0.5) / f
+  }
+
+  /** D24 repetition signals (the Gopher quality-filter family,
+    * Rae et al. 2021 §A1.1): per document, the duplicate-word
+    * fraction, duplicate-word-2-gram fraction, and top-single-word
+    * fraction — the three cheapest "is this doc degenerate
+    * boilerplate" measurements. Everything is per-row ARRAY
+    * expression code: no explode, no shuffle, one codegen'd scan —
+    * at 100 TB this is a map-only pass.
+    *
+    * All three ratios are small-integer divisions rounded floor-form,
+    * so the oracle replays bit-identical doubles. The per-doc
+    * top-word count is O(distinct·n) array work, bounded by document
+    * length — cheap next to the I/O of the scan.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val words = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    docs.select(col("doc_id"), words.as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("g",
+        when(col("n_words") >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat(element_at(col("w"), i), lit(" "),
+              element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"), col("n_words"),
+        when(col("n_words") > 0,
+          rnd((col("n_words") - size(array_distinct(col("w"))))
+            / col("n_words"), 4)).otherwise(lit(0.0)).as("dup_word_frac"),
+        when(size(col("g")) > 0,
+          rnd((size(col("g")) - size(array_distinct(col("g"))))
+            / size(col("g")), 4)).otherwise(lit(0.0)).as("dup_2gram_frac"),
+        when(col("n_words") > 0,
+          rnd(array_max(transform(array_distinct(col("w")),
+            t => size(filter(col("w"), x => x === t))))
+            / col("n_words"), 4)).otherwise(lit(0.0)).as("top_word_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing pack base: key = sh·PACK + (PACK−1−seq) makes one long
+    * whose integer MIN is the (hash asc, position DESC) arg-min — the
+    * standard winnowing tie rule (rightmost minimal hash) with no
+    * struct comparison to diverge on. sh < 2³¹ and seq < 10⁹ keep the
+    * key < 2.2e18 < 2⁶³. */
+  private val Pack = 1000000000L
+
+  /** D25 winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): slide a window of `window` consecutive word-3-gram
+    * hashes and keep each window's minimal hash (ties → rightmost).
+    * Guarantees every shared run of ≥ window+2 words between two
+    * documents shares a selected fingerprint, at ~2/(window+1)
+    * storage — the positional overlap-LOCALIZATION primitive that
+    * set-based dedup (minhash et al.) cannot provide.
+    *
+    * Shape: the shingle hashes and both window functions live inside
+    * the per-document partition (documents are the partition unit at
+    * scale — no wide shuffle), and the distinct on selections is the
+    * only corpus-wide op. Returns (doc_id, pos, fingerprint).
+    */
+  def winnow(docs: DataFrame, window: Int = 4): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("seq")
+      .rowsBetween(Window.currentRow, window - 1)
+    TextOps.shinglesSeq(docs)
+      .withColumn("key", col("sh") * Pack + (lit(Pack - 1) - col("seq")))
+      .withColumn("mk", min(col("key")).over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .filter(col("wn") === window)
+      .select(col("doc_id"), col("mk")).distinct()
+      .select(col("doc_id"),
+        (lit(Pack - 1) - (col("mk") % Pack)).as("pos"),
+        // integer div — a double division would lose precision on
+        // keys above 2⁵³
+        expr(s"mk div ${Pack}L").as("fingerprint"))
+      .orderBy("doc_id", "pos")
   }
 }

@@ -98,6 +98,16 @@ object PipelineEntries {
       Sampling.stratifiedSample(Tables.documents(s, d))),
     "sample_threshold" -> ((s, d) =>
       Sampling.stratifiedSampleThreshold(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    // winnowing gate scoped to a fifth of the corpus: positional
+    // fingerprints are per-doc voluminous and the operator itself is
+    // scope-agnostic
+    "text_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(Tables.documents(s, d).filter(col("doc_id") % 5 === 0))),
+    "dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), threshold = 0.4)),
+    "events_topk" -> ((s, d) =>
+      graft.streaming.EventStreams.trendingTopK(graft.streaming.EventStreams.events(s, d))),
     "pack_sequences" -> ((s, d) =>
       Sampling.packSequences(Tables.documents(s, d)))
   )
@@ -726,6 +736,45 @@ object PipelineEntries {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin
     },
+    // SemDeDup: the sim_ivf training replay (same kmeansCtes chain)
+    // + final assignment + IN-CLUSTER pairwise integer cosines; a
+    // dropped vector keeps its smallest qualifying anchor
+    // (row_number over anchor id — deterministic both engines).
+    "dedup_semantic" -> {
+      val (km, cents) = kmeansCtes(k = 16, iters = 2)
+      s"""WITH $EX,
+         |$EXQ,
+         |$NRM,
+         |$km,
+         |asg_d AS (
+         |  SELECT e.vec_id, c.cid,
+         |         CAST(SUM((e.qx - c.cx) * (e.qx - c.cx)) AS BIGINT) AS dist
+         |  FROM exq e JOIN $cents c ON e.i = c.i GROUP BY 1, 2),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM asg_d) t WHERE rn = 1),
+         |prs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cid
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT pr.va, pr.vb, pr.cid, CAST(SUM(ea.qx * eb.qx) AS BIGINT) AS dot
+         |  FROM prs pr
+         |  JOIN exq ea ON ea.vec_id = pr.va
+         |  JOIN exq eb ON eb.vec_id = pr.vb AND eb.i = ea.i
+         |  GROUP BY 1, 2, 3),
+         |cosr AS (
+         |  SELECT va, vb, cid, dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id
+         |  WHERE dot / (na.nrm * nb.nrm) >= 0.4),
+         |best AS (
+         |  SELECT vb AS vec_id, cid, va AS anchor_id, cos,
+         |         row_number() OVER (PARTITION BY vb ORDER BY va) AS rn
+         |  FROM cosr)
+         |SELECT vec_id, cid, anchor_id, floor(cos * 10000 + 0.5) / 10000 AS cosine
+         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
     "text_langid" ->
       s"""WITH $TOK
          |SELECT doc_id, stopword_ratio,
@@ -772,6 +821,62 @@ object PipelineEntries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    "events_topk" ->
+      """WITH hc AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |         event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, n, sum_value, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY hour
+        |    ORDER BY n DESC, event_type) AS INTEGER) AS rnk
+        |  FROM hc) t
+        |WHERE rnk <= 3 ORDER BY hour, rnk""".stripMargin,
+    // Every ratio is a small-integer division rounded floor-form —
+    // one IEEE divide + one floor per value, replayed verbatim.
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x <> '') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w, len(w) AS n_words,
+        |    CASE WHEN len(w) >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |         ELSE [] END AS g
+        |  FROM w)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CASE WHEN n_words > 0
+        |       THEN floor((n_words - len(list_distinct(w))) / n_words * 10000 + 0.5) / 10000
+        |       ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN len(g) > 0
+        |       THEN floor((len(g) - len(list_distinct(g))) / len(g) * 10000 + 0.5) / 10000
+        |       ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN n_words > 0
+        |       THEN floor(list_max(list_transform(list_distinct(w),
+        |              t -> len(list_filter(w, x -> x = t)))) / n_words * 10000 + 0.5) / 10000
+        |       ELSE 0.0 END AS top_word_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // key = sh·10⁹ + (10⁹−1−seq): integer MIN == (hash asc, pos desc)
+    // arg-min, the winnowing rightmost-tie rule; decode is integer
+    // div/mod on both engines (a double divide would lose precision
+    // above 2⁵³).
+    "text_winnow" ->
+      s"""WITH $TOK,
+        |sq AS (
+        |${graft.functions.TextOps.shinglesSeqSql}),
+        |k AS (SELECT doc_id, seq, sh * 1000000000 + (999999999 - seq) AS key
+        |      FROM sq WHERE doc_id % 5 = 0),
+        |w AS (SELECT doc_id,
+        |        MIN(key) OVER (PARTITION BY doc_id ORDER BY seq
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |        COUNT(*) OVER (PARTITION BY doc_id ORDER BY seq
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |      FROM k),
+        |sel AS (SELECT DISTINCT doc_id, mk FROM w WHERE wn = 4)
+        |SELECT doc_id, 999999999 - (mk % 1000000000) AS pos,
+        |       mk // 1000000000 AS fingerprint
+        |FROM sel ORDER BY doc_id, pos""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,

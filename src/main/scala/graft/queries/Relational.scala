@@ -109,6 +109,25 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** TPC-H Q4-shaped priority check: orders in a window having at
+    * least one RETURNED lineitem, counted by priority. The EXISTS is
+    * a LEFT SEMI join — the probe (orders) streams, the filtered
+    * build side never duplicates matches, so a 100-lineitem order
+    * costs one probe hit, not 100 joined rows. The l_returnflag
+    * filter pushes to the lineitem scan. (The canonical Q4 predicate
+    * is commitdate < receiptdate; this corpus carries neither column,
+    * so the returned-flag stands in — same plan shape.) */
+  def orderPriorityReturns(orders: DataFrame, lineitem: DataFrame,
+      lo: String = "1997-01-01", hi: String = "1997-04-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+        col("o_orderdate") < to_timestamp(lit(hi)))
+      .join(lineitem.filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** TPC-H Q18-shaped large-order customers: groupBy-HAVING on the
     * fact table first (map-side partial agg shrinks it), then join
     * the survivors to dims — never the other way around. */

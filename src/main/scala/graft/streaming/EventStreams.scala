@@ -281,6 +281,30 @@ object EventStreams {
         col("purchase_value"), col("view_value"))
   }
 
+  /** E14 trending top-k: the k most frequent event types per hourly
+    * window, rank fully deterministic via the (count desc, type)
+    * tiebreak. Batch: one agg + one per-window rank (the window
+    * partition is an hour bucket — bounded rows, never a skew risk).
+    *
+    * Streaming: rank-over-window isn't expressible inside a streaming
+    * agg, so the streaming deployment runs [[hourlyTypeCounts]] as
+    * the stateful stage and applies [[rankWindows]] per micro-batch
+    * in `foreachBatch` — same code path, spec-checked for batch
+    * parity (StreamingSpec).
+    */
+  def trendingTopK(events: DataFrame, k: Int = 3): DataFrame =
+    rankWindows(hourlyTypeCounts(events), k)
+
+  /** The rank tail shared by the batch operator and the streaming
+    * foreachBatch deployment. */
+  def rankWindows(hourCounts: DataFrame, k: Int = 3): DataFrame =
+    hourCounts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("hour").orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= k)
+      .select("hour", "event_type", "n", "sum_value", "rnk")
+      .orderBy("hour", "rnk")
+
   /** Streaming entry: wire a parquet-dir source through
     * [[hourlyTypeCounts]] with watermarking — used by the streaming
     * spec via the memory sink. */

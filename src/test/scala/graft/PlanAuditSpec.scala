@@ -75,4 +75,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastHashJoin LeftSemi".r.findFirstIn(p).isDefined,
       s"bench gram semi join not broadcast:\n$p")
   }
+
+  test("q4_priority runs the EXISTS as a LEFT SEMI join with both filters pushed") {
+    val p = planOf("q4_priority")
+    assert("LeftSemi".r.findFirstIn(p).isDefined,
+      s"EXISTS did not plan as a semi join:\n$p")
+    // the returned-flag filter must reach the lineitem scan, the date
+    // range the orders scan — neither side scans its full table
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"l_returnflag filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"o_orderdate range not pushed:\n$p")
+  }
+
+  test("graph_neighbor_sim never re-expands hub pairs past the cap (plan sanity)") {
+    // the capped edge set must be the input to BOTH the sizes agg and
+    // the pair self-join — i.e. the in-degree cap happens before the
+    // quadratic stage, not after. The localCheckpoint materializes the
+    // capped frame; the pair join must consume an RDD scan of it, not
+    // a fresh lineitem scan.
+    val df = SparkEntry.queries("graph_neighbor_sim")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"pair join re-derives the capped edges instead of reusing them:\n$p")
+  }
 }

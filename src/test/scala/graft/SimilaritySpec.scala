@@ -243,4 +243,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(cents(0L) - 100000L) <= 1L)    // mean(0.0, 0.2, 0.1)·1e6
     assert(math.abs(cents(1L) - 10000000L) <= 1L)  // mean(10.0, 9.8, 10.2)·1e6
   }
+
+  test("semanticDedup drops in-cluster near-dups onto their smallest anchor") {
+    import spark.implicits._
+    val dim = 64
+    def vec(base: Double, jit: Double = 0.0) =
+      Array.tabulate(dim)(i => (base + (i % 3) * 0.01 + (if (i == 0) jit else 0.0)).toFloat)
+    // cluster A near 1.0: ids 0,2,3 are ~identical (cos ≈ 1); cluster
+    // B near 10.0: ids 1,4 identical-direction too. Seeds {0,1}.
+    val df = Seq(
+      (0L, vec(1.0)), (1L, vec(10.0)),
+      (2L, vec(1.0, 0.02)), (3L, vec(1.0, 0.04)), (4L, vec(10.0, 0.1)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(df, threshold = 0.999, k = 2, iters = 1)
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("cid"), x.getAs[Long]("anchor_id"))).toMap
+    // 0 survives (smallest in its cluster); 2 and 3 both anchor to 0,
+    // never to each other; 4 anchors to 1 across the other cluster
+    assert(r.keySet == Set(2L, 3L, 4L))
+    assert(r(2L)._2 == 0L && r(3L)._2 == 0L && r(4L)._2 == 1L)
+    // direction-orthogonal-ish pairs across clusters never pair up:
+    // every anchor shares the vector's own cluster id
+    assert(r.values.forall { case (cid, _) => cid == 0L || cid == 1L })
+    // cluster-boundedness: at a lax threshold the cross-cluster pair
+    // (0,1) still cannot appear — pairs form within cid only
+    val lax = Similarity.semanticDedup(df, threshold = 0.0, k = 2, iters = 1)
+      .collect().map(x => (x.getAs[Long]("anchor_id"), x.getLong(0))).toSet
+    assert(!lax.contains((0L, 1L)) && !lax.contains((1L, 0L)))
+  }
 }

@@ -30,6 +30,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming trending top-k (rank in foreachBatch) == batch trendingTopK") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventStreams.trendingTopK(EventStreams.events(spark, dir))
+      .collect().map(r => (r.getString(0), r.getInt(4)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // the documented streaming deployment: stateful hourly counts →
+    // rankWindows applied per micro-batch (complete mode ⇒ the last
+    // batch carries the full state, so its rank equals the batch op)
+    var lastRanked: Map[(String, Int), (String, Long)] = Map.empty
+    val q = EventStreams.streamingHourlyCounts(spark, dir)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        lastRanked = EventStreams.rankWindows(df)
+          .collect().map(r => (r.getString(0), r.getInt(4)) -> (r.getString(1), r.getLong(2)))
+          .toMap
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(lastRanked.nonEmpty && lastRanked == batch)
+    } finally q.stop()
+  }
+
   test("native session_window sessions == gap-break sessions") {
     val ev = EventStreams.events(spark, "/root/testdata/sf0.001")
     def key(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =

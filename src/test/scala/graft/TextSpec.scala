@@ -183,4 +183,46 @@ class TextSpec extends AnyFunSuite {
     assert(f(1L) == f(2L))
     assert(f(1L) != f(3L))
   }
+
+  test("repetition: degenerate docs light up, varied docs stay near zero") {
+    val r = TextAnalysis.repetition(docs(
+      1L -> "spam spam spam spam",            // one word repeated
+      2L -> "alpha beta gamma delta",         // all distinct
+      3L -> "ab cd ab cd ab cd",              // repeated 2-gram
+      4L -> "x"))                             // single word: no 2-grams
+      .collect().map(x => x.getLong(0) -> (x.getAs[Long]("n_words"),
+        x.getAs[Double]("dup_word_frac"), x.getAs[Double]("dup_2gram_frac"),
+        x.getAs[Double]("top_word_frac"))).toMap
+    assert(r(1L) == ((4L, 0.75, 0.6667, 1.0))) // 3 dup words; 3 grams, 1 distinct
+    assert(r(2L) == ((4L, 0.0, 0.0, 0.25)))
+    // doc 3: 6 words {ab,cd}→4 dups = 2/3; grams: ab-cd ×3, cd-ab ×2
+    // → 5 grams, 2 distinct → 3/5; top word 3/6
+    assert(r(3L) == ((6L, 0.6667, 0.6, 0.5)))
+    assert(r(4L) == ((1L, 0.0, 0.0, 1.0)))
+  }
+
+  test("winnow: a shared word run yields a shared fingerprint; selection is sparse") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val d = docs(
+      1L -> s"intro words first $shared trailing tail end here",
+      2L -> s"completely different opening then $shared and another close",
+      3L -> "nothing in common with those two documents at all today")
+    val w = TextAnalysis.winnow(d, window = 4).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("fingerprint")))
+    val byDoc = w.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: a shared run of ≥ window+2 words (here 10)
+    // shares at least one selected fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // density ~2/(w+1): far fewer selections than shingles
+    val nShingles = TextOps.shingles(d.filter("doc_id = 1")).count()
+    assert(byDoc(1L).size < nShingles)
+  }
+
+  test("winnow positions are in-doc 1-based shingle offsets") {
+    val w = TextAnalysis.winnow(docs(1L -> "a b c d e f g h"), window = 4)
+      .collect().map(r => r.getAs[Long]("pos"))
+    // 8 words → 6 shingles → 3 windows of 4 → positions within [1, 6]
+    assert(w.nonEmpty && w.forall(p => p >= 1 && p <= 6))
+  }
 }

@@ -169,4 +169,30 @@ class TraversalSpec extends AnyFunSuite {
     assert(rows("18446744073709551615") == (-1L, "0xffffffffffffffff"))
     assert(rows("0x8000000000000000") == (Long.MinValue, "0x8000000000000000"))
   }
+
+  test("shortestPaths relaxes to the cheaper multi-hop route") {
+    import spark.implicits._
+    // 1→2 direct costs 100; 1→3→2 costs 1+1=2. One round finds 100,
+    // two rounds must improve to 2; 4 is reached through either.
+    val g = Seq((1L, 2L, 100L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 5L))
+      .toDF("src", "dst", "offset")
+    val d1 = Traversal.shortestPaths(g, starts(1L), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 100L, 3L -> 1L))
+    val d4 = Traversal.shortestPaths(g, starts(1L), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d4 == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 7L))
+  }
+
+  test("reachWithin keys reach per start and excludes self-re-reach") {
+    val r = Traversal.reachWithin(edges, starts(1L, 6L), maxDepth = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // from 1 (cycle 1→2→3→1, 2→4): 2 at depth 1, {3,4} at depth 2 —
+    // never (1,1); from 6: just 7. Per-start attribution must not
+    // cross-pollinate.
+    assert(r == Set((1L, 2L), (1L, 3L), (1L, 4L), (6L, 7L)))
+    val r3 = Traversal.reachWithin(edges, starts(1L), maxDepth = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r3 == Set((1L, 2L), (1L, 3L), (1L, 4L))) // still no (1,1)
+  }
 }
