@@ -73,6 +73,26 @@ class ImporterScaleSpec extends AnyFunSuite {
     assert(hits.length == 1 && hits(0).getAs[Long]("sample_count") == nBinaries)
   }
 
+  test("timed import→query round-trip (engine-over-imported-graph regression number)") {
+    // end-to-end wall time for the full CLI-shaped path: directory
+    // import → engine construction → one traversal + one fulltext
+    // query. Logged so dictMemo/scoped-join regressions get a NUMBER
+    // in the spec log, not just correctness (VERDICT r4 #9). No
+    // assertion on the time itself — local CI boxes vary 3× — but the
+    // count assertions keep the measured work honest.
+    val dir = makeDir()
+    val t0 = System.nanoTime()
+    val g = JsonImporter.importAnalysis(spark, dir)
+    val engine = new GraphQueryEngine(g)
+    val cg = engine.callgraph("fn_3_0", Some("b3.exe"), maxDepth = 4)
+      .filter("direction = 'callee'").count()
+    val ft = engine.queryStrings(Seq("shared", "marker")).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cg == 4 && ft == 1)
+    info(f"import(${nBinaries} binaries, ${nBinaries * fnPerBinary} fns) + " +
+      f"callgraph + fulltext round-trip: $secs%.2f s")
+  }
+
   test("--pattern glob filters non-matching files at the source") {
     val dir = makeDir()
     // drop a decoy that would break the import if read
