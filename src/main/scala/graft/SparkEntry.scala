@@ -37,6 +37,18 @@ object SparkEntry {
         Tables.lineitem(s, d))),
     "q4_priority" -> ((s, d) =>
       Relational.orderPriorityReturns(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q10_returns" -> ((s, d) =>
+      Relational.returnedItemReport(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d))),
+    "q14_promo" -> ((s, d) =>
+      Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q19_brand" -> ((s, d) =>
+      Relational.discountedBrandRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q7_volume" -> ((s, d) =>
+      Relational.volumeShipping(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q22_prospects" -> ((s, d) =>
+      Relational.salesProspects(Tables.customer(s, d), Tables.orders(s, d))),
     // Graph query surface (SURVEY.md §2 B*, A5, C*)
     "callgraph_bfs" -> ((s, d) => GraphQueries.callgraphBfs(s, d)),
     "call_paths_down" -> ((s, d) => GraphQueries.callPathsDown(s, d)),
@@ -58,8 +70,24 @@ object SparkEntry {
     "graph_ppr" -> ((s, d) => GraphQueries.graphPpr(s, d)),
     "recursion_groups" -> ((s, d) => GraphQueries.recursionGroups(s, d)),
     "graph_neighbor_sim" -> ((s, d) => GraphQueries.neighborSim(s, d)),
+    "graph_anf" -> ((s, d) => GraphQueries.graphAnf(s, d)),
+    "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
+
+  /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
+    * `und` (see [[graft.graph.Components.communities]]): per round,
+    * neighbor-label counts then the deterministic (count desc, label
+    * asc) plurality pick via row_number. */
+  private def lpaCtes(rounds: Int): String =
+    (1 to rounds).map { t =>
+      s"""c$t AS (SELECT u.a AS node, l.lab, COUNT(*) AS c
+         |  FROM und u JOIN l${t - 1} l ON l.node = u.b GROUP BY 1, 2),
+         |l$t AS (SELECT node, lab FROM (
+         |  SELECT node, lab,
+         |         row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+         |  FROM c$t) r WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
 
   /** Unrolled fixed-point PageRank CTEs: ppm integers, floor-div
     * contributions, damping as the exact fraction 17/20 — bit-exact
@@ -182,6 +210,75 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-04-01'
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returns" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal, revenue
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """WITH s AS (
+        |  SELECT
+        |    round(sum(CASE WHEN p_type = 'PROMO'
+        |              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |      AS promo_revenue,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT promo_revenue, total_revenue,
+        |       floor(100.0 * promo_revenue / total_revenue * 10000 + 0.5) / 10000
+        |         AS promo_pct
+        |FROM s""".stripMargin,
+    "q19_brand" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1.0 AND 11.0)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10.0 AND 20.0)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q22_prospects" ->
+      """WITH cents AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |a AS (SELECT SUM(bal_cents) // COUNT(*) AS avg_cents
+        |      FROM cents WHERE bal_cents > 0)
+        |SELECT c_nationkey, COUNT(*) AS n_prospects,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+        |FROM cents, a
+        |WHERE bal_cents > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q5_star" ->
       """SELECT n_name,
@@ -478,6 +575,30 @@ object SparkEntry {
         |FROM sh JOIN sizes sa ON fn_a = sa.src JOIN sizes sb ON fn_b = sb.src
         |WHERE shared * 5 >= (sa.deg + sb.deg - shared) * 1
         |ORDER BY fn_a, fn_b""".stripMargin,
+    // Exact d=2 neighborhood function. reachWithin seeds (start,start)
+    // into visited, so self-re-reach via a cycle is excluded — the
+    // oracle's node <> start mirrors that.
+    "graph_anf" ->
+      s"""WITH $E,
+        |p1 AS (SELECT DISTINCT src AS start, dst AS node FROM e),
+        |p2 AS (SELECT DISTINCT p1.start, e.dst AS node
+        |       FROM p1 JOIN e ON e.src = p1.node),
+        |reach AS (SELECT start, node FROM (
+        |  SELECT * FROM p1 UNION SELECT * FROM p2) u WHERE node <> start)
+        |SELECT start AS node, COUNT(*) AS n_reach
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Synchronous plurality-LPA, 4 unrolled rounds; und is symmetric
+    // and self-loop-free, so every node has ≥1 neighbor and each
+    // round's argmax covers all nodes (no carry join needed).
+    "graph_communities" ->
+      s"""WITH $E,
+        |und AS MATERIALIZED (SELECT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e
+        |  UNION
+        |  SELECT dst AS a, src AS b FROM e) u WHERE a <> b),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und),
+        |${lpaCtes(4)}
+        |SELECT node, lab AS community FROM l4 ORDER BY node""".stripMargin,
     "lineage_up" ->
       """SELECT o_orderkey, c_name, n_name, r_name,
         |  CAST(o_orderkey AS VARCHAR) || '->' || c_name || '->' || n_name

@@ -137,4 +137,45 @@ object Components {
     if (converged) labels
     else alternatingStar(edges)
   }
+
+  /** COMMUNITY detection by synchronous label propagation (Raghavan
+    * et al. 2007) — distinct from connected components: a node adopts
+    * the label held by the PLURALITY of its neighbors each round, so
+    * dense regions converge to one label while bridges don't spread
+    * it. Deterministic throughout: the argmax breaks ties as
+    * (count desc, label asc) via a single min(struct(-count, label))
+    * aggregate — no RNG, no update-order dependence (synchronous), so
+    * a bounded round count is exactly replayable by the oracle's
+    * unrolled CTEs. Per round: one label join keyed on the neighbor +
+    * two narrow node-keyed aggregations. Synchronous LPA can 2-cycle
+    * on bipartite-ish regions — the fixed round budget is the
+    * documented convention (GraphX's LabelPropagation ships the same
+    * caveat), not a convergence claim.
+    *
+    * edges are treated as undirected; self-loops dropped (a self-vote
+    * would just entrench the initial label). Returns (node, community).
+    */
+  def communities(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .unionByName(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    // every node in `und` has ≥1 neighbor (symmetric closure), so the
+    // per-round argmax always produces a row per node — no carry join
+    var lab = und.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      lab = und
+        .join(lab.select(col("node").as("nb"), col("lab")), col("b") === col("nb"))
+        .groupBy(col("a"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("a").as("node"))
+        .agg(min(struct((lit(0L) - col("c")).as("nc"), col("lab").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lab"))
+        .localCheckpoint(true)
+    }
+    lab.select(col("node"), col("lab").as("community"))
+  }
 }

@@ -181,6 +181,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Keep-best canonical selection over near-dup clusters (the
+    * Dolma/FineWeb convention): within each [[clusters]] family the
+    * kept document is the one with the MOST content — argmax
+    * (n_chars desc, doc_id asc), computed as a single
+    * min(struct(-n_chars, doc_id)) aggregate — rather than
+    * [[clusters]]' arbitrary min-id canonical. Integer-only ordering:
+    * nothing float-ranked anywhere near the keep decision, so the
+    * oracle replays it exactly. Returns one decision row per
+    * clustered doc: (doc_id, cluster_id, cluster_size, keep_id, kept).
+    *
+    * Scale shape: the cluster frame is pair-graph-sized (near-dups
+    * only, tiny vs the corpus), the n_chars join is doc-keyed, and
+    * the argmax is one narrow cluster-keyed shuffle.
+    */
+  def keepBest(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    val cl = clusters(docs, minEstJaccard)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val best = cl.groupBy("cluster_id")
+      .agg(min(struct((lit(0L) - col("n_chars")).as("neg"),
+        col("doc_id").as("id"))).as("m"))
+      .select(col("cluster_id"), col("m.id").as("keep_id"))
+    cl.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** D4 n-gram Jaccard similarity join: candidates share ≥1 distinct
     * 3-gram shingle; J = |∩| / |∪| from per-doc set sizes. Returns
     * pairs with J ≥ minJaccard. The shared-shingle join is the

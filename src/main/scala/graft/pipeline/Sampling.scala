@@ -79,4 +79,33 @@ object Sampling {
           .as("n_seqs"))
       .orderBy("doc_id")
   }
+
+  /** Overlapping-chunk splitting (the RAG/long-context convention,
+    * complement of [[packSequences]]' concat-and-split): each document
+    * yields ⌈(n−overlap)/(size−overlap)⌉ chunks of ≤ `size` tokens
+    * whose starts advance by stride = size − overlap, so consecutive
+    * chunks share `overlap` tokens of context. Pure per-row integer
+    * arithmetic + one `sequence`/`explode` — map-only, no shuffle, no
+    * window; at 100 TB this parallelizes per input split with zero
+    * coordination. Empty docs yield no chunks. Returns
+    * (doc_id, chunk_idx, start_tok, n_tok).
+    */
+  def chunkDocs(docs: DataFrame, size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < size, "overlap must be smaller than chunk size")
+    val stride = size - overlap
+    TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n"))
+      .filter(col("n") > 0)
+      // last chunk index: ⌈max(0, n − size)/stride⌉ via TRUE integer
+      // ceil-div (`div`, never `/` — double quotients round)
+      .withColumn("last",
+        greatest(lit(0L), expr(s"(n - $size + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("last"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        (least(col("chunk_idx") * stride + size, col("n"))
+          - col("chunk_idx") * stride).as("n_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

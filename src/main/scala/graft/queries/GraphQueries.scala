@@ -246,6 +246,30 @@ object GraphQueries {
     Neighborhood.calleeJaccard(e, callers, hubCap = 100, tauNum = 1, tauDen = 5)
   }
 
+  /** C13 neighborhood function (ANF): |N_≤2(v)| for every function —
+    * the "how much of the binary does this function transitively
+    * touch" profile (the exact small-d form of the approximate
+    * neighborhood function; at 100 TB the same reachWithin frontier
+    * carries a HyperLogLog register instead of exact distinct pairs).
+    * One reachWithin pass answers ALL starts at once; the count is a
+    * narrow per-start aggregation of the pair set. */
+  def graphAnf(s: SparkSession, d: String, depth: Int = 2): DataFrame = {
+    val e = callEdges(s, d)
+    val starts = e.select(col("src").as("node")).distinct()
+    Traversal.reachWithin(e, starts, depth)
+      .groupBy(col("start").as("node"))
+      .agg(count(lit(1)).as("n_reach"))
+      .orderBy("node")
+  }
+
+  /** C14 communities by plurality label propagation over the call
+    * graph (Components.communities, 4 synchronous rounds) — module
+    * structure, as distinct from mere connectivity (C1): dense
+    * subsystems adopt one label, bridge calls don't spread it. */
+  def graphCommunities(s: SparkSession, d: String): DataFrame =
+    Components.communities(callEdges(s, d), rounds = 4)
+      .orderBy("node")
+
   /** Upward lineage context (order → customer → nation → region):
     * the natural-key analogue of analyze_call_context's upward chain.
     * Dims broadcast; single pass over orders. */

@@ -109,7 +109,11 @@ object PipelineEntries {
     "events_topk" -> ((s, d) =>
       graft.streaming.EventStreams.trendingTopK(graft.streaming.EventStreams.events(s, d))),
     "pack_sequences" -> ((s, d) =>
-      Sampling.packSequences(Tables.documents(s, d)))
+      Sampling.packSequences(Tables.documents(s, d))),
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBest(Tables.documents(s, d))),
+    "chunk_docs" -> ((s, d) => Sampling.chunkDocs(Tables.documents(s, d))),
+    "events_funnel" -> ((s, d) =>
+      TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -379,6 +383,62 @@ object PipelineEntries {
          |SELECT node AS doc_id, component AS cluster_id, cluster_size
          |FROM l12 JOIN sz USING (component)
          |ORDER BY doc_id""".stripMargin,
+    // Keep-best canonical: the cluster chain above + the integer-only
+    // (n_chars desc, doc_id asc) argmax per cluster.
+    "dedup_keep_best" ->
+      s"""WITH $TOK,
+         |$SH,
+         |$clusterChain,
+         |sz AS (SELECT component, COUNT(*) AS cluster_size FROM l12 GROUP BY 1),
+         |scored AS (
+         |  SELECT l.node AS doc_id, l.component AS cluster_id,
+         |         sz.cluster_size, d.n_chars
+         |  FROM l12 l JOIN sz USING (component)
+         |  JOIN documents d ON d.doc_id = l.node),
+         |best AS (
+         |  SELECT cluster_id, doc_id AS keep_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |           row_number() OVER (PARTITION BY cluster_id
+         |             ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM scored) t WHERE rn = 1)
+         |SELECT s.doc_id, s.cluster_id, s.cluster_size, b.keep_id,
+         |       s.doc_id = b.keep_id AS kept
+         |FROM scored s JOIN best b USING (cluster_id)
+         |ORDER BY s.doc_id""".stripMargin,
+    // Overlapping chunks: same bpe-ish token count as text_tokens,
+    // chunk starts advance by stride 48 = 64 − 16, integer ceil-div.
+    "chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         unnest(generate_series(0,
+        |           greatest(CAST(0 AS BIGINT), (n - 64 + 47) // 48))) AS chunk_idx
+        |  FROM t WHERE n > 0)
+        |SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+        |       least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS n_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Causally-ordered funnel: each stage's min-ts gates the next;
+    // ratios are exact integer ppm floor-divs.
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1),
+        |n AS (SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |             (SELECT COUNT(*) FROM c) AS n_click,
+        |             (SELECT COUNT(*) FROM p) AS n_purchase)
+        |SELECT n_view, n_click, n_purchase,
+        |       n_click * 1000000 // n_view AS click_ppm,
+        |       n_purchase * 1000000 // n_click AS purchase_ppm
+        |FROM n""".stripMargin,
     // Full curation: the curate_pipeline gates composed with near-dup
     // cluster canonical selection (cluster CTEs above) and benchmark
     // decontamination (kgram CTEs as in `decontaminate`) — one boolean

@@ -167,4 +167,165 @@ object Relational {
         col("rn"), col("run_qty"))
       .orderBy("l_suppkey", "rn")
   }
+
+  /** Floor-form decimal rounding ⌊x·10ˢ+0.5⌋/10ˢ — single IEEE ops
+    * replayed verbatim by the oracle; engine-native `round` differs at
+    * exact half boundaries (Spark HALF_UP on the decimal string,
+    * DuckDB half-away on the double). Sums of many terms almost never
+    * land on a half boundary (which is why the round(sum…) aggregates
+    * above are safe), but RATIOS of small integers do — so every
+    * derived ratio below uses this form. */
+  private def rnd(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = {
+    val f = math.pow(10, s.toDouble)
+    floor(c * f + 0.5) / f
+  }
+
+  /** TPC-H Q10-shaped returned-item report: which customers returned
+    * the most revenue in a quarter. Plan shape: lineitem is
+    * pre-filtered to returns, orders to the date window, and the two
+    * FACT tables shuffle-join on orderkey (neither side is hinted —
+    * both keep a constant fraction of a fact table, the q3 lesson);
+    * customer joins the aggregated per-customer revenue (1 row per
+    * customer, post-agg — the small side AFTER reduction), and only
+    * nation (25 rows) is broadcast.
+    */
+  def returnedItemReport(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame,
+      lo: String = "1997-01-01", hi: String = "1997-04-01",
+      k: Int = 20): DataFrame = {
+    val o = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+        col("o_orderdate") < to_timestamp(lit(hi)))
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+    rev
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q14-shaped promo-revenue share: what fraction of a month's
+    * revenue came from PROMO parts. Part is a true dim — broadcast;
+    * the month filter pushes to the lineitem scan; one single-row agg.
+    * The share is a ratio of two rounded sums, floor-form rounded so
+    * the division replays bit-identically.
+    */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+      lo: String = "1997-09-01", hi: String = "1997-10-01"): DataFrame = {
+    val l = lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(lo)) &&
+        col("l_shipdate") < to_timestamp(lit(hi)))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(rev), 2).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        rnd(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4)
+          .as("promo_pct"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive revenue: three (brand, size-range,
+    * qty-range) alternatives OR-ed together. Catalyst cannot push a
+    * cross-table OR through the join, so each side is pre-filtered
+    * with the union of ITS OWN conjuncts (sound: every disjunct
+    * constrains both sides) and the full disjunction applies
+    * post-join — the scan reads the ~3-brand fraction of part and the
+    * qty envelope of lineitem instead of everything. Part after its
+    * pre-filter is a small dim → broadcast.
+    */
+  def discountedBrandRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val alts = Seq(("Brand#12", 1, 5, 1.0, 11.0), ("Brand#23", 1, 10, 10.0, 20.0),
+      ("Brand#34", 1, 15, 20.0, 30.0))
+    val pSide = alts.map { case (b, sLo, sHi, _, _) =>
+      col("p_brand") === b && col("p_size").between(sLo, sHi)
+    }.reduce(_ || _)
+    val lSide = alts.map { case (_, _, _, qLo, qHi) =>
+      col("l_quantity").between(qLo, qHi)
+    }.reduce(_ || _)
+    val full = alts.map { case (b, sLo, sHi, qLo, qHi) =>
+      col("p_brand") === b && col("p_size").between(sLo, sHi) &&
+        col("l_quantity").between(qLo, qHi)
+    }.reduce(_ || _)
+    lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .filter(lSide)
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size").filter(pSide)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(full)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q7-shaped volume shipping: revenue between two nations by
+    * year, in both directions. Supplier and nation are broadcast dims
+    * on the lineitem side; customer (a real table, not hinted) joins
+    * orders on the shuffle; the nation-pair filter applies where both
+    * sides are known. Ship year derives from l_shipdate.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val pairNations = nation.filter(col("n_name").isin(nationA, nationB))
+    val sup = supplier
+      .join(broadcast(pairNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(pairNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q22-shaped sales prospects: customers with above-average
+    * balances and no orders since `lapsedSince` (the canonical "never
+    * ordered" is vacuous on this corpus — orders cover every custkey —
+    * so the lapsed-window form keeps the identical plan shape with a
+    * non-empty answer). The global average is computed in EXACT
+    * integer cents (⌊bal·100+0.5⌋ floor-form, summed as longs,
+    * floor-divided) so the cutoff cannot drift cross-engine; the
+    * average is a 1-row broadcast cross join; the no-recent-orders
+    * test is a LEFT ANTI join (never a distinct of the fact table).
+    */
+  def salesProspects(customer: DataFrame, orders: DataFrame,
+      lapsedSince: String = "2000-01-01"): DataFrame = {
+    val cents = customer.select(col("c_custkey"), col("c_nationkey"),
+      floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal_cents"))
+    val avgCents = cents.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).cast("long").as("s"), count(lit(1)).as("n"))
+      // true integer floor division — a double quotient cast to long
+      // can disagree with the oracle's `//` when the quotient sits
+      // within an ulp of an integer
+      .select(expr("s div n").as("avg_cents"))
+    cents
+      .crossJoin(broadcast(avgCents))
+      .filter(col("bal_cents") > col("avg_cents"))
+      .join(orders
+          .filter(col("o_orderdate") >= to_timestamp(lit(lapsedSince)))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_prospects"), sum(col("bal_cents")).as("total_cents"))
+      .orderBy("c_nationkey")
+  }
 }

@@ -111,6 +111,36 @@ object TemporalOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Ordered conversion funnel view→click→purchase: per user, the
+    * earliest view, the earliest click strictly after that view, and
+    * the earliest purchase strictly after that click — stage
+    * timestamps must be CAUSALLY ordered, which a mere
+    * "did-all-three" intersection gets wrong (a purchase before the
+    * first view must not convert). Three narrow user-keyed
+    * aggregations, each stage filtering against the previous stage's
+    * min — no window over the full stream, no self-join blowup: each
+    * stage's frame is one row per user. Returns per-stage reached
+    * counts plus per-1e6 integer conversion ratios (exact floor-div,
+    * no float drift).
+    */
+  def conversionFunnel(events: DataFrame): DataFrame = {
+    def stage(tpe: String) = events.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts"))
+    val v = stage("view").groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    val counts = v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase")))
+    counts.select(col("n_view"), col("n_click"), col("n_purchase"),
+      expr("n_click * 1000000 div n_view").as("click_ppm"),
+      expr("n_purchase * 1000000 div n_click").as("purchase_ppm"))
+  }
+
   /** Exact interpolated quantiles per event type (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). The approx scale path is
     * `approx_percentile` — same call shape, sketch-based. */

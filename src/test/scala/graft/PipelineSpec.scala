@@ -75,6 +75,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(c.forall(_._3 == 3L))
   }
 
+  test("keepBest keeps the longest cluster member, not the min id") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // same transitive chain as the clusters test; doc 7 is the longest
+    // member, so keep-best must pick 7 even though the cluster id is 5
+    val d = Seq(
+      5L -> base, 6L -> (base + " extra"), 7L -> (base + " extra more"),
+      9L -> "completely different words here entirely unrelated stuff")
+      .toDF("doc_id", "text")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val out = Dedup.keepBest(d, minEstJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(out.map(_._1).toSet == Set(5L, 6L, 7L))
+    assert(out.forall(_._2 == 5L), s"cluster id stays the min label: ${out.toSeq}")
+    assert(out.forall(_._3 == 7L), s"keep id must be the longest doc: ${out.toSeq}")
+    assert(out.collect { case (id, _, _, true) => id }.toSeq == Seq(7L))
+  }
+
+  test("chunkDocs: stride-advancing starts, overlap coverage, short-doc single chunk") {
+    import graft.pipeline.Sampling
+    def doc(id: Long, n: Int) = id -> Seq.fill(n)("a").mkString(" ")
+    // 100 bpe tokens → chunks [0,64) and [48,100): every token covered,
+    // 16-token overlap; 10 tokens → one short chunk; 64 → exactly one.
+    val d = docs(doc(1L, 100), doc(2L, 10), doc(3L, 64))
+    val out = Sampling.chunkDocs(d, size = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 64L), (1L, 1L, 48L, 52L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 10L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, 64L)))
+  }
+
   test("decontaminate: flags train docs sharing a k-gram with the benchmark set") {
     val d = docs(
       0L -> "alpha beta gamma delta epsilon zeta", // benchmark (pred: id == 0)

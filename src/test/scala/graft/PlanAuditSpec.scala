@@ -88,6 +88,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"o_orderdate range not pushed:\n$p")
   }
 
+  test("q19_brand pushes per-side disjunct envelopes to both scans") {
+    val p = planOf("q19_brand")
+    // the OR of each side's own conjuncts must reach the scans: part
+    // reads only the three brands' size envelope, lineitem only the
+    // qty envelope — NOT a full-table scan feeding a post-join filter
+    assert("""Or\(.*p_brand""".r.findFirstIn(p).isDefined ||
+      p.contains("Or(EqualTo(p_brand"),
+      s"part-side disjunction not pushed:\n$p")
+    assert("""Or\(.*l_quantity""".r.findFirstIn(p).isDefined ||
+      p.contains("Or(And(GreaterThanOrEqual(l_quantity"),
+      s"lineitem qty envelope not pushed:\n$p")
+    assert("BroadcastHashJoin".r.findFirstIn(p).isDefined,
+      s"filtered part dim should broadcast:\n$p")
+  }
+
+  test("q10_returns joins customer AFTER the per-customer aggregation") {
+    // the c_custkey join must consume the aggregated revenue frame
+    // (≤1 row per customer), never the raw return lineitems — join
+    // order is the difference between a dim-sized and fact-sized
+    // shuffle of customer rows. In the plan, the HashAggregate for
+    // revenue must appear BELOW the customer join.
+    val p = planOf("q10_returns")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0, s"no aggregate in plan:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to lineitem scan:\n$p")
+  }
+
+  test("q22_prospects plans the no-recent-orders test as an anti join on filtered orders") {
+    val p = planOf("q22_prospects")
+    assert("LeftAnti".r.findFirstIn(p).isDefined,
+      s"NOT EXISTS did not plan as an anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"lapsed-window filter not pushed to the orders scan:\n$p")
+  }
+
   test("graph_neighbor_sim never re-expands hub pairs past the cap (plan sanity)") {
     // the capped edge set must be the input to BOTH the sizes agg and
     // the pair self-join — i.e. the in-degree cap happens before the

@@ -40,4 +40,20 @@ class TemporalSpec extends AnyFunSuite {
     assert((1L to 9L).forall(i => !out(i)))        // the baseline
     assert(!out(11L) && !out(12L) && !out(13L))    // zero variance
   }
+
+  test("conversion funnel requires causal stage order") {
+    import spark.implicits._
+    // u1: full ordered funnel; u2: purchase but never clicked;
+    // u3: purchase BEFORE its click — must not count as converted.
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 1L, "view"), (2L, 2L, "purchase"),
+      (3L, 1L, "purchase"), (3L, 2L, "view"), (3L, 3L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val r = TemporalOps.conversionFunnel(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)),
+      s"stage counts wrong: $r")
+    assert(r.getLong(3) == 666666L && r.getLong(4) == 500000L,
+      s"ppm ratios wrong: $r")
+  }
 }

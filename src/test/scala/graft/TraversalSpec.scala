@@ -195,4 +195,29 @@ class TraversalSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r3 == Set((1L, 2L), (1L, 3L), (1L, 4L))) // still no (1,1)
   }
+
+  test("communities: two cliques with a bridge keep separate labels") {
+    import spark.implicits._
+    // K3 {1,2,3} and K3 {10,11,12} joined by the single bridge 3→10.
+    // Plurality LPA must converge each clique to its min label and the
+    // one bridge vote must NOT flip either side (each clique node has
+    // 2 same-clique neighbors vs at most 1 cross neighbor).
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val c = Components.communities(g, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(c).size == 1, s"left clique split: $c")
+    assert(Set(10L, 11L, 12L).map(c).size == 1, s"right clique split: $c")
+    assert(c(1L) != c(10L), s"bridge merged the cliques: $c")
+  }
+
+  test("communities tiebreak is (count desc, label asc) — deterministic") {
+    import spark.implicits._
+    // node 5's neighbors {1, 9} tie 1-vote-each after round 1 seeds:
+    // the pick must be the smaller label, every run.
+    val g = Seq((1L, 5L), (9L, 5L)).toDF("src", "dst")
+    val c1 = Components.communities(g, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1(5L) == 1L, s"tie not broken to min label: $c1")
+  }
 }
