@@ -580,7 +580,9 @@ object SparkEntry {
     // oracle's node <> start mirrors that.
     "graph_anf" ->
       s"""WITH $E,
-        |p1 AS (SELECT DISTINCT src AS start, dst AS node FROM e),
+        |st AS (SELECT DISTINCT src FROM e WHERE src % 10 = 3),
+        |p1 AS (SELECT DISTINCT e.src AS start, e.dst AS node
+        |       FROM e JOIN st USING (src)),
         |p2 AS (SELECT DISTINCT p1.start, e.dst AS node
         |       FROM p1 JOIN e ON e.src = p1.node),
         |reach AS (SELECT start, node FROM (

@@ -282,4 +282,66 @@ object Traversal {
     if (reached.isEmpty) frontier.limit(0)
     else reached.reduce(_ unionByName _)
   }
+
+  /** Approximate neighborhood function — HyperANF (Boldi, Rosa &
+    * Vigna, WWW 2011): every node carries `m` HyperLogLog registers
+    * over its d-ball; one round element-wise-MAX-merges each node's
+    * registers with its out-neighbors'. This is THE 100 TB ANF: per
+    * round the state is n·m bytes and two node-keyed shuffles, where
+    * the exact [[reachWithin]] form materializes the full Θ(Σ|ball|)
+    * pair set (fine at small d / moderate graphs — the gated
+    * `graph_anf` — unpayable on a billion-node graph at d ≥ 4).
+    *
+    * Register semantics: j = xxhash64(node) mod m picks the register,
+    * ρ = leading-zero count of the remaining 58 hash bits + 1 is the
+    * candidate value (computed via `bin()` length — pure codegen'd
+    * exprs, no UDF). The merge is max per register, realized as an
+    * explode to (node, register-index, ρ) + groupBy(node, idx) MAX:
+    * the shuffle key space is n·m — parallelism GROWS with the graph
+    * (unlike a k-keyed centroid shuffle), and rows are 3 longs. The
+    * estimator is the standard bias-corrected harmonic mean with the
+    * linear-counting small-range branch. Fully deterministic (fixed
+    * xxhash64 seed) — same input, same estimate, every run; the ball
+    * INCLUDES the node itself (HyperANF convention; exact graphAnf
+    * excludes it — spec compares against exact + 1).
+    */
+  def anfApprox(edges: DataFrame, depth: Int, m: Int = 64): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val e = edgeCols(edges).select("_src", "_dst").distinct().localCheckpoint(true)
+    val nodes = e.select(col("_src").as("node"))
+      .unionByName(e.select(col("_dst").as("node"))).distinct()
+    // ρ of the 58 bits above the register index: 58 − significant-bit
+    // count + 1; an all-zero remainder gets the max ρ = 59.
+    val h = abs(xxhash64(col("node")))
+    val rest = shiftrightunsigned(h, 6)
+    var regs = nodes.select(col("node"),
+      (h % m).cast("int").as("idx"),
+      when(rest === 0, lit(59))
+        .otherwise(lit(59) - length(bin(rest))).cast("int").as("rho"))
+      .localCheckpoint(true)
+    for (_ <- 1 to depth) {
+      val fromNbrs = e.join(regs, e("_dst") === regs("node"))
+        .select(e("_src").as("node"), col("idx"), col("rho"))
+      regs = regs.unionByName(fromNbrs)
+        .groupBy("node", "idx")
+        .agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+    }
+    // harmonic-mean HLL estimate per node; registers never touched
+    // stay 0 ⇒ they are the (m − found) missing rows per node.
+    val alpha = if (m >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
+    regs.groupBy("node")
+      .agg(sum(pow(lit(2.0), -col("rho"))).as("z_present"),
+        count(lit(1)).as("n_present"))
+      .select(col("node"), {
+        val zeros = lit(m.toDouble) - col("n_present")
+        val z = col("z_present") + zeros // 2^-0 = 1 per untouched register
+        val raw = lit(alpha * m * m) / z
+        when(raw <= 2.5 * m && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+          .otherwise(raw).as("est")
+      })
+      .select(col("node"), round(col("est"), 2).as("est_ball"))
+  }
 }

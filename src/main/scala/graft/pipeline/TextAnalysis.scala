@@ -269,6 +269,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Positional-overlap candidate pairs from winnowing fingerprints
+    * (the MOSS/plagiarism-detection join, Schleimer et al. §4): two
+    * documents sharing ≥ `minShared` selected fingerprints contain
+    * aligned runs the set-based dedup family can only score, not
+    * localize. Candidates come from an equality join on the
+    * fingerprint, so a boilerplate shingle selected in thousands of
+    * docs would go quadratic — fingerprints with document frequency
+    * > `maxDf` are dropped first (the same stopword cap as
+    * calleeJaccard's hub rule, replayed by the oracle).
+    */
+  def winnowPairs(docs: DataFrame, window: Int = 4, minShared: Int = 2,
+      maxDf: Int = 100): DataFrame = {
+    val fp = winnow(docs, window)
+      .select(col("doc_id"), col("fingerprint")).distinct()
+    val kept = fp.join(
+        fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("fingerprint"),
+        Seq("fingerprint"), "left_semi")
+      .localCheckpoint(true)
+    kept.as("x").join(kept.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Winnowing pack base: key = sh·PACK + (PACK−1−seq) makes one long
     * whose integer MIN is the (hash asc, position DESC) arg-min — the
     * standard winnowing tie rule (rightmost minimal hash) with no

@@ -255,8 +255,22 @@ object GraphQueries {
     * narrow per-start aggregation of the pair set. */
   def graphAnf(s: SparkSession, d: String, depth: Int = 2): DataFrame = {
     val e = callEdges(s, d)
-    val starts = e.select(col("src").as("node")).distinct()
+    // gate on a 1-in-10 start slice: the EXACT pair set is Θ(Σ|ball|),
+    // which saturates as density grows with sf (the all-nodes exact
+    // form is graphAnfAll; Traversal.anfApprox is the register-state
+    // scale path whose cost never leaves n·m rows)
+    val starts = e.select(col("src").as("node"))
+      .filter(col("node") % 10 === 3).distinct()
     Traversal.reachWithin(e, starts, depth)
+      .groupBy(col("start").as("node"))
+      .agg(count(lit(1)).as("n_reach"))
+      .orderBy("node")
+  }
+
+  /** [[graphAnf]] without the start slice — exact ANF for every node. */
+  def graphAnfAll(s: SparkSession, d: String, depth: Int = 2): DataFrame = {
+    val e = callEdges(s, d)
+    Traversal.reachWithin(e, e.select(col("src").as("node")).distinct(), depth)
       .groupBy(col("start").as("node"))
       .agg(count(lit(1)).as("n_reach"))
       .orderBy("node")

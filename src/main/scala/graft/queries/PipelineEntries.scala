@@ -111,6 +111,8 @@ object PipelineEntries {
     "pack_sequences" -> ((s, d) =>
       Sampling.packSequences(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(Tables.documents(s, d))),
+    "text_winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowPairs(Tables.documents(s, d))),
     "chunk_docs" -> ((s, d) => Sampling.chunkDocs(Tables.documents(s, d))),
     "events_funnel" -> ((s, d) =>
       TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d)))
@@ -937,6 +939,31 @@ object PipelineEntries {
         |SELECT doc_id, 999999999 - (mk % 1000000000) AS pos,
         |       mk // 1000000000 AS fingerprint
         |FROM sel ORDER BY doc_id, pos""".stripMargin,
+    // Winnow-pair overlap localization: the text_winnow chain over the
+    // FULL corpus, df-capped fingerprints (≤100 docs), shared-count
+    // join with the ≥2 gate.
+    "text_winnow_pairs" ->
+      s"""WITH $TOK,
+        |sq AS (
+        |${graft.functions.TextOps.shinglesSeqSql}),
+        |k AS (SELECT doc_id, seq, sh * 1000000000 + (999999999 - seq) AS key
+        |      FROM sq),
+        |w AS (SELECT doc_id,
+        |        MIN(key) OVER (PARTITION BY doc_id ORDER BY seq
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |        COUNT(*) OVER (PARTITION BY doc_id ORDER BY seq
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |      FROM k),
+        |sel AS (SELECT DISTINCT doc_id, mk FROM w WHERE wn = 4),
+        |fp AS (SELECT DISTINCT doc_id, mk // 1000000000 AS fingerprint FROM sel),
+        |okfp AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 100),
+        |fpc AS MATERIALIZED (
+        |  SELECT fp.doc_id, fp.fingerprint FROM fp JOIN okfp USING (fingerprint))
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM fpc x JOIN fpc y
+        |  ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, value,

@@ -225,4 +225,20 @@ class TextSpec extends AnyFunSuite {
     // 8 words → 6 shingles → 3 windows of 4 → positions within [1, 6]
     assert(w.nonEmpty && w.forall(p => p >= 1 && p <= 6))
   }
+
+  test("winnowPairs localizes the overlapping pair and honors the df cap") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight " +
+      "while the band plays softly in the crowded park nearby"
+    val d = docs(
+      1L -> s"intro words first $shared trailing tail end here",
+      2L -> s"completely different opening then $shared and another close",
+      3L -> "nothing in common with those two documents at all today")
+    val p = TextAnalysis.winnowPairs(d, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(p.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)),
+      s"exactly the overlapping pair: ${p.toSeq}")
+    assert(p.head._3 >= 2)
+    // df cap = 1 kills every shared fingerprint → no pairs survive
+    assert(TextAnalysis.winnowPairs(d, minShared = 1, maxDf = 1).count() == 0)
+  }
 }

@@ -196,6 +196,36 @@ class TraversalSpec extends AnyFunSuite {
     assert(r3 == Set((1L, 2L), (1L, 3L), (1L, 4L))) // still no (1,1)
   }
 
+  test("anfApprox tracks the exact neighborhood function (HLL registers)") {
+    import spark.implicits._
+    // ring of 40 nodes (every 2-ball has exactly 4 non-self members)
+    // plus a hub fanning to the first 20: enough spread to exercise
+    // the registers, small enough that linear counting is exact-ish.
+    val ring = (0L until 40L).map(i => (i, (i + 1) % 40, 1L))
+    val hub = (0L until 20L).map(i => (99L, i, 1L))
+    val g = (ring ++ hub).toDF("src", "dst", "offset")
+    val exact = Traversal.reachWithin(g, g.select(col("src").as("node")).distinct(), 2)
+      .groupBy("start").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = Traversal.anfApprox(g, depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == exact.keySet ++ Set(39L % 40L),
+      "every node with an out-edge gets an estimate")
+    // HLL ball includes self: compare est vs exact+1. m=64 linear
+    // counting at these sizes lands within ±35% per node — and the
+    // whole thing is deterministic (fixed xxhash seed), so these
+    // bounds cannot flake.
+    exact.foreach { case (n, ex) =>
+      val e = est(n)
+      assert(e > (ex + 1) * 0.65 && e < (ex + 1) * 1.35,
+        s"node $n: est $e vs exact ${ex + 1}")
+    }
+    val totalEx = exact.values.toSeq.map(_ + 1L).sum.toDouble
+    val totalEst = exact.keys.toSeq.map(est).sum
+    assert(math.abs(totalEst - totalEx) / totalEx < 0.15,
+      s"aggregate drift: $totalEst vs $totalEx")
+  }
+
   test("communities: two cliques with a bridge keep separate labels") {
     import spark.implicits._
     // K3 {1,2,3} and K3 {10,11,12} joined by the single bridge 3→10.
