@@ -363,6 +363,31 @@ class GraphQueryEngine(g: BinaryGraph) {
     * ([[graft.graph.Ranking.triangleCount]]). */
   def triangleCount(binary: Option[String] = None): DataFrame =
     graft.graph.Ranking.triangleCount(withIds(binary)._2)
+
+  /** Module structure via plurality label propagation
+    * ([[graft.graph.Components.communities]]) — labels by a member
+    * uid, as [[components]] does for connectivity. */
+  def communities(binary: Option[String] = None, rounds: Int = 4): DataFrame = {
+    val (ids, e) = withIds(binary)
+    mapBack(graft.graph.Components.communities(e, rounds), ids, "community")
+      .join(ids.select(col("uid").as("community_uid"), col("id").as("cid")),
+        col("community") === col("cid"))
+      .select(col("uid"), col("community_uid"))
+      .orderBy("uid")
+  }
+
+  /** How much of the binary each function transitively touches:
+    * exact |N_≤depth| per function ([[graft.graph.Traversal
+    * .reachWithin]]); [[graft.graph.Traversal.anfApprox]] is the
+    * register-state scale form. */
+  def neighborhoodSizes(binary: Option[String] = None, depth: Int = 2): DataFrame = {
+    val (ids, e) = withIds(binary)
+    val reach = graft.graph.Traversal.reachWithin(
+      e, e.select(col("src").as("node")).distinct(), depth)
+      .groupBy(col("start").as("node"))
+      .agg(count(lit(1)).as("n_reach"))
+    mapBack(reach, ids, "n_reach").orderBy("uid")
+  }
 }
 
 object GraphQueryEngine {

@@ -101,6 +101,15 @@ class CliSpec extends AnyFunSuite {
       capture("query", "analytics", "bogus")).getMessage.contains("unknown analytics"))
   }
 
+  test("query analytics communities and reach render uid-keyed rows") {
+    val cm = capture("query", "analytics", "communities", "--limit", "5")
+    assert(cm.linesIterator.next().startsWith("uid"))
+    assert(cm.contains("community_uid"))
+    val rc = capture("query", "analytics", "reach", "--max-depth", "2",
+      "--limit", "5")
+    assert(rc.contains("n_reach"))
+  }
+
   test("csv quoting escapes commas and quotes") {
     val csv = Cli.renderCsv(Seq("a", "b"),
       Seq(Seq("""say "hi"""", "x,y"), Seq("plain", "z")))
