@@ -28,6 +28,10 @@ object Bench {
     // still reported (the regression is visible) but the error rides
     // along in an "errors" map so the JSON is self-diagnosing.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+      // release prior queries' dead localCheckpoint blocks (ContextCleaner
+      // needs a GC) so late queries aren't taxed by earlier ones — see
+      // ScaleBench for the observed failure mode
+      System.gc()
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>

@@ -108,6 +108,13 @@ object ScaleBench {
     // built with different replicate/base values than this run's env,
     // so the label below is only authoritative when reused=false
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Drop the previous queries' localCheckpoint blocks before timing:
+      // ContextCleaner only releases them after a JVM GC, and with a
+      // large heap GC may not run for dozens of queries — by query ~50
+      // the BlockManager holds gigabytes of dead checkpoints and every
+      // later query pays eviction/spill it didn't cause (observed: an
+      // untouched trivial query 7× slower late in an 82-query session).
+      System.gc()
       val t0 = System.nanoTime()
       val n = try { fn(spark, out).count() } catch { case _: Throwable => -1L }
       (name, (System.nanoTime() - t0) / 1e9, n)
