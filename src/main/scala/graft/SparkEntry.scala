@@ -49,6 +49,12 @@ object SparkEntry {
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "q22_prospects" -> ((s, d) =>
       Relational.salesProspects(Tables.customer(s, d), Tables.orders(s, d))),
+    "q2_mincost" -> ((s, d) =>
+      Relational.minCostSupplier(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d))),
+    "events_enrich" -> ((s, d) =>
+      graft.streaming.EventStreams.enrichByNation(
+        graft.streaming.EventStreams.events(s, d), Tables.nation(s, d))),
     // Graph query surface (SURVEY.md §2 B*, A5, C*)
     "callgraph_bfs" -> ((s, d) => GraphQueries.callgraphBfs(s, d)),
     "call_paths_down" -> ((s, d) => GraphQueries.callPathsDown(s, d)),
@@ -211,6 +217,30 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // argmin via (cost, suppkey) tuple-min; unit_cost is a floor-form
+    // rounded MIN of per-row divides — no sums, bit-identical.
+    "q2_mincost" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         floor(MIN(l_extendedprice / l_quantity) * 100 + 0.5) / 100
+        |           AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (
+        |  SELECT l_partkey, unit_cost, l_suppkey AS best_suppkey FROM (
+        |    SELECT l_partkey, unit_cost, l_suppkey,
+        |           row_number() OVER (PARTITION BY l_partkey
+        |             ORDER BY unit_cost, l_suppkey) AS rn
+        |    FROM unit) t WHERE rn = 1)
+        |SELECT p_partkey, p_name, s_name, unit_cost
+        |FROM best
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON best_suppkey = s_suppkey
+        |ORDER BY p_partkey""".stripMargin,
+    "events_enrich" ->
+      """SELECT n_name, event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+        |FROM events
+        |JOIN nation ON user_id % 25 = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q10_returns" ->
       """WITH rev AS (
         |  SELECT o_custkey,

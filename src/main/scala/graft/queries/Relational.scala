@@ -297,6 +297,33 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q2-shaped min-cost supplier: for every part, the supplier
+    * with the cheapest observed unit price (argmin). Two-level
+    * aggregation BEFORE any dim join — the second level is a single
+    * min(struct(unit_cost, suppkey)) argmin whose struct ordering
+    * doubles as the deterministic (cost asc, suppkey asc) tiebreak;
+    * part/supplier join the already-part-keyed result (≤ |part| rows),
+    * so neither dim needs a broadcast hint (AQE takes it when small).
+    * unit_cost is a floor-form-rounded MIN of per-row divisions — no
+    * summation anywhere, so the value is bit-identical cross-engine.
+    */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val unit = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(rnd(min(col("l_extendedprice") / col("l_quantity")), 2).as("unit_cost"))
+    val best = unit.groupBy(col("l_partkey"))
+      .agg(min(struct(col("unit_cost"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("m.unit_cost").as("unit_cost"),
+        col("m.l_suppkey").as("best_suppkey"))
+    best
+      .join(part.select("p_partkey", "p_name"), col("l_partkey") === col("p_partkey"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("best_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("unit_cost"))
+      .orderBy("p_partkey")
+  }
+
   /** TPC-H Q22-shaped sales prospects: customers with above-average
     * balances and no orders since `lapsedSince` (the canonical "never
     * ordered" is vacuous on this corpus — orders cover every custkey —

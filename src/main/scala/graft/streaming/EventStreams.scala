@@ -320,4 +320,37 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
   }
+
+  /** Stream-static enrichment: events joined to a broadcast dimension
+    * (nation, via the synthetic user→nation key user_id mod 25), then
+    * aggregated per (nation, type). The join is the canonical
+    * stream-static broadcast enrich — the static side is read once,
+    * broadcast to every micro-batch, and adds NO streaming state; the
+    * only stateful op is the downstream aggregation. Identical
+    * semantics on a batch frame (the gated entry) and a streaming one
+    * (StreamingSpec parity).
+    */
+  def enrichByNation(events: DataFrame, nation: DataFrame): DataFrame =
+    events
+      .withColumn("nk", pmod(col("user_id"), lit(25L)))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .groupBy("n_name", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("n_name", "event_type")
+
+  /** Streaming twin of [[enrichByNation]] over a parquet-dir source
+    * (complete-mode aggregation; the enrich join itself is stateless). */
+  def streamingEnriched(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(dir)
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    stream
+      .withColumn("nk", pmod(col("user_id"), lit(25L)))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .groupBy("n_name", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
 }

@@ -52,6 +52,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrich == batch enrich") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = EventStreams.enrichByNation(
+      EventStreams.events(spark, dir),
+      spark.read.parquet(s"$dir/nation.parquet"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val q = EventStreams.streamingEnriched(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("native session_window sessions == gap-break sessions") {
     val ev = EventStreams.events(spark, "/root/testdata/sf0.001")
     def key(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
