@@ -77,6 +77,7 @@ object SparkEntry {
     "recursion_groups" -> ((s, d) => GraphQueries.recursionGroups(s, d)),
     "graph_neighbor_sim" -> ((s, d) => GraphQueries.neighborSim(s, d)),
     "graph_anf" -> ((s, d) => GraphQueries.graphAnf(s, d)),
+    "graph_betweenness" -> ((s, d) => GraphQueries.graphBetweenness(s, d)),
     "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
@@ -150,6 +151,43 @@ object SparkEntry {
        |              + (17 * COALESCE(c.c, 0)) // 20 AS BIGINT) AS pr
        |  FROM nodes n LEFT JOIN c$t c ON n.node = c.node
        |  LEFT JOIN sd ON n.node = sd.node)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled Brandes sweeps (see Ranking.betweennessSampled): forward
+    * levels l0..lD carry exact integer σ (sum over same-level preds,
+    * first-touch via the visited anti filter); backward d{D}..d0
+    * accumulate δ in ppm with integer floor division — both engines
+    * replay ⌊σv·(10⁶+δw)/σw⌋ exactly. */
+  private def betweennessCtes(depth: Int): String = {
+    val sb = new StringBuilder(
+      """s0 AS (SELECT DISTINCT src AS s FROM e WHERE src % 200 = 7),
+        |l0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM s0),
+        |vis0 AS MATERIALIZED (SELECT s, v FROM l0)""".stripMargin)
+    for (t <- 1 to depth) sb.append(s""",
+       |l$t AS MATERIALIZED (
+       |  SELECT p.s, e.dst AS v, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+       |  FROM l${t - 1} p JOIN e ON e.src = p.v
+       |  LEFT JOIN vis${t - 1} x ON x.s = p.s AND x.v = e.dst
+       |  WHERE x.v IS NULL GROUP BY 1, 2),
+       |vis$t AS MATERIALIZED (
+       |  SELECT s, v FROM vis${t - 1} UNION SELECT s, v FROM l$t)""".stripMargin)
+    sb.append(s""",
+       |d$depth AS (SELECT s, v, CAST(0 AS BIGINT) AS delta FROM l$depth)""".stripMargin)
+    for (t <- depth - 1 to 0 by -1) sb.append(s""",
+       |d$t AS MATERIALIZED (
+       |  SELECT cur.s, cur.v, COALESCE(c.delta, 0) AS delta FROM l$t cur
+       |  LEFT JOIN (
+       |    SELECT cur.s, cur.v,
+       |           CAST(SUM(cur.sigma * (1000000 + dn.delta) // nx.sigma) AS BIGINT)
+       |             AS delta
+       |    FROM l$t cur JOIN e ON e.src = cur.v
+       |    JOIN l${t + 1} nx ON nx.s = cur.s AND nx.v = e.dst
+       |    JOIN d${t + 1} dn ON dn.s = nx.s AND dn.v = nx.v
+       |    GROUP BY 1, 2) c ON c.s = cur.s AND c.v = cur.v)""".stripMargin)
+    sb.append(s""",
+       |alldelta AS (${(0 to depth).map(t => s"SELECT s, v, delta FROM d$t")
+        .mkString(" UNION ALL ")})""".stripMargin)
     sb.toString
   }
 
@@ -619,6 +657,13 @@ object SparkEntry {
         |  SELECT * FROM p1 UNION SELECT * FROM p2) u WHERE node <> start)
         |SELECT start AS node, COUNT(*) AS n_reach
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_betweenness" ->
+      s"""WITH $E,
+        |${betweennessCtes(3)}
+        |SELECT v AS node, CAST(SUM(delta) AS BIGINT) AS betweenness_ppm
+        |FROM alldelta WHERE s <> v
+        |GROUP BY 1 HAVING SUM(delta) > 0
+        |ORDER BY node""".stripMargin,
     // Synchronous plurality-LPA, 4 unrolled rounds; und is symmetric
     // and self-loop-free, so every node has ≥1 neighbor and each
     // round's argmax covers all nodes (no carry join needed).

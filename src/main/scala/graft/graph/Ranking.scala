@@ -155,6 +155,85 @@ object Ranking {
     * materializing the wedge set (measured ~3× over the 3-way wedge
     * join at sf0.1). Returns one (n_triangles) row.
     */
+  /** Approximate betweenness centrality: Brandes' algorithm (2001)
+    * from a SAMPLED source set, truncated at `maxDepth` (Riondato-
+    * Kornaropoulos-style bounded sampling — the standard scale
+    * compromise: exact betweenness is Θ(nm) and unpayable at graph
+    * scale; sampled+bounded is the production form).
+    *
+    * Forward sweep: level-synchronous per-source BFS keyed (s, v)
+    * carrying σ(s,v) = the NUMBER of shortest s→v paths as an exact
+    * long (sum over same-level predecessors — integers, nothing to
+    * drift). Backward sweep: dependency accumulation over the
+    * shortest-path DAG (edge v→w is in the DAG iff dist(s,w) =
+    * dist(s,v)+1), processed deepest level first:
+    *
+    *   δ_ppm(s,v) = Σ_w ⌊σ(s,v) · (10⁶ + δ_ppm(s,w)) / σ(s,w)⌋
+    *
+    * — Brandes' ratio in parts-per-million FIXED POINT with integer
+    * floor division (the C7 PageRank contract), so both engines
+    * replay the accumulation bit-identically. Betweenness(v) =
+    * Σ_s δ_ppm(s,v) over v ∉ sources' own row (s ≠ v by
+    * construction: δ rows start at depth ≥ 1).
+    *
+    * Every round in both sweeps is one edge join + one narrow
+    * (s, v)-keyed aggregation; state is 4 longs per reached (s, v)
+    * pair — the reachWithin cost class, bounded by the sample size.
+    */
+  def betweennessSampled(edges: DataFrame, sources: DataFrame,
+      maxDepth: Int = 3): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("_src"),
+      col("dst").cast("long").as("_dst")).distinct().localCheckpoint(true)
+    // forward: levels(t) = (s, v, sigma) reached first at depth t
+    var frontier = sources.select(col("node").cast("long").as("s"))
+      .distinct()
+      .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var visited = frontier.select("s", "v")
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to maxDepth if !frontier.isEmpty) {
+      frontier = frontier
+        .join(e, col("v") === col("_src"))
+        .select(col("s"), col("_dst").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .groupBy("s", "v")
+        .agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(true)
+      levels += frontier
+      visited = visited.unionByName(frontier.select("s", "v")).localCheckpoint(true)
+    }
+    // backward: deepest level contributes nothing; accumulate upward
+    val depth = levels.size - 1
+    var delta = levels(depth)
+      .select(col("s"), col("v"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    for (t <- depth - 1 to 0 by -1) {
+      // δ and σ of the level-(t+1) successors, keyed for the DAG join
+      val succ = delta
+        .join(levels(t + 1).select(col("s").as("s2"), col("v").as("w"),
+            col("sigma").as("sw")),
+          col("s") === col("s2") && col("v") === col("w"))
+        .select(col("s2"), col("w"), col("delta").as("dw"), col("sw"))
+      val cur = levels(t)
+      val contrib = cur
+        .join(e, col("v") === col("_src"))
+        .join(succ, col("s") === col("s2") && col("_dst") === col("w"))
+        .select(col("s"), col("v"), col("sigma"), col("dw"), col("sw"))
+        .groupBy("s", "v")
+        .agg(sum(expr("sigma * (1000000 + dw) div sw")).as("delta"))
+      delta = cur.select("s", "v")
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), coalesce(col("delta"), lit(0L)).as("delta"))
+        .unionByName(delta)
+        .localCheckpoint(true)
+    }
+    delta.filter(col("s") =!= col("v"))
+      .groupBy(col("v").as("node"))
+      .agg(sum(col("delta")).as("betweenness_ppm"))
+      .filter(col("betweenness_ppm") > 0)
+      .orderBy("node")
+  }
+
   def triangleCount(edges: DataFrame): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))

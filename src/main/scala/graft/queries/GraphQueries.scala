@@ -246,6 +246,17 @@ object GraphQueries {
     Neighborhood.calleeJaccard(e, callers, hubCap = 100, tauNum = 1, tauDen = 5)
   }
 
+  /** C15 sampled bounded betweenness: which functions sit on the most
+    * shortest call paths from a 1-in-200 source sample, depth ≤ 3
+    * (Ranking.betweennessSampled — Brandes with exact integer path
+    * counts and ppm fixed-point dependency accumulation). */
+  def graphBetweenness(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val sources = e.select(col("src").as("node"))
+      .filter(col("node") % 200 === 7).distinct()
+    Ranking.betweennessSampled(e, sources, maxDepth = 3)
+  }
+
   /** C13 neighborhood function (ANF): |N_≤2(v)| for every function —
     * the "how much of the binary does this function transitively
     * touch" profile (the exact small-d form of the approximate

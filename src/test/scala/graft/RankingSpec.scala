@@ -64,6 +64,30 @@ class RankingSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("betweenness: Brandes dependencies on a diamond, ppm fixed point") {
+    import spark.implicits._
+    // 1→2→{3,4}, 1→5→3: σ(3)=2 (two shortest paths), σ(4)=1.
+    // δ(2) = 1/2·(1+0) + 1/1·(1+0) = 1.5 → 1,500,000 ppm
+    // δ(5) = 1/2 → 500,000 ppm; 3 and 4 lie on no interior path.
+    val g = edges(1L -> 2L, 2L -> 3L, 2L -> 4L, 1L -> 5L, 5L -> 3L)
+    val b = Ranking.betweennessSampled(g, Seq(1L).toDF("node"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == Map(2L -> 1500000L, 5L -> 500000L), s"got $b")
+  }
+
+  test("betweenness truncation: a depth-2 bound ignores longer dependencies") {
+    import spark.implicits._
+    // chain 1→2→3→4: at depth 3, δ(2) = (1+δ(3)) = 2.0; truncated at
+    // depth 2, node 4 is never reached so δ(3) = 0 and δ(2) = 1.0.
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val d3 = Ranking.betweennessSampled(g, Seq(1L).toDF("node"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d2 = Ranking.betweennessSampled(g, Seq(1L).toDF("node"), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(2L -> 2000000L, 3L -> 1000000L), s"got $d3")
+    assert(d2 == Map(2L -> 1000000L), s"got $d2")
+  }
+
   test("stratified sample: per-stratum quota, deterministic hash order") {
     val d = docs(
       1L -> "the cat is on the mat", 2L -> "the dog is in the house",
