@@ -78,6 +78,7 @@ object SparkEntry {
     "graph_neighbor_sim" -> ((s, d) => GraphQueries.neighborSim(s, d)),
     "graph_anf" -> ((s, d) => GraphQueries.graphAnf(s, d)),
     "graph_betweenness" -> ((s, d) => GraphQueries.graphBetweenness(s, d)),
+    "graph_diff" -> ((s, d) => GraphQueries.graphDiff(s, d)),
     "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
@@ -657,6 +658,30 @@ object SparkEntry {
         |  SELECT * FROM p1 UNION SELECT * FROM p2) u WHERE node <> start)
         |SELECT start AS node, COUNT(*) AS n_reach
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full-outer edge merge → caller-keyed 0/1 sums; jaccard is one
+    // floor-form divide over exact integer counts.
+    "graph_diff" ->
+      s"""WITH $E,
+        |e2 AS (
+        |  SELECT DISTINCT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst
+        |  FROM lineitem WHERE l_linenumber >= 2),
+        |m AS (
+        |  SELECT COALESCE(e.src, e2.src) AS src,
+        |         CASE WHEN e.src IS NOT NULL THEN 1 ELSE 0 END AS b,
+        |         CASE WHEN e2.src IS NOT NULL THEN 1 ELSE 0 END AS a
+        |  FROM (SELECT DISTINCT src, dst FROM e) e
+        |  FULL OUTER JOIN e2 ON e.src = e2.src AND e.dst = e2.dst),
+        |g AS (
+        |  SELECT src AS node,
+        |         CAST(SUM(b * a) AS BIGINT) AS n_kept,
+        |         CAST(SUM((1 - b) * a) AS BIGINT) AS n_added,
+        |         CAST(SUM(b * (1 - a)) AS BIGINT) AS n_removed
+        |  FROM m GROUP BY 1)
+        |SELECT node, n_kept, n_added, n_removed,
+        |       floor(n_kept / (n_kept + n_added + n_removed) * 10000 + 0.5) / 10000
+        |         AS callee_jaccard
+        |FROM g WHERE n_added + n_removed > 0
+        |ORDER BY node""".stripMargin,
     "graph_betweenness" ->
       s"""WITH $E,
         |${betweennessCtes(3)}

@@ -100,4 +100,39 @@ object Neighborhood {
       .select(col("node"), col("component").as("group_id"), col("group_size"))
       .orderBy("node")
   }
+
+  /** Cross-binary call-graph diff — the reference's raison d'être
+    * (comparing binaries) at the graph level: per caller present in
+    * EITHER graph, how its callee set changed from `before` to
+    * `after`. One full-outer edge-keyed merge + one narrow caller-
+    * keyed aggregation — at 100 TB this is two co-partitioned
+    * shuffles, never a per-function loop. Jaccard(old, new) rides the
+    * exact integer counts with one floor-form-rounded divide; a
+    * function missing from one side scores 0.0 (nothing in common
+    * with nothing is a changed function, not a div-by-zero).
+    * Returns (node, n_kept, n_added, n_removed, callee_jaccard) for
+    * callers whose sets changed at all.
+    */
+  def graphDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    def ed(df: DataFrame, tag: String) = df
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .withColumn(tag, lit(1))
+    val merged = ed(before, "in_before")
+      .join(ed(after, "in_after"), Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        coalesce(col("in_before"), lit(0)).as("b"),
+        coalesce(col("in_after"), lit(0)).as("a"))
+    val f = math.pow(10, 4)
+    merged.groupBy(col("src").as("node"))
+      .agg(
+        sum(col("b") * col("a")).as("n_kept"),
+        sum((lit(1) - col("b")) * col("a")).as("n_added"),
+        sum(col("b") * (lit(1) - col("a"))).as("n_removed"))
+      .filter(col("n_added") + col("n_removed") > 0)
+      .select(col("node"), col("n_kept"), col("n_added"), col("n_removed"),
+        (floor(col("n_kept") / (col("n_kept") + col("n_added") + col("n_removed"))
+          * f + 0.5) / f).as("callee_jaccard"))
+      .orderBy("node")
+  }
 }

@@ -246,6 +246,21 @@ object GraphQueries {
     Neighborhood.calleeJaccard(e, callers, hubCap = 100, tauNum = 1, tauDen = 5)
   }
 
+  /** B18b cross-binary diff: the derived graph vs a "patched build" —
+    * the same derivation restricted to call sites with l_linenumber
+    * ≥ 2 (first-seen call sites dropped: a deterministic, meaningful
+    * perturbation both engines derive identically). Per changed
+    * caller: kept/added/removed callees + callee-set Jaccard
+    * (Neighborhood.graphDiff). */
+  def graphDiff(s: SparkSession, d: String): DataFrame = {
+    val before = callEdges(s, d)
+    val after = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") >= 2)
+      .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"))
+      .distinct()
+    Neighborhood.graphDiff(before, after)
+  }
+
   /** C15 sampled bounded betweenness: which functions sit on the most
     * shortest call paths from a 1-in-200 source sample, depth ≤ 3
     * (Ranking.betweennessSampled — Brandes with exact integer path

@@ -78,6 +78,24 @@ class NeighborhoodSpec extends AnyFunSuite {
     assert(r == Set((1L, 1L), (2L, 1L)))
   }
 
+  test("graphDiff: kept/added/removed per caller, vanished callers score 0") {
+    val before = edges(1L -> 2L, 1L -> 3L, 5L -> 6L)
+    val after = edges(1L -> 3L, 1L -> 4L, 7L -> 8L)
+    val d = Neighborhood.graphDiff(before, after)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(d == Seq(
+      (1L, 1L, 1L, 1L, 0.3333), // kept {3}, added {4}, removed {2}
+      (5L, 0L, 0L, 1L, 0.0),    // caller vanished entirely
+      (7L, 0L, 1L, 0L, 0.0)),   // caller is new
+      s"got $d")
+  }
+
+  test("graphDiff: identical graphs produce no rows") {
+    val g = edges(1L -> 2L, 2L -> 3L)
+    assert(Neighborhood.graphDiff(g, g).count() == 0)
+  }
+
   test("personalizedPageRank: mass stays in the seed's forward cone") {
     // 1→2→3 chain with a detached 4→5: seeding {1} must rank only
     // {1,2,3}, seed highest, and monotonically decay down the chain.
