@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.{Components, Neighborhood, Ranking}
+import graft.pipeline.{Sampling, TextAnalysis}
+
+/** Property-based invariants over randomized inputs — the structural
+  * guarantees the fixed fixtures can't sweep: generated graphs and
+  * corpora, 30+ cases per property. Seeded by scalacheck's default
+  * RNG; a failing case prints its shrunk input.
+  *
+  * Spark jobs per case are small (tens of rows) but real — properties
+  * are capped at 30 cases to keep the suite under a minute.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(30)
+    .withWorkers(1)
+
+  private def check(name: String)(p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val edgeListGen: Gen[List[(Long, Long)]] =
+    Gen.choose(1, 25).flatMap { n =>
+      Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 9L)
+        b <- Gen.choose(0L, 9L)
+      } yield (a, b))
+    }
+
+  test("property: chunkDocs covers every token exactly once per stride step") {
+    import spark.implicits._
+    val gen = Gen.choose(1, 300)
+    check("chunk coverage")(Prop.forAll(gen) { n =>
+      val d = Seq((1L, Seq.fill(n)("a").mkString(" "))).toDF("doc_id", "text")
+      val chunks = Sampling.chunkDocs(d, size = 64, overlap = 16)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val covered = chunks.flatMap { case (_, start, len) => start until (start + len) }.toSet
+      val starts = chunks.map(_._2)
+      // every token in some chunk, starts advance by exactly the stride,
+      // every chunk non-empty and within bounds
+      covered == (0L until n.toLong).toSet &&
+        starts.sameElements(starts.indices.map(_ * 48L)) &&
+        chunks.forall { case (_, s, l) => l > 0 && s + l <= n }
+    })
+  }
+
+  test("property: winnow selects ≥1 fingerprint per full window, all pos valid") {
+    import spark.implicits._
+    // random words from a tiny vocab → repeated shingles stress the
+    // tie rule; docs long enough to have ≥1 full window
+    val docGen = Gen.choose(8, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    check("winnow guarantee")(Prop.forAll(docGen) { text =>
+      val nShingles = text.split(" ").length - 2
+      val sel = TextAnalysis.winnow(Seq((1L, text)).toDF("doc_id", "text"), window = 4)
+        .collect().map(r => r.getLong(1))
+      // guarantee: at least one selection once a full window exists;
+      // positions are 1-based shingle offsets
+      sel.nonEmpty && sel.forall(p => p >= 1 && p <= nShingles)
+    })
+  }
+
+  test("property: communities labels are a subset of node ids (no invented labels)") {
+    import spark.implicits._
+    check("lpa closure")(Prop.forAll(edgeListGen) { es =>
+      val real = es.filter { case (a, b) => a != b }
+      real.isEmpty || {
+        val g = real.toDF("src", "dst")
+        val c = Components.communities(g, rounds = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val nodes = real.flatMap { case (a, b) => Seq(a, b) }.toSet
+        c.map(_._1).toSet == nodes && c.forall { case (_, lab) => nodes(lab) }
+      }
+    })
+  }
+
+  test("property: graphDiff counts reconcile with raw edge sets") {
+    import spark.implicits._
+    check("diff reconciliation")(Prop.forAll(edgeListGen, edgeListGen) { (e1, e2) =>
+      (e1.isEmpty || e2.isEmpty) || {
+        val d = Neighborhood.graphDiff(e1.toDF("src", "dst"), e2.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        val b = e1.toSet
+        val a = e2.toSet
+        b.union(a).map(_._1).forall { src =>
+          val bs = b.collect { case (s, t) if s == src => t }
+          val as = a.collect { case (s, t) if s == src => t }
+          val (kept, added, removed) =
+            ((bs & as).size.toLong, (as -- bs).size.toLong, (bs -- as).size.toLong)
+          if (added + removed == 0) !d.contains(src)
+          else d.get(src).contains((kept, added, removed))
+        }
+      }
+    })
+  }
+
+  test("property: sampled betweenness is non-negative and excludes sources-only rows") {
+    import spark.implicits._
+    check("betweenness sanity")(Prop.forAll(edgeListGen) { es =>
+      val real = es.filter { case (a, b) => a != b }
+      real.isEmpty || {
+        val g = real.toDF("src", "dst")
+        val srcs = real.map(_._1).distinct.take(3).toDF("node")
+        val b = Ranking.betweennessSampled(g, srcs, maxDepth = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        b.forall(_._2 > 0) &&
+          b.map(_._1).toSet.subsetOf(
+            real.flatMap { case (x, y) => Seq(x, y) }.toSet)
+      }
+    })
+  }
+
+  test("property: threshold sample is a deterministic subset of its input") {
+    import spark.implicits._
+    val corpusGen = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 1000L)).map(_.distinct))
+    check("threshold sample")(Prop.forAll(corpusGen) { ids =>
+      ids.isEmpty || {
+        val d = ids.map(i => (i, s"doc $i the and is")).toDF("doc_id", "text")
+        val s1 = Sampling.stratifiedSampleThreshold(d, frac = 0.5)
+          .collect().map(_.getLong(0)).toSet
+        val s2 = Sampling.stratifiedSampleThreshold(d, frac = 0.5)
+          .collect().map(_.getLong(0)).toSet
+        s1 == s2 && s1.subsetOf(ids.toSet)
+      }
+    })
+  }
+}
