@@ -13,13 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object Neighborhood {
 
-  /** Floor-form decimal rounding ⌊c·10ˢ+0.5⌋/10ˢ — single IEEE ops,
-    * replayed verbatim by the oracle (see Similarity.rnd for why
-    * engine-native `round` is not cross-engine safe). */
-  private def rnd(c: Column, s: Int): Column = {
-    val f = math.pow(10, s.toDouble)
-    floor(c * f + 0.5) / f
-  }
+  private def rnd(c: Column, s: Int): Column = graft.functions.Rounding.rnd(c, s)
 
   /** Callee-set Jaccard similarity between caller functions: pairs
     * (fn_a < fn_b) whose deduped out-neighbor sets satisfy
@@ -123,7 +117,6 @@ object Neighborhood {
       .select(col("src"), col("dst"),
         coalesce(col("in_before"), lit(0)).as("b"),
         coalesce(col("in_after"), lit(0)).as("a"))
-    val f = math.pow(10, 4)
     merged.groupBy(col("src").as("node"))
       .agg(
         sum(col("b") * col("a")).as("n_kept"),
@@ -131,8 +124,8 @@ object Neighborhood {
         sum(col("b") * (lit(1) - col("a"))).as("n_removed"))
       .filter(col("n_added") + col("n_removed") > 0)
       .select(col("node"), col("n_kept"), col("n_added"), col("n_removed"),
-        (floor(col("n_kept") / (col("n_kept") + col("n_added") + col("n_removed"))
-          * f + 0.5) / f).as("callee_jaccard"))
+        rnd(col("n_kept") / (col("n_kept") + col("n_added") + col("n_removed")), 4)
+          .as("callee_jaccard"))
       .orderBy("node")
   }
 }

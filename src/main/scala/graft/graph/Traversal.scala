@@ -237,10 +237,25 @@ object Traversal {
       .distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val relaxed = dist.join(e, dist("node") === e("_src"))
-        .select(col("_dst").as("node"), (col("dist") + col("_off")).as("dist"))
-      dist = dist.unionByName(relaxed)
+    // DELTA relaxation: only nodes whose distance improved last round
+    // can improve a neighbor this round, so each round joins the
+    // FRONTIER against edges — not the whole accumulated table, which
+    // would re-expand every settled node each round for identical
+    // output (round-count × the shuffle volume). Fixpoint (empty
+    // frontier) short-circuits the remaining rounds.
+    var frontier = dist
+    for (_ <- 1 to rounds if !frontier.isEmpty) {
+      val relaxed = frontier.join(e, frontier("node") === e("_src"))
+        .select(col("_dst").as("node"), (col("dist") + col("_off")).as("cand"))
+        .groupBy("node")
+        .agg(min(col("cand")).as("cand"))
+      frontier = relaxed
+        .join(dist.select(col("node").as("n2"), col("dist").as("old")),
+          col("node") === col("n2"), "left")
+        .filter(col("old").isNull || col("cand") < col("old"))
+        .select(col("node"), col("cand").as("dist"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier)
         .groupBy("node")
         .agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
@@ -307,17 +322,23 @@ object Traversal {
     */
   def anfApprox(edges: DataFrame, depth: Int, m: Int = 64): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val idxBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val restBits = 64 - idxBits
     val e = edgeCols(edges).select("_src", "_dst").distinct().localCheckpoint(true)
     val nodes = e.select(col("_src").as("node"))
       .unionByName(e.select(col("_dst").as("node"))).distinct()
-    // ρ of the 58 bits above the register index: 58 − significant-bit
-    // count + 1; an all-zero remainder gets the max ρ = 59.
-    val h = abs(xxhash64(col("node")))
-    val rest = shiftrightunsigned(h, 6)
+    // ρ of the (64 − log₂m) bits above the register index:
+    // (restBits − significant-bit count) leading zeros + 1; an
+    // all-zero remainder gets the max ρ. The RAW hash is used — an
+    // abs() here would zero the top bit and shift every ρ up by one,
+    // inflating the harmonic-branch estimate 2× (registers must see
+    // P(ρ=1) = 1/2 exactly). pmod keeps the index non-negative.
+    val h = xxhash64(col("node"))
+    val rest = shiftrightunsigned(h, idxBits)
     var regs = nodes.select(col("node"),
-      (h % m).cast("int").as("idx"),
-      when(rest === 0, lit(59))
-        .otherwise(lit(59) - length(bin(rest))).cast("int").as("rho"))
+      pmod(h, lit(m.toLong)).cast("int").as("idx"),
+      when(rest === 0, lit(restBits + 1))
+        .otherwise(lit(restBits + 1) - length(bin(rest))).cast("int").as("rho"))
       .localCheckpoint(true)
     for (_ <- 1 to depth) {
       val fromNbrs = e.join(regs, e("_dst") === regs("node"))

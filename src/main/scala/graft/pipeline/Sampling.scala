@@ -42,12 +42,18 @@ object Sampling {
     * deterministic and the oracle replays it verbatim.
     */
   def stratifiedSampleThreshold(docs: DataFrame, frac: Double = 0.25): DataFrame = {
-    val cutoff = f"${math.round(frac * 65536).toInt}%04x"
-    TextAnalysis.langId(docs)
+    require(frac > 0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val cut = math.round(frac * 65536).toInt
+    val strata = TextAnalysis.langId(docs)
       .select(col("doc_id"), col("lang_pred").as("stratum"))
-      .withColumn("h", md5(col("doc_id").cast("string")))
-      .filter(substring(col("h"), 1, 4) < lit(cutoff))
-      .orderBy("stratum", "doc_id")
+    // frac ≈ 1 rounds the cutoff to 0x10000, which as a STRING is 5
+    // chars and compares lexicographically BELOW "2000".."ffff" — the
+    // 4-hex-digit prefix test would silently keep ~1/16 of the corpus
+    // on a keep-everything call, so it gets no filter at all.
+    val withH = strata.withColumn("h", md5(col("doc_id").cast("string")))
+    val kept = if (cut >= 0x10000) withH
+      else withH.filter(substring(col("h"), 1, 4) < lit(f"$cut%04x"))
+    kept.orderBy("stratum", "doc_id")
   }
 
   /** Sequence packing for training: documents are concatenated in

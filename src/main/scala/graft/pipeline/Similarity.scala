@@ -25,10 +25,7 @@ object Similarity {
     * DECIMAL string) and DuckDB's `round` (over the binary value) can
     * disagree by one last-place decimal on the same input; the floor
     * form cannot. The oracle replays the same expression. */
-  private def rnd(c: Column, s: Int): Column = {
-    val f = math.pow(10, s.toDouble)
-    floor(c * f + 0.5) / f
-  }
+  private def rnd(c: Column, s: Int): Column = graft.functions.Rounding.rnd(c, s)
 
   /** Embeddings with their FIXED-POINT twin and its norm:
     * (vec_id, v, qv, nrm) — qv = round(v·10⁶) longs,
@@ -157,20 +154,18 @@ object Similarity {
     * iteration is one broadcast-join + two narrow shuffles on
     * (cid, dim) / cid.
     */
-  private val Dim = 64
-
-  private def kmeansIterate(v: DataFrame, cents: DataFrame): DataFrame = {
+  private def kmeansIterate(v: DataFrame, cents: DataFrame, dim: Int): DataFrame = {
     val asg = centroidRanks(v, cents).filter(col("crank") === 1)
       .select(col("cid"), col("qv"))
-    // element-wise sums as 64 long agg buffers on the cid key alone:
+    // element-wise sums as `dim` long agg buffers on the cid key alone:
     // map-side partial agg combines each partition down to one row per
     // centroid before the shuffle. The earlier posexplode form blew
-    // every vector up 64× and funneled the shuffle into a k×64-key
+    // every vector up dim× and funneled the shuffle into a k×dim-key
     // space (~1k reducers max at any corpus size).
-    val sums = (0 until Dim).map(i => sum(col("qv")(i)).as(s"_s$i"))
+    val sums = (0 until dim).map(i => sum(col("qv")(i)).as(s"_s$i"))
     asg.groupBy("cid")
       .agg(count(lit(1)).as("_n"), sums: _*)
-      .select(col("cid"), array((0 until Dim).map(i =>
+      .select(col("cid"), array((0 until dim).map(i =>
         floor(col(s"_s$i") / col("_n")).cast("long")): _*).as("cv"))
   }
 
@@ -182,10 +177,14 @@ object Similarity {
     */
   def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
     val v = withNorm(emb)
+    // the element-wise recompute needs the width statically; read it
+    // from the data (one 1-row job) rather than assuming 64 — a wrong
+    // assumption would silently produce null centroid entries
+    val dim = v.select(size(col("qv"))).head().getInt(0)
     var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     for (_ <- 1 to iters)
-      cents = kmeansIterate(v, cents).localCheckpoint(true)
+      cents = kmeansIterate(v, cents, dim).localCheckpoint(true)
     cents
   }
 

@@ -224,12 +224,8 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Floor-form decimal rounding ⌊c·10ˢ+0.5⌋/10ˢ — the cross-engine-
-    * safe form (see Similarity.rnd); the oracle replays it verbatim. */
-  private def rnd(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = {
-    val f = math.pow(10, s.toDouble)
-    floor(c * f + 0.5) / f
-  }
+  private def rnd(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.rnd(c, s)
 
   /** D24 repetition signals (the Gopher quality-filter family,
     * Rae et al. 2021 §A1.1): per document, the duplicate-word

@@ -168,17 +168,8 @@ object Relational {
       .orderBy("l_suppkey", "rn")
   }
 
-  /** Floor-form decimal rounding ⌊x·10ˢ+0.5⌋/10ˢ — single IEEE ops
-    * replayed verbatim by the oracle; engine-native `round` differs at
-    * exact half boundaries (Spark HALF_UP on the decimal string,
-    * DuckDB half-away on the double). Sums of many terms almost never
-    * land on a half boundary (which is why the round(sum…) aggregates
-    * above are safe), but RATIOS of small integers do — so every
-    * derived ratio below uses this form. */
-  private def rnd(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = {
-    val f = math.pow(10, s.toDouble)
-    floor(c * f + 0.5) / f
-  }
+  private def rnd(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column =
+    graft.functions.Rounding.rnd(c, s)
 
   /** TPC-H Q10-shaped returned-item report: which customers returned
     * the most revenue in a quarter. Plan shape: lineitem is

@@ -330,27 +330,27 @@ object EventStreams {
     * semantics on a batch frame (the gated entry) and a streaming one
     * (StreamingSpec parity).
     */
-  def enrichByNation(events: DataFrame, nation: DataFrame): DataFrame =
+  /** The enrich+aggregate core shared VERBATIM by the batch entry and
+    * the streaming deployment (the rankWindows pattern — one body, two
+    * execution modes), so batch/stream parity can't drift apart. No
+    * orderBy here: a streaming aggregation can't sort. */
+  private def enrichCore(events: DataFrame, nation: DataFrame): DataFrame =
     events
       .withColumn("nk", pmod(col("user_id"), lit(25L)))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("nk") === col("n_nationkey"))
       .groupBy("n_name", "event_type")
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .orderBy("n_name", "event_type")
+
+  def enrichByNation(events: DataFrame, nation: DataFrame): DataFrame =
+    enrichCore(events, nation).orderBy("n_name", "event_type")
 
   /** Streaming twin of [[enrichByNation]] over a parquet-dir source
     * (complete-mode aggregation; the enrich join itself is stateless). */
   def streamingEnriched(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema).parquet(dir)
-    val nation = s.read.parquet(s"$dir/nation.parquet")
-    stream
-      .withColumn("nk", pmod(col("user_id"), lit(25L)))
-      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
-        col("nk") === col("n_nationkey"))
-      .groupBy("n_name", "event_type")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    enrichCore(s.readStream.schema(schema).parquet(dir),
+      s.read.parquet(s"$dir/nation.parquet"))
   }
 }

@@ -107,11 +107,29 @@ class PlanAuditSpec extends AnyFunSuite {
     // the c_custkey join must consume the aggregated revenue frame
     // (≤1 row per customer), never the raw return lineitems — join
     // order is the difference between a dim-sized and fact-sized
-    // shuffle of customer rows. In the plan, the HashAggregate for
-    // revenue must appear BELOW the customer join.
+    // shuffle of customer rows. Assert STRUCTURALLY: every physical
+    // join keyed on c_custkey must have a HashAggregate somewhere in
+    // one of its subtrees (the revenue agg feeding the join).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = SparkEntry.queries("q10_returns")(spark, dir)
+    // the pre-AQE physical plan: no adaptive wrappers/query stages to
+    // hide subtrees from the traversal
+    val plan = df.queryExecution.sparkPlan
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+    val custJoins = subtree(plan).collect {
+      case j: BaseJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(
+          _.references.exists(_.name == "c_custkey")) => j
+    }
+    assert(custJoins.nonEmpty, s"no c_custkey join found:\n$plan")
+    custJoins.foreach { j =>
+      val hasAgg = j.children.exists(c => subtree(c).exists(_.isInstanceOf[HashAggregateExec]))
+      assert(hasAgg,
+        s"customer join consumes raw lineitems (no aggregate below it):\n$j")
+    }
     val p = planOf("q10_returns")
-    val aggIdx = p.indexOf("HashAggregate")
-    assert(aggIdx >= 0, s"no aggregate in plan:\n$p")
     assert(p.contains("EqualTo(l_returnflag,R)"),
       s"returnflag filter not pushed to lineitem scan:\n$p")
   }
