@@ -244,6 +244,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(cents(1L) - 10000000L) <= 1L)  // mean(10.0, 9.8, 10.2)·1e6
   }
 
+  test("k-means trains on non-64-dim embeddings (width read from data)") {
+    import spark.implicits._
+    // 8-dim corpus: a hardcoded width would aggregate out-of-range
+    // getItem = null into the centroid arrays (regression gate)
+    def vec(base: Double) = Array.tabulate(8)(i => (base + i * 0.01).toFloat)
+    val df = Seq((0L, vec(0.0)), (1L, vec(5.0)), (2L, vec(0.1)), (3L, vec(4.9)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, k = 2, iters = 1)
+      .collect().map(r => r.getAs[scala.collection.Seq[Long]]("cv"))
+    assert(cents.length == 2)
+    assert(cents.forall(cv => cv.length == 8 && cv.forall(_ != null)),
+      s"centroids must be 8 non-null entries: ${cents.toSeq}")
+  }
+
   test("semanticDedup drops in-cluster near-dups onto their smallest anchor") {
     import spark.implicits._
     val dim = 64

@@ -224,6 +224,13 @@ class TraversalSpec extends AnyFunSuite {
     val totalEst = exact.keys.toSeq.map(est).sum
     assert(math.abs(totalEst - totalEx) / totalEx < 0.15,
       s"aggregate drift: $totalEst vs $totalEx")
+    // register geometry must follow m (regression gate for the
+    // hardcoded-64 shift): a 16-register run stays in family too
+    val est16 = Traversal.anfApprox(g, depth = 2, m = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val total16 = exact.keys.toSeq.map(est16).sum
+    assert(math.abs(total16 - totalEx) / totalEx < 0.35,
+      s"m=16 aggregate drift: $total16 vs $totalEx")
   }
 
   test("communities: two cliques with a bridge keep separate labels") {
