@@ -62,6 +62,60 @@ object Dedup {
     est.orderBy("doc_a", "doc_b")
   }
 
+  /** Persist the minhash signature table (the incremental-dedup
+    * state, 8 rows/doc) keyed for the band join — the Fulltext-index
+    * save/load convention applied to dedup. */
+  def saveSignatures(docs: DataFrame, path: String): Unit =
+    minhashLong(docs).repartition(col("perm"), col("mh"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental near-dup ingest: score NEW documents against a
+    * persisted signature store WITHOUT touching the existing corpus
+    * text — the continuous-ingest path (a 100 TB corpus is not
+    * re-minhashed because a day's crawl arrived). New docs are
+    * signed (the only text pass), candidates come from the band join
+    * of new signatures against store ∪ new (so new↔new dups are
+    * caught too), and est_jaccard is computed exactly as
+    * [[minhashLsh]] does. Equivalence contract (spec): the result ==
+    * the full [[minhashLsh]] over old ∪ new, restricted to pairs
+    * touching a new doc. Returns (doc_a, doc_b, est_jaccard,
+    * both_new).
+    */
+  def dedupIncremental(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, newDocs: DataFrame): DataFrame =
+    dedupIncrementalFrames(spark.read.parquet(storePath), newDocs)
+
+  /** [[dedupIncremental]] core over an in-memory signature frame —
+    * the gated/oracle-replayable form (no file I/O in the plan). */
+  def dedupIncrementalFrames(stored: DataFrame, newDocs: DataFrame): DataFrame = {
+    val fresh = minhashLong(newDocs).localCheckpoint(true)
+    val newIds = fresh.select("doc_id").distinct()
+    // a re-imported doc_id supersedes its stored signatures
+    // (last-write-wins, the GraphStore.merge contract)
+    val all = stored
+      .join(newIds.select(col("doc_id").as("nid")),
+        col("doc_id") === col("nid"), "left_anti")
+      .unionByName(fresh)
+      .localCheckpoint(true)
+    val cand = fresh.as("x").join(all.as("y"),
+        col("x.perm") === col("y.perm") && col("x.mh") === col("y.mh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(all.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(all.as("b"), col("doc_b") === col("b.doc_id") && col("a.perm") === col("b.perm"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(when(col("a.mh") === col("b.mh"), 1).otherwise(0)) /
+        lit(TextOps.MinhashA.length.toDouble), 4).as("est_jaccard"))
+      .join(newIds.select(col("doc_id").as("na")), col("doc_a") === col("na"), "left")
+      .join(newIds.select(col("doc_id").as("nb")), col("doc_b") === col("nb"), "left")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (col("na").isNotNull && col("nb").isNotNull).as("both_new"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 40-bit SimHash signature per doc: token-frequency-weighted bit
     * votes over the token hash (40 low bits of the base-31 poly are
     * well-mixed; wider sig = selective hamming threshold even on

@@ -113,6 +113,14 @@ object PipelineEntries {
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(Tables.documents(s, d))),
     "text_winnow_pairs" -> ((s, d) =>
       TextAnalysis.winnowPairs(Tables.documents(s, d))),
+    // continuous-ingest dedup: the 1-in-3 doc_id slice arrives "new"
+    // against a signature store built from the rest
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupIncrementalFrames(
+        Dedup.minhashLong(docs.filter(col("doc_id") % 3 =!= 0)),
+        docs.filter(col("doc_id") % 3 === 0))
+    }),
     "chunk_docs" -> ((s, d) => Sampling.chunkDocs(Tables.documents(s, d))),
     "events_funnel" -> ((s, d) =>
       TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d)))
@@ -319,6 +327,29 @@ object PipelineEntries {
          |SELECT doc_a, doc_b,
          |       round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
          |         AS est_jaccard
+         |FROM cand
+         |JOIN mh a ON doc_a = a.doc_id
+         |JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+         |GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the store split derives from the same corpus, so store ∪ new
+    // signatures == mh; candidates require one NEW side, scoring and
+    // est_jaccard are identical to dedup_minhash.
+    "dedup_incremental" ->
+      s"""WITH $TOK,
+         |$SH,
+         |mh AS (
+         |  $minhashUnion),
+         |mhn AS (SELECT * FROM mh WHERE doc_id % 3 = 0),
+         |cand AS (
+         |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         |         greatest(x.doc_id, y.doc_id) AS doc_b
+         |  FROM mhn x JOIN mh y
+         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id <> y.doc_id)
+         |SELECT doc_a, doc_b,
+         |       round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
+         |         AS est_jaccard,
+         |       doc_a % 3 = 0 AND doc_b % 3 = 0 AS both_new
          |FROM cand
          |JOIN mh a ON doc_a = a.doc_id
          |JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm

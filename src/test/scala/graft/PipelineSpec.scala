@@ -75,6 +75,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(c.forall(_._3 == 3L))
   }
 
+  test("incremental dedup == full recompute restricted to new-doc pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val old = docs(1L -> base, 2L -> (base + " ancient"),
+      3L -> "completely different words here entirely unrelated stuff")
+    val fresh = docs(10L -> (base + " fresh"),       // near-dup of 1 and 2
+      11L -> "another disjoint document with its own vocabulary",
+      12L -> (base + " fresh"))                       // exact dup of 10 (new↔new)
+    val store = java.nio.file.Files.createTempDirectory("sigstore").toString
+    Dedup.saveSignatures(old, s"$store/sigs")
+    val inc = Dedup.dedupIncremental(spark, s"$store/sigs", fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    // ground truth: full recompute over old ∪ new, pairs touching new
+    val full = Dedup.minhashLsh(old.unionByName(fresh))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap.filter { case ((a, b), _) => a >= 10L || b >= 10L }
+    assert(inc.view.mapValues(_._1).toMap == full,
+      s"incremental $inc vs full $full")
+    assert(inc.exists { case ((a, b), (_, bn)) => a == 10L && b == 12L && bn },
+      s"new-new pair must be flagged both_new: $inc")
+    assert(inc.keys.exists { case (a, _) => a < 10L },
+      s"expected at least one old-new pair: $inc")
+  }
+
   test("keepBest keeps the longest cluster member, not the min id") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
