@@ -18,7 +18,7 @@ import graft.queries.GraphQueryEngine
   * graft.Cli --store /warehouse query callgraph main --max-depth 3
   * graft.Cli --store /warehouse query call-path main --show-paths|--show-sequences|--show-upward|--show-context
   * graft.Cli --store /warehouse query xrefs 0x401000
-  * graft.Cli --store /warehouse query analytics components|pagerank|kcore|triangles|communities|reach  (extension)
+  * graft.Cli --store /warehouse query analytics components|pagerank|kcore|triangles|communities|reach|betweenness  (extension)
   * graft.Cli --store /warehouse database init|stats|export <dir>|clear --confirm
   * }}}
   *
@@ -166,9 +166,12 @@ object Cli {
           case "communities" => emit(engine.communities(b).limit(limit))
           case "reach" => emit(engine.neighborhoodSizes(
             b, opt(args, "--max-depth").map(_.toInt).getOrElse(2)).limit(limit))
+          case "betweenness" => emit(engine.betweenness(
+            b, opt(args, "--max-depth").map(_.toInt).getOrElse(3),
+            opt(args, "--sample").map(_.toInt).getOrElse(8)).limit(limit))
           case other => sys.error(
             s"unknown analytics '$other' (expected components, pagerank, kcore, " +
-              "triangles, communities, or reach)")
+              "triangles, communities, reach, or betweenness)")
         }
       case Seq("database", "stats", _*) =>
         emit(engine.stats())

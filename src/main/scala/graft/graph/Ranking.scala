@@ -202,14 +202,18 @@ object Ranking {
       levels += frontier
       visited = visited.unionByName(frontier.select("s", "v")).localCheckpoint(true)
     }
-    // backward: deepest level contributes nothing; accumulate upward
+    // backward: deepest level contributes nothing; each level's δ only
+    // ever feeds the level ABOVE it, so deltas stay per-level (the
+    // accumulated union is built once at the end — checkpointing a
+    // growing union every round re-materialized all finished levels)
     val depth = levels.size - 1
-    var delta = levels(depth)
+    val deltas = Array.ofDim[DataFrame](levels.size)
+    deltas(depth) = levels(depth)
       .select(col("s"), col("v"), lit(0L).as("delta"))
       .localCheckpoint(true)
     for (t <- depth - 1 to 0 by -1) {
       // δ and σ of the level-(t+1) successors, keyed for the DAG join
-      val succ = delta
+      val succ = deltas(t + 1)
         .join(levels(t + 1).select(col("s").as("s2"), col("v").as("w"),
             col("sigma").as("sw")),
           col("s") === col("s2") && col("v") === col("w"))
@@ -221,13 +225,12 @@ object Ranking {
         .select(col("s"), col("v"), col("sigma"), col("dw"), col("sw"))
         .groupBy("s", "v")
         .agg(sum(expr("sigma * (1000000 + dw) div sw")).as("delta"))
-      delta = cur.select("s", "v")
+      deltas(t) = cur.select("s", "v")
         .join(contrib, Seq("s", "v"), "left")
         .select(col("s"), col("v"), coalesce(col("delta"), lit(0L)).as("delta"))
-        .unionByName(delta)
         .localCheckpoint(true)
     }
-    delta.filter(col("s") =!= col("v"))
+    deltas.reduce(_ unionByName _).filter(col("s") =!= col("v"))
       .groupBy(col("v").as("node"))
       .agg(sum(col("delta")).as("betweenness_ppm"))
       .filter(col("betweenness_ppm") > 0)

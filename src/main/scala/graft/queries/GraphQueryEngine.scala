@@ -376,6 +376,21 @@ class GraphQueryEngine(g: BinaryGraph) {
       .orderBy("uid")
   }
 
+  /** Brokers of the call graph: sampled bounded betweenness
+    * ([[graft.graph.Ranking.betweennessSampled]]) from a 1-in-
+    * `samplePeriod` source sample (1 = every caller — fine for small
+    * binaries, the sampling exists for corpus-scale graphs),
+    * most-central first. */
+  def betweenness(binary: Option[String] = None, depth: Int = 3,
+      samplePeriod: Int = 8): DataFrame = {
+    val (ids, e) = withIds(binary)
+    val sources = e.select(col("src").as("node"))
+      .filter(pmod(col("node"), lit(samplePeriod.toLong)) === 0).distinct()
+    mapBack(graft.graph.Ranking.betweennessSampled(e, sources, depth),
+      ids, "betweenness_ppm")
+      .orderBy(col("betweenness_ppm").desc, col("uid"))
+  }
+
   /** How much of the binary each function transitively touches:
     * exact |N_≤depth| per function ([[graft.graph.Traversal
     * .reachWithin]]); [[graft.graph.Traversal.anfApprox]] is the

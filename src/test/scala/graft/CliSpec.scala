@@ -108,6 +108,11 @@ class CliSpec extends AnyFunSuite {
     val rc = capture("query", "analytics", "reach", "--max-depth", "2",
       "--limit", "5")
     assert(rc.contains("n_reach"))
+    // --sample 1 = exhaustive sources (the fixture graph is tiny; the
+    // default 1-in-8 id sample may legitimately select none)
+    val bt = capture("query", "analytics", "betweenness", "--sample", "1",
+      "--limit", "5")
+    assert(bt.contains("betweenness_ppm"))
   }
 
   test("csv quoting escapes commas and quotes") {
