@@ -166,9 +166,14 @@ object Cli {
           case "communities" => emit(engine.communities(b).limit(limit))
           case "reach" => emit(engine.neighborhoodSizes(
             b, opt(args, "--max-depth").map(_.toInt).getOrElse(2)).limit(limit))
-          case "betweenness" => emit(engine.betweenness(
-            b, opt(args, "--max-depth").map(_.toInt).getOrElse(3),
-            opt(args, "--sample").map(_.toInt).getOrElse(8)).limit(limit))
+          case "betweenness" =>
+            val sample = opt(args, "--sample").map(s =>
+              s.toIntOption.filter(_ >= 1).getOrElse(
+                sys.error(s"--sample must be a positive integer, got '$s'")))
+              .getOrElse(8)
+            emit(engine.betweenness(
+              b, opt(args, "--max-depth").map(_.toInt).getOrElse(3),
+              sample).limit(limit))
           case other => sys.error(
             s"unknown analytics '$other' (expected components, pagerank, kcore, " +
               "triangles, communities, reach, or betweenness)")

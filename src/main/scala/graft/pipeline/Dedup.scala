@@ -53,14 +53,22 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val est = cand
-      .join(mh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(mh.as("b"), col("doc_b") === col("b.doc_id") && col("a.perm") === col("b.perm"))
+    scorePairs(cand, mh).orderBy("doc_a", "doc_b")
+  }
+
+  /** Estimated Jaccard for (doc_a, doc_b) candidate pairs from a
+    * signature table: matching-minhash fraction over the permutation
+    * count — THE est_jaccard definition, shared by the batch LSH and
+    * the incremental ingest so the equivalence contract has one
+    * implementation. (k/8 fractions never land on a rounding half
+    * boundary, so engine-native round is safe here.) */
+  private def scorePairs(cand: DataFrame, sigs: DataFrame): DataFrame =
+    cand
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id") && col("a.perm") === col("b.perm"))
       .groupBy("doc_a", "doc_b")
       .agg(round(sum(when(col("a.mh") === col("b.mh"), 1).otherwise(0)) /
         lit(TextOps.MinhashA.length.toDouble), 4).as("est_jaccard"))
-    est.orderBy("doc_a", "doc_b")
-  }
 
   /** Persist the minhash signature table (the incremental-dedup
     * state, 8 rows/doc) keyed for the band join — the Fulltext-index
@@ -103,12 +111,7 @@ object Dedup {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    cand
-      .join(all.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(all.as("b"), col("doc_b") === col("b.doc_id") && col("a.perm") === col("b.perm"))
-      .groupBy("doc_a", "doc_b")
-      .agg(round(sum(when(col("a.mh") === col("b.mh"), 1).otherwise(0)) /
-        lit(TextOps.MinhashA.length.toDouble), 4).as("est_jaccard"))
+    scorePairs(cand, all)
       .join(newIds.select(col("doc_id").as("na")), col("doc_a") === col("na"), "left")
       .join(newIds.select(col("doc_id").as("nb")), col("doc_b") === col("nb"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),

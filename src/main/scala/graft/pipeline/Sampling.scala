@@ -44,6 +44,10 @@ object Sampling {
   def stratifiedSampleThreshold(docs: DataFrame, frac: Double = 0.25): DataFrame = {
     require(frac > 0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
     val cut = math.round(frac * 65536).toInt
+    // symmetric to the ≥0x10000 branch below: a cutoff that rounds to
+    // 0 would silently keep NOTHING — fail loudly instead
+    require(cut >= 1,
+      s"frac $frac is below the 4-hex-digit resolution (min ~1.5e-5)")
     val strata = TextAnalysis.langId(docs)
       .select(col("doc_id"), col("lang_pred").as("stratum"))
     // frac ≈ 1 rounds the cutoff to 0x10000, which as a STRING is 5

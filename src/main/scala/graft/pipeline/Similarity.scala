@@ -179,8 +179,12 @@ object Similarity {
     val v = withNorm(emb)
     // the element-wise recompute needs the width statically; read it
     // from the data (one 1-row job) rather than assuming 64 — a wrong
-    // assumption would silently produce null centroid entries
-    val dim = v.select(size(col("qv"))).head().getInt(0)
+    // assumption would silently produce null centroid entries. An
+    // empty corpus trains no centroids (empty frame, not a crash).
+    val first = v.select(size(col("qv"))).take(1)
+    if (first.isEmpty)
+      return v.limit(0).select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val dim = first.head.getInt(0)
     var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
     for (_ <- 1 to iters)

@@ -321,15 +321,6 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
-  /** Stream-static enrichment: events joined to a broadcast dimension
-    * (nation, via the synthetic user→nation key user_id mod 25), then
-    * aggregated per (nation, type). The join is the canonical
-    * stream-static broadcast enrich — the static side is read once,
-    * broadcast to every micro-batch, and adds NO streaming state; the
-    * only stateful op is the downstream aggregation. Identical
-    * semantics on a batch frame (the gated entry) and a streaming one
-    * (StreamingSpec parity).
-    */
   /** The enrich+aggregate core shared VERBATIM by the batch entry and
     * the streaming deployment (the rankWindows pattern — one body, two
     * execution modes), so batch/stream parity can't drift apart. No
@@ -342,6 +333,15 @@ object EventStreams {
       .groupBy("n_name", "event_type")
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** Stream-static enrichment: events joined to a broadcast dimension
+    * (nation, via the synthetic user→nation key user_id mod 25), then
+    * aggregated per (nation, type). The join is the canonical
+    * stream-static broadcast enrich — the static side is read once,
+    * broadcast to every micro-batch, and adds NO streaming state; the
+    * only stateful op is the downstream aggregation. Identical
+    * semantics on a batch frame (this entry) and a streaming one
+    * ([[streamingEnriched]] — StreamingSpec parity).
+    */
   def enrichByNation(events: DataFrame, nation: DataFrame): DataFrame =
     enrichCore(events, nation).orderBy("n_name", "event_type")
 
