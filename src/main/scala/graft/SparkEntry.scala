@@ -52,6 +52,34 @@ object SparkEntry {
     "q2_mincost" -> ((s, d) =>
       Relational.minCostSupplier(Tables.lineitem(s, d), Tables.part(s, d),
         Tables.supplier(s, d))),
+    "q8_market_share" -> ((s, d) =>
+      Relational.nationMarketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
+    "q9_profit" -> ((s, d) =>
+      Relational.productTypeProfit(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
+    "q11_important_parts" -> ((s, d) =>
+      Relational.importantParts(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+    "q12_shipmode" -> ((s, d) =>
+      Relational.lateShipmentPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q13_order_dist" -> ((s, d) =>
+      Relational.customerOrderDistribution(Tables.customer(s, d),
+        Tables.orders(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      Relational.topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q16_supplier_cnt" -> ((s, d) =>
+      Relational.supplierCountByPart(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d))),
+    "q17_small_qty" -> ((s, d) =>
+      Relational.smallQuantityRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q20_promotion_parts" -> ((s, d) =>
+      Relational.promotionPartSuppliers(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d))),
+    "q21_waiting" -> ((s, d) =>
+      Relational.waitingSuppliers(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
     "events_enrich" -> ((s, d) =>
       graft.streaming.EventStreams.enrichByNation(
         graft.streaming.EventStreams.events(s, d), Tables.nation(s, d))),
@@ -349,6 +377,151 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact-cents contract (see centsOf in Relational): every sum below
+    // is over ⌊x·100+0.5⌋ longs, so thresholds/ratios replay exactly.
+    "q8_market_share" ->
+      """WITH l AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |           AS BIGINT) AS rev_cents,
+        |         sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM customer c
+        |    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |    JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |    WHERE c.c_custkey = o_custkey AND r.r_name = 'ASIA'))
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_cents
+        |           ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+        |  floor(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_cents
+        |            ELSE 0 END) / SUM(rev_cents) * 10000 + 0.5) / 10000
+        |    AS mkt_share
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        |       CAST(SUM(
+        |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+        |           AS BIGINT)
+        |         - CAST(floor(p_retailprice * l_quantity * 10 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS partkey,
+        |         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE s_suppkey = l_suppkey AND n_name = 'NATION_5')
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(value_cents) AS total_cents FROM v)
+        |SELECT partkey, value_cents FROM v, t
+        |WHERE value_cents * 10000 > total_cents * 10
+        |ORDER BY value_cents DESC, partkey""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_order_dist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, COUNT(*) AS n FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT COALESCE(n, 0) AS c_count, COUNT(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |           + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // qty < 0.2·avg as the exact integer inequality 5·qty·n < sum.
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_cents,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_brand = 'Brand#23')),
+        |pp AS (
+        |  SELECT l_partkey AS pk, SUM(qty_cents) AS sum_qty_cents,
+        |         COUNT(*) AS n_lines
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(COALESCE(SUM(price_cents), 0) // 7 AS BIGINT)
+        |         AS avg_yearly_cents,
+        |       COUNT(*) AS n_rows
+        |FROM li JOIN pp ON l_partkey = pk
+        |WHERE qty_cents * 5 * n_lines < sum_qty_cents""".stripMargin,
+    "q20_promotion_parts" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_cents
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE '%bolt%')),
+        |bs AS (SELECT l_partkey, l_suppkey, SUM(qty_cents) AS supp_cents
+        |       FROM li GROUP BY 1, 2),
+        |bp AS (SELECT l_partkey AS pk, SUM(qty_cents) AS total_cents
+        |       FROM li GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM bs JOIN bp ON l_partkey = pk
+        |  WHERE supp_cents * 10 > total_cents * 3)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting" ->
+      """WITH ap AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |            FROM lineitem),
+        |rp AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |       FROM lineitem WHERE l_returnflag = 'R'),
+        |base AS (
+        |  SELECT ok, sk FROM rp
+        |  WHERE sk IN (SELECT s_suppkey FROM supplier
+        |               JOIN nation ON s_nationkey = n_nationkey
+        |               WHERE n_name = 'NATION_2')
+        |    AND ok IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'))
+        |SELECT b.sk AS s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM base b
+        |JOIN supplier ON b.sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM ap WHERE ap.ok = b.ok AND ap.sk <> b.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM rp WHERE rp.ok = b.ok AND rp.sk <> b.sk)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
     "q5_star" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

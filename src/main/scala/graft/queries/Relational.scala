@@ -315,6 +315,294 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Floor-form integer cents: ⌊x·100+0.5⌋ as long. Sums of longs are
+    * order-independent, so any comparison/ratio built on cents replays
+    * bit-identically in the oracle (the q22 contract, shared here by
+    * q8/q9/q11/q15/q17/q20). */
+  private def centsOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + lit(0.5)).cast("long")
+
+  /** TPC-H Q8-shaped national market share: of the revenue shipped to
+    * customers in `regionName`, what fraction came from suppliers in
+    * `targetNation`, by order year. Plan shape: supplier⋈nation is a
+    * broadcast dim on the lineitem side; lineitem⋈orders is the one
+    * fact-fact shuffle; the region membership test is a LEFT SEMI join
+    * against the region's customer keys (a constant fraction of
+    * customer — never hinted broadcast, the q3 lesson). The share is a
+    * floor-form 4dp ratio of two exact long cent sums.
+    */
+  def nationMarketShare(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = "ASIA",
+      targetNation: String = "NATION_3"): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val custInRegion = customer
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supN = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val revCents = centsOf(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custInRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === targetNation, revCents)
+          .otherwise(lit(0L))).as("nation_cents"),
+        sum(revCents).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        rnd(col("nation_cents").cast("double") / col("total_cents"), 4)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9-shaped product-type profit: per (supplier nation, ship
+    * year), revenue minus a retail-derived cost for parts matching a
+    * name pattern. partsupp does not exist in this corpus, so cost is
+    * p_retailprice·qty/10 (same join shape: part is the selective
+    * broadcast dim, supplier⋈nation the second). Profit is EXACT long
+    * cents: each row contributes ⌊rev·100+.5⌋ − ⌊cost·100+.5⌋, so the
+    * sum has no float summation-order surface at all.
+    */
+  def productTypeProfit(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      namePattern: String = "%gear%"): DataFrame = {
+    val p = part.filter(col("p_name").like(namePattern))
+      .select("p_partkey", "p_retailprice")
+    val supN = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val profit = centsOf(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+      floor(col("p_retailprice") * col("l_quantity") * 10 + lit(0.5)).cast("long")
+    lineitem
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(sum(profit).as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-shaped important parts: parts whose inventory value
+    * (from one nation's suppliers) exceeds a fixed fraction of the
+    * global total. Plan shape: the per-part aggregation runs FIRST
+    * (map-side partials shrink the fact scan to ≤|part| rows), the
+    * global total is a 1-row broadcast cross join over the SAME
+    * aggregate (Catalyst reuses the exchange), and the HAVING is the
+    * exact integer inequality value·10000 > total — no double
+    * threshold to drift at the boundary.
+    */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, nationName: String = "NATION_5",
+      fracBp: Int = 10): DataFrame = {
+    // fracBp = basis points (1/10000); default 10bp = 0.1%.
+    val supIn = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(supIn), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(centsOf(col("l_extendedprice"))).as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_cents") * 10000 > col("total_cents") * fracBp)
+      .select("partkey", "value_cents")
+      .orderBy(col("value_cents").desc, col("partkey"))
+  }
+
+  /** TPC-H Q12-shaped late-shipment priority count: lines shipped more
+    * than `lateDays` after the order date, split urgent/other per line
+    * status. The corpus has no l_shipmode/l_commitdate, so linestatus
+    * stands in for the mode grouping and ship-vs-order lag for
+    * receipt-vs-commit — identical plan shape: one orderkey shuffle
+    * join between the two fact tables, conditional aggregation on top.
+    * The lateness test is timestamp arithmetic (exact in both engines).
+    */
+  def lateShipmentPriority(orders: DataFrame, lineitem: DataFrame,
+      lateDays: Int = 60): DataFrame =
+    lineitem.select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  /** TPC-H Q13-shaped customer order-count distribution: how many
+    * customers placed exactly N qualifying orders. The orders fact
+    * aggregates to one row per customer FIRST; customer then LEFT
+    * joins the reduced frame (missing → 0), and the second, tiny
+    * aggregation builds the histogram. Never an outer join against the
+    * raw fact table.
+    */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+      excludePriority: String = "1-URGENT"): DataFrame = {
+    val perCust = orders.filter(col("o_orderpriority") =!= excludePriority)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    customer.select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-shaped top supplier: supplier(s) with the maximum
+    * quarter revenue. Per-supplier revenue aggregates in exact long
+    * cents; the max is a 1-row broadcast cross join over the same
+    * aggregate (exchange reuse); equality on longs is exact, so ties
+    * surface every maximal supplier as the spec demands.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      lo: String = "1997-01-01", hi: String = "1997-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(lo)) &&
+        col("l_shipdate") < to_timestamp(lit(hi)))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(centsOf(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("total_cents"))
+    val mx = rev.agg(max(col("total_cents")).as("max_cents"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_cents") === col("max_cents"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16-shaped supplier count by part attributes: distinct
+    * suppliers per (brand, type, size) over the observed (part,
+    * supplier) pairs, excluding one brand, one type, off-list sizes,
+    * and negative-balance suppliers (the "complaints" stand-in). The
+    * pair set distincts on (partkey, suppkey) BEFORE the dim join; the
+    * supplier exclusion is a broadcast LEFT ANTI (6 keys); part is a
+    * broadcast dim. countDistinct rides the already-distinct pairs.
+    */
+  def supplierCountByPart(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, excludeBrand: String = "Brand#4",
+      excludeType: String = "PROMO",
+      sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 24, 29, 34)): DataFrame = {
+    val pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    val p = part
+      .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= excludeType &&
+        col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+    pairs
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: revenue lost if orders
+    * below 20% of a part's average quantity were dropped, for one
+    * brand. The per-part average NEVER materializes as a double:
+    * quantities are exact cents (corpus quantities are integers), and
+    * "qty < 0.2·avg" is the integer cross-multiplication
+    * 5·qty_cents·n < sum_cents — zero drift surface. Two passes over
+    * the brand's lineitem slice (canonical shape); the per-part
+    * aggregate is small and AQE broadcasts it to the second pass.
+    */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#23"): DataFrame = {
+    val pkeys = part.filter(col("p_brand") === brand).select("p_partkey")
+    val li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(pkeys), col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(centsOf(col("l_quantity"))).as("sum_qty_cents"),
+        count(lit(1)).as("n_lines"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(centsOf(col("l_quantity")) * 5 * col("n_lines") <
+        col("sum_qty_cents"))
+      .agg(
+        coalesce(sum(centsOf(col("l_extendedprice"))), lit(0L)).as("rev_cents"),
+        count(lit(1)).as("n_rows"))
+      // true integer floor division (see salesProspects): a double
+      // quotient cast to long can disagree with the oracle's `//`
+      .select(expr("rev_cents div 7").as("avg_yearly_cents"), col("n_rows"))
+  }
+
+  /** TPC-H Q20-shaped promotion-part suppliers: suppliers who shipped
+    * more than `shareNum/shareDen` of some matching part's total
+    * volume. Two aggregations over the filtered slice — per (supplier,
+    * part) and per part — joined on partkey (the per-part side is
+    * ≤|part| rows, AQE broadcasts it); the share test is the exact
+    * integer cross-multiplication den·supp > num·total; the survivor
+    * keys SEMI-join supplier. No correlated subquery anywhere.
+    */
+  def promotionPartSuppliers(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, namePattern: String = "%bolt%",
+      shareNum: Int = 3, shareDen: Int = 10): DataFrame = {
+    val pkeys = part.filter(col("p_name").like(namePattern)).select("p_partkey")
+    val li = lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(pkeys), col("l_partkey") === col("p_partkey"), "left_semi")
+    val bySupp = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(centsOf(col("l_quantity"))).as("supp_cents"))
+    val byPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(centsOf(col("l_quantity"))).as("total_cents"))
+    val qualifying = bySupp.join(byPart, col("l_partkey") === col("pk"))
+      .filter(col("supp_cents") * shareDen > col("total_cents") * shareNum)
+      .select("l_suppkey").distinct()
+    supplier.join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-shaped waiting-supplier count: suppliers from one
+    * nation who were the ONLY supplier with returned lines on a
+    * multi-supplier finished order. The base is the distinct (order,
+    * supplier) pair frame — built once, reused for both the EXISTS
+    * (another supplier participated: semi join with a ≠ condition) and
+    * the NOT EXISTS (no other supplier returned: anti join). Both
+    * probes key the shuffle on orderkey; the nation membership and the
+    * finished-order filters are broadcast semi joins.
+    */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      nationName: String = "NATION_2"): DataFrame = {
+    val allPairs = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_suppkey").as("sk")).distinct()
+    val rPairs = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val supIn = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val fOrders = orders.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val base = rPairs
+      .join(broadcast(supIn), col("sk") === col("s_suppkey"), "left_semi")
+      .join(fOrders, col("ok") === col("o_orderkey"), "left_semi")
+    val others = allPairs.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    val rOthers = rPairs.select(col("ok").as("ok3"), col("sk").as("sk3"))
+    base
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+        "left_semi")
+      .join(rOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+        "left_anti")
+      .groupBy(col("sk").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey").as("sk4"), col("s_name"))),
+        col("s_suppkey") === col("sk4"))
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
   /** TPC-H Q22-shaped sales prospects: customers with above-average
     * balances and no orders since `lapsedSince` (the canonical "never
     * ordered" is vacuous on this corpus — orders cover every custkey —
