@@ -394,10 +394,11 @@ object Relational {
     * (from one nation's suppliers) exceeds a fixed fraction of the
     * global total. Plan shape: the per-part aggregation runs FIRST
     * (map-side partials shrink the fact scan to ≤|part| rows), the
-    * global total is a 1-row broadcast cross join over the SAME
-    * aggregate (Catalyst reuses the exchange), and the HAVING is the
-    * exact integer inequality value·10000 > total — no double
-    * threshold to drift at the boundary.
+    * global total derives from the CHECKPOINTED aggregate (≤|part|
+    * rows — Catalyst does not reuse the exchange across the broadcast
+    * boundary, so without the checkpoint the scalar re-scans the whole
+    * fact table), and the HAVING is the exact integer inequality
+    * value·10000 > total — no double threshold to drift at the boundary.
     */
   def importantParts(lineitem: DataFrame, supplier: DataFrame,
       nation: DataFrame, nationName: String = "NATION_5",
@@ -411,6 +412,7 @@ object Relational {
       .join(broadcast(supIn), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey").as("partkey"))
       .agg(sum(centsOf(col("l_extendedprice"))).as("value_cents"))
+      .localCheckpoint()
     val total = value.agg(sum(col("value_cents")).as("total_cents"))
     value.crossJoin(broadcast(total))
       .filter(col("value_cents") * 10000 > col("total_cents") * fracBp)
@@ -462,9 +464,11 @@ object Relational {
 
   /** TPC-H Q15-shaped top supplier: supplier(s) with the maximum
     * quarter revenue. Per-supplier revenue aggregates in exact long
-    * cents; the max is a 1-row broadcast cross join over the same
-    * aggregate (exchange reuse); equality on longs is exact, so ties
-    * surface every maximal supplier as the spec demands.
+    * cents; the max is a 1-row broadcast cross join over the
+    * CHECKPOINTED per-supplier aggregate (≤|supplier| rows — without
+    * the checkpoint the scalar branch re-scans the fact table, see
+    * importantParts); equality on longs is exact, so ties surface
+    * every maximal supplier as the spec demands.
     */
   def topSupplier(lineitem: DataFrame, supplier: DataFrame,
       lo: String = "1997-01-01", hi: String = "1997-04-01"): DataFrame = {
@@ -474,6 +478,7 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(centsOf(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("total_cents"))
+      .localCheckpoint()
     val mx = rev.agg(max(col("total_cents")).as("max_cents"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_cents") === col("max_cents"))
@@ -541,10 +546,12 @@ object Relational {
   /** TPC-H Q20-shaped promotion-part suppliers: suppliers who shipped
     * more than `shareNum/shareDen` of some matching part's total
     * volume. Two aggregations over the filtered slice — per (supplier,
-    * part) and per part — joined on partkey (the per-part side is
-    * ≤|part| rows, AQE broadcasts it); the share test is the exact
-    * integer cross-multiplication den·supp > num·total; the survivor
-    * keys SEMI-join supplier. No correlated subquery anywhere.
+    * part), then per part BY RE-AGGREGATING the first (long sums are
+    * associative, and it saves a second fact scan); the two join on
+    * partkey (the per-part side is ≤|part| rows, AQE broadcasts it);
+    * the share test is the exact integer cross-multiplication
+    * den·supp > num·total; the survivor keys SEMI-join supplier. No
+    * correlated subquery anywhere.
     */
   def promotionPartSuppliers(lineitem: DataFrame, part: DataFrame,
       supplier: DataFrame, namePattern: String = "%bolt%",
@@ -554,8 +561,9 @@ object Relational {
       .join(broadcast(pkeys), col("l_partkey") === col("p_partkey"), "left_semi")
     val bySupp = li.groupBy("l_partkey", "l_suppkey")
       .agg(sum(centsOf(col("l_quantity"))).as("supp_cents"))
-    val byPart = li.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(centsOf(col("l_quantity"))).as("total_cents"))
+      .localCheckpoint()
+    val byPart = bySupp.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("supp_cents")).as("total_cents"))
     val qualifying = bySupp.join(byPart, col("l_partkey") === col("pk"))
       .filter(col("supp_cents") * shareDen > col("total_cents") * shareNum)
       .select("l_suppkey").distinct()

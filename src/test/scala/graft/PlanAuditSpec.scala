@@ -142,6 +142,108 @@ class PlanAuditSpec extends AnyFunSuite {
       s"lapsed-window filter not pushed to the orders scan:\n$p")
   }
 
+  test("q8_market_share shuffles the fact-fact join and the region semi join (no fact broadcast)") {
+    // only the three true dims (region-filtered nation set, supplier⋈
+    // nation, customer-key membership build) may ride explicit hints;
+    // lineitem⋈orders and the o_custkey region test must shuffle when
+    // auto-broadcast is off — a hint on either is the q3-class OOM.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = planOf("q8_market_share")
+      // tree section prints "SortMergeJoin <type> (N)"; the numbered
+      // detail section drops the join type — match the tree form.
+      assert("SortMergeJoin LeftSemi".r.findFirstIn(p).isDefined,
+        s"region membership should be a shuffle semi join (customer is a fact):\n$p")
+      assert("SortMergeJoin Inner".r.findFirstIn(p).isDefined,
+        s"lineitem⋈orders should shuffle:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q9_profit pushes the part name pattern into the scan") {
+    val p = planOf("q9_profit")
+    assert(p.contains("StringContains(p_name,gear)"),
+      s"name pattern not pushed:\n$p")
+  }
+
+  test("q11_important_parts scans lineitem ONCE (scalar total rides the checkpointed aggregate)") {
+    // value feeds both the output rows and the 1-row total; Catalyst
+    // does NOT reuse the exchange across the broadcast boundary, so
+    // the operator checkpoints the ≤|part|-row aggregate — both
+    // consumers must scan the materialized RDD, zero lineitem scans
+    // in the final query.
+    val p = planOf("q11_important_parts")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"total branch re-derives the per-part aggregate:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"final query still scans the fact table:\n$p")
+  }
+
+  test("q12_shipmode prunes both fact scans to the needed columns") {
+    val p = planOf("q12_shipmode")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.exists(s => s.contains("l_linestatus") && s.split(",").length == 3),
+      s"lineitem scan not pruned to 3 columns: $reads")
+    assert(reads.exists(s => s.contains("o_orderpriority") && s.split(",").length == 3),
+      s"orders scan not pruned to 3 columns: $reads")
+  }
+
+  test("q13_order_dist outer-joins customer against the AGGREGATED order counts") {
+    // same structural contract as q10: the c_custkey join must consume
+    // a HashAggregate subtree (one row per customer), never raw orders.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = SparkEntry.queries("q13_order_dist")(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(subtree)
+    val joins = subtree(plan).collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"no join found:\n$plan")
+    joins.foreach { j =>
+      val hasAgg = j.children.exists(c =>
+        subtree(c).exists(_.isInstanceOf[HashAggregateExec]))
+      assert(hasAgg,
+        s"customer outer join consumes raw orders (no aggregate below it):\n$j")
+    }
+  }
+
+  test("q15_top_supplier computes the max over the checkpointed revenue aggregate") {
+    // same contract as q11: one fact scan at checkpoint time, the
+    // scalar max and the output rows both ride the materialized RDD.
+    val p = planOf("q15_top_supplier")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"max-revenue scalar re-derives the per-supplier aggregate:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"final query still scans the fact table:\n$p")
+  }
+
+  test("q16_supplier_cnt broadcasts the 6-key supplier exclusion as an anti join") {
+    val p = planOf("q16_supplier_cnt")
+    assert("BroadcastHashJoin LeftAnti".r.findFirstIn(p).isDefined,
+      s"negative-balance exclusion not a broadcast anti join:\n$p")
+    assert("""In\(p_size""".r.findFirstIn(p).isDefined,
+      s"size list not pushed to the part scan:\n$p")
+  }
+
+  test("q17_small_qty pre-filters lineitem through a broadcast semi join on the brand's parts") {
+    val p = planOf("q17_small_qty")
+    assert("BroadcastHashJoin LeftSemi".r.findFirstIn(p).isDefined,
+      s"brand partkey filter not a broadcast semi join:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#23)"),
+      s"brand filter not pushed to the part scan:\n$p")
+  }
+
+  test("q21_waiting plans EXISTS/NOT EXISTS as semi + anti joins") {
+    val p = planOf("q21_waiting")
+    assert("""LeftSemi""".r.findAllIn(p).size >= 2,
+      s"nation/order membership + other-supplier EXISTS should be semi joins:\n$p")
+    assert("LeftAnti".r.findFirstIn(p).isDefined,
+      s"no-other-returner NOT EXISTS should be an anti join:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed:\n$p")
+  }
+
   test("graph_neighbor_sim never re-expands hub pairs past the cap (plan sanity)") {
     // the capped edge set must be the input to BOTH the sizes agg and
     // the pair self-join — i.e. the in-degree cap happens before the
