@@ -108,6 +108,8 @@ object SparkEntry {
     "graph_betweenness" -> ((s, d) => GraphQueries.graphBetweenness(s, d)),
     "graph_diff" -> ((s, d) => GraphQueries.graphDiff(s, d)),
     "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
+    "graph_closeness" -> ((s, d) => GraphQueries.graphCloseness(s, d)),
+    "graph_reciprocity" -> ((s, d) => GraphQueries.graphReciprocity(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
 
@@ -874,6 +876,49 @@ object SparkEntry {
         |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und),
         |${lpaCtes(4)}
         |SELECT node, lab AS community FROM l4 ORDER BY node""".stripMargin,
+    // Unrolled first-touch BFS levels (the reachLevels contract): each
+    // p{t} is the depth-t frontier minus everything already seen, so a
+    // pair's level IS its min depth; closeness is exact integer ppm.
+    "graph_closeness" ->
+      s"""WITH $E,
+        |st AS (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 3),
+        |v0 AS MATERIALIZED (SELECT s, s AS node FROM st),
+        |p1 AS MATERIALIZED (
+        |  SELECT DISTINCT st.s, e.dst AS node
+        |  FROM st JOIN e ON e.src = st.s WHERE e.dst <> st.s),
+        |v1 AS MATERIALIZED (SELECT * FROM v0 UNION SELECT * FROM p1),
+        |p2 AS MATERIALIZED (
+        |  SELECT DISTINCT p1.s, e.dst AS node
+        |  FROM p1 JOIN e ON e.src = p1.node
+        |  LEFT JOIN v1 ON v1.s = p1.s AND v1.node = e.dst
+        |  WHERE v1.node IS NULL),
+        |v2 AS MATERIALIZED (SELECT * FROM v1 UNION SELECT * FROM p2),
+        |p3 AS MATERIALIZED (
+        |  SELECT DISTINCT p2.s, e.dst AS node
+        |  FROM p2 JOIN e ON e.src = p2.node
+        |  LEFT JOIN v2 ON v2.s = p2.s AND v2.node = e.dst
+        |  WHERE v2.node IS NULL),
+        |reach AS (
+        |  SELECT s, node, 1 AS depth FROM p1
+        |  UNION ALL SELECT s, node, 2 FROM p2
+        |  UNION ALL SELECT s, node, 3 FROM p3)
+        |SELECT s AS node, COUNT(*) AS n_reach,
+        |       CAST(SUM(depth) AS BIGINT) AS sum_dist,
+        |       (1000000 * COUNT(*)) // CAST(SUM(depth) AS BIGINT)
+        |         AS closeness_ppm
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_reciprocity" ->
+      s"""WITH $E,
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        |mp AS (
+        |  SELECT COUNT(*) AS n_mutual_pairs
+        |  FROM ed x JOIN ed y ON x.src = y.dst AND x.dst = y.src
+        |  WHERE x.src < x.dst),
+        |tot AS (SELECT COUNT(*) AS n_edges FROM ed)
+        |SELECT n_edges, n_mutual_pairs,
+        |       (2000000 * n_mutual_pairs) // n_edges AS reciprocity_ppm
+        |FROM tot, mp""".stripMargin,
     "lineage_up" ->
       """SELECT o_orderkey, c_name, n_name, r_name,
         |  CAST(o_orderkey AS VARCHAR) || '->' || c_name || '->' || n_name

@@ -261,4 +261,45 @@ object Ranking {
       .agg(coalesce(sum(size(array_intersect(col("nx"), col("ny")))), lit(0L))
         .cast("long").as("n_triangles"))
   }
+
+  /** Bounded closeness centrality over a start sample: for each start,
+    * n_reach = |out-ball(depth ≤ maxDepth)| and sum_dist = Σ min-depth
+    * — closeness_ppm = ⌊10⁶·n_reach/sum_dist⌋ in exact integer
+    * arithmetic. Rides [[Traversal.reachLevels]] (level-synchronous
+    * frontier, per-start visited anti-join), so total work is
+    * Θ(Σ|ball|) with every shuffle keyed (start, node) — uniform keys,
+    * no walk blowup, same scale shape as the gated ANF. Full-graph
+    * exact closeness is O(n·m); the sampled bounded form IS the
+    * production form at 100 TB (the Eppstein-Wang estimator).
+    */
+  def closeness(edges: DataFrame, starts: DataFrame, maxDepth: Int = 3): DataFrame =
+    Traversal.reachLevels(edges, starts, maxDepth)
+      .groupBy(col("start").as("node"))
+      .agg(count(lit(1)).as("n_reach"), sum(col("depth")).as("sum_dist"))
+      .select(col("node"), col("n_reach"), col("sum_dist"),
+        expr("(1000000 * n_reach) div sum_dist").as("closeness_ppm"))
+
+  /** Edge reciprocity: how much of the call graph is mutual (a calls b
+    * AND b calls a). One equality self-join of the distinct non-loop
+    * edge set on the REVERSED key — never a pair enumeration; the
+    * `src < dst` guard counts each mutual pair once. Single-row
+    * output: edge count, mutual-pair count, and the classic ratio
+    * 2·pairs/edges in ppm (exact integer floor division).
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val ed = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t")).distinct()
+      .localCheckpoint(true)
+    val pairs = ed
+      .join(ed.select(col("s").as("s2"), col("t").as("t2")),
+        col("s") === col("t2") && col("t") === col("s2") && col("s") < col("t"))
+      .agg(count(lit(1)).as("n_mutual_pairs"))
+    ed.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(pairs)
+      .select(col("n_edges"), col("n_mutual_pairs"),
+        when(col("n_edges") === 0, lit(0L))
+          .otherwise(expr("(2000000 * n_mutual_pairs) div n_edges"))
+          .as("reciprocity_ppm"))
+  }
 }

@@ -271,7 +271,17 @@ object Traversal {
     * each (start, node) pair is expanded at most once: total work is
     * O(|starts| × reachable set), never the walk blowup.
     */
-  def reachWithin(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
+  def reachWithin(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame =
+    reachLevels(edges, starts, maxDepth).select("start", "node")
+
+  /** [[reachWithin]] with the BFS min-depth kept: (start, node, depth),
+    * depth ∈ 1..maxDepth. The per-start visited anti-join makes each
+    * pair's FIRST touch the only touch, so the level a pair surfaces
+    * in IS its shortest-path depth — the input closeness centrality
+    * needs. One body shared with reachWithin (the enrichCore
+    * discipline: twins must not drift).
+    */
+  def reachLevels(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
     val e = edgeCols(edges).select("_src", "_dst")
     var frontier = starts.select(col("node").cast("long").as("start"))
       .distinct()
@@ -279,14 +289,14 @@ object Traversal {
       .localCheckpoint(true)
     var visited = frontier
     val reached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to maxDepth if !frontier.isEmpty) {
+    for (d <- 1 to maxDepth if !frontier.isEmpty) {
       frontier = frontier
         .join(e, frontier("node") === e("_src"))
         .select(col("start"), col("_dst").as("node"))
         .distinct()
         .join(visited, Seq("start", "node"), "left_anti")
         .localCheckpoint(true)
-      reached += frontier
+      reached += frontier.withColumn("depth", lit(d.toLong))
       visited = visited.unionByName(frontier).localCheckpoint(true)
     }
     // (start, start) is seeded into visited at depth 0, so self-
@@ -294,7 +304,7 @@ object Traversal {
     // That is the semantics recursion-group analysis wants — a node's
     // own cycles are the Direct-recursion bucket (recursion()), not a
     // mutual pair.
-    if (reached.isEmpty) frontier.limit(0)
+    if (reached.isEmpty) frontier.limit(0).withColumn("depth", lit(0L))
     else reached.reduce(_ unionByName _)
   }
 

@@ -60,6 +60,45 @@ object Sampling {
     kept.orderBy("stratum", "doc_id")
   }
 
+  /** Mixture-balancing sampler: downsample every source to the
+    * SMALLEST source's token mass — the uniform-rebalance special case
+    * of mixture realization (the general weights live in
+    * TextAnalysis.mixtureWeights; this operator makes a concrete
+    * per-source keep rate and executes it). rate_ppm =
+    * ⌊10⁶·min_tokens/n_tokens⌋ in exact integer arithmetic; the draw
+    * is the same 4-hex md5(doc_id) prefix cut as
+    * [[stratifiedSampleThreshold]] (deterministic, engine-replayable,
+    * no window). Per-source aggregates are checkpointed (≤|sources|
+    * rows) so the min and the join both ride one corpus scan; the doc
+    * filter itself is a broadcast join + pure filter — embarrassingly
+    * parallel. Returns per source: n_docs, n_tokens, rate_ppm, n_kept.
+    */
+  def balanceSample(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .localCheckpoint(true)
+    val minTok = per.agg(min(col("n_tokens")).as("min_tokens"))
+    val rates = per.crossJoin(broadcast(minTok))
+      .withColumn("rate_ppm", expr("(1000000 * min_tokens) div n_tokens"))
+      // 4-hex-digit cut: ⌊rate·65536/10⁶⌋; rate = 10⁶ (the min source)
+      // maps to 0x10000 = keep-everything (no string compare — the
+      // stratifiedSampleThreshold 5-char-cutoff lesson)
+      .withColumn("cut", expr("(rate_ppm * 65536) div 1000000"))
+    val kept = docs.select(col("doc_id"), col("source"))
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .join(broadcast(rates.select(col("source"), col("cut"))), Seq("source"))
+      .filter(col("cut") >= 0x10000 ||
+        col("h") < lpad(lower(hex(col("cut"))), 4, "0"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    rates.select(col("source"), col("n_docs"), col("n_tokens"), col("rate_ppm"))
+      .join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .orderBy("source")
+  }
+
   /** Sequence packing for training: documents are concatenated in
     * doc_id order within a SHARD (doc_id div `shardSize` — each shard
     * packs independently and in parallel, the way per-worker packing

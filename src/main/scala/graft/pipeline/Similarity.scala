@@ -406,6 +406,35 @@ object Similarity {
         col("recon_mse"))
       .orderBy("vec_id")
 
+  /** Deterministic signed random projection (the dense-±small-integer
+    * Achlioptas family): each output coordinate is the exact long dot
+    * out_j = Σ_i qx_i·w(i,j) over the 1e6-quantized vector, with
+    * w(i,j) ∈ [−48, 48] from the same integer-hash plane construction
+    * as [[lshBandBuckets]] (different mix constant, so the projection
+    * is independent of the LSH buckets). Map-only — no shuffle, no
+    * UDF, `outDims` codegen'd zip_with/aggregate folds per row; at
+    * 100 TB this is a pure scan-side transform. Output is one
+    * (vec_id, j, proj) row per output dim; dividing proj by 1e6
+    * recovers the float projection to quantization precision.
+    */
+  def projectSigned(emb: DataFrame, outDims: Int = 16): DataFrame = {
+    // width read from the data once (the kmeansIterate lesson: a
+    // hardcoded 64 silently breaks non-64-dim corpora)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val q = emb.select(col("vec_id"), quantize(asDouble(col("embedding"))).as("qx"))
+    val outs = (0 until outDims).map { j =>
+      val w = (1 to dim).map { i => // i is 1-based: generate_subscripts parity
+        val k = j.toLong * dim + i
+        ((k * k) % 10007) * 2246822519L % 97 - 48
+      }.toArray
+      aggregate(
+        zip_with(col("qx"), typedlit(w), (x, ww) => x * ww),
+        lit(0L), (acc, v) => acc + v)
+    }
+    q.select(col("vec_id"), posexplode(array(outs: _*)).as(Seq("j", "proj")))
+      .orderBy("vec_id", "j")
+  }
+
   /** Exact-semantics embedding near-dup over a sampled anchor set
     * (anchor % sampleMod == 0): every anchor×corpus pair gets an
     * exact cosine. Correct at any size but the anchor set is

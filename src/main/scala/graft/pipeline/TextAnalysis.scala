@@ -76,6 +76,37 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token"))
       .limit(topK)
 
+  /** Characteristic keywords per document: top-`k` tokens by tf·idf
+    * with idf = ln((N+1)/(df+1)) — the exact fulltext scoring contract
+    * (Fulltext.scala), so the two operators rank by the same notion of
+    * term weight. The score is fixed-point-floored to micro units
+    * BEFORE the rank cut, so the top-k boundary compares longs, and
+    * ties break on token asc — fully deterministic. Plan shape: one
+    * (doc_id, token) shuffle for tf; the df table is vocabulary-sized
+    * (broadcast); N is a 1-row broadcast; the rank window partitions
+    * per doc (uniform keys). The df branch re-derives tf from the scan
+    * rather than materializing the corpus-sized tf frame — two cheap
+    * pruned scans beat checkpointing a fact-sized intermediate.
+    */
+  def keywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = TextOps.tokensBag(docs)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("token"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        floor(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0)))
+          * 1000000 + lit(0.5)).cast("long"))
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= k)
+      .select(col("doc_id"), col("kw_rank"), col("token"), col("tf"),
+        col("df"), col("score_micro"))
+      .orderBy("doc_id", "kw_rank")
+  }
+
   /** D21 BPE merge induction — the core loop of tokenizer training as
     * set-oriented DataFrame ops: per round, count adjacent symbol
     * pairs over the word-frequency table, pick the most frequent

@@ -302,6 +302,22 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** C16 bounded closeness centrality (Eppstein-Wang-style sampled
+    * estimator): depth-≤3 out-ball sizes and distance sums for a
+    * 1-in-100 start sample, closeness as an exact integer ppm ratio
+    * (Ranking.closeness). */
+  def graphCloseness(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val starts = e.select(col("src").as("node"))
+      .filter(col("node") % 100 === 3).distinct()
+    Ranking.closeness(e, starts, maxDepth = 3).orderBy("node")
+  }
+
+  /** C17 call-graph reciprocity: the mutual-call fraction — one
+    * reversed-key equality self-join (Ranking.reciprocity). */
+  def graphReciprocity(s: SparkSession, d: String): DataFrame =
+    Ranking.reciprocity(callEdges(s, d))
+
   /** C14 communities by plurality label propagation over the call
     * graph (Components.communities, 4 synchronous rounds) — module
     * structure, as distinct from mere connectivity (C1): dense

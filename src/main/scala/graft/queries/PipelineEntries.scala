@@ -123,7 +123,14 @@ object PipelineEntries {
     }),
     "chunk_docs" -> ((s, d) => Sampling.chunkDocs(Tables.documents(s, d))),
     "events_funnel" -> ((s, d) =>
-      TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d)))
+      TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d))),
+    "embed_project" -> ((s, d) =>
+      Similarity.projectSigned(Tables.embeddings(s, d))),
+    "text_keywords" -> ((s, d) => TextAnalysis.keywords(Tables.documents(s, d))),
+    "sample_balance" -> ((s, d) => Sampling.balanceSample(Tables.documents(s, d))),
+    "events_disorder" -> ((s, d) => TemporalOps.eventDisorder(s, d)),
+    "events_cdc" -> ((s, d) =>
+      graft.streaming.EventStreams.latestState(graft.streaming.EventStreams.events(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -1187,6 +1194,101 @@ object PipelineEntries {
         |                 WHEN doc_id % 3 = 1 THEN 23
         |                 ELSE 44 + (doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2
         |            END AS BIGINT) AS byte_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Signed random projection: the weight table is the SAME integer
+    // hash both engines compute (k = j·64 + i, i 1-based); every
+    // projection is a sum of exact long products — order-free.
+    "embed_project" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |w AS (
+         |  SELECT i, j,
+         |         ((((j * 64 + i) * (j * 64 + i)) % 10007) * 2246822519) % 97 - 48
+         |           AS w
+         |  FROM (SELECT unnest(range(1, 65)) AS i)
+         |  CROSS JOIN (SELECT unnest(range(16)) AS j))
+         |SELECT vec_id, CAST(j AS INTEGER) AS j,
+         |       CAST(SUM(qx * w) AS BIGINT) AS proj
+         |FROM exq JOIN w USING (i)
+         |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
+    // tf·idf keywords: score fixed-point-floored to micro units BEFORE
+    // the rank cut (longs compare exactly), ties on token asc.
+    "text_keywords" ->
+      s"""WITH $TOK,
+         |$TF,
+         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT doc_id, token, tf, df,
+         |         CAST(floor(tf * ln((n + 1.0) / (df + 1.0)) * 1000000 + 0.5)
+         |           AS BIGINT) AS score_micro
+         |  FROM tf JOIN dfq USING (token), nn)
+         |SELECT doc_id, kw_rank, token, tf, df, score_micro FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score_micro DESC, token) AS INTEGER)
+         |    AS kw_rank
+         |  FROM sc) r
+         |WHERE kw_rank <= 3
+         |ORDER BY doc_id, kw_rank""".stripMargin,
+    // Uniform token-mass rebalance: integer rate, 4-hex md5 cut (the
+    // sample_threshold draw), min source keeps everything.
+    "sample_balance" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(regexp_extract_all(lower(text),
+        |           '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |mn AS (SELECT MIN(n_tokens) AS min_tokens FROM per),
+        |rates AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         (1000000 * min_tokens) // n_tokens AS rate_ppm,
+        |         ((1000000 * min_tokens) // n_tokens * 65536) // 1000000 AS cut
+        |  FROM per, mn),
+        |kept AS (
+        |  SELECT d.source, COUNT(*) AS n_kept
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE r.cut >= 65536
+        |     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |        < lpad(lower(hex(r.cut)), 4, '0')
+        |  GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.n_tokens, r.rate_ppm,
+        |       COALESCE(k.n_kept, 0) AS n_kept
+        |FROM rates r LEFT JOIN kept k USING (source)
+        |ORDER BY r.source""".stripMargin,
+    // Watermark-sizing disorder histogram: exact epoch-ms integers,
+    // arrival order = event_id, per-user running max.
+    "events_disorder" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |d AS (
+        |  SELECT user_id, event_id,
+        |         greatest(0, COALESCE(MAX(ms) OVER (PARTITION BY user_id
+        |           ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ms, 0))
+        |           AS disorder_ms
+        |  FROM m)
+        |SELECT CASE WHEN disorder_ms = 0 THEN 'a_in_order'
+        |            WHEN disorder_ms < 60000 THEN 'b_lt_1m'
+        |            WHEN disorder_ms < 600000 THEN 'c_lt_10m'
+        |            ELSE 'd_gte_10m' END AS bucket,
+        |       COUNT(*) AS n_events,
+        |       CAST(MAX(disorder_ms) AS BIGINT) AS max_disorder_ms
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CDC last-write-wins compaction: winner by (epoch-ms, event_id)
+    // desc — the struct-max argmax replayed as a row_number pick.
+    "events_cdc" ->
+      """SELECT user_id, event_type, n_versions, last_event_id,
+        |       last_value_cents
+        |FROM (
+        |  SELECT user_id, event_type,
+        |         COUNT(*) OVER (PARTITION BY user_id, event_type)
+        |           AS n_versions,
+        |         event_id AS last_event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_value_cents,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }

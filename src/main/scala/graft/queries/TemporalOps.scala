@@ -141,6 +141,37 @@ object TemporalOps {
       expr("n_purchase * 1000000 div n_click").as("purchase_ppm"))
   }
 
+  /** Out-of-orderness profile — the measurement that SIZES a streaming
+    * watermark: per event, disorder = how far its event time lags the
+    * running max over earlier arrivals (event_id = arrival order) of
+    * the SAME key, bucketed into a histogram. All arithmetic is exact
+    * epoch milliseconds (unix_millis ≡ DuckDB epoch_ms — integer, no
+    * float drift). The window partitions by user_id — per-key
+    * disorder, matching per-key watermark semantics, and the partition
+    * key keeps the sort narrow at scale (a GLOBAL arrival window would
+    * serialize the stream through one partition).
+    */
+  def eventDisorder(s: SparkSession, d: String): DataFrame =
+    disorder(EventStreams.events(s, d))
+
+  /** Core of [[eventDisorder]] over any (user_id, event_id, ts) frame. */
+  def disorder(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("disorder_ms",
+        greatest(lit(0L), coalesce(max(col("ms")).over(w) - col("ms"), lit(0L))))
+      .withColumn("bucket",
+        when(col("disorder_ms") === 0, "a_in_order")
+          .when(col("disorder_ms") < 60000L, "b_lt_1m")
+          .when(col("disorder_ms") < 600000L, "c_lt_10m")
+          .otherwise("d_gte_10m"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"), max(col("disorder_ms")).as("max_disorder_ms"))
+      .orderBy("bucket")
+  }
+
   /** Exact interpolated quantiles per event type (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). The approx scale path is
     * `approx_percentile` — same call shape, sketch-based. */

@@ -353,4 +353,42 @@ object EventStreams {
     enrichCore(s.readStream.schema(schema).parquet(dir),
       s.read.parquet(s"$dir/nation.parquet"))
   }
+
+  /** The CDC-compaction core shared by the batch entry and the
+    * streaming twin (the enrichCore discipline). Last-write-wins is a
+    * single max(struct(ms, event_id, value_cents)) argmax per key —
+    * the q2_mincost struct-ordering trick — with arrival totally
+    * ordered by (epoch-ms, event_id), so the winner is deterministic
+    * even on timestamp ties; value_cents rides along and never decides
+    * (ids are unique). One narrow key-shuffle with map-side partials;
+    * as a streaming agg this is exactly an upsert state store. */
+  private def latestCore(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        struct(unix_millis(col("ts")).as("ms"), col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("value_cents"))
+          .as("st"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_versions"), max(col("st")).as("m"))
+      .select(col("user_id"), col("event_type"), col("n_versions"),
+        col("m.event_id").as("last_event_id"),
+        col("m.value_cents").as("last_value_cents"))
+
+  /** E15 CDC upsert compaction: the LATEST value per (user, type) key
+    * under last-write-wins — the MERGE-style state a change-data feed
+    * compacts to. Batch form of the streaming upsert (see
+    * [[streamingLatest]]); both run [[latestCore]] verbatim.
+    */
+  def latestState(events: DataFrame): DataFrame =
+    latestCore(events).orderBy("user_id", "event_type")
+
+  /** Streaming twin of [[latestState]] over a parquet-dir source —
+    * a complete-mode keyed aggregation whose state IS the upsert
+    * table. */
+  def streamingLatest(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    latestCore(s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
 }
