@@ -388,7 +388,12 @@ object EventStreams {
   def streamingLatest(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    latestCore(s.readStream.schema(schema).parquet(dir)
+    // glob-filter to the events FILE (the source's basePath must stay
+    // a directory): the other tables' parquet would surface as
+    // all-NULL rows, and a keyed groupBy — unlike window(ts), which
+    // drops null event times — would keep them as a junk NULL group
+    latestCore(s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 }

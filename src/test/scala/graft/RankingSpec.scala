@@ -141,4 +141,55 @@ class RankingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(p2.toSeq == Seq((1L, 0L, 0L, 0L), (2001L, 2L, 0L, 0L)))
   }
+
+  test("closeness: path-graph distance sums; a cycle never re-reaches its start") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val starts = Seq(1L).toDF("node")
+    // the traversal layer expects the callEdges shape (src, dst, offset)
+    def g(rows: (Long, Long)*) = edges(rows: _*).withColumn("offset", lit(1L))
+    // 1→2→3→4: ball {2,3,4} at depths 1,2,3 → n=3, Σ=6, ppm=500000
+    val path = g((1L, 2L), (2L, 3L), (3L, 4L))
+    val c = graft.graph.Ranking.closeness(path, starts, maxDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(c.toSeq == Seq((1L, 3L, 6L, 500000L)))
+    // 3-cycle: start reaches 2 (d1) and 3 (d2) but NOT itself again
+    val cyc = g((1L, 2L), (2L, 3L), (3L, 1L))
+    val c2 = graft.graph.Ranking.closeness(cyc, starts, maxDepth = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(c2.toSeq == Seq((2L, 3L)))
+  }
+
+  test("reciprocity: mutual pairs counted once, loops and duplicates ignored") {
+    val g = edges((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
+    val r = Ranking.reciprocity(g).collect()(0)
+    // distinct non-loop edges {(1,2),(2,1),(1,3)}; one mutual pair;
+    // ratio = ⌊2·10⁶·1/3⌋
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 1L, 666666L))
+    // no mutual edges → ratio 0
+    val dag = edges((1L, 2L), (2L, 3L))
+    val r2 = Ranking.reciprocity(dag).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == (2L, 0L, 0L))
+  }
+
+  test("balance sample: min source keeps everything, rates inverse to token mass") {
+    import spark.implicits._
+    val rows = (1L to 2L).map(i => (i, "alpha beta", "small")) ++
+      (11L to 40L).map(i => (i, "alpha beta", "large"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = Sampling.balanceSample(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // small: 2 docs × 2 tokens = min mass → rate 10⁶, keeps all
+    assert(out("small") == (2L, 4L, 1000000L, 2L))
+    // large: 30 docs × 2 tokens → rate ⌊10⁶·4/60⌋ = 66666; the md5
+    // draw keeps SOME strict subset (binomial around 2 of 30)
+    val (nd, nt, rate, kept) = out("large")
+    assert((nd, nt, rate) == (30L, 60L, 66666L))
+    assert(kept < nd)
+    // deterministic: same input → same kept counts
+    val again = Sampling.balanceSample(d).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(again("large") == kept && again("small") == 2L)
+  }
 }

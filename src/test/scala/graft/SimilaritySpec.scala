@@ -285,4 +285,27 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(x => (x.getAs[Long]("anchor_id"), x.getLong(0))).toSet
     assert(!lax.contains((0L, 1L)) && !lax.contains((1L, 0L)))
   }
+
+  test("signed projection: dim-agnostic, exactly linear, zero maps to zero") {
+    import spark.implicits._
+    // 4-dim fixture (width must come from the data, not a constant);
+    // quarters quantize exactly, so 2× input ⇒ exactly 2× projection
+    val d = Seq(
+      (1L, Array(0.25f, 0.5f, -0.25f, 0.75f)),
+      (2L, Array(0.5f, 1.0f, -0.5f, 1.5f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.projectSigned(d, outDims = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(p.size == 12) // 3 vecs × 4 output dims
+    (0 until 4).foreach { j =>
+      assert(p((3L, j)) == 0L, s"zero vector projects nonzero at $j")
+      assert(p((2L, j)) == 2L * p((1L, j)), s"projection not linear at $j")
+    }
+    assert((0 until 4).exists(j => p((1L, j)) != 0L), "weights degenerate")
+    // deterministic across invocations
+    val again = Similarity.projectSigned(d, outDims = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again == p)
+  }
 }

@@ -235,4 +235,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.head == 1L && ids.last == ids.length.toLong)
     }
   }
+
+  test("streaming CDC upsert state == batch latestState compaction") {
+    val dir = "/root/testdata/sf0.001"
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = toMap(
+      EventStreams.latestState(EventStreams.events(spark, dir)).collect())
+    val q = EventStreams.streamingLatest(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cdc_out").start()
+    try {
+      q.processAllAvailable()
+      assert(toMap(spark.table("cdc_out").collect()) == batch)
+    } finally q.stop()
+  }
 }

@@ -56,4 +56,45 @@ class TemporalSpec extends AnyFunSuite {
     assert(r.getLong(3) == 666666L && r.getLong(4) == 500000L,
       s"ppm ratios wrong: $r")
   }
+
+  test("disorder histogram: in-order events are silent, late arrivals land their bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // arrival order = event_id; user 1's 3rd event is 500 ms behind
+    // the running max, user 2's 2nd is 2 minutes behind
+    val ev = Seq(
+      (1L, 1L, 1000L), (1L, 2L, 2000L), (1L, 3L, 1500L),
+      (2L, 4L, 10000000L), (2L, 5L, 10000000L - 120000L),
+      (3L, 6L, 50L), (3L, 7L, 60L))
+      .toDF("user_id", "event_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = TemporalOps.disorder(ev)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "a_in_order" -> (5L, 0L),
+      "b_lt_1m" -> (1L, 500L),
+      "c_lt_10m" -> (1L, 120000L)))
+  }
+
+  test("cdc compaction: last write wins by (ts, event_id), ties break on id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val ev = Seq(
+      (1L, "x", 1L, 100000L, 1.0),
+      (1L, "x", 2L, 200000L, 2.0),
+      (1L, "x", 3L, 200000L, 3.0), // same ts as e2 → higher id wins
+      (1L, "y", 4L, 50000L, 9.5),
+      (2L, "x", 5L, 10000L, 7.25))
+      .toDF("user_id", "event_type", "event_id", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = graft.streaming.EventStreams.latestState(ev)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out == Map(
+      (1L, "x") -> (3L, 3L, 300L),
+      (1L, "y") -> (1L, 4L, 950L),
+      (2L, "x") -> (1L, 5L, 725L)))
+  }
 }

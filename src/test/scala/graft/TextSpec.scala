@@ -241,4 +241,22 @@ class TextSpec extends AnyFunSuite {
     // df cap = 1 kills every shared fingerprint → no pairs survive
     assert(TextAnalysis.winnowPairs(d, minShared = 1, maxDf = 1).count() == 0)
   }
+
+  test("keywords: distinctive terms outrank the everywhere-word") {
+    import org.apache.spark.sql.functions.col
+    // "common" appears in every doc → idf ln(5/5) = 0 → score 0;
+    // each doc's private word carries all the weight
+    val d = docs(1L -> "common zebra zebra", 2L -> "common alpha",
+      3L -> "common beta", 4L -> "common gamma")
+    val top = TextAnalysis.keywords(d, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top == Map(1L -> "zebra", 2L -> "alpha", 3L -> "beta", 4L -> "gamma"))
+    // tf weighting: with k=2 doc 1 ranks zebra (tf 2) above common
+    // (score 0), and the common term's score really is 0
+    val d1 = TextAnalysis.keywords(d, k = 2)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(5)))
+    assert(d1.toSeq == Seq((1, "zebra", d1.head._3), (2, "common", 0L)))
+    assert(d1.head._3 > 0)
+  }
 }
