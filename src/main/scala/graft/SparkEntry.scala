@@ -110,6 +110,8 @@ object SparkEntry {
     "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
     "graph_closeness" -> ((s, d) => GraphQueries.graphCloseness(s, d)),
     "graph_reciprocity" -> ((s, d) => GraphQueries.graphReciprocity(s, d)),
+    "graph_clustering" -> ((s, d) => GraphQueries.graphClustering(s, d)),
+    "graph_assortativity" -> ((s, d) => GraphQueries.graphAssortativity(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
 
@@ -919,6 +921,57 @@ object SparkEntry {
         |SELECT n_edges, n_mutual_pairs,
         |       (2000000 * n_mutual_pairs) // n_edges AS reciprocity_ppm
         |FROM tot, mp""".stripMargin,
+    // 3·triangles/wedges: the triangle CTEs are the graph_triangles
+    // chain verbatim; wedges are the closed form Σ d(d−1)/2.
+    "graph_clustering" ->
+      s"""WITH $E,
+        |u0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |dg AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT a AS n FROM u0 UNION ALL SELECT b FROM u0) t GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u0.a < u0.b)
+        |              THEN u0.a ELSE u0.b END AS x,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND u0.a < u0.b)
+        |              THEN u0.b ELSE u0.a END AS y
+        |  FROM u0 JOIN dg da ON u0.a = da.n JOIN dg db ON u0.b = db.n),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM o e1 JOIN o e2 ON e1.y = e2.x
+        |  JOIN o e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |wg AS (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM dg)
+        |SELECT n_triangles, n_wedges,
+        |       CASE WHEN n_wedges = 0 THEN 0
+        |            ELSE (3000000 * n_triangles) // n_wedges END AS clustering_ppm
+        |FROM tri, wg""".stripMargin,
+    // Newman assortativity with both orientations sampled: identical
+    // marginals ⇒ r = (nΣxy−(Σx)²)/(nΣx²−(Σx)²), exact longs, one
+    // floor-form 6dp divide at the end.
+    "graph_assortativity" ->
+      s"""WITH $E,
+        |u0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |dg AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT a AS n FROM u0 UNION ALL SELECT b FROM u0) t GROUP BY 1),
+        |ends AS (
+        |  SELECT da.d AS x, db.d AS y FROM u0
+        |  JOIN dg da ON u0.a = da.n JOIN dg db ON u0.b = db.n),
+        |bo AS (SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends),
+        |s AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM bo)
+        |SELECT n AS n_ends,
+        |       CAST(n * sxy - sx * sx AS BIGINT) AS num,
+        |       CAST(n * sxx - sx * sx AS BIGINT) AS den,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |            ELSE floor(CAST(n * sxy - sx * sx AS DOUBLE)
+        |                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+        |                 / 1000000 END AS assortativity
+        |FROM s""".stripMargin,
     "lineage_up" ->
       """SELECT o_orderkey, c_name, n_name, r_name,
         |  CAST(o_orderkey AS VARCHAR) || '->' || c_name || '->' || n_name

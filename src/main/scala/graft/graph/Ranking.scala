@@ -262,6 +262,62 @@ object Ranking {
         .cast("long").as("n_triangles"))
   }
 
+  /** Global clustering coefficient: 3·triangles / wedges, both counted
+    * exactly — triangles by the degree-ordered [[triangleCount]]
+    * machinery (O(m^1.5)), wedges as the closed form Σ d(d−1)/2 over
+    * undirected degrees (one narrow degree agg, no path enumeration).
+    * The ratio is an exact integer ppm floor division; two 1-row
+    * frames cross-join at the end. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val wedges = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("w2"))
+      .select((col("w2") / 2).cast("long").as("n_wedges")) // d(d−1) is even
+    triangleCount(edges).crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0L))
+          .otherwise(expr("(3000000 * n_triangles) div n_wedges"))
+          .as("clustering_ppm"))
+  }
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of
+    * endpoint degrees over edge ends. Both ORIENTATIONS of every
+    * undirected edge contribute one (deg u, deg v) sample, which makes
+    * the x and y marginals identical — so r reduces to
+    * (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) with EVERY sum an exact long;
+    * the single float operation is the final divide, floor-form
+    * rounded at 6dp. Two degree joins + one 1-row aggregate. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // joined twice below; degree table is node-sized
+    val ends = und
+      .join(deg.select(col("n").as("na"), col("d").as("da")), col("a") === col("na"))
+      .join(deg.select(col("n").as("nb"), col("d").as("db")), col("b") === col("nb"))
+      .select(col("da").as("x"), col("db").as("y"))
+    val both = ends.unionByName(ends.select(col("y").as("x"), col("x").as("y")))
+    both.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_ends"),
+        (col("n") * col("sxy") - col("sx") * col("sx")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .select(col("n_ends"), col("num"), col("den"),
+        when(col("den") === 0, lit(0.0)).otherwise(
+          graft.functions.Rounding.rnd(
+            col("num").cast("double") / col("den").cast("double"), 6))
+          .as("assortativity"))
+  }
+
   /** Bounded closeness centrality over a start sample: for each start,
     * n_reach = |out-ball(depth ≤ maxDepth)| and sum_dist = Σ min-depth
     * — closeness_ppm = ⌊10⁶·n_reach/sum_dist⌋ in exact integer

@@ -107,6 +107,34 @@ object TextAnalysis {
       .orderBy("doc_id", "kw_rank")
   }
 
+  /** Unigram cross-entropy scoring — the CCNet/perplexity-filter shape
+    * with a corpus-trained unigram LM standing in for the n-gram model:
+    * ce(doc) = Σ_t tf_dt·ln(T/tf_t) / n_d, where T = corpus token
+    * count and tf_t = corpus frequency of t (every token observed ≥ 1
+    * time, so the log never sees zero). High CE = doc looks unlike the
+    * corpus (gibberish, other language); low = boilerplate. The
+    * corpus LM is vocabulary-sized → broadcast; the log-likelihood sum
+    * follows the Fulltext scoring contract (round 4dp); the final
+    * per-token normalization is floor-form 4dp of one divide.
+    */
+  def unigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val tf = TextOps.tokensBag(docs)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // vocabulary-sized → checkpoint, so the total and the join both
+    // ride one LM build instead of re-tokenizing the corpus
+    val lm = tf.groupBy("token").agg(sum(col("tf")).as("ctf")).localCheckpoint(true)
+    val total = lm.agg(sum(col("ctf")).as("t"))
+    tf.join(broadcast(lm), Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * log(col("t").cast("double") / col("ctf"))), 4)
+          .as("ll_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("ll_sum"),
+        rnd(col("ll_sum") / col("n_tokens"), 4).as("ce"))
+      .orderBy("doc_id")
+  }
+
   /** D21 BPE merge induction — the core loop of tokenizer training as
     * set-oriented DataFrame ops: per round, count adjacent symbol
     * pairs over the word-frequency table, pick the most frequent

@@ -318,6 +318,16 @@ object GraphQueries {
   def graphReciprocity(s: SparkSession, d: String): DataFrame =
     Ranking.reciprocity(callEdges(s, d))
 
+  /** C18 global clustering coefficient: 3·triangles/wedges, exact
+    * integer ppm (Ranking.clusteringCoefficient). */
+  def graphClustering(s: SparkSession, d: String): DataFrame =
+    Ranking.clusteringCoefficient(callEdges(s, d))
+
+  /** C19 degree assortativity: do hubs call hubs? Exact-long Pearson
+    * sums, one final floor-form divide (Ranking.assortativity). */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame =
+    Ranking.assortativity(callEdges(s, d))
+
   /** C14 communities by plurality label propagation over the call
     * graph (Components.communities, 4 synchronous rounds) — module
     * structure, as distinct from mere connectivity (C1): dense

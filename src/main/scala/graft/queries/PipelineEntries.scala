@@ -130,7 +130,11 @@ object PipelineEntries {
     "sample_balance" -> ((s, d) => Sampling.balanceSample(Tables.documents(s, d))),
     "events_disorder" -> ((s, d) => TemporalOps.eventDisorder(s, d)),
     "events_cdc" -> ((s, d) =>
-      graft.streaming.EventStreams.latestState(graft.streaming.EventStreams.events(s, d)))
+      graft.streaming.EventStreams.latestState(graft.streaming.EventStreams.events(s, d))),
+    "text_unigram_ce" -> ((s, d) =>
+      TextAnalysis.unigramCrossEntropy(Tables.documents(s, d))),
+    "events_sliding" -> ((s, d) =>
+      graft.streaming.EventStreams.slidingTypeCounts(graft.streaming.EventStreams.events(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -1289,6 +1293,34 @@ object PipelineEntries {
         |           ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    // Unigram-LM cross-entropy: corpus-frequency log weights (the
+    // Fulltext 4dp-sum contract), per-token normalization floor-form.
+    "text_unigram_ce" ->
+      s"""WITH $TOK,
+         |$TF,
+         |lm AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM lm),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |         round(SUM(tf * ln(CAST(t AS DOUBLE) / ctf)), 4) AS ll_sum
+         |  FROM tf JOIN lm USING (token), tt
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tokens, ll_sum,
+         |       floor(ll_sum / n_tokens * 10000 + 0.5) / 10000 AS ce
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    // Sliding 1h/30m windows: epoch-aligned starts replayed as pure
+    // ⌊ms/slide⌋ integer buckets (each event lands in exactly 2).
+    "events_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |         unnest([
+        |           (epoch_ms(ts) // 1800000) * 1800000,
+        |           (epoch_ms(ts) // 1800000) * 1800000 - 1800000]) AS ws_ms
+        |  FROM events)
+        |SELECT strftime(make_timestamp(ws_ms * 1000), '%Y-%m-%d %H:%M:%S')
+        |         AS win_start,
+        |       event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -35,6 +35,23 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** Sliding-window counts (1-hour windows every 30 minutes): the
+    * native `window(ts, width, slide)` generator — each event lands in
+    * width/slide windows, aggregation is per (window, type). Epoch-
+    * aligned starts, so the oracle replays the window assignment with
+    * pure ⌊ms/slide⌋ integer arithmetic. Mode-agnostic: add a
+    * watermark upstream for streaming (same shape as
+    * [[hourlyTypeCounts]]).
+    */
+  def slidingTypeCounts(events: DataFrame): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    in.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Sessionization: a new session starts after a >30 min gap per
     * user. Batch formulation: gap-break flag → cumulative sum →
     * per-session aggregate; all three windows share the (user_id ×

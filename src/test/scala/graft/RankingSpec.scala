@@ -172,6 +172,25 @@ class RankingSpec extends AnyFunSuite {
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == (2L, 0L, 0L))
   }
 
+  test("clustering coefficient: triangle+pendant wedge math; triangle-free graph is 0") {
+    // triangle {1,2,3} + pendant 3—9: degrees (2,2,3,1) → wedges
+    // Σd(d−1)/2 = 1+1+3+0 = 5, one triangle → 3·10⁶·1/5 = 600000
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L))
+    val r = Ranking.clusteringCoefficient(g).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 5L, 600000L))
+    val sq = Ranking.clusteringCoefficient(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))).collect()(0)
+    assert(sq.getLong(0) == 0L && sq.getLong(2) == 0L)
+  }
+
+  test("assortativity: a star is perfectly disassortative (-1), regular graphs degenerate to 0") {
+    val star = Ranking.assortativity(edges((1L, 2L), (1L, 3L), (1L, 4L))).collect()(0)
+    assert(star.getDouble(3) == -1.0, s"star should be -1: $star")
+    // 3-cycle: every degree equal → zero variance → guarded 0
+    val cyc = Ranking.assortativity(edges((1L, 2L), (2L, 3L), (3L, 1L))).collect()(0)
+    assert(cyc.getLong(2) == 0L && cyc.getDouble(3) == 0.0)
+  }
+
   test("balance sample: min source keeps everything, rates inverse to token mass") {
     import spark.implicits._
     val rows = (1L to 2L).map(i => (i, "alpha beta", "small")) ++

@@ -236,6 +236,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding windows: every event lands in exactly width/slide windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val day = 86400000L // 1970-01-02 00:00, on the 30-min epoch grid
+    val ev = Seq(
+      (1L, day + 10 * 60000L, "x", 1.0),  // 00:10 → windows 23:30, 00:00
+      (2L, day + 40 * 60000L, "x", 2.0))  // 00:40 → windows 00:00, 00:30
+      .toDF("event_id", "ms", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = EventStreams.slidingTypeCounts(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map(
+      "1970-01-01 23:30:00" -> 1L,
+      "1970-01-02 00:00:00" -> 2L,
+      "1970-01-02 00:30:00" -> 1L))
+  }
+
   test("streaming CDC upsert state == batch latestState compaction") {
     val dir = "/root/testdata/sf0.001"
     def toMap(rows: Array[org.apache.spark.sql.Row]) = rows

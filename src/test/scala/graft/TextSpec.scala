@@ -242,6 +242,17 @@ class TextSpec extends AnyFunSuite {
     assert(TextAnalysis.winnowPairs(d, minShared = 1, maxDf = 1).count() == 0)
   }
 
+  test("unigram cross-entropy: rare-token docs score higher than corpus-typical docs") {
+    // corpus LM: a→3, b→1, T=4. doc 1 = "a a": ce = 2·ln(4/3)/2 ≈ 0.2877;
+    // doc 2 = "a b": ce = (ln(4/3)+ln(4))/2 ≈ 0.8370
+    val d = docs(1L -> "a a", 2L -> "a b")
+    val out = TextAnalysis.unigramCrossEntropy(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 2L && out(2L)._1 == 2L)
+    assert(out(2L)._2 > out(1L)._2, s"rare token must raise CE: $out")
+    assert(out(1L)._2 == 0.2877 && out(2L)._2 == 0.837, s"fixed-point values: $out")
+  }
+
   test("keywords: distinctive terms outrank the everywhere-word") {
     import org.apache.spark.sql.functions.col
     // "common" appears in every doc → idf ln(5/5) = 0 → score 0;
