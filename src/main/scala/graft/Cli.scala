@@ -18,7 +18,7 @@ import graft.queries.GraphQueryEngine
   * graft.Cli --store /warehouse query callgraph main --max-depth 3
   * graft.Cli --store /warehouse query call-path main --show-paths|--show-sequences|--show-upward|--show-context
   * graft.Cli --store /warehouse query xrefs 0x401000
-  * graft.Cli --store /warehouse query analytics components|pagerank|kcore|triangles|communities|reach|betweenness  (extension)
+  * graft.Cli --store /warehouse query analytics components|pagerank|kcore|triangles|communities|reach|betweenness|closeness|shape  (extension)
   * graft.Cli --store /warehouse database init|stats|export <dir>|clear --confirm
   * }}}
   *
@@ -174,9 +174,18 @@ object Cli {
             emit(engine.betweenness(
               b, opt(args, "--max-depth").map(_.toInt).getOrElse(3),
               sample).limit(limit))
+          case "closeness" =>
+            val sample = opt(args, "--sample").map(s =>
+              s.toIntOption.filter(_ >= 1).getOrElse(
+                sys.error(s"--sample must be a positive integer, got '$s'")))
+              .getOrElse(8)
+            emit(engine.closeness(
+              b, opt(args, "--max-depth").map(_.toInt).getOrElse(3),
+              sample).limit(limit))
+          case "shape" => emit(engine.graphShape(b))
           case other => sys.error(
             s"unknown analytics '$other' (expected components, pagerank, kcore, " +
-              "triangles, communities, reach, or betweenness)")
+              "triangles, communities, reach, betweenness, closeness, or shape)")
         }
       case Seq("database", "stats", _*) =>
         emit(engine.stats())

@@ -403,6 +403,31 @@ class GraphQueryEngine(g: BinaryGraph) {
       .agg(count(lit(1)).as("n_reach"))
     mapBack(reach, ids, "n_reach").orderBy("uid")
   }
+
+  /** Distance efficiency per function: sampled bounded closeness
+    * ([[graft.graph.Ranking.closeness]]) from a 1-in-`samplePeriod`
+    * caller sample, highest first. */
+  def closeness(binary: Option[String] = None, depth: Int = 3,
+      samplePeriod: Int = 8): DataFrame = {
+    val (ids, e) = withIds(binary)
+    val starts = e.select(col("src").as("node"))
+      .filter(pmod(col("node"), lit(samplePeriod.toLong)) === 0).distinct()
+    graft.graph.Ranking.closeness(e, starts, depth)
+      .join(ids, col("node") === col("id"))
+      .select(col("uid"), col("n_reach"), col("sum_dist"), col("closeness_ppm"))
+      .orderBy(col("closeness_ppm").desc, col("uid"))
+  }
+
+  /** One-row call-graph shape summary: reciprocity (mutual calls),
+    * global clustering (3·triangles/wedges), degree assortativity —
+    * the three classic structure diagnostics in one frame. */
+  def graphShape(binary: Option[String] = None): DataFrame = {
+    val (_, e) = withIds(binary)
+    graft.graph.Ranking.reciprocity(e)
+      .crossJoin(graft.graph.Ranking.clusteringCoefficient(e)
+        .select(col("n_triangles"), col("n_wedges"), col("clustering_ppm")))
+      .crossJoin(graft.graph.Ranking.assortativity(e).select(col("assortativity")))
+  }
 }
 
 object GraphQueryEngine {

@@ -113,6 +113,12 @@ class CliSpec extends AnyFunSuite {
     val bt = capture("query", "analytics", "betweenness", "--sample", "1",
       "--limit", "5")
     assert(bt.contains("betweenness_ppm"))
+    val cl = capture("query", "analytics", "closeness", "--sample", "1",
+      "--limit", "5")
+    assert(cl.contains("closeness_ppm"))
+    val sh = capture("query", "analytics", "shape")
+    assert(sh.contains("reciprocity_ppm") && sh.contains("clustering_ppm")
+      && sh.contains("assortativity"))
   }
 
   test("csv quoting escapes commas and quotes") {
