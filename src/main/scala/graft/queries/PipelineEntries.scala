@@ -134,7 +134,11 @@ object PipelineEntries {
     "text_unigram_ce" -> ((s, d) =>
       TextAnalysis.unigramCrossEntropy(Tables.documents(s, d))),
     "events_sliding" -> ((s, d) =>
-      graft.streaming.EventStreams.slidingTypeCounts(graft.streaming.EventStreams.events(s, d)))
+      graft.streaming.EventStreams.slidingTypeCounts(graft.streaming.EventStreams.events(s, d))),
+    "fulltext_phrase" -> ((s, d) =>
+      graft.search.Fulltext.phraseSearch(Tables.documents(s, d), "table value")),
+    "events_retention" -> ((s, d) =>
+      TemporalOps.retentionCohorts(graft.streaming.EventStreams.events(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -1309,6 +1313,31 @@ object PipelineEntries {
          |SELECT doc_id, n_tokens, ll_sum,
          |       floor(ll_sum / n_tokens * 10000 + 0.5) / 10000 AS ce
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // Positional phrase intersection over the shared tokenizer CTE.
+    "fulltext_phrase" ->
+      s"""WITH $TOK
+         |SELECT a.doc_id, COUNT(*) AS n_occurrences
+         |FROM tok a JOIN tok b
+         |  ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+         |WHERE a.token = 'table' AND b.token = 'value'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Cohort retention triangle: exact integer epoch days + ppm ratio.
+    "events_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1),
+        |sizes AS (
+        |  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |         COUNT(DISTINCT d.user_id) AS n_active
+        |  FROM days d JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.day_offset, a.n_active, s.cohort_size,
+        |       (1000000 * a.n_active) // s.cohort_size AS retention_ppm
+        |FROM act a JOIN sizes s USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     // Sliding 1h/30m windows: epoch-aligned starts replayed as pure
     // ⌊ms/slide⌋ integer buckets (each event lands in exactly 2).
     "events_sliding" ->

@@ -141,6 +141,32 @@ object TemporalOps {
       expr("n_purchase * 1000000 div n_click").as("purchase_ppm"))
   }
 
+  /** Cohort retention: users grouped by first-active day, fraction
+    * still active at each day offset — the classic product-analytics
+    * triangle. All time arithmetic is exact integer epoch days
+    * (⌊ms/86400000⌋); retention is an integer ppm floor division. The
+    * (user, day) activity frame distincts ONCE and is checkpointed
+    * (≤ users·days rows — far smaller than the event stream), so
+    * cohort assignment and the offset aggregation share one pass;
+    * every shuffle keys on user or (cohort, offset) — uniform.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("(1000000 * n_active) div cohort_size").as("retention_ppm"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Out-of-orderness profile — the measurement that SIZES a streaming
     * watermark: per event, disorder = how far its event time lags the
     * running max over earlier arrivals (event_id = arrival order) of

@@ -356,4 +356,32 @@ object Fulltext {
 
   def booleanSearch(docs: DataFrame, query: String, limit: Int = 20): DataFrame =
     booleanSearchIndex(buildIndex(docs), query, limit)
+
+  /** Positional phrase search (the Lucene PhraseQuery analog): docs
+    * containing the exact token sequence, with occurrence counts. An
+    * n-word phrase is n−1 equality joins on (doc, seq+i) — the classic
+    * positional-postings intersection; the token filter prunes the
+    * postings to the phrase's words BEFORE any join, and that pruned
+    * frame is checkpointed so one tokenize pass feeds every join
+    * (phrase-word postings are a vanishing fraction of the corpus).
+    * Tokenizer contract shared with the index ([[TextOps.tokens]]).
+    */
+  def phraseSearch(docs: DataFrame, phrase: String): DataFrame = {
+    val words = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(words.nonEmpty, "phraseSearch needs at least one token")
+    val toks = TextOps.tokens(docs)
+      .filter(col("token").isin(words: _*))
+      .localCheckpoint(true)
+    val first = toks.filter(col("token") === words.head)
+      .select(col("doc_id"), col("seq").as("s0"))
+    val matches = words.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(toks.filter(col("token") === w)
+            .select(col("doc_id").as(s"d$i"), col("seq").as(s"s$i")),
+          col("doc_id") === col(s"d$i") && col(s"s$i") === col("s0") + i)
+          .select(col("doc_id"), col("s0"))
+    }
+    matches.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
 }

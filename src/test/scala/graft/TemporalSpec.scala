@@ -57,6 +57,27 @@ class TemporalSpec extends AnyFunSuite {
       s"ppm ratios wrong: $r")
   }
 
+  test("retention cohorts: offsets relative to each user's first-active day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val day = 86400000L
+    // u1 active days 0,1,2; u2 days 0,2 (two events on day 0 — still
+    // one active-day); u3 day 1 only
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 0L), (2L, 2L),
+      (3L, 1L))
+      .zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d * day + 3600000L) }
+      .toDF("event_id", "user_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = TemporalOps.retentionCohorts(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out == Map(
+      (0L, 0L) -> (2L, 2L, 1000000L),  // u1+u2 on their day 0
+      (0L, 1L) -> (1L, 2L, 500000L),   // only u1 back next day
+      (0L, 2L) -> (2L, 2L, 1000000L),  // both back on day 2
+      (1L, 0L) -> (1L, 1L, 1000000L))) // u3's own cohort
+  }
+
   test("disorder histogram: in-order events are silent, late arrivals land their bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}

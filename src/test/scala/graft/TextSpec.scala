@@ -253,6 +253,23 @@ class TextSpec extends AnyFunSuite {
     assert(out(1L)._2 == 0.2877 && out(2L)._2 == 0.837, s"fixed-point values: $out")
   }
 
+  test("phrase search: adjacency required, occurrences counted, order matters") {
+    import graft.search.Fulltext
+    val d = docs(
+      1L -> "the quick brown fox",
+      2L -> "quick the brown",            // words present, not adjacent
+      3L -> "quick brown quick brown")    // two occurrences
+    val out = Fulltext.phraseSearch(d, "quick brown")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 3L -> 2L))
+    // three-word phrase narrows further
+    val three = Fulltext.phraseSearch(d, "the quick brown")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three == Map(1L -> 1L))
+    // reversed order matches nothing
+    assert(Fulltext.phraseSearch(d, "brown the").count() == 0)
+  }
+
   test("keywords: distinctive terms outrank the everywhere-word") {
     import org.apache.spark.sql.functions.col
     // "common" appears in every doc → idf ln(5/5) = 0 → score 0;
