@@ -406,6 +406,36 @@ object Similarity {
         col("recon_mse"))
       .orderBy("vec_id")
 
+  /** Product quantization (Jégou, Douze & Schmid, TPAMI 2011): split
+    * each vector into `m` contiguous subvectors and vector-quantize
+    * every subspace independently with its own k-codeword codebook —
+    * memory drops from dim floats to m small codes while distances
+    * stay approximable per-subspace. Codebooks train with the SHARED
+    * fixed-point Lloyd ([[kmeansCentroids]] over the sliced frame), so
+    * training and assignment are bit-deterministic cross-engine like
+    * the rest of the ANN family; `dist` is the exact integer squared
+    * distance to the assigned codeword. Each subspace is one broadcast
+    * of a k-row codebook — the corpus streams, nothing else shuffles.
+    * Returns (vec_id, subspace, code, dist).
+    */
+  def productQuantize(emb: DataFrame, m: Int = 2, k: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val first = emb.select(size(col("embedding"))).take(1)
+    require(first.nonEmpty, "productQuantize needs a non-empty corpus")
+    val dim = first.head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val subEmb = emb.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
+      val cents = kmeansCentroids(subEmb, k, iters)
+      centroidRanks(withNorm(subEmb), cents)
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), lit(j).as("subspace"),
+          col("cid").as("code"), col("dist"))
+    }.reduce(_ unionByName _).orderBy("vec_id", "subspace")
+  }
+
   /** Deterministic signed random projection (the dense-±small-integer
     * Achlioptas family): each output coordinate is the exact long dot
     * out_j = Σ_i qx_i·w(i,j) over the 1e6-quantized vector, with

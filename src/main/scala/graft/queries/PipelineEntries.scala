@@ -137,6 +137,8 @@ object PipelineEntries {
       graft.streaming.EventStreams.slidingTypeCounts(graft.streaming.EventStreams.events(s, d))),
     "fulltext_phrase" -> ((s, d) =>
       graft.search.Fulltext.phraseSearch(Tables.documents(s, d), "table value")),
+    "embed_pq" -> ((s, d) =>
+      Similarity.productQuantize(Tables.embeddings(s, d))),
     "events_retention" -> ((s, d) =>
       TemporalOps.retentionCohorts(graft.streaming.EventStreams.events(s, d)))
   )
@@ -191,6 +193,42 @@ object PipelineEntries {
          |  FROM ka$p a JOIN exq e USING (vec_id) GROUP BY 1, 2)""".stripMargin)
     }
     (sb.toString, s"cents$iters")
+  }
+
+  /** Per-subspace twin of [[kmeansCtes]] for product quantization:
+    * the identical fixed-point Lloyd chain, restricted to dims
+    * (lo..hi], names suffixed `_j`, plus the FINAL assignment round
+    * (kd/ka at `iters`) that emits each vector's code + exact
+    * distance. */
+  private def pqCtes(j: Int, lo: Int, hi: Int, k: Int, iters: Int): String = {
+    val sq = s"sq$j AS (SELECT vec_id, i, qx FROM exq WHERE i > $lo AND i <= $hi)"
+    val sb = new StringBuilder(
+      s"$sq,\nc0_$j AS (SELECT vec_id AS cid, i, qx AS cx FROM sq$j WHERE vec_id < $k)")
+    for (t <- 0 until iters) sb.append(s""",
+       |kd${t}_$j AS (
+       |  SELECT e.vec_id, c.cid,
+       |         CAST(SUM((e.qx - c.cx) * (e.qx - c.cx)) AS BIGINT) AS dist
+       |  FROM sq$j e JOIN c${t}_$j c ON e.i = c.i GROUP BY 1, 2),
+       |ka${t}_$j AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM kd${t}_$j) t WHERE rn = 1),
+       |c${t + 1}_$j AS (
+       |  SELECT a.cid, e.i,
+       |         CAST(floor(SUM(e.qx) / (1.0 * COUNT(*))) AS BIGINT) AS cx
+       |  FROM ka${t}_$j a JOIN sq$j e USING (vec_id) GROUP BY 1, 2)""".stripMargin)
+    sb.append(s""",
+       |kd${iters}_$j AS (
+       |  SELECT e.vec_id, c.cid,
+       |         CAST(SUM((e.qx - c.cx) * (e.qx - c.cx)) AS BIGINT) AS dist
+       |  FROM sq$j e JOIN c${iters}_$j c ON e.i = c.i GROUP BY 1, 2),
+       |code$j AS (
+       |  SELECT vec_id, $j AS subspace, cid AS code, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM kd${iters}_$j) t WHERE rn = 1)""".stripMargin)
+    sb.toString
   }
 
   private def fulltextSql(tokenPred: String): String =
@@ -1313,6 +1351,17 @@ object PipelineEntries {
          |SELECT doc_id, n_tokens, ll_sum,
          |       floor(ll_sum / n_tokens * 10000 + 0.5) / 10000 AS ce
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // Product quantization: two independent per-subspace Lloyd chains
+    // (the kmeansCtes contract restricted to each dim range) + a final
+    // assignment emitting (code, exact integer distance).
+    "embed_pq" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |${pqCtes(0, 0, 32, 4, 2)},
+         |${pqCtes(1, 32, 64, 4, 2)}
+         |SELECT vec_id, subspace, code, dist FROM (
+         |  SELECT * FROM code0 UNION ALL SELECT * FROM code1) u
+         |ORDER BY vec_id, subspace""".stripMargin,
     // Positional phrase intersection over the shared tokenizer CTE.
     "fulltext_phrase" ->
       s"""WITH $TOK

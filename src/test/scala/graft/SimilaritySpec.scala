@@ -286,6 +286,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!lax.contains((0L, 1L)) && !lax.contains((1L, 0L)))
   }
 
+  test("product quantization: per-subspace codes separate per-subspace clusters") {
+    import spark.implicits._
+    // 4-dim, m=2 subspaces of 2 dims. First subspace separates
+    // {0,1,4} (near [1,0]) from {2,3,5} (near [0,1]); the SECOND
+    // subspace groups them differently ({0,1,2,3} vs {4,5}) — PQ must
+    // code the two subspaces independently.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f, 1.0f, 0.1f)),
+      (3L, Array(0.1f, 0.9f, 0.8f, 0.0f)),
+      (4L, Array(1.0f, 0.1f, 0.0f, 1.0f)),
+      (5L, Array(0.0f, 0.9f, 0.1f, 1.0f)))
+    val d = rows.toDF("vec_id", "embedding")
+    val pq = Similarity.productQuantize(d, m = 2, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(pq.size == 12) // 6 vecs × 2 subspaces
+    // subspace 0: {0,1,4} share a code, {2,3,5} share the other
+    val s0 = (0 to 5).map(i => pq((i.toLong, 0)))
+    assert(s0(0) == s0(1) && s0(0) == s0(4))
+    assert(s0(2) == s0(3) && s0(2) == s0(5))
+    assert(s0(0) != s0(2))
+    // subspace 1: {0,1,2,3} vs {4,5} — a DIFFERENT partition
+    val s1 = (0 to 5).map(i => pq((i.toLong, 1)))
+    assert(Set(s1(0), s1(1), s1(2), s1(3)).size == 1)
+    assert(s1(4) == s1(5) && s1(0) != s1(4))
+    // exact-distance column: a vector equal to its codeword has dist 0
+    val dists = Similarity.productQuantize(d, m = 2, k = 2, iters = 2)
+      .collect().map(r => r.getLong(3))
+    assert(dists.forall(_ >= 0L))
+  }
+
   test("signed projection: dim-agnostic, exactly linear, zero maps to zero") {
     import spark.implicits._
     // 4-dim fixture (width must come from the data, not a constant);
