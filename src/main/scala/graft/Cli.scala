@@ -33,6 +33,14 @@ object Cli {
   private def opt(args: Seq[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Seq(`name`, v) => v }
 
+  /** `--sample` for the sampled-centrality analytics: positive int,
+    * default 1-in-8. */
+  private def sampleOpt(args: Seq[String]): Int =
+    opt(args, "--sample").map(s =>
+      s.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"--sample must be a positive integer, got '$s'")))
+      .getOrElse(8)
+
   /** Render collected rows in the reference's table shape: header,
     * dash rule, fixed-width columns sized to the widest cell. */
   private[graft] def renderTable(header: Seq[String], rows: Seq[Seq[String]]): String = {
@@ -167,21 +175,13 @@ object Cli {
           case "reach" => emit(engine.neighborhoodSizes(
             b, opt(args, "--max-depth").map(_.toInt).getOrElse(2)).limit(limit))
           case "betweenness" =>
-            val sample = opt(args, "--sample").map(s =>
-              s.toIntOption.filter(_ >= 1).getOrElse(
-                sys.error(s"--sample must be a positive integer, got '$s'")))
-              .getOrElse(8)
             emit(engine.betweenness(
               b, opt(args, "--max-depth").map(_.toInt).getOrElse(3),
-              sample).limit(limit))
+              sampleOpt(args)).limit(limit))
           case "closeness" =>
-            val sample = opt(args, "--sample").map(s =>
-              s.toIntOption.filter(_ >= 1).getOrElse(
-                sys.error(s"--sample must be a positive integer, got '$s'")))
-              .getOrElse(8)
             emit(engine.closeness(
               b, opt(args, "--max-depth").map(_.toInt).getOrElse(3),
-              sample).limit(limit))
+              sampleOpt(args)).limit(limit))
           case "shape" => emit(engine.graphShape(b))
           case other => sys.error(
             s"unknown analytics '$other' (expected components, pagerank, kcore, " +

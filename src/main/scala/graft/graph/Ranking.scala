@@ -237,14 +237,25 @@ object Ranking {
       .orderBy("node")
   }
 
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges
+  /** Distinct undirected non-loop edge set (a < b) — THE shared input
+    * of every undirected-structure metric below (triangles, wedges,
+    * degrees, assortativity); one definition so the oracle's shared
+    * u0/dg CTEs have exactly one Spark twin to drift against. */
+  private def undirected(edges: DataFrame): DataFrame =
+    edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
       .filter(col("s") =!= col("t"))
       .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
       .distinct()
-    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+
+  /** Undirected degree table (n, d) over [[undirected]] edges. */
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val deg = degreesOf(und)
     val o = und
       .join(deg.select(col("n").as("na"), col("d").as("da")), col("a") === col("na"))
       .join(deg.select(col("n").as("nb"), col("d").as("db")), col("b") === col("nb"))
@@ -269,15 +280,11 @@ object Ranking {
     * The ratio is an exact integer ppm floor division; two 1-row
     * frames cross-join at the end. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
-      .filter(col("s") =!= col("t"))
-      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
-      .distinct()
-    val wedges = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    val wedges = degreesOf(undirected(edges))
       .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("w2"))
-      .select((col("w2") / 2).cast("long").as("n_wedges")) // d(d−1) is even
+      // true integer halving — `/` on longs routes through a double,
+      // which rounds above 2^53 (the oracle's `// 2` never does)
+      .select(expr("w2 div 2").as("n_wedges"))
     triangleCount(edges).crossJoin(wedges)
       .select(col("n_triangles"), col("n_wedges"),
         when(col("n_wedges") === 0, lit(0L))
@@ -293,13 +300,8 @@ object Ranking {
     * the single float operation is the final divide, floor-form
     * rounded at 6dp. Two degree joins + one 1-row aggregate. */
   def assortativity(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
-      .filter(col("s") =!= col("t"))
-      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    val und = undirected(edges)
+    val deg = degreesOf(und)
       .localCheckpoint(true) // joined twice below; degree table is node-sized
     val ends = und
       .join(deg.select(col("n").as("na"), col("d").as("da")), col("a") === col("na"))

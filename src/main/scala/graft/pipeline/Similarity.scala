@@ -357,8 +357,16 @@ object Similarity {
     * synthetic embeddings have NO natural pairs above cosine 0.52, so
     * a high-threshold gate over the raw table would be vacuous. The
     * jitter is applied to the DOUBLE-cast value in a fixed per-dim
-    * pattern so the oracle replays it bit-identically. */
-  def withJitteredTwins(emb: DataFrame, offset: Long = 1000000L): DataFrame = {
+    * pattern so the oracle replays it bit-identically.
+    *
+    * The id offset is 2⁴⁰ — far above any replicated-corpus id:
+    * ScaleBench strides replica ids by 10⁶, so the old 10⁶ default
+    * made replica-r twins COLLIDE with replica-(r+1)'s real ids at
+    * ≥2× replication, fanning out the rerank joins across duplicate
+    * vec_ids and silently corrupting the scale numbers. */
+  val TwinIdOffset: Long = 1L << 40
+
+  def withJitteredTwins(emb: DataFrame, offset: Long = TwinIdOffset): DataFrame = {
     val twin = emb.select((col("vec_id") + offset).as("vec_id"),
       transform(col("embedding"), (x, d) =>
         x.cast("double") * (lit(1.0) + (d * 7 % 5 - 2).cast("double") * lit(0.2)))
@@ -449,8 +457,14 @@ object Similarity {
     */
   def projectSigned(emb: DataFrame, outDims: Int = 16): DataFrame = {
     // width read from the data once (the kmeansIterate lesson: a
-    // hardcoded 64 silently breaks non-64-dim corpora)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // hardcoded 64 silently breaks non-64-dim corpora); an empty
+    // corpus projects to an empty frame, not a head()-crash (the
+    // kmeansCentroids convention)
+    val first = emb.select(size(col("embedding"))).take(1)
+    if (first.isEmpty)
+      return emb.limit(0).select(col("vec_id"), lit(0).as("j"),
+        lit(0L).as("proj"))
+    val dim = first.head.getInt(0)
     val q = emb.select(col("vec_id"), quantize(asDouble(col("embedding"))).as("qx"))
     val outs = (0 until outDims).map { j =>
       val w = (1 to dim).map { i => // i is 1-based: generate_subscripts parity

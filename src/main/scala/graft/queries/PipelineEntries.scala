@@ -522,8 +522,10 @@ object PipelineEntries {
         |             (SELECT COUNT(*) FROM c) AS n_click,
         |             (SELECT COUNT(*) FROM p) AS n_purchase)
         |SELECT n_view, n_click, n_purchase,
-        |       n_click * 1000000 // n_view AS click_ppm,
-        |       n_purchase * 1000000 // n_click AS purchase_ppm
+        |       CASE WHEN n_view = 0 THEN 0
+        |            ELSE n_click * 1000000 // n_view END AS click_ppm,
+        |       CASE WHEN n_click = 0 THEN 0
+        |            ELSE n_purchase * 1000000 // n_click END AS purchase_ppm
         |FROM n""".stripMargin,
     // Full curation: the curate_pipeline gates composed with near-dup
     // cluster canonical selection (cluster CTEs above) and benchmark
@@ -726,7 +728,7 @@ object PipelineEntries {
          |ex2 AS (
          |  SELECT vec_id, x, i FROM ex
          |  UNION ALL
-         |  SELECT vec_id + 1000000, x * (1.0 + (((i - 1) * 7) % 5 - 2) * 0.2), i
+         |  SELECT vec_id + 1099511627776, x * (1.0 + (((i - 1) * 7) % 5 - 2) * 0.2), i
          |  FROM ex),
          |exq AS (SELECT vec_id, CAST(round(x * 1000000, 0) AS BIGINT) AS qx, i FROM ex2),
          |nrm AS (

@@ -136,9 +136,13 @@ object TemporalOps {
     val counts = v.agg(count(lit(1)).as("n_view")).crossJoin(
       c.agg(count(lit(1)).as("n_click"))).crossJoin(
       p.agg(count(lit(1)).as("n_purchase")))
+    // zero-denominator guard (the reciprocity/clustering convention):
+    // a stage with no entrants yields ratio 0, not NULL/divide-by-zero
     counts.select(col("n_view"), col("n_click"), col("n_purchase"),
-      expr("n_click * 1000000 div n_view").as("click_ppm"),
-      expr("n_purchase * 1000000 div n_click").as("purchase_ppm"))
+      when(col("n_view") === 0, lit(0L))
+        .otherwise(expr("n_click * 1000000 div n_view")).as("click_ppm"),
+      when(col("n_click") === 0, lit(0L))
+        .otherwise(expr("n_purchase * 1000000 div n_click")).as("purchase_ppm"))
   }
 
   /** Cohort retention: users grouped by first-active day, fraction

@@ -166,7 +166,7 @@ class SimilaritySpec extends AnyFunSuite {
     // and NO other pair may cross 0.9 (raw corpus max cosine ≈ 0.51)
     val twinned = Similarity.withJitteredTwins(emb)
     val v = Similarity.withNorm(twinned).filter(col("nrm") > 0)
-    val nOrig = v.filter(col("vec_id") < 1000000L).count()
+    val nOrig = v.filter(col("vec_id") < Similarity.TwinIdOffset).count()
     val exact = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos",
         graft.functions.VectorOps.dotLong(col("x.qv"), col("y.qv"))
@@ -175,8 +175,8 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "no planted pair crossed tau=0.9")
-    assert(exact.forall { case (a, b) => b == a + 1000000L },
-      s"non-twin pair above 0.9: ${exact.filterNot { case (a, b) => b == a + 1000000L }}")
+    assert(exact.forall { case (a, b) => b == a + Similarity.TwinIdOffset },
+      s"non-twin pair above 0.9: ${exact.filterNot { case (a, b) => b == a + Similarity.TwinIdOffset }}")
     assert(exact.size == nOrig, s"${exact.size} twin pairs for $nOrig originals")
 
     // the gate's operating point: bandingFor at the pinned scale n
