@@ -80,6 +80,7 @@ object SparkEntry {
     "q21_waiting" -> ((s, d) =>
       Relational.waitingSuppliers(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.supplier(s, d), Tables.nation(s, d))),
+    "q_rollup" -> ((s, d) => Relational.pricingRollup(Tables.lineitem(s, d))),
     "events_enrich" -> ((s, d) =>
       graft.streaming.EventStreams.enrichByNation(
         graft.streaming.EventStreams.events(s, d), Tables.nation(s, d))),
@@ -526,6 +527,17 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM rp WHERE rp.ok = b.ok AND rp.sk <> b.sk)
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+    // Grouping-sets cube: every level's measure is the same exact-cents
+    // long sum, so detail/subtotal/grand rows all replay bit-identically.
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |         + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q5_star" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -265,6 +265,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Levenshtein rerank over the minhash candidate space: exact edit
+    * distance is Θ(len_a·len_b) per pair, so it can never run on the
+    * n² pair space — but over the LSH candidates (est_jaccard ≥
+    * `minEstJaccard`, a candidate-bounded set) it upgrades the sketch
+    * estimate to a true character-level metric. Distance is computed
+    * over a `capChars` prefix — the per-pair cost ceiling that keeps
+    * the rerank linear in candidate count at 100 TB (near-dup docs
+    * either agree or diverge well inside the cap) — with Spark's
+    * codegen'd `levenshtein`, the classic unit-cost distance both
+    * engines implement identically (integer-deterministic, no float
+    * surface). Returns (doc_a, doc_b, est_jaccard, edit_dist).
+    */
+  def editDistance(docs: DataFrame, minEstJaccard: Double = 0.5,
+      capChars: Int = 500): DataFrame = {
+    val texts = docs.select(col("doc_id"),
+      substring(col("text"), 1, capChars).as("t"))
+    minhashLsh(docs).filter(col("est_jaccard") >= minEstJaccard)
+      .join(texts.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** D4 n-gram Jaccard similarity join: candidates share ≥1 distinct
     * 3-gram shingle; J = |∩| / |∪| from per-doc set sizes. Returns
     * pairs with J ≥ minJaccard. The shared-shingle join is the

@@ -140,7 +140,12 @@ object PipelineEntries {
     "embed_pq" -> ((s, d) =>
       Similarity.productQuantize(Tables.embeddings(s, d))),
     "events_retention" -> ((s, d) =>
-      TemporalOps.retentionCohorts(graft.streaming.EventStreams.events(s, d)))
+      TemporalOps.retentionCohorts(graft.streaming.EventStreams.events(s, d))),
+    "events_transitions" -> ((s, d) =>
+      TemporalOps.transitions(graft.streaming.EventStreams.events(s, d))),
+    "events_pivot" -> ((s, d) =>
+      graft.streaming.EventStreams.typePivot(graft.streaming.EventStreams.events(s, d))),
+    "dedup_editdist" -> ((s, d) => Dedup.editDistance(Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -1401,6 +1406,62 @@ object PipelineEntries {
         |SELECT strftime(make_timestamp(ws_ms * 1000), '%Y-%m-%d %H:%M:%S')
         |         AS win_start,
         |       event_type, COUNT(*) AS n, round(SUM(value), 2) AS sum_value
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // First-order Markov matrix: lag over the deterministic (ts,
+    // event_id) per-user order; probabilities are exact integer ppm.
+    "events_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       (1000000 * c.n) // t.row_total AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // Static-schema pivot: fixed conditional aggregates, one pass.
+    "events_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  COUNT(*) AS n_total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Levenshtein rerank over the minhash candidate space: the
+    // dedup_minhash CTE chain scored at est_jaccard >= 0.5, then the
+    // classic unit-cost edit distance over the 500-char prefix (both
+    // engines implement the identical integer metric).
+    "dedup_editdist" ->
+      s"""WITH $TOK,
+         |$SH,
+         |mh AS (
+         |  $minhashUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM mh x JOIN mh y
+         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |         round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
+         |           AS est_jaccard
+         |  FROM cand
+         |  JOIN mh a ON doc_a = a.doc_id
+         |  JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+         |  GROUP BY 1, 2)
+         |SELECT s.doc_a, s.doc_b, s.est_jaccard,
+         |       CAST(levenshtein(substring(da.text, 1, 500),
+         |                        substring(db.text, 1, 500)) AS BIGINT)
+         |         AS edit_dist
+         |FROM scored s
+         |JOIN documents da ON s.doc_a = da.doc_id
+         |JOIN documents db ON s.doc_b = db.doc_id
+         |WHERE s.est_jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

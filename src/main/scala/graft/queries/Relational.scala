@@ -642,4 +642,27 @@ object Relational {
       .agg(count(lit(1)).as("n_prospects"), sum(col("bal_cents")).as("total_cents"))
       .orderBy("c_nationkey")
   }
+
+  /** ROLLUP grouping-sets pricing cube: revenue and row counts at
+    * (returnflag, linestatus), per-flag subtotals, and the grand total
+    * in ONE pass — Catalyst expands the grouping sets inside a single
+    * partially-aggregated shuffle (Expand + one exchange), never a
+    * three-way self-union that re-scans the fact table per level.
+    * Subtotal rows surface as 'ALL' via coalesce (both source columns
+    * are non-null, so the sentinel is unambiguous), and the measure is
+    * the exact-cents contract, so every level replays bit-identically
+    * in the oracle's GROUP BY ROLLUP.
+    */
+  def pricingRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(centsOf(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_cents"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("rev_cents"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
 }

@@ -202,6 +202,29 @@ object TemporalOps {
       .orderBy("bucket")
   }
 
+  /** First-order event-type transition matrix (the Markov chain over
+    * each user's event sequence): counts of consecutive (from_type →
+    * to_type) steps ordered by (ts, event_id) — the deterministic
+    * total order, ties broken by the unique id — with row-normalized
+    * probabilities as exact integer ppm (floor division over exact
+    * counts, the funnel/retention ratio contract). One user-keyed
+    * window sort over the stream, then one narrow agg whose key space
+    * is |types|² — tiny, so the totals join broadcasts itself.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("row_total"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) div row_total").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Exact interpolated quantiles per event type (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). The approx scale path is
     * `approx_percentile` — same call shape, sketch-based. */

@@ -35,6 +35,27 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** Event types present in the corpus — the STATIC pivot schema. */
+  val PivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Static-schema per-user event-type counts — the pivot formulated
+    * as a fixed conditional-aggregate column set rather than
+    * `pivot()`: relational `pivot()` first collect()s the distinct
+    * pivot values to the driver (an extra pass over 100 TB) and
+    * cannot run on an unbounded stream, while a fixed `sum(when(...))`
+    * list is ONE partially-aggregated user-keyed shuffle and is
+    * streaming-safe (each column is an ordinary incremental
+    * aggregate). Unknown types are surfaced in n_total so schema
+    * drift is visible rather than silently dropped. */
+  def typePivot(events: DataFrame): DataFrame = {
+    val perType = PivotTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val aggs = perType :+ count(lit(1)).as("n_total")
+    events.groupBy("user_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("user_id")
+  }
+
   /** Sliding-window counts (1-hour windows every 30 minutes): the
     * native `window(ts, width, slide)` generator — each event lands in
     * width/slide windows, aggregation is per (window, type). Epoch-

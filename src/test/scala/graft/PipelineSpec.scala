@@ -99,6 +99,19 @@ class PipelineSpec extends AnyFunSuite {
       s"expected at least one old-new pair: $inc")
   }
 
+  test("editDistance reranks minhash candidates with the exact character metric") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // 1 ~ 2 differ by exactly one substitution ("today" → "toda7");
+    // 9 shares no vocabulary so it never becomes a candidate.
+    val d = docs(
+      1L -> base, 2L -> (base.dropRight(1) + "7"),
+      9L -> "completely different words here entirely unrelated stuff")
+    val out = Dedup.editDistance(d, minEstJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out.keySet == Set((1L, 2L)), s"unexpected candidate set: $out")
+    assert(out((1L, 2L)) == 1L, s"one substitution must cost exactly 1: $out")
+  }
+
   test("keepBest keeps the longest cluster member, not the min id") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"

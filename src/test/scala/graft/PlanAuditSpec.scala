@@ -180,6 +180,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"final query still scans the fact table:\n$p")
   }
 
+  test("q_rollup expands grouping sets over ONE fact scan (no per-level union)") {
+    // rollup must plan as Expand → partial agg → one exchange; a
+    // self-union of three aggregates would show three lineitem scans.
+    val p = planOf("q_rollup")
+    assert("""\(\d+\) Expand""".r.findFirstIn(p).isDefined,
+      s"no Expand node — rollup lost its grouping-sets plan:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"rollup scans the fact table more than once:\n$p")
+  }
+
   test("q12_shipmode prunes both fact scans to the needed columns") {
     val p = planOf("q12_shipmode")
     val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq

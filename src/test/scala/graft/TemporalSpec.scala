@@ -97,6 +97,43 @@ class TemporalSpec extends AnyFunSuite {
       "c_lt_10m" -> (1L, 120000L)))
   }
 
+  test("transition matrix: consecutive pairs per user, ppm row-normalized, ties by event_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // u1: view→click→view; u2: click→purchase;
+    // u3: two events at the SAME ts — order must fall back to event_id
+    // (signup id 10 before view id 11), so the pair is signup→view.
+    val ev = Seq(
+      (1L, 1L, 1000L, "view"), (1L, 2L, 2000L, "click"), (1L, 3L, 3000L, "view"),
+      (2L, 4L, 1000L, "click"), (2L, 5L, 2000L, "purchase"),
+      (3L, 10L, 5000L, "signup"), (3L, 11L, 5000L, "view"))
+      .toDF("user_id", "event_id", "ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = queries.TemporalOps.transitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      ("view", "click") -> (1L, 1000000L),
+      ("click", "view") -> (1L, 500000L),      // from click: 1 of 2
+      ("click", "purchase") -> (1L, 500000L),
+      ("signup", "view") -> (1L, 1000000L)))
+  }
+
+  test("type pivot: static conditional-aggregate columns, one row per user") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click"), (1L, "click"), (1L, "view"),
+      (2L, "error"))
+      .toDF("user_id", "event_type")
+    val out = graft.streaming.EventStreams.typePivot(ev).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out == Map(
+      1L -> (2L, 0L, 0L, 0L, 1L, 3L),
+      2L -> (0L, 1L, 0L, 0L, 0L, 1L)))
+  }
+
   test("cdc compaction: last write wins by (ts, event_id), ties break on id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}
