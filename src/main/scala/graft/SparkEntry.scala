@@ -110,6 +110,8 @@ object SparkEntry {
     "graph_diff" -> ((s, d) => GraphQueries.graphDiff(s, d)),
     "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
     "graph_closeness" -> ((s, d) => GraphQueries.graphCloseness(s, d)),
+    "graph_harmonic" -> ((s, d) => GraphQueries.graphHarmonic(s, d)),
+    "graph_hits" -> ((s, d) => GraphQueries.graphHits(s, d)),
     "graph_reciprocity" -> ((s, d) => GraphQueries.graphReciprocity(s, d)),
     "graph_clustering" -> ((s, d) => GraphQueries.graphClustering(s, d)),
     "graph_assortativity" -> ((s, d) => GraphQueries.graphAssortativity(s, d)),
@@ -222,6 +224,32 @@ object SparkEntry {
     sb.append(s""",
        |alldelta AS (${(0 to depth).map(t => s"SELECT s, v, delta FROM d$t")
         .mkString(" UNION ALL ")})""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled synchronous HITS rounds in exact integers: per round,
+    * auth/hub sums from the PREVIOUS round's scores (simultaneous
+    * update), then each side floor-normalized to max = 10⁶ — replays
+    * [[graft.graph.Ranking.hits]] bit-exactly. */
+  private def hitsCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """nodes AS (SELECT DISTINCT n AS node FROM
+        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) t),
+        |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h,
+        |       CAST(1000000 AS BIGINT) AS a FROM nodes)""".stripMargin)
+    for (t <- 1 to iters) sb.append(s""",
+       |ra$t AS (SELECT e.dst AS node, CAST(SUM(s.h) AS BIGINT) AS v
+       |         FROM s${t - 1} s JOIN e ON e.src = s.node GROUP BY 1),
+       |rh$t AS (SELECT e.src AS node, CAST(SUM(s.a) AS BIGINT) AS v
+       |         FROM s${t - 1} s JOIN e ON e.dst = s.node GROUP BY 1),
+       |j$t AS MATERIALIZED (
+       |  SELECT n.node, COALESCE(rh.v, 0) AS hv, COALESCE(ra.v, 0) AS av
+       |  FROM nodes n LEFT JOIN rh$t rh ON n.node = rh.node
+       |  LEFT JOIN ra$t ra ON n.node = ra.node),
+       |m$t AS (SELECT greatest(MAX(hv), 1) AS mh, greatest(MAX(av), 1) AS ma
+       |        FROM j$t),
+       |s$t AS (SELECT node, (1000000 * hv) // mh AS h, (1000000 * av) // ma AS a
+       |        FROM j$t, m$t)""".stripMargin)
     sb.toString
   }
 
@@ -921,6 +949,40 @@ object SparkEntry {
         |       (1000000 * COUNT(*)) // CAST(SUM(depth) AS BIGINT)
         |         AS closeness_ppm
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Harmonic centrality over the 1-in-100 sample at slice 7: the
+    // graph_closeness first-touch level chain (p1/p2/p3 minus seen)
+    // with the final aggregate Σ ⌊10⁶/depth⌋ — exact integer terms.
+    "graph_harmonic" ->
+      s"""WITH $E,
+        |st AS (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 7),
+        |v0 AS MATERIALIZED (SELECT s, s AS node FROM st),
+        |p1 AS MATERIALIZED (
+        |  SELECT DISTINCT st.s, e.dst AS node
+        |  FROM st JOIN e ON e.src = st.s WHERE e.dst <> st.s),
+        |v1 AS MATERIALIZED (SELECT * FROM v0 UNION SELECT * FROM p1),
+        |p2 AS MATERIALIZED (
+        |  SELECT DISTINCT p1.s, e.dst AS node
+        |  FROM p1 JOIN e ON e.src = p1.node
+        |  LEFT JOIN v1 ON v1.s = p1.s AND v1.node = e.dst
+        |  WHERE v1.node IS NULL),
+        |v2 AS MATERIALIZED (SELECT * FROM v1 UNION SELECT * FROM p2),
+        |p3 AS MATERIALIZED (
+        |  SELECT DISTINCT p2.s, e.dst AS node
+        |  FROM p2 JOIN e ON e.src = p2.node
+        |  LEFT JOIN v2 ON v2.s = p2.s AND v2.node = e.dst
+        |  WHERE v2.node IS NULL),
+        |reach AS (
+        |  SELECT s, node, 1 AS depth FROM p1
+        |  UNION ALL SELECT s, node, 2 FROM p2
+        |  UNION ALL SELECT s, node, 3 FROM p3)
+        |SELECT s AS node, COUNT(*) AS n_reach,
+        |       CAST(SUM(1000000 // depth) AS BIGINT) AS harmonic_ppm
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_hits" ->
+      s"""WITH $E,
+        |${hitsCtes(2)}
+        |SELECT node, h AS hub_ppm, a AS auth_ppm FROM s2
+        |ORDER BY node""".stripMargin,
     "graph_reciprocity" ->
       s"""WITH $E,
         |ed AS MATERIALIZED (

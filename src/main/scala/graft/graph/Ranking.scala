@@ -337,6 +337,61 @@ object Ranking {
       .select(col("node"), col("n_reach"), col("sum_dist"),
         expr("(1000000 * n_reach) div sum_dist").as("closeness_ppm"))
 
+  /** Bounded harmonic centrality over a start sample: Σ ⌊10⁶/depth⌋
+    * across the ≤maxDepth out-ball — the centrality that stays
+    * well-defined on disconnected graphs (an unreached node simply
+    * contributes 0; closeness has to special-case it). Rides the same
+    * [[Traversal.reachLevels]] pass as [[closeness]], and the per-term
+    * integer floor makes every score an exact long both engines
+    * replay (a float Σ1/d would be summation-order-sensitive). */
+  def harmonic(edges: DataFrame, starts: DataFrame, maxDepth: Int = 3): DataFrame =
+    Traversal.reachLevels(edges, starts, maxDepth)
+      .groupBy(col("start").as("node"))
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr("1000000 div depth")).as("harmonic_ppm"))
+
+  /** HITS hubs/authorities (Kleinberg 1999) in the C7 fixed-point
+    * integer contract, synchronous variant: both scores start at 10⁶;
+    * round t+1 computes auth'(v) = Σ_{u→v} hub_t(u) and hub'(u) =
+    * Σ_{u→v} auth_t(v) — BOTH from the round-t scores (simultaneous
+    * update, so the oracle unrolls each round as two independent
+    * CTEs) — then renormalizes each side to max = 10⁶ by integer
+    * floor division (the long max is exact, ⌊10⁶·x/max⌋ replays
+    * verbatim; a float L2 norm would drift cross-engine). Per round:
+    * two edge joins + two narrow node-keyed aggs + one 1-row
+    * broadcast max — the PageRank scale shape, checkpointed per
+    * round so the lineage stays flat. Hub = function that calls many
+    * authorities; authority = function many hubs call — ON a call
+    * graph, the utility-vs-dispatcher split.
+    */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var s = nodes.select(col("node"), lit(1000000L).as("hub"),
+      lit(1000000L).as("auth"))
+    for (_ <- 1 to iters) {
+      val a1 = e.join(s.select(col("node"), col("hub")), col("src") === col("node"))
+        .groupBy(col("dst").as("an")).agg(sum(col("hub")).as("av"))
+      val h1 = e.join(s.select(col("node"), col("auth")), col("dst") === col("node"))
+        .groupBy(col("src").as("hn")).agg(sum(col("auth")).as("hv"))
+      val joined = nodes
+        .join(h1, col("node") === col("hn"), "left")
+        .join(a1, col("node") === col("an"), "left")
+        .select(col("node"), coalesce(col("hv"), lit(0L)).as("hv"),
+          coalesce(col("av"), lit(0L)).as("av"))
+        .localCheckpoint(true)
+      val mx = joined.agg(greatest(max(col("hv")), lit(1L)).as("mh"),
+        greatest(max(col("av")), lit(1L)).as("ma"))
+      s = joined.crossJoin(broadcast(mx))
+        .select(col("node"), expr("(1000000 * hv) div mh").as("hub"),
+          expr("(1000000 * av) div ma").as("auth"))
+    }
+    s.select(col("node"), col("hub").as("hub_ppm"), col("auth").as("auth_ppm"))
+  }
+
   /** Edge reciprocity: how much of the call graph is mutual (a calls b
     * AND b calls a). One equality self-join of the distinct non-loop
     * edge set on the REVERSED key — never a pair enumeration; the

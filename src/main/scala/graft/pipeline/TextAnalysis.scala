@@ -156,7 +156,14 @@ object TextAnalysis {
     * broadcast; the merge is a codegen'd string replace. Returns the
     * merge table (merge_round, pair, merged, pair_freq).
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame =
+    bpeTrain(docs, rounds)._1
+
+  /** The [[bpeMerges]] training loop with its end state exposed:
+    * returns (mergeTable, symbolTable) where symbolTable carries each
+    * word TYPE's double-space symbol string AFTER every merge — the
+    * trained tokenizer state [[bpeEncode]] applies. */
+  private def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "bpeMerges needs at least one round")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("token").orderBy("i")
@@ -198,8 +205,74 @@ object TextAnalysis {
           .localCheckpoint(true)
       }
     }
-    out.orderBy("merge_round")
+    (out.orderBy("merge_round"), sym)
   }
+
+  /** Apply the [[bpeTrain]]ed merges to the corpus: per-doc token and
+    * post-merge SYMBOL counts — the number a sequence-length budget
+    * actually needs (a merge that fuses frequent pairs shrinks
+    * n_symbols toward n_tokens; untouched rare words still count one
+    * symbol per character). The symbol table is word-TYPE-sized →
+    * broadcast; the corpus pass is the plain tokensBag tf aggregate,
+    * so encoding adds zero wide shuffles beyond training itself.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val sym = bpeTrain(docs, rounds)._2
+    val nsym = sym.select(col("token"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("n_sym"))
+    TextOps.tokensBag(docs)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(nsym), Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("n_sym")).as("n_symbols"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-LM cross-entropy (the [[unigramCrossEntropy]] ladder one
+    * order up): ce(doc) = Σ tf_ab·ln(c(a)/c(a,b)) / n_bigrams over
+    * the corpus-trained conditional model p(b|a) = c(a,b)/c(a) —
+    * context-aware surprise, so scrambled word salad scores high even
+    * when every individual word is common (the failure mode a unigram
+    * filter cannot see). Every count is exact-long; both counts come
+    * from the SAME bigram frame (c(a) = Σ_b c(a,b), so the log never
+    * sees zero); the float surface is the shared 4dp-sum contract.
+    * The LM is bigram-vocabulary-sized → broadcast joins, and the
+    * bigram explode stays inside the per-doc partition (one lead()).
+    */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("seq")
+    val bi = TextOps.tokens(docs)
+      .withColumn("next", lead(col("token"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy("doc_id", "token", "next").agg(count(lit(1)).as("tf"))
+    val lm = bi.groupBy("token", "next").agg(sum(col("tf")).as("cab"))
+      .localCheckpoint(true)
+    val ctx = lm.groupBy("token").agg(sum(col("cab")).as("ca"))
+    bi.join(broadcast(lm), Seq("token", "next"))
+      .join(broadcast(ctx), Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * log(col("ca").cast("double") / col("cab"))), 4)
+          .as("ll_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("ll_sum"),
+        rnd(col("ll_sum") / col("n_bigrams"), 4).as("ce"))
+      .orderBy("doc_id")
+  }
+
+  /** Feature hashing (the "hashing trick" featurizer): each token
+    * lands in bucket tokenHash mod `dim`; per-doc bucket counts form
+    * a fixed-width sparse count vector with NO vocabulary state — the
+    * featurizer that needs no fit() pass, no dictionary broadcast,
+    * and no OOV path at 100 TB. Map-only until one (doc, bucket)
+    * aggregate; the hash is the shared cross-engine tokenHash, so
+    * bucket assignment replays exactly.
+    */
+  def hashFeatures(docs: DataFrame, dim: Int = 64): DataFrame =
+    TextOps.tokensBag(docs)
+      .select(col("doc_id"), (TextOps.tokenHash(col("token")) % dim).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
 
   /** D22 training-mixture weights: per-source token counts →
     * temperature-scaled sampling weights (the PaLM/LLaMA-style α=0.5

@@ -313,6 +313,23 @@ object GraphQueries {
     Ranking.closeness(e, starts, maxDepth = 3).orderBy("node")
   }
 
+  /** C21 bounded harmonic centrality over a 1-in-100 start sample:
+    * Σ ⌊10⁶/depth⌋ across the depth-≤3 out-ball (Ranking.harmonic) —
+    * shares the reachLevels machinery with closeness but needs no
+    * reachability special-casing on sparse call graphs. */
+  def graphHarmonic(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val starts = e.select(col("src").as("node"))
+      .filter(col("node") % 100 === 7).distinct()
+    Ranking.harmonic(e, starts, maxDepth = 3).orderBy("node")
+  }
+
+  /** C22 HITS hubs/authorities, 2 fixed-point integer rounds
+    * (Ranking.hits): dispatcher-vs-utility scores for every function
+    * in the call graph. */
+  def graphHits(s: SparkSession, d: String): DataFrame =
+    Ranking.hits(callEdges(s, d), iters = 2).orderBy("node")
+
   /** C17 call-graph reciprocity: the mutual-call fraction — one
     * reversed-key equality self-join (Ranking.reciprocity). */
   def graphReciprocity(s: SparkSession, d: String): DataFrame =

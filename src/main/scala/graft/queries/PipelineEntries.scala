@@ -145,7 +145,13 @@ object PipelineEntries {
       TemporalOps.transitions(graft.streaming.EventStreams.events(s, d))),
     "events_pivot" -> ((s, d) =>
       graft.streaming.EventStreams.typePivot(graft.streaming.EventStreams.events(s, d))),
-    "dedup_editdist" -> ((s, d) => Dedup.editDistance(Tables.documents(s, d)))
+    "dedup_editdist" -> ((s, d) => Dedup.editDistance(Tables.documents(s, d))),
+    "events_ewma" -> ((s, d) => TemporalOps.eventEwma(s, d)),
+    "vocab_bpe_apply" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
+    "text_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramCrossEntropy(Tables.documents(s, d))),
+    "text_hash_features" -> ((s, d) =>
+      TextAnalysis.hashFeatures(Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -170,6 +176,40 @@ object PipelineEntries {
       |  FROM exq GROUP BY 1 HAVING SUM(qx * qx) > 0)""".stripMargin
 
   private val termsIn = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** Unrolled BPE training chain (the TextAnalysis.bpeTrain twin):
+    * word-frequency table → double-space sym0 → `rounds` greedy-merge
+    * rounds, each pair-counting over word types, picking (freq desc,
+    * pair asc), and replacing everywhere. Expects the shared `tok`
+    * CTE upstream; leaves top1..topN (merge table rows) and symN (the
+    * trained symbol state) in scope. */
+  private def bpeChainCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""px$r AS (
+         |  SELECT token, freq, unnest(string_split(trim(sym), '  ')) AS s,
+         |         generate_subscripts(string_split(trim(sym), '  '), 1) AS i
+         |  FROM sym$p),
+         |pc$r AS (
+         |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS f FROM (
+         |    SELECT freq, s || ' ' || lead(s) OVER (PARTITION BY token ORDER BY i) AS pr
+         |    FROM px$r)
+         |  WHERE pr IS NOT NULL GROUP BY 1),
+         |top$r AS MATERIALIZED (
+         |  SELECT pr, replace(pr, ' ', '') AS merged, f
+         |  FROM pc$r ORDER BY f DESC, pr LIMIT 1),
+         |sym$r AS MATERIALIZED (
+         |  SELECT token, freq,
+         |         replace(sym, ' ' || (SELECT replace(pr, ' ', '  ') FROM top$r) || ' ',
+         |                 ' ' || (SELECT merged FROM top$r) || ' ') AS sym
+         |  FROM sym$p)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS MATERIALIZED (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
+       |sym0 AS MATERIALIZED (
+       |  SELECT token, freq, '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS sym
+       |  FROM words),
+       |$roundCtes""".stripMargin
+  }
 
   /** Unrolled k-means (Lloyd) CTE chain — the DuckDB twin of
     * Similarity.kmeansCentroids, FIXED POINT like the Spark side:
@@ -627,39 +667,28 @@ object PipelineEntries {
     // BPE merge induction, 3 unrolled rounds over the word-frequency
     // table. Double-space symbol encoding (see TextAnalysis.bpeMerges)
     // makes plain replace() the exact greedy merge on both engines.
-    "vocab_bpe" -> {
-      val roundCtes = (1 to 3).map { r =>
-        val p = r - 1
-        s"""px$r AS (
-           |  SELECT token, freq, unnest(string_split(trim(sym), '  ')) AS s,
-           |         generate_subscripts(string_split(trim(sym), '  '), 1) AS i
-           |  FROM sym$p),
-           |pc$r AS (
-           |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS f FROM (
-           |    SELECT freq, s || ' ' || lead(s) OVER (PARTITION BY token ORDER BY i) AS pr
-           |    FROM px$r)
-           |  WHERE pr IS NOT NULL GROUP BY 1),
-           |top$r AS MATERIALIZED (
-           |  SELECT pr, replace(pr, ' ', '') AS merged, f
-           |  FROM pc$r ORDER BY f DESC, pr LIMIT 1),
-           |sym$r AS MATERIALIZED (
-           |  SELECT token, freq,
-           |         replace(sym, ' ' || (SELECT replace(pr, ' ', '  ') FROM top$r) || ' ',
-           |                 ' ' || (SELECT merged FROM top$r) || ' ') AS sym
-           |  FROM sym$p)""".stripMargin
-      }.mkString(",\n")
+    "vocab_bpe" ->
       s"""WITH $TOK,
-         |words AS MATERIALIZED (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
-         |sym0 AS MATERIALIZED (
-         |  SELECT token, freq, '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS sym
-         |  FROM words),
-         |$roundCtes
+         |${bpeChainCtes(3)}
          |SELECT * FROM (
          |  SELECT 1 AS merge_round, pr AS pair, merged, f AS pair_freq FROM top1
          |  UNION ALL SELECT 2, pr, merged, f FROM top2
          |  UNION ALL SELECT 3, pr, merged, f FROM top3)
-         |ORDER BY merge_round""".stripMargin
-    },
+         |ORDER BY merge_round""".stripMargin,
+    // BPE applied: per-doc symbol counts after the 3 trained merges —
+    // the same sym3 end state the induction oracle reaches, joined to
+    // the per-doc term frequencies.
+    "vocab_bpe_apply" ->
+      s"""WITH $TOK,
+         |${bpeChainCtes(3)},
+         |nsym AS (SELECT token,
+         |           CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_sym
+         |         FROM sym3),
+         |dtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(tf * n_sym) AS BIGINT) AS n_symbols
+         |FROM dtf JOIN nsym USING (token)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Mixture weights: integer-floor sqrt base (see
     // TextAnalysis.mixtureWeights) — weights are ratios of exact
     // integers, no float-summation-order hazard.
@@ -1462,6 +1491,55 @@ object PipelineEntries {
          |JOIN documents da ON s.doc_a = da.doc_id
          |JOIN documents db ON s.doc_b = db.doc_id
          |WHERE s.est_jaccard >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Trailing dyadic-weight EWMA: the identical lag chain, integer
+    // numerator/denominator, floor division — no float anywhere.
+    "events_ewma" -> {
+      val n = 8
+      val lags = (0 until n)
+        .map(i => s"lag(value_cents, $i) OVER w AS x$i").mkString(", ")
+      val num = (0 until n)
+        .map(i => s"COALESCE(x$i * ${1L << (n - 1 - i)}, 0)").mkString(" + ")
+      val den = (0 until n)
+        .map(i => s"(CASE WHEN x$i IS NOT NULL THEN ${1L << (n - 1 - i)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT user_id, event_id, ts,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+         |  FROM events WHERE user_id % 20 = 0),
+         |l AS (
+         |  SELECT user_id, event_id, value_cents, $lags
+         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id, value_cents,
+         |       ($num) // ($den) AS ewma_cents
+         |FROM l ORDER BY user_id, event_id""".stripMargin
+    },
+    // Bigram-LM cross-entropy: c(a) derived from the SAME bigram
+    // frame (never zero under the log), 4dp-sum contract as unigram.
+    "text_bigram_lm" ->
+      s"""WITH $TOK,
+         |bi AS (
+         |  SELECT doc_id, token,
+         |         lead(token) OVER (PARTITION BY doc_id ORDER BY seq) AS next
+         |  FROM tok),
+         |bic AS (SELECT doc_id, token, next, COUNT(*) AS tf FROM bi
+         |        WHERE next IS NOT NULL GROUP BY 1, 2, 3),
+         |lm AS (SELECT token, next, CAST(SUM(tf) AS BIGINT) AS cab
+         |       FROM bic GROUP BY 1, 2),
+         |ctx AS (SELECT token, CAST(SUM(cab) AS BIGINT) AS ca FROM lm GROUP BY 1),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |         round(SUM(tf * ln(CAST(ca AS DOUBLE) / cab)), 4) AS ll_sum
+         |  FROM bic JOIN lm USING (token, next) JOIN ctx USING (token)
+         |  GROUP BY 1)
+         |SELECT doc_id, n_bigrams, ll_sum,
+         |       floor(ll_sum / n_bigrams * 10000 + 0.5) / 10000 AS ce
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    // Hashing-trick featurizer: bucket = shared tokenHash mod 64.
+    "text_hash_features" ->
+      s"""WITH $TOK
+         |SELECT doc_id, ${TextOps.tokenHashSql("token")} % 64 AS bucket,
+         |       COUNT(*) AS n
+         |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
   )
 }

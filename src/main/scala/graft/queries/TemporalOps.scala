@@ -202,6 +202,40 @@ object TemporalOps {
       .orderBy("bucket")
   }
 
+  /** Trailing exponential moving average per user with INTEGER dyadic
+    * weights: over the last `n` events in (ts, event_id) order, the
+    * i-th-back value weighs 2^(n−1−i) — α=1/2 exponential decay
+    * truncated at n lags, which both bounds per-row window state (the
+    * eventRolling discipline) and makes the whole estimate exact
+    * integer arithmetic: ewma_cents = ⌊Σ wᵢ·xᵢ / Σ_avail wᵢ⌋, where
+    * partial head windows renormalize over the weights actually
+    * present (no zero-padded warm-up bias). No float ever exists, so
+    * the smoothed series replays bit-identically cross-engine. */
+  def eventEwma(s: SparkSession, d: String): DataFrame =
+    ewma(EventStreams.events(s, d)
+      .filter(col("user_id") % 20 === 0)) // keyed sample, as eventRolling
+
+  /** Core of [[eventEwma]] over any (user_id, event_id, ts, value)
+    * frame; `lastN` ≤ 62 keeps the weight sum in long range. */
+  def ewma(events: DataFrame, lastN: Int = 8): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val base = events.select(col("user_id"), col("event_id"), col("ts"),
+      floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
+    val lagged = (0 until lastN).foldLeft(base) { (df, i) =>
+      df.withColumn(s"x$i", lag(col("value_cents"), i).over(w))
+    }
+    val num = (0 until lastN).map(i =>
+      coalesce(col(s"x$i") * lit(1L << (lastN - 1 - i)), lit(0L))).reduce(_ + _)
+    val den = (0 until lastN).map(i =>
+      when(col(s"x$i").isNotNull, lit(1L << (lastN - 1 - i))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    lagged
+      .withColumn("_num", num).withColumn("_den", den)
+      .select(col("user_id"), col("event_id"), col("value_cents"),
+        expr("_num div _den").as("ewma_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** First-order event-type transition matrix (the Markov chain over
     * each user's event sequence): counts of consecutive (from_type →
     * to_type) steps ordered by (ts, event_id) — the deterministic

@@ -160,6 +160,35 @@ class RankingSpec extends AnyFunSuite {
     assert(c2.toSeq == Seq((2L, 3L)))
   }
 
+  test("harmonic centrality: per-depth reciprocal terms, exact integer floors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val starts = Seq(1L).toDF("node")
+    def g(rows: (Long, Long)*) = edges(rows: _*).withColumn("offset", lit(1L))
+    // 1→2→3→4: ⌊10⁶/1⌋+⌊10⁶/2⌋+⌊10⁶/3⌋ = 1000000+500000+333333
+    val path = g((1L, 2L), (2L, 3L), (3L, 4L))
+    val h = graft.graph.Ranking.harmonic(path, starts, maxDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h.toSeq == Seq((1L, 3L, 1833333L)))
+  }
+
+  test("hits: hubs and authorities separate on a directed star; floor normalization") {
+    // star 1→{2,3,4}: 1 is the pure hub, leaves are pure authorities
+    val star = Ranking.hits(edges((1L, 2L), (1L, 3L), (1L, 4L)), iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(star(1L) == ((1000000L, 0L)), s"center must be the hub: $star")
+    assert(Seq(2L, 3L, 4L).forall(star(_) == ((0L, 1000000L))),
+      s"leaves must be authorities: $star")
+    // two hubs of different strength: 1→{3,4}, 2→{3} — after round 2
+    // the weaker side floors to ⌊10⁶·1.0e6/1.5e6⌋ = 666666
+    val two = Ranking.hits(edges((1L, 3L), (1L, 4L), (2L, 3L)), iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(two(1L)._1 == 1000000L && two(2L)._1 == 666666L,
+      s"hub ordering/floors wrong: $two")
+    assert(two(3L)._2 == 1000000L && two(4L)._2 == 666666L,
+      s"authority ordering/floors wrong: $two")
+  }
+
   test("reciprocity: mutual pairs counted once, loops and duplicates ignored") {
     val g = edges((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
     val r = Ranking.reciprocity(g).collect()(0)

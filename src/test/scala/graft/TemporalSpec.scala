@@ -97,6 +97,20 @@ class TemporalSpec extends AnyFunSuite {
       "c_lt_10m" -> (1L, 120000L)))
   }
 
+  test("ewma: dyadic weights favor the newest value, partial windows renormalize") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // values 1.00, 3.00, 5.00 → cents 100, 300, 500; weights 128/64/32
+    // row1: 100 (only itself); row2: ⌊(300·128+100·64)/192⌋ = 233;
+    // row3: ⌊(500·128+300·64+100·32)/224⌋ = 385
+    val ev = Seq((1L, 1L, 1000L, 1.0), (1L, 2L, 2000L, 3.0), (1L, 3L, 3000L, 5.0))
+      .toDF("user_id", "event_id", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = queries.TemporalOps.ewma(ev)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 100L, 2L -> 233L, 3L -> 385L))
+  }
+
   test("transition matrix: consecutive pairs per user, ppm row-normalized, ties by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}

@@ -253,6 +253,42 @@ class TextSpec extends AnyFunSuite {
     assert(out(1L)._2 == 0.2877 && out(2L)._2 == 0.837, s"fixed-point values: $out")
   }
 
+  test("bpe encode: merged words collapse to trained symbol counts") {
+    // word freqs: abab×2, ab×1. round 1 merges 'a b'→'ab' (weight 5);
+    // round 2 merges 'ab ab'→'abab'; round 3 finds no pair and stops.
+    // Final symbols: abab = 1, ab = 1.
+    val d = docs(1L -> "abab ab", 2L -> "abab")
+    val out = TextAnalysis.bpeEncode(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 1L))),
+      s"post-merge symbol counts wrong: $out")
+  }
+
+  test("bigram cross-entropy: unseen-context docs score higher, fixed-point values") {
+    // corpus bigrams: (a,b)=3 [2 from doc1, 1 from doc2], (b,a)=1,
+    // (a,c)=1; contexts a=4, b=1. doc3 "a c": ce = ln(4/1) = 1.3863;
+    // doc2 "a b": ln(4/3) = 0.2877; doc1: (2·ln(4/3)+ln(1))/3 = 0.1918
+    val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "a c")
+    val out = TextAnalysis.bigramCrossEntropy(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(3L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2,
+      s"rarer continuation must raise CE: $out")
+    assert(out(3L)._2 == 1.3863 && out(2L)._2 == 0.2877 && out(1L)._2 == 0.1918,
+      s"fixed-point values: $out")
+  }
+
+  test("hash features: counts conserve tokens, equal texts get equal vectors") {
+    val d = docs(1L -> "x x y", 2L -> "x x y")
+    val rows = TextAnalysis.hashFeatures(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.filter(_._1 == 1L).map(_._3).sum == 3L, s"token mass lost: ${rows.toSeq}")
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 64), s"bucket out of range: ${rows.toSeq}")
+    val v1 = rows.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet
+    val v2 = rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet
+    assert(v1 == v2, s"identical docs must hash identically: $v1 vs $v2")
+  }
+
   test("phrase search: adjacency required, occurrences counted, order matters") {
     import graft.search.Fulltext
     val d = docs(
