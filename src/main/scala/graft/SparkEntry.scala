@@ -81,6 +81,7 @@ object SparkEntry {
       Relational.waitingSuppliers(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.supplier(s, d), Tables.nation(s, d))),
     "q_rollup" -> ((s, d) => Relational.pricingRollup(Tables.lineitem(s, d))),
+    "q_cube" -> ((s, d) => Relational.pricingCube(Tables.lineitem(s, d))),
     "events_enrich" -> ((s, d) =>
       graft.streaming.EventStreams.enrichByNation(
         graft.streaming.EventStreams.events(s, d), Tables.nation(s, d))),
@@ -115,6 +116,8 @@ object SparkEntry {
     "graph_reciprocity" -> ((s, d) => GraphQueries.graphReciprocity(s, d)),
     "graph_clustering" -> ((s, d) => GraphQueries.graphClustering(s, d)),
     "graph_assortativity" -> ((s, d) => GraphQueries.graphAssortativity(s, d)),
+    "graph_motifs" -> ((s, d) => GraphQueries.graphMotifs(s, d)),
+    "graph_cosupply" -> ((s, d) => GraphQueries.coSupply(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
 
@@ -565,6 +568,15 @@ object SparkEntry {
         |       COUNT(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+        |         + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q5_star" ->
       """SELECT n_name,
@@ -1046,6 +1058,34 @@ object SparkEntry {
         |                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
         |                 / 1000000 END AS assortativity
         |FROM s""".stripMargin,
+    // Directed triad census: the shared 2-path frame closed twice —
+    // ordered feed-forward triples, min-node-anchored 3-cycles.
+    "graph_motifs" ->
+      s"""WITH $E,
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT src AS s, dst AS t FROM e WHERE src <> dst),
+        |p AS MATERIALIZED (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ed e1 JOIN ed e2 ON e1.t = e2.s WHERE e1.s <> e2.t),
+        |ffl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_feedforward
+        |  FROM p JOIN ed e3 ON p.a = e3.s AND p.c = e3.t),
+        |cyc AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cycles
+        |  FROM p JOIN ed e3 ON p.c = e3.s AND p.a = e3.t
+        |  WHERE p.a < p.b AND p.a < p.c)
+        |SELECT * FROM ffl CROSS JOIN cyc""".stripMargin,
+    // Bipartite co-occurrence projection with the frequent-item cap:
+    // parts held by > 30 suppliers never enter the pair join.
+    "graph_cosupply" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS entity, l_partkey AS item FROM lineitem),
+        |keep AS (SELECT item FROM sp GROUP BY 1 HAVING COUNT(*) <= 30),
+        |k AS (SELECT sp.entity, sp.item FROM sp JOIN keep USING (item))
+        |SELECT k1.entity AS a, k2.entity AS b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM k k1 JOIN k k2 ON k1.item = k2.item AND k1.entity < k2.entity
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
     "lineage_up" ->
       """SELECT o_orderkey, c_name, n_name, r_name,
         |  CAST(o_orderkey AS VARCHAR) || '->' || c_name || '->' || n_name

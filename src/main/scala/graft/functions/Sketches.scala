@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic streaming sketches — HyperLogLog distinct counting
+  * (Flajolet et al. 2007) and Count-Min frequency estimation (Cormode
+  * & Muthukrishnan 2005) — built so the DuckDB oracle replays them
+  * bit-exactly (the reason Spark's own `approx_count_distinct` HLL++
+  * can't be the gated surface: its binary registers aren't
+  * SQL-replayable).
+  *
+  * Everything is integer Column arithmetic in the [[TextOps]]
+  * cross-engine discipline: the 62-bit key hash is two chained
+  * mod-(2³¹−1) affine rounds (every product < 2⁶² — DuckDB BIGINT
+  * overflow THROWS rather than wrapping, so Java wrap-around mixers
+  * like splitmix64 are off the table), register powers are
+  * `shiftleft`, and the HLL alpha correction is the exact rational
+  * 71827/100000 applied in an overflow-safe order. The small-range
+  * (linear-counting) branch needs m·ln(m/V) — a float — so it ships
+  * as a 256-row integer lookup table computed ONCE in Scala and
+  * embedded verbatim in both engines' plans.
+  *
+  * Scale shape: both sketches are one narrow map-side-combinable
+  * groupBy over the data (HLL: (group, bucket) max-rho; CMS: (row,
+  * col) counts) producing a few-hundred-cell summary that broadcasts
+  * — the whole point of sketching 100 TB: the shuffle carries
+  * registers, not rows. Sketch frames from disjoint shards union +
+  * re-aggregate with the same max/sum, so they merge associatively.
+  */
+object Sketches {
+
+  /** 60-bit deterministic key hash: the first 15 hex chars of
+    * md5(key as string) — the same reproducible-uniform-draw
+    * primitive the samplers use (md5 is identical lowercase hex in
+    * both engines). Chained affine-mod-prime rounds are NOT good
+    * enough here: they collapse to one affine map of the key, so
+    * arithmetic-progression key sets keep their lattice structure
+    * and bias the HLL rho distribution ~70% high; md5 has no such
+    * structure. Spark parses the hex with `conv`; DuckDB (no conv)
+    * gets builder-generated per-nibble arithmetic — both are exact
+    * hex parses of the same 15 chars, so the values cannot differ. */
+  def keyHash(k: Column): Column =
+    conv(substring(md5(k.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private def hexNibbleSql(h: String, i: Int): String =
+    s"CAST(ascii(substr($h, $i, 1)) - 48 - " +
+      s"(CASE WHEN ascii(substr($h, $i, 1)) >= 97 THEN 39 ELSE 0 END) AS BIGINT)"
+
+  /** Exact hex→long parse of `len` chars of `h` from 1-based `start`
+    * as a DuckDB expression (len ≤ 15 keeps it under 2⁶⁰). */
+  def hexToLongSql(h: String, start: Int, len: Int): String =
+    (0 until len).map { i =>
+      val p = (1L << (4 * (len - 1 - i)))
+      s"${hexNibbleSql(h, start + i)} * $p"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB twin of [[keyHash]] — `k` must be the raw key expression;
+    * the md5 is applied here. */
+  def keyHashSql(k: String): String =
+    hexToLongSql(s"md5(CAST($k AS VARCHAR))", 1, 15)
+
+  /** HLL geometry: m = 2⁸ registers, rho capped at 32 so the register
+    * power sum stays ≤ m·2³² and alpha·m²·2³²/S never overflows. */
+  val HllM = 256
+  val RhoCap = 32
+  /** alpha_256 = 0.7213/(1+1.079/256) as an exact rational. */
+  val AlphaNum = 71827L
+  val AlphaDen = 100000L
+
+  /** Linear-counting lookup: V zero registers → round(m·ln(m/V)).
+    * Computed once here; both engines consume the same integers. */
+  val LinearCountTable: IndexedSeq[(Int, Long)] =
+    (1 to HllM).map(v => v -> math.round(HllM * math.log(HllM.toDouble / v)))
+
+  /** HyperLogLog distinct-count estimate of `key` per `group`.
+    *
+    * Register build: bucket = hash % m, rho = LSB position of
+    * hash÷m (`bit_count((w & -w) − 1) + 1`, capped), one
+    * (group, bucket) max — map-side combinable, 256 cells per group.
+    * The estimate then runs entirely on the register frame: S =
+    * Σ 2^(cap−M) over a dense bucket spine (absent buckets count as
+    * M = 0), raw = ⌊alpha·m²·2^cap/S⌋ in overflow-safe order, and
+    * the V>0 ∧ raw<5m/2 small-range regime switches to the
+    * [[LinearCountTable]]. Returns (group, zero_regs, est_distinct).
+    */
+  def hllDistinct(df: DataFrame, key: String, group: String): DataFrame = {
+    val spark = df.sparkSession
+    val withRho = df
+      .withColumn("h", keyHash(col(key)))
+      .select(col(group), (col("h") % HllM).as("bucket"),
+        expr(s"h div $HllM").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(RhoCap))
+          .otherwise(least(bit_count(expr("w & -w") - 1) + 1, lit(RhoCap))))
+    val maxes = withRho.groupBy(col(group), col("bucket"))
+      .agg(max(col("rho")).as("m_rho"))
+    val spine = withRho.select(col(group)).distinct()
+      .crossJoin(spark.range(HllM).select(col("id").cast("long").as("bucket")))
+    val regsFull = spine.join(maxes, Seq(group, "bucket"), "left")
+      .select(col(group), col("bucket"),
+        coalesce(col("m_rho"), lit(0)).as("m_rho"))
+    val agg = regsFull.groupBy(col(group))
+      .agg(sum(expr(s"CAST(1 AS BIGINT) << ($RhoCap - m_rho)")).as("s"),
+        sum(when(col("m_rho") === 0, 1L).otherwise(0L)).as("zero_regs"))
+      .withColumn("raw",
+        expr(s"($AlphaNum * (($HllM * $HllM * (CAST(1 AS BIGINT) << $RhoCap)) div s)) div $AlphaDen"))
+    import spark.implicits._
+    val lc = LinearCountTable.toDF("v", "lc_est")
+    agg.join(broadcast(lc), col("zero_regs") === col("v"), "left")
+      .select(col(group),
+        col("zero_regs"),
+        when(col("zero_regs") > 0 && col("raw") < lit(5L * HllM / 2),
+          col("lc_est")).otherwise(col("raw")).as("est_distinct"))
+  }
+
+  /** Plain-Scala twin of [[keyHash]] for the STREAMING register path
+    * (mapGroupsWithState runs JVM code, not Columns): md5 of the
+    * key's decimal string, first 15 hex chars as a long — Spark's
+    * md5() is the hex of MD5 over UTF-8 bytes, so the values are
+    * identical by construction. */
+  def keyHashScala(k: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8"))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Fold one hashed key into the register array in place. */
+  def updateRegisters(regs: Array[Int], h: Long): Unit = {
+    val bucket = (h % HllM).toInt
+    val w = h / HllM
+    val rho =
+      if (w == 0) RhoCap
+      else math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, RhoCap)
+    if (rho > regs(bucket)) regs(bucket) = rho
+  }
+
+  /** The estimate step over a register array — the same integer
+    * formula (and the same [[LinearCountTable]]) the SQL path runs,
+    * so a streaming state snapshot and the batch aggregate can be
+    * parity-asserted value-for-value. Returns (zero_regs, est). */
+  def estimateFromRegisters(regs: Array[Int]): (Long, Long) = {
+    val s = regs.map(m => 1L << (RhoCap - m)).sum
+    val zero = regs.count(_ == 0).toLong
+    val raw = (AlphaNum * ((HllM.toLong * HllM * (1L << RhoCap)) / s)) / AlphaDen
+    val est =
+      if (zero > 0 && raw < 5L * HllM / 2) LinearCountTable(zero.toInt - 1)._2
+      else raw
+    (zero, est)
+  }
+
+  /** Count-Min geometry: d = 3 hash rows × w = 64 columns. Row i's
+    * hash is an independent 8-hex-char window of the key's md5. */
+  val CmsD = 3
+  val CmsW = 64
+
+  def cmsCol(k: Column, i: Int): Column =
+    conv(substring(md5(k.cast("string")), 1 + 8 * i, 8), 16, 10)
+      .cast("long") % CmsW
+
+  def cmsColSql(k: String, i: Int): String =
+    s"(${hexToLongSql(s"md5(CAST($k AS VARCHAR))", 1 + 8 * i, 8)} % $CmsW)"
+
+  /** Count-Min sketch of `key` occurrence counts: d×w = 192 counter
+    * cells (three map-side-combinable groupBys over hashed columns),
+    * then the estimate for each distinct key = min over rows of its
+    * cell — always ≥ the true count, over only by hash collisions
+    * (≤ 2n/w with probability 1−2⁻³). The sketch frame broadcasts to
+    * the key probe — at scale the probe side is the only row-scaled
+    * pass. Returns (key, est_count).
+    */
+  def countMin(df: DataFrame, key: String): DataFrame = {
+    val sketch = (0 until CmsD).map { i =>
+      df.groupBy(cmsCol(col(key), i).as("c")).agg(count(lit(1)).as("n"))
+        .select(lit(i).as("r"), col("c"), col("n"))
+    }.reduce(_ unionByName _)
+    val keys = df.select(col(key)).distinct()
+    val probed = (0 until CmsD).foldLeft(keys) { (acc, i) =>
+      val s = sketch.filter(col("r") === i)
+        .select(col("c").as(s"_c$i"), col("n").as(s"_n$i"))
+      acc.join(broadcast(s), cmsCol(col(key), i) === col(s"_c$i"))
+        .drop(s"_c$i")
+    }
+    probed.select(col(key),
+      least((0 until CmsD).map(i => col(s"_n$i")): _*).as("est_count"))
+  }
+}

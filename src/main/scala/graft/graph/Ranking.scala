@@ -415,4 +415,65 @@ object Ranking {
           .otherwise(expr("(2000000 * n_mutual_pairs) div n_edges"))
           .as("reciprocity_ppm"))
   }
+
+  /** Directed triad motif census: counts of the two closed 3-node
+    * motifs of a digraph — feed-forward loops (a→b, b→c, a→c: the
+    * shortcut/delegation pattern; each ordered triple is unique so
+    * no dedup is needed) and directed 3-cycles (a→b→c→a, counted once
+    * by anchoring on the minimum node: a < b ∧ a < c kills the two
+    * rotations). On a call graph the FFL:cycle ratio separates
+    * layered designs from mutually-recursive tangles.
+    *
+    * Plan: the 2-path frame e(a,b)⋈e(b,c) is built ONCE (the
+    * expensive Σ in(b)·out(b) join, shuffled on the middle node) and
+    * closed against the edge set twice — hash joins on (a,c)/(c,a).
+    * At scale the middle-node join is the skew point: a hub with
+    * in·out = 10⁸ paths wants the same degree-cap/salting treatment
+    * as triangleCount's degree ordering.
+    */
+  def triadCensus(edges: DataFrame): DataFrame = {
+    val ed = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t")).distinct()
+      .localCheckpoint(true)
+    val paths = ed.select(col("s").as("a"), col("t").as("b"))
+      .join(ed.select(col("s").as("b2"), col("t").as("c")), col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c"))
+      .filter(col("a") =!= col("c"))
+    val ffl = paths
+      .join(ed, paths("a") === ed("s") && paths("c") === ed("t"))
+      .agg(count(lit(1)).as("n_feedforward"))
+    val cyc = paths
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .join(ed, paths("c") === ed("s") && paths("a") === ed("t"))
+      .agg(count(lit(1)).as("n_cycles"))
+    ffl.crossJoin(cyc)
+  }
+
+  /** Bipartite co-occurrence projection: from (entity, item) pairs,
+    * the entity-pair graph weighted by shared-item counts — supplier
+    * pairs sharing parts, functions sharing strings, docs sharing
+    * shingles. The classic scale hazard is the frequent item: one
+    * item held by k entities emits C(k,2) pairs, so items with more
+    * than `maxItemDeg` entities are DROPPED before the self-join (the
+    * standard frequent-token cut from similarity joins — they carry
+    * the least signal and all of the blowup; the cap bounds per-item
+    * fanout at C(cap,2) and makes total work linear in items). The
+    * self-join shuffles on item; `a < b` halves the pair space.
+    */
+  def cooccurrence(pairs: DataFrame, maxItemDeg: Int = 30,
+      minShared: Long = 1L): DataFrame = {
+    val pe = pairs.toDF("entity", "item")
+      .select(col("entity").cast("long"), col("item").cast("long"))
+      .distinct()
+    val kept = pe.join(
+      pe.groupBy("item").agg(count(lit(1)).as("ideg"))
+        .filter(col("ideg") <= maxItemDeg).select("item"),
+      Seq("item"))
+    kept.select(col("item"), col("entity").as("a"))
+      .join(kept.select(col("item").as("i2"), col("entity").as("b")),
+        col("item") === col("i2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -42,4 +42,52 @@ object Contamination {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
       .orderBy("doc_id")
   }
+
+  /** Bloom geometry for [[decontaminateBloom]]: kHashes bit positions
+    * in [0, MBits) per gram, each from its own 8-hex window of
+    * md5(gh) — the [[graft.functions.Sketches]] hash discipline. */
+  val MBits = 65536L
+  val KHashes = 3
+
+  def bloomPos(gh: Column, i: Int): Column =
+    conv(substring(md5(gh.cast("string")), 1 + 8 * i, 8), 16, 10)
+      .cast("long") % MBits
+
+  def bloomPosSql(gh: String, i: Int): String =
+    s"(${graft.functions.Sketches.hexToLongSql(s"md5(CAST($gh AS VARCHAR))", 1 + 8 * i, 8)} % $MBits)"
+
+  /** [[decontaminate]] behind a BLOOM FILTER instead of the exact
+    * gram set: the benchmark's grams are folded into kHashes bit
+    * positions each and only the DISTINCT SET-BIT POSITIONS ship to
+    * the probe side — ≤ min(k·|bench grams|, 2¹⁶) values no matter
+    * how big the eval suite grows, vs the exact join's full gram
+    * set. A training gram counts as a (possible) hit iff ALL k of
+    * its positions are set; false positives are the classic
+    * (1−e^(−kn/m))^k and — because every hash is deterministic —
+    * IDENTICAL in both engines, so the oracle replays flags exactly.
+    * In production the position set packs into an m-bit bitmap
+    * broadcast once per executor; the position-set form here keeps
+    * the whole filter SQL-replayable. Report is a SUPERSET of the
+    * exact [[decontaminate]] flags — the cheap first pass that
+    * gates the expensive exact check at 100 TB.
+    */
+  def decontaminateBloom(docs: DataFrame, benchPred: Column, k: Int = 4): DataFrame = {
+    val benchBits = (0 until KHashes).map { i =>
+      TextOps.kgrams(docs.filter(benchPred), k)
+        .select(bloomPos(col("gh"), i).as("pos"))
+    }.reduce(_ unionByName _).distinct()
+    val train = TextOps.kgrams(docs.filter(!benchPred), k).distinct()
+    val probes = (0 until KHashes).map { i =>
+      train.select(col("doc_id"), col("gh"), bloomPos(col("gh"), i).as("pos"))
+    }.reduce(_ unionByName _)
+    val maybe = probes.join(broadcast(benchBits), Seq("pos"), "left_semi")
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === KHashes)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_maybe"))
+    docs.filter(!benchPred).select("doc_id")
+      .join(maybe, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+        (coalesce(col("n_maybe"), lit(0L)) > 0).as("flagged"))
+      .orderBy("doc_id")
+  }
 }

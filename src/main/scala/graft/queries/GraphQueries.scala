@@ -330,6 +330,22 @@ object GraphQueries {
   def graphHits(s: SparkSession, d: String): DataFrame =
     Ranking.hits(callEdges(s, d), iters = 2).orderBy("node")
 
+  /** C23 directed triad motif census: feed-forward loops vs directed
+    * 3-cycles over the call graph (Ranking.triadCensus) — one row,
+    * the layering-vs-tangle shape signal. */
+  def graphMotifs(s: SparkSession, d: String): DataFrame =
+    Ranking.triadCensus(callEdges(s, d))
+
+  /** C24 bipartite co-occurrence projection: supplier pairs weighted
+    * by shared parts, frequent parts (> 30 suppliers) dropped before
+    * the pair join (Ranking.cooccurrence) — the co-engagement graph
+    * build every entity-resolution pipeline runs. */
+  def coSupply(s: SparkSession, d: String): DataFrame =
+    Ranking.cooccurrence(
+      Tables.lineitem(s, d).select(col("l_suppkey"), col("l_partkey")),
+      maxItemDeg = 30)
+      .orderBy("a", "b")
+
   /** C17 call-graph reciprocity: the mutual-call fraction — one
     * reversed-key equality self-join (Ranking.reciprocity). */
   def graphReciprocity(s: SparkSession, d: String): DataFrame =

@@ -55,6 +55,8 @@ object PipelineEntries {
     "dedup_cluster" -> ((s, d) => Dedup.clusters(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) =>
       Contamination.decontaminate(Tables.documents(s, d), col("doc_id") % 97 === 0)),
+    "decontaminate_bloom" -> ((s, d) =>
+      Contamination.decontaminateBloom(Tables.documents(s, d), col("doc_id") % 97 === 0)),
     "text_pii" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
     "vocab_bpe" -> ((s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d))),
@@ -151,7 +153,17 @@ object PipelineEntries {
     "text_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramCrossEntropy(Tables.documents(s, d))),
     "text_hash_features" -> ((s, d) =>
-      TextAnalysis.hashFeatures(Tables.documents(s, d)))
+      TextAnalysis.hashFeatures(Tables.documents(s, d))),
+    "events_hll" -> ((s, d) =>
+      graft.functions.Sketches.hllDistinct(
+        graft.streaming.EventStreams.events(s, d), "event_id", "event_type")
+        .orderBy("event_type")),
+    "events_cms" -> ((s, d) =>
+      graft.functions.Sketches.countMin(
+        graft.streaming.EventStreams.events(s, d), "user_id")
+        .orderBy("user_id")),
+    "events_interarrival" -> ((s, d) =>
+      TemporalOps.interArrival(graft.streaming.EventStreams.events(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -637,6 +649,38 @@ object PipelineEntries {
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE d.doc_id % 97 <> 0
          |ORDER BY d.doc_id""".stripMargin,
+    // Bloom-prefiltered decontamination: the benchmark grams fold to
+    // distinct md5-window bit positions; a training gram "maybe hits"
+    // iff all 3 of its positions are set. False positives are
+    // deterministic and identical cross-engine.
+    "decontaminate_bloom" -> {
+      import graft.pipeline.Contamination.{bloomPosSql, KHashes}
+      def posUnion(pred: String): String = (0 until KHashes).map { i =>
+        s"SELECT doc_id, gh, ${bloomPosSql("gh", i)} AS pos FROM kgd WHERE $pred"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $TOK,
+         |kg AS (
+         |${TextOps.kgramsSql(4)}),
+         |kgd AS MATERIALIZED (SELECT DISTINCT doc_id, gh FROM kg),
+         |bbits AS MATERIALIZED (
+         |  SELECT DISTINCT pos FROM (
+         |  ${posUnion("doc_id % 97 = 0")})),
+         |probe AS (
+         |  ${posUnion("doc_id % 97 <> 0")}),
+         |maybe AS (
+         |  SELECT doc_id, gh FROM (
+         |    SELECT doc_id, gh, COUNT(*) AS n_set
+         |    FROM probe WHERE pos IN (SELECT pos FROM bbits)
+         |    GROUP BY 1, 2)
+         |  WHERE n_set = $KHashes),
+         |m2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_maybe
+         |       FROM maybe GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(m2.n_maybe, 0) AS n_maybe,
+         |       COALESCE(m2.n_maybe, 0) > 0 AS flagged
+         |FROM documents d LEFT JOIN m2 USING (doc_id)
+         |WHERE d.doc_id % 97 <> 0
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // PII scrub: Spark runs the real regex detector/redactor over the
     // deterministically injected spans; the oracle never runs a regex —
     // it CONSTRUCTS the expected counts and redacted string
@@ -1540,6 +1584,88 @@ object PipelineEntries {
       s"""WITH $TOK
          |SELECT doc_id, ${TextOps.tokenHashSql("token")} % 64 AS bucket,
          |       COUNT(*) AS n
-         |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+         |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    // HyperLogLog registers + estimate, replayed cell-for-cell: the
+    // 62-bit chained-affine hash, rho = LSB position (capped 32), a
+    // dense 256-bucket spine, the exact-rational alpha, and the
+    // linear-counting branch via the Scala-computed lookup VALUES.
+    "events_hll" -> {
+      import graft.functions.Sketches._
+      val lcValues = LinearCountTable
+        .map { case (v, e) => s"($v, CAST($e AS BIGINT))" }.mkString(", ")
+      s"""WITH h AS (
+         |  SELECT event_type, ${keyHashSql("event_id")} AS h FROM events),
+         |b AS (SELECT event_type, h % $HllM AS bucket, h // $HllM AS w FROM h),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |         CASE WHEN w = 0 THEN $RhoCap
+         |              ELSE least(bit_count((w & -w) - 1) + 1, $RhoCap) END AS rho
+         |  FROM b),
+         |mx AS (SELECT event_type, bucket, MAX(rho) AS m_rho FROM r GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT t.event_type, bk.range AS bucket
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN range($HllM) bk),
+         |regs AS (
+         |  SELECT s.event_type, s.bucket, COALESCE(m.m_rho, 0) AS m_rho
+         |  FROM spine s LEFT JOIN mx m
+         |    ON s.event_type = m.event_type AND s.bucket = m.bucket),
+         |agg AS (
+         |  SELECT event_type,
+         |         CAST(SUM(CAST(1 AS BIGINT) << ($RhoCap - m_rho)) AS BIGINT) AS s,
+         |         CAST(SUM(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS zero_regs
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, zero_regs,
+         |         ($AlphaNum * (($HllM * $HllM * (CAST(1 AS BIGINT) << $RhoCap)) // s))
+         |           // $AlphaDen AS raw
+         |  FROM agg),
+         |lc(v, lc_est) AS (VALUES $lcValues)
+         |SELECT e.event_type, e.zero_regs,
+         |       CASE WHEN e.zero_regs > 0 AND e.raw < ${5L * HllM / 2}
+         |            THEN l.lc_est ELSE e.raw END AS est_distinct
+         |FROM est e LEFT JOIN lc l ON e.zero_regs = l.v
+         |ORDER BY event_type""".stripMargin
+    },
+    // Count-Min: three 64-cell counter rows, estimate = min over the
+    // key's three cells — identical hash family both engines.
+    "events_cms" -> {
+      import graft.functions.Sketches._
+      val rows = (0 until CmsD).map { i =>
+        s"""c$i AS (SELECT ${cmsColSql("user_id", i)} AS c,
+           |        CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until CmsD).map { i =>
+        s"JOIN c$i ON ${cmsColSql("k.user_id", i)} = c$i.c"
+      }.mkString("\n")
+      s"""WITH $rows,
+         |k AS (SELECT DISTINCT user_id FROM events)
+         |SELECT k.user_id, least(c0.n, c1.n, c2.n) AS est_count
+         |FROM k
+         |$joins
+         |ORDER BY user_id""".stripMargin
+    },
+    // Exact rank-selected inter-arrival quantiles: med = ⌊(n+1)/2⌋-th,
+    // p90 = ⌈9n/10⌉-th smallest gap, (gap, event_id)-total-ordered.
+    "events_interarrival" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |         ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |           AS gap_ms
+        |  FROM m),
+        |r AS (
+        |  SELECT user_id, gap_ms,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY gap_ms, event_id)
+        |           AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM g WHERE gap_ms IS NOT NULL)
+        |SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |       MIN(gap_ms) AS min_ms, MAX(gap_ms) AS max_ms,
+        |       MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_ms END) AS med_ms,
+        |       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_ms END) AS p90_ms
+        |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

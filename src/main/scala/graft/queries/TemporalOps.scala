@@ -236,6 +236,37 @@ object TemporalOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Per-user inter-arrival gap statistics with EXACT integer
+    * quantiles: consecutive (ts, event_id)-ordered gap in epoch-ms,
+    * then per user n_gaps / min / max plus the discrete median and
+    * p90 picked by RANK, not interpolation — med = the ⌊(n+1)/2⌋-th
+    * smallest, p90 = the ⌈9n/10⌉-th smallest, ties broken by the
+    * later event's id so the row choice is total-ordered. Every value
+    * is a long; nothing can drift cross-engine (the percentile
+    * functions of the two engines interpolate differently — rank
+    * selection sidesteps the whole contract problem). Two windows
+    * over the same (user) partition → one shuffle; at scale user is
+    * the natural key and the per-user state is the gap list.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val wSeq = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wRank = Window.partitionBy("user_id").orderBy(col("gap_ms"), col("event_id"))
+    val wAll = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(wSeq))
+      .filter(col("gap_ms").isNotNull)
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("user_id")
+      .agg(max(col("n")).as("n_gaps"),
+        min(col("gap_ms")).as("min_ms"),
+        max(col("gap_ms")).as("max_ms"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap_ms"))).as("med_ms"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap_ms"))).as("p90_ms"))
+      .orderBy("user_id")
+  }
+
   /** First-order event-type transition matrix (the Markov chain over
     * each user's event sequence): counts of consecutive (from_type →
     * to_type) steps ordered by (ts, event_id) — the deterministic

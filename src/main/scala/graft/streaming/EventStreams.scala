@@ -434,4 +434,42 @@ object EventStreams {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
+
+  case class HllIn(event_type: String, event_id: Long)
+  case class HllState(regs: Array[Int])
+  case class HllOut(event_type: String, zero_regs: Long, est_distinct: Long)
+
+  /** Streaming twin of [[graft.functions.Sketches.hllDistinct]]:
+    * sketch-as-state. Per event_type the `mapGroupsWithState` state
+    * is the 256-register array itself — a FIXED ~1 KB per key forever,
+    * the defining property that makes distinct-counting viable on an
+    * unbounded stream (exact streaming distinct state grows with
+    * cardinality; watermarked dedup forgets history). Each micro-batch
+    * folds its keys in with the same md5 hash ([[graft.functions
+    * .Sketches.keyHashScala]] ≡ the Column path by construction) and
+    * emits the current (zero_regs, est_distinct) through the SAME
+    * integer estimate the batch aggregate and the DuckDB oracle run —
+    * StreamingSpec asserts value-for-value parity with the batch
+    * sketch after the last batch. Update output mode; no timeout
+    * (registers never expire — HLL forgets nothing and stays tiny).
+    */
+  def hllStreaming(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import graft.functions.Sketches
+    val ds = events
+      .select(col("event_type"), col("event_id").cast("long").as("event_id"))
+      .as[HllIn]
+    def fold(t: String, evs: Iterator[HllIn],
+        state: GroupState[HllState]): HllOut = {
+      val regs = state.getOption.map(_.regs).getOrElse(Array.fill(Sketches.HllM)(0))
+      evs.foreach(e => Sketches.updateRegisters(regs, Sketches.keyHashScala(e.event_id)))
+      state.update(HllState(regs))
+      val (zero, est) = Sketches.estimateFromRegisters(regs)
+      HllOut(t, zero, est)
+    }
+    ds.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fold)
+      .toDF()
+  }
 }

@@ -155,6 +155,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Seq((1L, 1L, true), (2L, 0L, false)))
   }
 
+  test("bloom decontamination: superset of exact flags, clean docs pass") {
+    import org.apache.spark.sql.functions.col
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "intro words then alpha beta gamma delta closing",
+      2L -> "totally unrelated text with other words entirely")
+    val exact = Contamination.decontaminate(d, col("doc_id") === 0L)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    val bloom = Contamination.decontaminateBloom(d, col("doc_id") === 0L)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    // every exact hit must be flagged (no false negatives, ever)
+    exact.foreach { case (id, hit) =>
+      if (hit) assert(bloom(id), s"bloom missed exact hit doc $id")
+    }
+    // on this fixture (handful of grams vs 2^16 bits) no false positive
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    // deterministic: a second run flags identically
+    val again = Contamination.decontaminateBloom(d, col("doc_id") === 0L)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(again == bloom)
+  }
+
   test("pii redaction: counts and typed placeholders for injected spans") {
     import spark.implicits._
     val d = Seq((0L, "plain words"), (7L, "other words")).toDF("doc_id", "text")

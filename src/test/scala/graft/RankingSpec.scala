@@ -189,6 +189,41 @@ class RankingSpec extends AnyFunSuite {
       s"authority ordering/floors wrong: $two")
   }
 
+  test("triad census: feedforward vs cycle separation, rotations counted once") {
+    // 1→2→3 with shortcut 1→3: one FFL, no cycle
+    val ffl = Ranking.triadCensus(edges((1L, 2L), (2L, 3L), (1L, 3L)))
+      .collect()(0)
+    assert((ffl.getLong(0), ffl.getLong(1)) == ((1L, 0L)))
+    // directed 3-cycle: no FFL, ONE cycle (not three rotations)
+    val cyc = Ranking.triadCensus(edges((1L, 2L), (2L, 3L), (3L, 1L)))
+      .collect()(0)
+    assert((cyc.getLong(0), cyc.getLong(1)) == ((0L, 1L)))
+    // both at once, plus loop/duplicate noise that must not count
+    val both = Ranking.triadCensus(edges((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (4L, 4L), (1L, 2L)))
+      .collect()(0)
+    assert((both.getLong(0), both.getLong(1)) == ((1L, 1L)))
+  }
+
+  test("cooccurrence: shared-item pair counts, frequent items capped out") {
+    import spark.implicits._
+    // items: 10 shared by {1,2,3}; 11 by {1,2}; 12 by {1,2} — so
+    // (1,2) shares 3 items, (1,3)/(2,3) share 1
+    val pairs = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L),
+      (1L, 12L), (2L, 12L), (2L, 12L)).toDF("entity", "item")
+    val all = Ranking.cooccurrence(pairs, maxItemDeg = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // cap at 2 drops item 10 (3 holders) entirely
+    val capped = Ranking.cooccurrence(pairs, maxItemDeg = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 2L))
+    // minShared trims singleton overlaps
+    val trimmed = Ranking.cooccurrence(pairs, maxItemDeg = 30, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(trimmed == Map((1L, 2L) -> 3L))
+  }
+
   test("reciprocity: mutual pairs counted once, loops and duplicates ignored") {
     val g = edges((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
     val r = Ranking.reciprocity(g).collect()(0)

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Sketches
+
+/** Accuracy and contract properties of the deterministic sketches —
+  * the oracle gate proves cross-engine equality; these prove the
+  * estimates are actually USEFUL (within theoretical error) and that
+  * the sketch-specific guarantees hold.
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  test("hll: estimate within ~3 standard errors at raw-regime cardinality") {
+    import spark.implicits._
+    // 5000 distinct keys per group — far above the 640 linear-counting
+    // cutoff for m=256 (standard error 1.04/16 ≈ 6.5%)
+    val df = (0 until 5000).flatMap(i => Seq(("g1", i.toLong * 7 + 1)))
+      .toDF("grp", "k")
+    val est = Sketches.hllDistinct(df, "k", "grp").collect()(0).getLong(2)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.20, s"est=$est for n=5000")
+  }
+
+  test("hll: small cardinality lands in the linear-counting branch") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val r = Sketches.hllDistinct(df, "k", "grp").collect()(0)
+    assert(r.getLong(1) > 0, "must have zero registers at n=40, m=256")
+    val est = r.getLong(2)
+    assert(math.abs(est - 40.0) / 40.0 < 0.25, s"lc est=$est for n=40")
+  }
+
+  test("hll: duplicates don't move the estimate (distinct semantics)") {
+    import spark.implicits._
+    val once = (1 to 300).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val thrice = (1 to 300).flatMap(i => Seq.fill(3)(("g", i.toLong)))
+      .toDF("grp", "k")
+    val e1 = Sketches.hllDistinct(once, "k", "grp").collect()(0).getLong(2)
+    val e3 = Sketches.hllDistinct(thrice, "k", "grp").collect()(0).getLong(2)
+    assert(e1 == e3, s"$e1 != $e3")
+  }
+
+  test("cms: never underestimates, exact when collision-free") {
+    import spark.implicits._
+    // 10 keys on 64 columns — likely collision-free per row, and the
+    // min-of-rows estimate can NEVER be below the true count
+    val df = (1 to 10).flatMap(k => Seq.fill(k)(("e", k.toLong))).toDF("t", "k")
+    val est = Sketches.countMin(df, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (1 to 10).map(k => k.toLong -> k.toLong).toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS underestimated key $k: ${est(k)} < $n")
+    }
+    assert(est == truth, s"collision-free case must be exact: $est")
+  }
+
+  test("cms: heavy hitter estimate survives a skewed mix") {
+    import spark.implicits._
+    val rows = Seq.fill(5000)(("e", 42L)) ++
+      (1 to 500).map(i => ("e", 100L + i))
+    val est = Sketches.countMin(rows.toDF("t", "k"), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // heavy key exact-or-over but within the ε·N additive CMS bound
+    assert(est(42L) >= 5000L && est(42L) <= 5000L + 2L * 5500 / 64,
+      s"heavy hitter est ${est(42L)}")
+  }
+}

@@ -253,6 +253,38 @@ class StreamingSpec extends AnyFunSuite {
       "1970-01-02 00:30:00" -> 1L))
   }
 
+  test("streaming HLL registers == batch sketch after every micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val sdf = mem.toDF.toDF("event_type", "event_id")
+    val q = graft.streaming.EventStreams.hllStreaming(spark, sdf)
+      .writeStream.outputMode("update").format("memory").queryName("hll_out").start()
+    def batchOn(rows: Seq[(String, Long)]) =
+      graft.functions.Sketches
+        .hllDistinct(rows.toDF("event_type", "event_id"), "event_id", "event_type")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def streamedRows() = spark.table("hll_out").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toSet
+    val chunk1 = (1 to 300).map(i => ("a", i.toLong)) :+ (("b", 1L))
+    val chunk2 = (200 to 500).map(i => ("a", i.toLong)) ++ Seq(("b", 2L))
+    try {
+      mem.addData(chunk1: _*)
+      q.processAllAvailable()
+      batchOn(chunk1).foreach { case (t, v) =>
+        assert(streamedRows().contains(t -> v), s"batch-1 parity broke for $t")
+      }
+      mem.addData(chunk2: _*)
+      q.processAllAvailable()
+      // the state carried batch 1's registers into batch 2: the final
+      // emission equals the batch sketch over the UNION of both chunks
+      batchOn(chunk1 ++ chunk2).foreach { case (t, v) =>
+        assert(streamedRows().contains(t -> v), s"cross-batch parity broke for $t")
+      }
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert state == batch latestState compaction") {
     val dir = "/root/testdata/sf0.001"
     def toMap(rows: Array[org.apache.spark.sql.Row]) = rows

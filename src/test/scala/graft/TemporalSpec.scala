@@ -111,6 +111,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Map(1L -> 100L, 2L -> 233L, 3L -> 385L))
   }
 
+  test("interarrival: rank-selected median and p90, gaps from the time order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // user 1 at ms 0,100,300,600,1000 → gaps 100,200,300,400 (n=4):
+    // med = 2nd smallest = 200, p90 = ⌈3.6⌉=4th = 400
+    val ev = Seq((1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 300L),
+      (1L, 4L, 600L), (1L, 5L, 1000L))
+      .toDF("user_id", "event_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val r = queries.TemporalOps.interArrival(ev).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((4L, 100L, 400L, 200L, 400L)))
+    // single gap: every statistic is that gap
+    val one = Seq((2L, 1L, 0L), (2L, 2L, 77L))
+      .toDF("user_id", "event_id", "ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val r1 = queries.TemporalOps.interArrival(one).collect()(0)
+    assert((r1.getLong(1), r1.getLong(4), r1.getLong(5)) == ((1L, 77L, 77L)))
+  }
+
   test("transition matrix: consecutive pairs per user, ppm row-normalized, ties by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}
