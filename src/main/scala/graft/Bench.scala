@@ -51,7 +51,15 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated allowlist for targeted re-timing while
+    // optimizing one operator (full runs stay the default contract).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val rs = (1 to runs).map(_ => time(fn))
       name -> ((median(rs.map(_._1)), rs.flatMap(_._2).headOption))
     }

@@ -118,6 +118,7 @@ object SparkEntry {
     "graph_assortativity" -> ((s, d) => GraphQueries.graphAssortativity(s, d)),
     "graph_motifs" -> ((s, d) => GraphQueries.graphMotifs(s, d)),
     "graph_cosupply" -> ((s, d) => GraphQueries.coSupply(s, d)),
+    "graph_temporal" -> ((s, d) => GraphQueries.graphTemporal(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
 
@@ -1075,6 +1076,20 @@ object SparkEntry {
         |  FROM p JOIN ed e3 ON p.c = e3.s AND p.a = e3.t
         |  WHERE p.a < p.b AND p.a < p.c)
         |SELECT * FROM ffl CROSS JOIN cyc""".stripMargin,
+    // Time-respecting 2-hop paths: offset strictly increases along
+    // the path, three distinct nodes.
+    "graph_temporal" ->
+      s"""WITH $E,
+        |ed AS MATERIALIZED (
+        |  SELECT src, dst, call_offset FROM e WHERE src <> dst),
+        |p AS (
+        |  SELECT e1.src AS a, e2.dst AS c
+        |  FROM ed e1 JOIN ed e2 ON e1.dst = e2.src
+        |  WHERE e2.call_offset > e1.call_offset
+        |    AND e2.dst <> e1.src AND e2.dst <> e1.dst)
+        |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_paths,
+        |       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_reached
+        |FROM p GROUP BY 1 ORDER BY node""".stripMargin,
     // Bipartite co-occurrence projection with the frequent-item cap:
     // parts held by > 30 suppliers never enter the pair join.
     "graph_cosupply" ->

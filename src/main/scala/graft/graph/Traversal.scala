@@ -308,6 +308,34 @@ object Traversal {
     else reached.reduce(_ unionByName _)
   }
 
+  /** Time-respecting 2-hop paths: a→b→c counts only when the second
+    * call SITE comes after the first (offset strictly increasing) and
+    * the three nodes are distinct — the temporal-graph semantics
+    * (Holme & Saramäki 2012) where a path must be traversable in
+    * order. On a call graph: c is plausibly influenced by a THROUGH
+    * b's control flow, vs the static 2-hop ball which also counts
+    * call-before-called-from shapes. Per source: path count and
+    * distinct endpoints. One middle-node equality join with the
+    * offset inequality as a residual filter (never a range-join
+    * blowup: equality keys carry the shuffle), then one narrow
+    * source-keyed agg.
+    */
+  def temporalPaths(edges: DataFrame): DataFrame = {
+    val ed = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("offset").cast("long").as("off"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    ed.as("e1")
+      .join(ed.as("e2"),
+        col("e1.dst") === col("e2.src") &&
+          col("e2.off") > col("e1.off") &&
+          col("e2.dst") =!= col("e1.src") && col("e2.dst") =!= col("e1.dst"))
+      .select(col("e1.src").as("node"), col("e2.dst").as("c"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_paths"), countDistinct(col("c")).as("n_reached"))
+  }
+
   /** Approximate neighborhood function — HyperANF (Boldi, Rosa &
     * Vigna, WWW 2011): every node carries `m` HyperLogLog registers
     * over its d-ball; one round element-wise-MAX-merges each node's

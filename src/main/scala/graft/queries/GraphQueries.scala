@@ -346,6 +346,12 @@ object GraphQueries {
       maxItemDeg = 30)
       .orderBy("a", "b")
 
+  /** C25 time-respecting 2-hop paths: offset-increasing a→b→c over
+    * the call graph (Traversal.temporalPaths) — temporal reachability
+    * vs the static ball. */
+  def graphTemporal(s: SparkSession, d: String): DataFrame =
+    Traversal.temporalPaths(callEdges(s, d)).orderBy("node")
+
   /** C17 call-graph reciprocity: the mutual-call fraction — one
     * reversed-key equality self-join (Ranking.reciprocity). */
   def graphReciprocity(s: SparkSession, d: String): DataFrame =

@@ -224,6 +224,20 @@ class RankingSpec extends AnyFunSuite {
     assert(trimmed == Map((1L, 2L) -> 3L))
   }
 
+  test("temporal paths: offset must increase, nodes distinct") {
+    import spark.implicits._
+    // 1→2 at offset 1; 2→3 at offset 2 (valid continuation);
+    // 2→4 at offset 1 (NOT later than 1→2 — invalid); 3→1 at 5
+    // would close a cycle back to the source (excluded by c≠a)
+    val g = Seq((1L, 2L, 1L), (2L, 3L, 2L), (2L, 4L, 1L), (3L, 1L, 5L))
+      .toDF("src", "dst", "offset")
+    val r = graft.graph.Traversal.temporalPaths(g)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // from 1: only 1→2→3 (offset 1<2); 2→4 fails the clock
+    // from 2: 2→3→1... c=1 ≠ src=2 and ≠ b=3, offsets 2<5 → valid
+    assert(r == Map(1L -> ((1L, 1L)), 2L -> ((1L, 1L))))
+  }
+
   test("reciprocity: mutual pairs counted once, loops and duplicates ignored") {
     val g = edges((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
     val r = Ranking.reciprocity(g).collect()(0)
