@@ -252,7 +252,9 @@ object SparkEntry {
        |  LEFT JOIN ra$t ra ON n.node = ra.node),
        |m$t AS (SELECT greatest(MAX(hv), 1) AS mh, greatest(MAX(av), 1) AS ma
        |        FROM j$t),
-       |s$t AS (SELECT node, (1000000 * hv) // mh AS h, (1000000 * av) // ma AS a
+       |s$t AS (SELECT node,
+       |        CAST((1000000 * CAST(hv AS HUGEINT)) // mh AS BIGINT) AS h,
+       |        CAST((1000000 * CAST(av AS HUGEINT)) // ma AS BIGINT) AS a
        |        FROM j$t, m$t)""".stripMargin)
     sb.toString
   }

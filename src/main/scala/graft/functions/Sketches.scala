@@ -11,15 +11,15 @@ import org.apache.spark.sql.functions._
   * SQL-replayable).
   *
   * Everything is integer Column arithmetic in the [[TextOps]]
-  * cross-engine discipline: the 62-bit key hash is two chained
-  * mod-(2³¹−1) affine rounds (every product < 2⁶² — DuckDB BIGINT
-  * overflow THROWS rather than wrapping, so Java wrap-around mixers
-  * like splitmix64 are off the table), register powers are
-  * `shiftleft`, and the HLL alpha correction is the exact rational
-  * 71827/100000 applied in an overflow-safe order. The small-range
-  * (linear-counting) branch needs m·ln(m/V) — a float — so it ships
-  * as a 256-row integer lookup table computed ONCE in Scala and
-  * embedded verbatim in both engines' plans.
+  * cross-engine discipline: the 60-bit key hash is an md5-hex-prefix
+  * parse (see [[keyHash]] for why algebraic mixers are rejected, and
+  * note DuckDB BIGINT overflow THROWS rather than wrapping, so Java
+  * wrap-around mixers like splitmix64 were never on the table),
+  * register powers are `shiftleft`, and the HLL alpha correction is
+  * the exact rational 71827/100000 applied in an overflow-safe
+  * order. The small-range (linear-counting) branch needs m·ln(m/V) —
+  * a float — so it ships as a 256-row integer lookup table computed
+  * ONCE in Scala and embedded verbatim in both engines' plans.
   *
   * Scale shape: both sketches are one narrow map-side-combinable
   * groupBy over the data (HLL: (group, bucket) max-rho; CMS: (row,

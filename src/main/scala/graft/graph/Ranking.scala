@@ -386,8 +386,13 @@ object Ranking {
       val mx = joined.agg(greatest(max(col("hv")), lit(1L)).as("mh"),
         greatest(max(col("av")), lit(1L)).as("ma"))
       s = joined.crossJoin(broadcast(mx))
-        .select(col("node"), expr("(1000000 * hv) div mh").as("hub"),
-          expr("(1000000 * av) div ma").as("auth"))
+        // widen through DECIMAL(38,0): hv ≤ indeg·10⁶, so the long
+        // product 10⁶·hv would silently wrap past indeg ≈ 9.2M —
+        // exactly the wrap-vs-throw cross-engine divergence the
+        // sketches module documents; the oracle widens to HUGEINT
+        .select(col("node"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * hv) div mh AS BIGINT)").as("hub"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * av) div ma AS BIGINT)").as("auth"))
     }
     s.select(col("node"), col("hub").as("hub_ppm"), col("auth").as("auth_ppm"))
   }
@@ -458,10 +463,14 @@ object Ranking {
       .join(broadcast(cycEdge),
         col("c") === col("cc") && col("a") === col("ca"), "left")
       .agg(
-        sum(coalesce(col("ffl_hit"), lit(0L))).as("n_feedforward"),
+        sum(coalesce(col("ffl_hit"), lit(0L))).as("_ffl"),
         sum(when(col("cyc_hit").isNotNull &&
           col("a") < col("b") && col("a") < col("c"), 1L)
-          .otherwise(0L)).as("n_cycles"))
+          .otherwise(0L)).as("_cyc"))
+      // a graph with NO composable 2-paths leaves the aggregate with
+      // NULL sums; the oracle's COUNT(*) says 0 — align.
+      .select(coalesce(col("_ffl"), lit(0L)).as("n_feedforward"),
+        coalesce(col("_cyc"), lit(0L)).as("n_cycles"))
   }
 
   /** Bipartite co-occurrence projection: from (entity, item) pairs,

@@ -72,11 +72,18 @@ object Contamination {
     * gates the expensive exact check at 100 TB.
     */
   def decontaminateBloom(docs: DataFrame, benchPred: Column, k: Int = 4): DataFrame = {
+    // ONE tokenize+window pass per side, checkpointed before the
+    // 3-way position fan-out (the kgrams lineage would otherwise
+    // re-run per hash — the D35 "one tokenize pass feeds every join"
+    // discipline; the oracle's kgd is MATERIALIZED for the same
+    // reason).
+    val benchGrams = TextOps.kgrams(docs.filter(benchPred), k)
+      .select("gh").distinct().localCheckpoint(true)
     val benchBits = (0 until KHashes).map { i =>
-      TextOps.kgrams(docs.filter(benchPred), k)
-        .select(bloomPos(col("gh"), i).as("pos"))
+      benchGrams.select(bloomPos(col("gh"), i).as("pos"))
     }.reduce(_ unionByName _).distinct()
     val train = TextOps.kgrams(docs.filter(!benchPred), k).distinct()
+      .localCheckpoint(true)
     val probes = (0 until KHashes).map { i =>
       train.select(col("doc_id"), col("gh"), bloomPos(col("gh"), i).as("pos"))
     }.reduce(_ unionByName _)

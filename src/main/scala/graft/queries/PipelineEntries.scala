@@ -1586,7 +1586,7 @@ object PipelineEntries {
          |       COUNT(*) AS n
          |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     // HyperLogLog registers + estimate, replayed cell-for-cell: the
-    // 62-bit chained-affine hash, rho = LSB position (capped 32), a
+    // 60-bit md5-prefix hash, rho = LSB position (capped 32), a
     // dense 256-bucket spine, the exact-rational alpha, and the
     // linear-counting branch via the Scala-computed lookup VALUES.
     "events_hll" -> {

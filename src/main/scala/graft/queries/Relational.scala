@@ -654,25 +654,19 @@ object Relational {
     * in the oracle's GROUP BY ROLLUP.
     */
   def pricingRollup(lineitem: DataFrame): DataFrame =
-    lineitem
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        sum(centsOf(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("rev_cents"),
-        count(lit(1)).as("n_rows"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        col("rev_cents"), col("n_rows"))
-      .orderBy("returnflag", "linestatus")
+    pricingSets(lineitem.rollup(col("l_returnflag"), col("l_linestatus")))
 
   /** Full CUBE over (returnflag, linestatus): the rollup's grouping
     * sets plus the (·, linestatus) marginals — same single
     * Expand+exchange plan shape, same exact-cents measure and 'ALL'
-    * sentinels; the extra set rides the one shuffle for free. */
+    * sentinels (one shared core so the two cannot drift); the extra
+    * set rides the one shuffle for free. */
   def pricingCube(lineitem: DataFrame): DataFrame =
-    lineitem
-      .cube(col("l_returnflag"), col("l_linestatus"))
+    pricingSets(lineitem.cube(col("l_returnflag"), col("l_linestatus")))
+
+  private def pricingSets(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped
       .agg(
         sum(centsOf(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("rev_cents"),
