@@ -274,6 +274,29 @@ object TextAnalysis {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
       .orderBy("doc_id", "bucket")
 
+  /** Tokenizer-coverage / OOV profile: per-doc fraction of token
+    * occurrences outside the top-`topV` corpus vocabulary (rank by
+    * total tf desc, token asc — deterministic boundary), as exact
+    * integer ppm. THE number a fixed-vocab tokenizer budget is sized
+    * against: high OOV docs are either foreign-domain or junk. The
+    * vocab is topV rows → broadcast; one (doc, token) tf shuffle.
+    */
+  def oovRate(docs: DataFrame, topV: Int = 200): DataFrame = {
+    val tf = TextOps.tokensBag(docs)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("token").agg(sum(col("tf")).as("ctf"))
+      .orderBy(col("ctf").desc, col("token")).limit(topV)
+      .select(col("token"), lit(1L).as("in_vocab"))
+      .localCheckpoint(true)
+    tf.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** D22 training-mixture weights: per-source token counts →
     * temperature-scaled sampling weights (the PaLM/LLaMA-style α=0.5
     * mixing that upsamples small high-value sources). The weight base

@@ -163,7 +163,12 @@ object PipelineEntries {
         graft.streaming.EventStreams.events(s, d), "user_id")
         .orderBy("user_id")),
     "events_interarrival" -> ((s, d) =>
-      TemporalOps.interArrival(graft.streaming.EventStreams.events(s, d)))
+      TemporalOps.interArrival(graft.streaming.EventStreams.events(s, d))),
+    "events_qsketch" -> ((s, d) =>
+      TemporalOps.quantileSketch(graft.streaming.EventStreams.events(s, d))),
+    "events_entropy" -> ((s, d) =>
+      TemporalOps.typeEntropy(graft.streaming.EventStreams.events(s, d))),
+    "text_oov" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -1666,6 +1671,56 @@ object PipelineEntries {
         |       MIN(gap_ms) AS min_ms, MAX(gap_ms) AS max_ms,
         |       MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_ms END) AS med_ms,
         |       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_ms END) AS p90_ms
-        |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // Histogram quantile sketch: $1 cent bins, quantile = upper bound
+    // of the first bin whose cumulative count crosses ceil(p*n) — the
+    // integer inequality cum*den >= n*num, no interpolation.
+    "events_qsketch" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS bin,
+        |         COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT event_type, bin, c,
+        |         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |         SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM b)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |       MIN(CASE WHEN cum * 2 >= n THEN (bin + 1) * 100 END) AS p50_up_cents,
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN (bin + 1) * 100 END) AS p90_up_cents,
+        |       MIN(CASE WHEN cum * 100 >= n * 99 THEN (bin + 1) * 100 END) AS p99_up_cents
+        |FROM cw GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Per-user type entropy: H = ln(n) − Σc·ln(c)/n, counts exact,
+    // the inner sum 4dp-rounded then the final floor-form 4dp.
+    "events_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |         round(SUM(c * ln(CAST(c AS DOUBLE))), 4) AS slc
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_events,
+        |       floor((ln(CAST(n_events AS DOUBLE)) - slc / n_events) * 10000
+        |         + 0.5) / 10000 AS entropy
+        |FROM a ORDER BY user_id""".stripMargin,
+    // OOV rate vs the deterministic top-200 corpus vocab (total tf
+    // desc, token asc), exact integer ppm.
+    "text_oov" ->
+      s"""WITH $TOK,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |vr AS (
+         |  SELECT token,
+         |         row_number() OVER (ORDER BY SUM(tf) DESC, token) AS rk
+         |  FROM tf GROUP BY token),
+         |v AS (SELECT token FROM vr WHERE rk <= 200)
+         |SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN v.token IS NULL THEN t.tf ELSE 0 END) AS BIGINT)
+         |         AS n_oov,
+         |       (1000000 * CAST(SUM(CASE WHEN v.token IS NULL THEN t.tf ELSE 0 END)
+         |         AS BIGINT)) // CAST(SUM(t.tf) AS BIGINT) AS oov_ppm
+         |FROM tf t LEFT JOIN v ON t.token = v.token
+         |GROUP BY 1 ORDER BY t.doc_id""".stripMargin
   )
 }

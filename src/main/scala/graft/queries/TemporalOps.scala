@@ -290,6 +290,57 @@ object TemporalOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Mergeable histogram quantile sketch — the 100 TB quantile path:
+    * fixed-width cent bins (default $1), one map-side-combinable
+    * (type, bin) count, and the p-quantile reported as the UPPER
+    * BOUND of the first bin where the cumulative count crosses
+    * ⌈p·n⌉ (the integer inequality cum·den ≥ n·num — no float, no
+    * interpolation, error bounded by the bin width). Unlike the
+    * exact [[eventQuantiles]] sort, the state is the histogram:
+    * shards merge by adding bin counts, streams fold in place, and
+    * the shuffle carries bins, not rows. Requires non-negative
+    * values (integer `div` vs `//` disagree on negative floors).
+    */
+  def quantileSketch(events: DataFrame, binCents: Long = 100L): DataFrame = {
+    val bins = events
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("bin", expr(s"cents div $binCents"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val cum = bins
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("bin")))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy("event_type")))
+    def pick(num: Int, den: Int, name: String) =
+      min(when(col("cum") * den >= col("n") * num,
+        (col("bin") + 1) * binCents)).as(name)
+    cum.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        pick(1, 2, "p50_up_cents"),
+        pick(9, 10, "p90_up_cents"),
+        pick(99, 100, "p99_up_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Per-user event-type Shannon entropy — behavioral diversity (0
+    * for a single-type user, ln k for uniform over k types): H =
+    * ln(n) − Σc·ln(c)/n with every count an exact long and the one
+    * float surface the shared 4dp-round contract. Two narrow
+    * user-keyed aggs. */
+  def typeEntropy(events: DataFrame): DataFrame = {
+    val c = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    c.groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"),
+        round(sum(col("c") * log(col("c").cast("double"))), 4).as("_slc"))
+      .select(col("user_id"), col("n_events"),
+        graft.functions.Rounding.rnd(
+          log(col("n_events").cast("double")) -
+            col("_slc") / col("n_events"), 4).as("entropy"))
+      .orderBy("user_id")
+  }
+
   /** Exact interpolated quantiles per event type (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). The approx scale path is
     * `approx_percentile` — same call shape, sketch-based. */

@@ -131,6 +131,28 @@ class TemporalSpec extends AnyFunSuite {
     assert((r1.getLong(1), r1.getLong(4), r1.getLong(5)) == ((1L, 77L, 77L)))
   }
 
+  test("quantile sketch: bin upper bounds at the ceil(p*n) crossing") {
+    import spark.implicits._
+    // cents 50, 150, 250, 350 → bins 0..3, n = 4: p50 crosses at
+    // cum=2 (bin 1 → 200), p90 at cum=4 (bin 3 → 400)
+    val ev = Seq(0.50, 1.50, 2.50, 3.50).map(("x", _))
+      .toDF("event_type", "value")
+    val r = queries.TemporalOps.quantileSketch(ev).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 200L, 400L, 400L)))
+  }
+
+  test("type entropy: uniform two-type user gets ln 2, single-type gets 0") {
+    import spark.implicits._
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("user_id", "event_type")
+    val r = queries.TemporalOps.typeEntropy(ev)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((4L, 0.6931)), s"uniform: ${r(1L)}")
+    assert(r(2L) == ((3L, 0.0)), s"single-type: ${r(2L)}")
+  }
+
   test("transition matrix: consecutive pairs per user, ppm row-normalized, ties by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}

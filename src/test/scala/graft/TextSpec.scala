@@ -323,4 +323,17 @@ class TextSpec extends AnyFunSuite {
     assert(d1.toSeq == Seq((1, "zebra", d1.head._3), (2, "common", 0L)))
     assert(d1.head._3 > 0)
   }
+
+  test("oov rate: tokens outside the top-V vocab counted in exact ppm") {
+    val d = docs(1L -> "a a b", 2L -> "a c")
+    // top-1 vocab = {a} (ctf 3); b and c are OOV
+    val r = TextAnalysis.oovRate(d, topV = 1)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(1L -> ((3L, 1L, 333333L)), 2L -> ((2L, 1L, 500000L))))
+    // a vocab bigger than the corpus: nothing is OOV
+    val all = TextAnalysis.oovRate(d, topV = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(all == Map(1L -> 0L, 2L -> 0L))
+  }
 }
