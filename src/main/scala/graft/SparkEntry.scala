@@ -118,6 +118,8 @@ object SparkEntry {
     "graph_assortativity" -> ((s, d) => GraphQueries.graphAssortativity(s, d)),
     "graph_motifs" -> ((s, d) => GraphQueries.graphMotifs(s, d)),
     "graph_cosupply" -> ((s, d) => GraphQueries.coSupply(s, d)),
+    "graph_adamic" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
+    "customer_rfm" -> ((s, d) => Relational.customerRfm(Tables.orders(s, d))),
     "graph_temporal" -> ((s, d) => GraphQueries.graphTemporal(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
@@ -1103,6 +1105,76 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM k k1 JOIN k k2 ON k1.item = k2.item AND k1.entity < k2.entity
         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    // Adamic-Adar: each shared callee's weight is the ppm fixed point
+    // ⌊10⁶/ln(indeg)+0.5⌋ floored ONCE per callee; scores are exact
+    // integer sums after that, so the top-100 cut (score desc, fn_a,
+    // fn_b — fully tie-broken) replays bit-identically.
+    "graph_adamic" ->
+      s"""WITH $E,
+        |de AS (SELECT DISTINCT src, dst FROM e),
+        |w AS (
+        |  SELECT dst, CAST(floor(1000000 / ln(CAST(COUNT(*) AS DOUBLE)) + 0.5)
+        |           AS BIGINT) AS wz
+        |  FROM de GROUP BY dst HAVING COUNT(*) BETWEEN 2 AND 100),
+        |cap AS (SELECT de.src, de.dst, w.wz FROM de JOIN w USING (dst)),
+        |p AS (
+        |  SELECT x.src AS fn_a, y.src AS fn_b,
+        |         CAST(SUM(x.wz) AS BIGINT) AS score_ppm,
+        |         CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM cap x JOIN cap y ON x.dst = y.dst AND x.src < y.src
+        |  GROUP BY 1, 2)
+        |SELECT fn_a, fn_b, score_ppm, shared FROM p
+        |WHERE shared >= 2
+        |  AND NOT EXISTS (SELECT 1 FROM de
+        |                  WHERE de.src = p.fn_a AND de.dst = p.fn_b)
+        |  AND NOT EXISTS (SELECT 1 FROM de
+        |                  WHERE de.src = p.fn_b AND de.dst = p.fn_a)
+        |ORDER BY score_ppm DESC, fn_a, fn_b LIMIT 100""".stripMargin,
+    // RFM quartiles from per-metric bin histograms (cum·4 ≥ n·p at
+    // p = 1,2,3); scores compare BINS to the crossing bin, so the
+    // tie side is exact. Monetary bins are $10 (1000 cents).
+    "customer_rfm" ->
+      """WITH m AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(MAX(epoch_ms(o_orderdate) // 86400000) AS BIGINT) AS r_day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY 1),
+        |mb AS (SELECT *, m_cents // 1000 AS m_bin FROM m),
+        |rh AS (SELECT r_day AS bin, COUNT(*) AS c FROM mb GROUP BY 1),
+        |rc AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum,
+        |              SUM(c) OVER () AS n FROM rh),
+        |rcut AS (SELECT MIN(CASE WHEN cum*4 >= n*1 THEN bin END) AS r1,
+        |                MIN(CASE WHEN cum*4 >= n*2 THEN bin END) AS r2,
+        |                MIN(CASE WHEN cum*4 >= n*3 THEN bin END) AS r3 FROM rc),
+        |fh AS (SELECT n_orders AS bin, COUNT(*) AS c FROM mb GROUP BY 1),
+        |fc AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum,
+        |              SUM(c) OVER () AS n FROM fh),
+        |fcut AS (SELECT MIN(CASE WHEN cum*4 >= n*1 THEN bin END) AS f1,
+        |                MIN(CASE WHEN cum*4 >= n*2 THEN bin END) AS f2,
+        |                MIN(CASE WHEN cum*4 >= n*3 THEN bin END) AS f3 FROM fc),
+        |mh AS (SELECT m_bin AS bin, COUNT(*) AS c FROM mb GROUP BY 1),
+        |mc AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum,
+        |              SUM(c) OVER () AS n FROM mh),
+        |mcut AS (SELECT MIN(CASE WHEN cum*4 >= n*1 THEN bin END) AS m1,
+        |                MIN(CASE WHEN cum*4 >= n*2 THEN bin END) AS m2,
+        |                MIN(CASE WHEN cum*4 >= n*3 THEN bin END) AS m3 FROM mc)
+        |SELECT custkey, r_day, n_orders, m_cents,
+        |  1 + CAST(r_day > r1 AS BIGINT) + CAST(r_day > r2 AS BIGINT)
+        |    + CAST(r_day > r3 AS BIGINT) AS r_score,
+        |  1 + CAST(n_orders > f1 AS BIGINT) + CAST(n_orders > f2 AS BIGINT)
+        |    + CAST(n_orders > f3 AS BIGINT) AS f_score,
+        |  1 + CAST(m_bin > m1 AS BIGINT) + CAST(m_bin > m2 AS BIGINT)
+        |    + CAST(m_bin > m3 AS BIGINT) AS m_score,
+        |  (1 + CAST(r_day > r1 AS BIGINT) + CAST(r_day > r2 AS BIGINT)
+        |     + CAST(r_day > r3 AS BIGINT)) * 100
+        |  + (1 + CAST(n_orders > f1 AS BIGINT) + CAST(n_orders > f2 AS BIGINT)
+        |       + CAST(n_orders > f3 AS BIGINT)) * 10
+        |  + (1 + CAST(m_bin > m1 AS BIGINT) + CAST(m_bin > m2 AS BIGINT)
+        |       + CAST(m_bin > m3 AS BIGINT)) AS rfm
+        |FROM mb, rcut, fcut, mcut
+        |ORDER BY custkey""".stripMargin,
     "lineage_up" ->
       """SELECT o_orderkey, c_name, n_name, r_name,
         |  CAST(o_orderkey AS VARCHAR) || '->' || c_name || '->' || n_name

@@ -128,4 +128,51 @@ object Neighborhood {
           .as("callee_jaccard"))
       .orderBy("node")
   }
+
+  /** Adamic-Adar link prediction over shared callees: for caller
+    * pairs NOT already connected, score Σ_z 1/ln(indeg z) over their
+    * common callees z — the common-neighbors heuristic that discounts
+    * promiscuous helpers (calling the same rare internal pair of
+    * functions is strong clone/port evidence; both calling memcpy is
+    * none). Each z's weight is the ppm fixed point ⌊10⁶/ln(indeg)+0.5⌋
+    * computed ONCE per callee from its exact integer in-degree —
+    * after that one floor, every score is an exact integer sum, so
+    * ordering and the top-k cut cannot drift across engines (ln(int)
+    * is the same libm double both sides; the floor boundary would
+    * need an ulp-level coincidence on a transcendental, the
+    * [[graft.functions.Rounding]] contract).
+    *
+    * Scale shape = [[calleeJaccard]]'s: candidates come from the
+    * equality self-join on z, in-degree > `hubCap` drops hub callees
+    * BEFORE the join (bounding it at hubCap·|callees| pairs), and the
+    * already-adjacent exclusion is two edge-keyed anti joins, never a
+    * per-pair lookup. indeg ≥ 2 is implied for any common neighbor;
+    * the weight frame filters it anyway so ln(1)=0 can't divide.
+    * Returns the top-k (score desc, fn_a, fn_b — fully tie-broken)
+    * pairs with ≥ `minShared` common callees.
+    */
+  def adamicAdar(edges: DataFrame, hubCap: Int = 100, minShared: Int = 2,
+      topK: Int = 100): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true) // read 4×: weights, twice in the pair join, adjacency
+    val w = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
+      .filter(col("indeg") >= 2 && col("indeg") <= hubCap)
+      .select(col("dst"),
+        floor(lit(1e6) / log(col("indeg").cast("double")) + 0.5)
+          .cast("long").as("wz"))
+    val cap = e.join(w, "dst")
+    cap.as("x").join(cap.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("fn_a"), col("y.src").as("fn_b"))
+      .agg(sum(col("x.wz")).as("score_ppm"), count(lit(1)).as("shared"))
+      .join(e.select(col("src").as("fn_a"), col("dst").as("fn_b")),
+        Seq("fn_a", "fn_b"), "left_anti")
+      .join(e.select(col("dst").as("fn_a"), col("src").as("fn_b")),
+        Seq("fn_a", "fn_b"), "left_anti")
+      .filter(col("shared") >= minShared)
+      .orderBy(col("score_ppm").desc, col("fn_a"), col("fn_b"))
+      .limit(topK)
+  }
 }

@@ -246,6 +246,13 @@ object GraphQueries {
     Neighborhood.calleeJaccard(e, callers, hubCap = 100, tauNum = 1, tauDen = 5)
   }
 
+  /** C26 Adamic-Adar link prediction: unlinked caller pairs ranked by
+    * rarity-weighted shared callees (Neighborhood.adamicAdar) — the
+    * "which functions are probably ports of each other" shortlist. */
+  def adamicAdar(s: SparkSession, d: String): DataFrame =
+    Neighborhood.adamicAdar(callEdges(s, d), hubCap = 100, minShared = 2,
+      topK = 100)
+
   /** B18b cross-binary diff: the derived graph vs a "patched build" —
     * the same derivation restricted to call sites with l_linenumber
     * ≥ 2 (first-seen call sites dropped: a deterministic, meaningful

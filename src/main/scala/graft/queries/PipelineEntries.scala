@@ -166,6 +166,10 @@ object PipelineEntries {
       TemporalOps.interArrival(graft.streaming.EventStreams.events(s, d))),
     "events_qsketch" -> ((s, d) =>
       TemporalOps.quantileSketch(graft.streaming.EventStreams.events(s, d))),
+    "events_attribution" -> ((s, d) =>
+      TemporalOps.lastTouch(graft.streaming.EventStreams.events(s, d))),
+    "events_burst" -> ((s, d) =>
+      TemporalOps.burstWindows(graft.streaming.EventStreams.events(s, d))),
     "events_entropy" -> ((s, d) =>
       TemporalOps.typeEntropy(graft.streaming.EventStreams.events(s, d))),
     "text_oov" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d)))
@@ -1691,6 +1695,39 @@ object PipelineEntries {
         |       MIN(CASE WHEN cum * 10 >= n * 9 THEN (bin + 1) * 100 END) AS p90_up_cents,
         |       MIN(CASE WHEN cum * 100 >= n * 99 THEN (bin + 1) * 100 END) AS p99_up_cents
         |FROM cw GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Last-touch attribution: last-ignoring-nulls over the strictly-
+    // prior ROWS frame in (ms, event_id) order; -1 = unattributed.
+    "events_attribution" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |a AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |               IGNORE NULLS) OVER w AS touch_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ms END
+        |               IGNORE NULLS) OVER w AS touch_ms
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |       COALESCE(touch_id, -1) AS touch_event_id,
+        |       COALESCE(ms - touch_ms, -1) AS gap_ms
+        |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // Burst windows: c·nb > 2·total over occupied hour buckets, all
+    // integer; ratio is exact ppm of count/mean.
+    "events_burst" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS w, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, SUM(c) AS total, COUNT(*) AS nb
+        |      FROM b GROUP BY 1)
+        |SELECT b.event_type, b.w * 3600000 AS window_start_ms,
+        |       CAST(b.c AS BIGINT) AS n_events,
+        |       CAST((1000000 * b.c * t.nb) // t.total AS BIGINT) AS ratio_ppm
+        |FROM b JOIN t USING (event_type)
+        |WHERE b.c * t.nb * 1 > t.total * 2
+        |ORDER BY event_type, window_start_ms""".stripMargin,
     // Per-user type entropy: H = ln(n) − Σc·ln(c)/n, counts exact,
     // the inner sum 4dp-rounded then the final floor-form 4dp.
     "events_entropy" ->

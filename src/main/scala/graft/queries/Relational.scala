@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -676,4 +676,59 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("rev_cents"), col("n_rows"))
       .orderBy("returnflag", "linestatus")
+
+  /** RFM customer segmentation (recency / frequency / monetary
+    * quartiles) — the classic customer-value cube, built WITHOUT a
+    * global-order window: a global `ntile(4)` sorts every customer in
+    * ONE partition (the D14 lesson), so the quartile cuts come from
+    * the mergeable histogram instead (the [[TemporalOps.quantileSketch]]
+    * move): per metric, a (bin → count) frame whose cardinality is the
+    * bin count, cumulative-crossed at 1/4, 2/4, 3/4 with the integer
+    * inequality cum·4 ≥ n·p. A customer's score per metric is
+    * 1 + #{cuts strictly below its bin} (1 = bottom quartile, 4 = top)
+    * — comparing BINS, never values-to-bounds, so the tie side is
+    * unambiguous and both engines replay it exactly. Metrics: last
+    * order epoch-day, order count, lifetime cents (all exact longs).
+    * Plan: one orders scan → per-customer agg (checkpointed — three
+    * histograms + the final scoring read it), three bin-count aggs
+    * whose windows run over histogram frames (≤ thousands of rows),
+    * one broadcast 1-row cuts frame joined back. Scale: every shuffle
+    * is customer- or bin-keyed; nothing global.
+    */
+  def customerRfm(orders: DataFrame, mBinCents: Long = 1000L): DataFrame = {
+    val m = orders
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000"))
+          .as("r_day"),
+        count(lit(1)).as("n_orders"),
+        sum(centsOf(col("o_totalprice"))).as("m_cents"))
+      .withColumn("m_bin", expr(s"m_cents div $mBinCents"))
+      .localCheckpoint(true)
+    def cutsOf(bin: Column, pfx: String): DataFrame = {
+      val h = m.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))
+      val cum = h
+        .withColumn("cum", sum(col("c")).over(Window.orderBy("bin")))
+        .withColumn("n", sum(col("c")).over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      cum.agg(
+        min(when(col("cum") * 4 >= col("n") * 1, col("bin"))).as(s"${pfx}1"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("bin"))).as(s"${pfx}2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("bin"))).as(s"${pfx}3"))
+    }
+    val cuts = cutsOf(col("r_day"), "r").crossJoin(cutsOf(col("n_orders"), "f"))
+      .crossJoin(cutsOf(col("m_bin"), "m"))
+    def score(bin: Column, pfx: String): Column =
+      (lit(1L) + (bin > col(s"${pfx}1")).cast("long")
+        + (bin > col(s"${pfx}2")).cast("long")
+        + (bin > col(s"${pfx}3")).cast("long")).as(s"${pfx}_score")
+    m.crossJoin(broadcast(cuts))
+      .select(col("custkey"), col("r_day"), col("n_orders"), col("m_cents"),
+        score(col("r_day"), "r"), score(col("n_orders"), "f"),
+        score(col("m_bin"), "m"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("custkey")
+  }
 }

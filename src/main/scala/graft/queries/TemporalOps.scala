@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -339,6 +339,60 @@ object TemporalOps {
           log(col("n_events").cast("double")) -
             col("_slc") / col("n_events"), 4).as("entropy"))
       .orderBy("user_id")
+  }
+
+  /** Last-touch attribution: for each conversion event, the user's
+    * most recent STRICTLY PRIOR touch event (the marketing/causal
+    * "which click gets credit for this purchase" join). Prior = the
+    * (ms, event_id) lexicographic order — the deterministic total
+    * order every sequence op here uses — so a touch at the exact
+    * conversion timestamp attributes only if its id sorts first.
+    * One user-keyed window over the type-filtered union (the asofJoin
+    * shape: last-ignoring-nulls over ROWS … 1 PRECEDING); both sides
+    * co-partition on user, no range join, no per-row lookup.
+    * Unattributed conversions keep -1 (NULL-free gate columns).
+    */
+  def lastTouch(events: DataFrame, convType: String = "purchase",
+      touchType: String = "click"): DataFrame = {
+    val ev = events.filter(col("event_type").isin(convType, touchType))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def lastOf(c: Column) = last(c, ignoreNulls = true).over(w)
+    ev
+      .withColumn("touch_id",
+        lastOf(when(col("event_type") === touchType, col("event_id"))))
+      .withColumn("touch_ms",
+        lastOf(when(col("event_type") === touchType, col("ms"))))
+      .filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("touch_id"), lit(-1L)).as("touch_event_id"),
+        coalesce(col("ms") - col("touch_ms"), lit(-1L)).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Burst windows: fixed-width time buckets where a type's count
+    * exceeds `num/den` × its mean over OCCUPIED buckets (empty
+    * buckets don't dilute the mean — the honest form when streams
+    * start/stop). The whole test is the integer cross-multiplication
+    * c·nb·den > total·num; the reported ratio is exact ppm. One
+    * map-side-combinable (type, bucket) count + a |types|-row
+    * broadcast — the same two-shuffle shape at any scale.
+    */
+  def burstWindows(events: DataFrame, windowMs: Long = 3600000L,
+      num: Int = 2, den: Int = 1): DataFrame = {
+    val b = events
+      .select(col("event_type"), expr(s"unix_millis(ts) div $windowMs").as("w"))
+      .groupBy("event_type", "w").agg(count(lit(1)).as("c"))
+    val t = b.groupBy("event_type")
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("nb"))
+    b.join(broadcast(t), Seq("event_type"))
+      .filter(col("c") * col("nb") * den > col("total") * num)
+      .select(col("event_type"), (col("w") * windowMs).as("window_start_ms"),
+        col("c").as("n_events"),
+        expr("(1000000 * c * nb) div total").as("ratio_ppm"))
+      .orderBy("event_type", "window_start_ms")
   }
 
   /** Exact interpolated quantiles per event type (Spark `percentile`

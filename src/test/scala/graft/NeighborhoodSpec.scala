@@ -110,6 +110,31 @@ class NeighborhoodSpec extends AnyFunSuite {
     assert(r(2L) == (17L * 150000L) / 20L)
   }
 
+  test("adamicAdar: rare shared callees outscore hubs, adjacent pairs excluded") {
+    // 1 and 2 share {10, 11}; 3 and 4 share {12, 13}. 10/11 have
+    // in-degree 2 (weight ⌊1e6/ln 2+0.5⌋ = 1442695); 12/13 gain two
+    // extra callers (5, 6 — in-degree 4, weight ⌊1e6/ln 4+0.5⌋ =
+    // 721348), so (1,2) must outrank (3,4). 1→2 edge added: were the
+    // pair not excluded, (1,2) would still appear — assert it doesn't.
+    val g = edges(
+      1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 11L, 1L -> 2L,
+      3L -> 12L, 3L -> 13L, 4L -> 12L, 4L -> 13L,
+      5L -> 12L, 5L -> 13L, 6L -> 12L, 6L -> 13L)
+    val r = Neighborhood.adamicAdar(g, hubCap = 100, minShared = 2, topK = 100)
+      .collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getAs[Long]("score_ppm"))).toMap
+    assert(!r.contains((1L, 2L)), s"adjacent pair not excluded: $r")
+    // the {3,4,5,6} clique over {12,13}: C(4,2)=6 pairs at 2·721348
+    assert(r((3L, 4L)) == 2L * 721348L)
+    assert(r.size == 6)
+  }
+
+  test("adamicAdar: a hub callee above the cap contributes nothing") {
+    // 1 and 2 share only hub 99 (in-degree 3 > cap 2) → no pairs.
+    val g = edges(1L -> 99L, 2L -> 99L, 3L -> 99L)
+    assert(Neighborhood.adamicAdar(g, hubCap = 2, minShared = 1).count() == 0)
+  }
+
   test("personalizedPageRank differs from global pageRank on the same graph") {
     val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 3L)
     val global = Ranking.pageRank(g).collect()

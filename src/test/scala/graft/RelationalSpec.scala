@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, timestamp_millis}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Relational
+
+/** Unit semantics for relational operators not fully pinned by their
+  * oracle gates — currently the RFM histogram-quartile scoring.
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  test("customerRfm: histogram quartiles score 1..4, ties stay with the crossing bin") {
+    import spark.implicits._
+    // four customers with strictly increasing recency/frequency/spend:
+    // one order each day 1..4 for recency; 1..4 orders for frequency;
+    // $10/$20/$30/$40 totals. Quartile cuts land on bins 1,2,3 →
+    // scores are exactly 1,2,3,4 in every dimension.
+    val rows = for {
+      c <- 1L to 4L
+      k <- 1L to c
+    } yield (c * 100 + k, c, c * 86400000L, c * 10.0)
+    val orders = rows
+      .toDF("o_orderkey", "o_custkey", "ms", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_millis(col("ms"))).drop("ms")
+    val r = Relational.customerRfm(orders)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getAs[Long]("r_score"),
+        x.getAs[Long]("f_score"), x.getAs[Long]("m_score"),
+        x.getAs[Long]("rfm")))).toMap
+    assert(r(1L) == ((1L, 1L, 1L, 111L)))
+    assert(r(2L) == ((2L, 2L, 2L, 222L)))
+    assert(r(3L) == ((3L, 3L, 3L, 333L)))
+    assert(r(4L) == ((4L, 4L, 4L, 444L)))
+    // monetary is lifetime cents: customer 4 placed 4 × $40 orders
+    val m = Relational.customerRfm(orders).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("m_cents")).toMap
+    assert(m(4L) == 16000L)
+  }
+
+  test("customerRfm: identical customers all land in the bottom quartile bin") {
+    import spark.implicits._
+    val orders = (1L to 8L).map(c => (c, c, 86400000L, 25.0))
+      .toDF("o_orderkey", "o_custkey", "ms", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_millis(col("ms"))).drop("ms")
+    val r = Relational.customerRfm(orders).collect()
+      .map(x => x.getAs[Long]("rfm")).toSet
+    // every metric histogram is one bin → every cut is that bin →
+    // nobody is strictly above any cut → uniform score 111
+    assert(r == Set(111L))
+  }
+}

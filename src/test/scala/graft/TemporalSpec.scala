@@ -153,6 +153,39 @@ class TemporalSpec extends AnyFunSuite {
     assert(r(2L) == ((3L, 0.0)), s"single-type: ${r(2L)}")
   }
 
+  test("last-touch attribution: strictly-prior click wins, none before first purchase") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_millis
+    // user 1: purchase@100 (no prior click → -1), click@200, click@300,
+    // purchase@400 (attributed to click 3, gap 100); user 2: click@50
+    // and purchase@50 with click id < purchase id → simultaneous click
+    // sorts first and attributes, gap 0.
+    val ev = Seq(
+      (1L, 1L, "purchase", 100L), (2L, 1L, "click", 200L),
+      (3L, 1L, "click", 300L), (4L, 1L, "purchase", 400L),
+      (5L, 2L, "click", 50L), (6L, 2L, "purchase", 50L))
+      .toDF("event_id", "user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val r = queries.TemporalOps.lastTouch(ev)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(1L -> ((-1L, -1L)), 4L -> ((3L, 100L)), 6L -> ((5L, 0L))))
+  }
+
+  test("burst windows: only buckets above 2x the occupied-bucket mean flag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_millis
+    // type x: buckets 0,1,2 with counts 1,1,7 → mean 3, burst = bucket 2
+    // (ratio 7/3 → 2333333 ppm); type y: uniform 2,2 → none.
+    val ms = Seq.fill(1)(0L) ++ Seq.fill(1)(3600000L) ++ Seq.fill(7)(7200000L)
+    val ev = (ms.map(("x", _)) ++ Seq(("y", 0L), ("y", 0L), ("y", 3600000L), ("y", 3600000L)))
+      .toDF("event_type", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val r = queries.TemporalOps.burstWindows(ev).collect()
+    assert(r.length == 1)
+    assert((r(0).getString(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) ==
+      (("x", 7200000L, 7L, 2333333L)))
+  }
+
   test("transition matrix: consecutive pairs per user, ppm row-normalized, ties by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}
