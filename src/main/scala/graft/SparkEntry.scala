@@ -119,7 +119,9 @@ object SparkEntry {
     "graph_motifs" -> ((s, d) => GraphQueries.graphMotifs(s, d)),
     "graph_cosupply" -> ((s, d) => GraphQueries.coSupply(s, d)),
     "graph_adamic" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
+    "graph_ktruss" -> ((s, d) => GraphQueries.graphKTruss(s, d)),
     "customer_rfm" -> ((s, d) => Relational.customerRfm(Tables.orders(s, d))),
+    "basket_lift" -> ((s, d) => Relational.basketLift(Tables.lineitem(s, d))),
     "graph_temporal" -> ((s, d) => GraphQueries.graphTemporal(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
@@ -1105,6 +1107,58 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM k k1 JOIN k k2 ON k1.item = k2.item AND k1.entity < k2.entity
         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    // 4-truss: 6 unrolled peel rounds (support = common-neighbor
+    // count, edges below k−2=2 dropped), then the final supports over
+    // the surviving set. Peeling is monotone, so fixpoint rounds are
+    // no-ops and early Spark convergence equals the full unroll.
+    "graph_ktruss" -> {
+      val rounds = (0 until 6).map { r =>
+        s"""sym$r AS MATERIALIZED (
+           |  SELECT a AS u, b AS v FROM und$r UNION ALL SELECT b, a FROM und$r),
+           |sup$r AS MATERIALIZED (
+           |  SELECT u.a, u.b, COUNT(*) AS s FROM und$r u
+           |  JOIN sym$r x ON x.u = u.a
+           |  JOIN sym$r y ON y.u = u.b AND y.v = x.v
+           |  GROUP BY 1, 2),
+           |und${r + 1} AS MATERIALIZED (SELECT a, b FROM sup$r WHERE s >= 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $E,
+         |und0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |$rounds,
+         |symf AS (SELECT a AS u, b AS v FROM und6 UNION ALL SELECT b, a FROM und6)
+         |-- LEFT joins + COUNT(y.v): a surviving edge with no common
+         |-- neighbor reports support 0 (Spark's empty array_intersect),
+         |-- it does not vanish from the output
+         |SELECT u.a, u.b, CAST(COUNT(y.v) AS BIGINT) AS support
+         |FROM und6 u
+         |LEFT JOIN symf x ON x.u = u.a
+         |LEFT JOIN symf y ON y.u = u.b AND y.v = x.v
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+    },
+    // Market-basket lift in exact ppm; parts in > 30 orders never
+    // enter the pair join (the cosupply frequent-item cap).
+    "basket_lift" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM sp),
+        |keep AS (SELECT part, COUNT(*) AS n_part FROM sp GROUP BY 1
+        |         HAVING COUNT(*) <= 30),
+        |k AS (SELECT sp.okey, sp.part, keep.n_part
+        |      FROM sp JOIN keep USING (part)),
+        |p AS (
+        |  SELECT x.part AS part_a, y.part AS part_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ab,
+        |         CAST(MAX(x.n_part) AS BIGINT) AS n_a,
+        |         CAST(MAX(y.n_part) AS BIGINT) AS n_b
+        |  FROM k x JOIN k y ON x.okey = y.okey AND x.part < y.part
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT part_a, part_b, n_a, n_b, n_ab,
+        |       CAST((1000000 * n_ab * n.n_orders) // (n_a * n_b) AS BIGINT)
+        |         AS lift_ppm
+        |FROM p, n ORDER BY part_a, part_b""".stripMargin,
     // Adamic-Adar: each shared callee's weight is the ppm fixed point
     // ⌊10⁶/ln(indeg)+0.5⌋ floored ONCE per callee; scores are exact
     // integer sums after that, so the top-100 cut (score desc, fn_a,

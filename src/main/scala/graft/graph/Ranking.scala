@@ -143,6 +143,58 @@ object Ranking {
       .orderBy("node")
   }
 
+  /** C27 k-truss backbone: the subgraph where every edge sits in ≥
+    * k−2 triangles — the community-core generalization of k-core
+    * (every k-truss edge is in the (k−1)-core, but trussness demands
+    * cohesion, not just degree). Bounded peel like [[kCoreBounded]]:
+    * each round recomputes per-edge support as |N(a) ∩ N(b)| over
+    * sorted distinct-neighbor arrays (the [[triangleCount]] edge-
+    * iterator shape — one edge⋈adjacency join and a codegen
+    * array_intersect, never a wedge-enumeration shuffle), drops edges
+    * below k−2, and early-exits on an unchanged edge count (peeling
+    * only removes edges, so a fixpoint round is a no-op and the
+    * result equals the oracle's full unrolled budget). Support is
+    * recomputed once on the final edge set so the reported values are
+    * exactly the fixpoint supports. At 100 TB the adjacency arrays
+    * are bounded by the max post-peel degree; a pre-peel k-core pass
+    * (cheaper, degree-only) is the standard volume reducer before the
+    * first support round.
+    */
+  def kTrussBounded(edges: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame = {
+    var und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def supports(u: DataFrame): DataFrame = {
+      val sym = u.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(u.select(col("b").as("u"), col("a").as("v")))
+      val adj = sym.groupBy("u").agg(sort_array(collect_set(col("v"))).as("nbrs"))
+      u.join(adj.select(col("u").as("a"), col("nbrs").as("na")), Seq("a"))
+        .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
+    }
+    var prev = und.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      und = supports(und).filter(col("support") >= k - 2)
+        .select("a", "b").localCheckpoint(true)
+      val n = und.count()
+      converged = n == prev
+      prev = n
+      round += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kTrussBounded: round budget $rounds exhausted before the peel " +
+          "settled; surviving supports may still exceed the threshold " +
+          "only transiently — raise `rounds` for deep peel cascades")
+    supports(und).orderBy("a", "b")
+  }
+
   /** Triangle count via degree-ordered orientation (the standard
     * MapReduce-era trick): orient every undirected edge from the
     * (degree, id)-smaller endpoint to the larger, so each triangle is

@@ -192,6 +192,29 @@ object Similarity {
     cents
   }
 
+  /** Corpus topic-clustering summary: train the integer k-means
+    * coarse quantizer ([[kmeansCentroids]] — the sim_ivf contract)
+    * and report per-cluster population and mean squared distance
+    * (the inertia profile that sizes a topic-balanced sampling pass
+    * or flags a degenerate clustering). Assignment is the broadcast
+    * centroidRanks pass; the only shuffle after it is one narrow
+    * cid-keyed agg. The squared-distance sum rides DECIMAL(38,0)
+    * (quantized dists reach ~2.6e14 per vector, so a corpus-scale
+    * long sum would wrap — the HITS widening lesson); the reported
+    * mean is back in safe long range.
+    */
+  def clusterSummary(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val v = withNorm(emb)
+    val cents = kmeansCentroids(emb, k, iters)
+    centroidRanks(v, cents).filter(col("crank") === 1)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist").cast("decimal(38,0)")).as("_sd"))
+      .select(col("cid"), col("n_vecs"),
+        expr("CAST(_sd div n_vecs AS BIGINT)").as("avg_dist"))
+      .orderBy("cid")
+  }
+
   /** D7b IVF ANN: vectors live in their nearest-centroid list
     * (crank=1); queries probe their `nProbe` nearest lists and rerank
     * exactly within them. Centroids come from [[kmeansCentroids]]

@@ -208,6 +208,12 @@ object GraphQueries {
   def graphKCore(s: SparkSession, d: String): DataFrame =
     Ranking.kCoreBounded(callEdges(s, d))
 
+  /** C27 4-truss backbone: edges in ≥2 triangles after the peel
+    * cascade settles (Ranking.kTrussBounded) — the cohesive cores
+    * sharper than k-core's degree cut. */
+  def graphKTruss(s: SparkSession, d: String): DataFrame =
+    Ranking.kTrussBounded(callEdges(s, d), k = 4, rounds = 6)
+
   /** C10 multi-source weighted shortest paths: cheapest ≤4-hop call
     * cost from the entry set to every reachable function (bounded
     * Bellman-Ford, Traversal.shortestPaths — integer offsets as

@@ -172,7 +172,11 @@ object PipelineEntries {
       TemporalOps.burstWindows(graft.streaming.EventStreams.events(s, d))),
     "events_entropy" -> ((s, d) =>
       TemporalOps.typeEntropy(graft.streaming.EventStreams.events(s, d))),
-    "text_oov" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d)))
+    "text_oov" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
+    "embed_cluster" -> ((s, d) =>
+      Similarity.clusterSummary(Tables.embeddings(s, d))),
+    "events_session_stats" -> ((s, d) =>
+      TemporalOps.sessionStats(graft.streaming.EventStreams.events(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -971,6 +975,29 @@ object PipelineEntries {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin
     },
+    // Cluster summary: the sim_ivf/dedup_semantic training replay +
+    // final assignment keeping the chosen distance; the per-cluster
+    // distance sum rides HUGEINT (Spark widens via DECIMAL(38,0)),
+    // the reported mean is back in long range.
+    "embed_cluster" -> {
+      val (km, cents) = kmeansCtes(k = 16, iters = 2)
+      s"""WITH $EX,
+         |$EXQ,
+         |$km,
+         |asg_d AS (
+         |  SELECT e.vec_id, c.cid,
+         |         CAST(SUM((e.qx - c.cx) * (e.qx - c.cx)) AS BIGINT) AS dist
+         |  FROM exq e JOIN $cents c ON e.i = c.i GROUP BY 1, 2),
+         |asg AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY dist, cid) AS rn
+         |    FROM asg_d) t WHERE rn = 1)
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(dist) // COUNT(*) AS BIGINT) AS avg_dist
+         |FROM asg GROUP BY 1 ORDER BY cid""".stripMargin
+    },
     // SemDeDup: the sim_ivf training replay (same kmeansCtes chain)
     // + final assignment + IN-CLUSTER pairwise integer cosines; a
     // dropped vector keeps its smallest qualifying anchor
@@ -1695,6 +1722,33 @@ object PipelineEntries {
         |       MIN(CASE WHEN cum * 10 >= n * 9 THEN (bin + 1) * 100 END) AS p90_up_cents,
         |       MIN(CASE WHEN cum * 100 >= n * 99 THEN (bin + 1) * 100 END) AS p99_up_cents
         |FROM cw GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Per-user session stats over the sessionize gap-break CTE kept
+    // in epoch-ms; avg duration is exact integer floor division.
+    "events_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, epoch_ms(ts) AS ms,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  -- session-id cum-sum ordered by FULL-precision ts (not the
+        |  -- floored ms): a sub-ms tie must not reorder a brk=1 row
+        |  SELECT user_id, ms,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session_id
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_ev,
+        |         MAX(ms) - MIN(ms) AS dur_ms
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(n_ev) AS BIGINT) AS total_events,
+        |       CAST(MAX(n_ev) AS BIGINT) AS max_events,
+        |       CAST(SUM(dur_ms) // COUNT(*) AS BIGINT) AS avg_dur_ms
+        |FROM per GROUP BY 1 ORDER BY user_id""".stripMargin,
     // Last-touch attribution: last-ignoring-nulls over the strictly-
     // prior ROWS frame in (ms, event_id) order; -1 = unattributed.
     "events_attribution" ->

@@ -677,6 +677,40 @@ object Relational {
         col("rev_cents"), col("n_rows"))
       .orderBy("returnflag", "linestatus")
 
+  /** Market-basket lift: part pairs co-occurring in the same order,
+    * scored by lift = P(a,b)/(P(a)·P(b)) as the exact integer ppm
+    * ⌊10⁶·n_ab·N / (n_a·n_b)⌋ — every count a long, one integer
+    * division, no float anywhere. The [[graft.graph.Ranking]] co-
+    * occurrence discipline applies: parts in more than `hubCap`
+    * orders are dropped BEFORE the pair join (a part in every basket
+    * contributes C(n,2) candidate pairs and zero signal), bounding
+    * the self-join at hubCap·|parts| rows; `minPairs` then cuts the
+    * long noise tail. N (distinct orders) is a 1-row broadcast
+    * crossJoin. Scale: the pair join keys on the order, so baskets
+    * co-partition; nothing global but the 1-row count.
+    */
+  def basketLift(lineitem: DataFrame, hubCap: Int = 30,
+      minPairs: Int = 2): DataFrame = {
+    val sp = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint(true)
+    val n = sp.select(countDistinct(col("okey")).as("n_orders"))
+    val keep = sp.groupBy("part").agg(count(lit(1)).as("n_part"))
+      .filter(col("n_part") <= hubCap)
+    val k = sp.join(keep, Seq("part"))
+    val pairs = k.as("x").join(k.as("y"),
+        col("x.okey") === col("y.okey") && col("x.part") < col("y.part"))
+      .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"),
+        max(col("x.n_part")).as("n_a"), max(col("y.n_part")).as("n_b"))
+      .filter(col("n_ab") >= minPairs)
+    pairs.crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("n_a"), col("n_b"), col("n_ab"),
+        expr("(1000000 * n_ab * n_orders) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy("part_a", "part_b")
+  }
+
   /** RFM customer segmentation (recency / frequency / monetary
     * quartiles) — the classic customer-value cube, built WITHOUT a
     * global-order window: a global `ntile(4)` sorts every customer in

@@ -395,6 +395,37 @@ object TemporalOps {
       .orderBy("event_type", "window_start_ms")
   }
 
+  /** Per-user session statistics: the [[EventStreams.sessionize]]
+    * gap-break construction (same window, same 30-min default) kept
+    * in epoch-ms and re-aggregated per user — how many sessions, how
+    * long on average (integer-ms floor division), and the largest /
+    * total event counts. Two shuffles, both user-keyed: the session
+    * window sort, then the two-level agg. Every output is an exact
+    * long; single-event sessions contribute duration 0, not NULL.
+    */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"))
+    val gapMs = gapMinutes * 60L * 1000L
+    val sess = events
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_ev"), (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+    sess.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("total_events"),
+        max(col("n_ev")).as("max_events"),
+        sum(col("dur_ms")).as("_sd"))
+      .select(col("user_id"), col("n_sessions"), col("total_events"),
+        col("max_events"), expr("_sd div n_sessions").as("avg_dur_ms"))
+      .orderBy("user_id")
+  }
+
   /** Exact interpolated quantiles per event type (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). The approx scale path is
     * `approx_percentile` — same call shape, sketch-based. */

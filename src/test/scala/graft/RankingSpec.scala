@@ -289,4 +289,23 @@ class RankingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(again("large") == kept && again("small") == 2L)
   }
+
+  test("kTruss: K4 survives with support 2, a triangle+tail peels away at k=4") {
+    // K4: every edge in exactly 2 triangles → the whole clique is the
+    // 4-truss. A lone triangle (support 1 each) peels in round 1, and
+    // its tail edge (support 0) with it.
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L))
+    val r = Ranking.kTrussBounded(g, k = 4, rounds = 6).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(r.values.toSet == Set(2L))
+  }
+
+  test("kTruss: k=3 keeps any triangle edge, drops bridges") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L), (9L, 8L))
+    val r = Ranking.kTrussBounded(g, k = 3, rounds = 6).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }

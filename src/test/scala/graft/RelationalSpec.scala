@@ -40,6 +40,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(m(4L) == 16000L)
   }
 
+  test("basketLift: co-ordered pair lifts, hub parts capped out") {
+    import spark.implicits._
+    // 4 orders; parts 1,2 always together (n_ab=2 of 2 each → lift
+    // = 2·4/(2·2) = 2.0 → 2_000_000 ppm); part 99 in ALL orders with
+    // hubCap=3 < 4 → excluded entirely.
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 99L),
+      (2L, 1L), (2L, 2L), (2L, 99L),
+      (3L, 3L), (3L, 99L), (4L, 3L), (4L, 99L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Relational.basketLift(li, hubCap = 3, minPairs = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r == Map((1L, 2L) -> ((2L, 2L, 2L, 2000000L))))
+  }
+
   test("customerRfm: identical customers all land in the bottom quartile bin") {
     import spark.implicits._
     val orders = (1L to 8L).map(c => (c, c, 86400000L, 25.0))

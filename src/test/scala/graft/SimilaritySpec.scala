@@ -340,4 +340,23 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(again == p)
   }
+
+  test("clusterSummary: two tight groups split cleanly, every vector counted") {
+    import spark.implicits._
+    // seeds are vec_id 0 (x-axis) and 1 (y-axis); 2,4 join 0 and 3,5
+    // join 1 — sizes 3/3, and the within-group spread is tiny next to
+    // the cross-group distance.
+    val d = Seq(
+      0L -> Seq(1.00f, 0.00f), 2L -> Seq(0.98f, 0.02f), 4L -> Seq(0.99f, 0.01f),
+      1L -> Seq(0.00f, 1.00f), 3L -> Seq(0.02f, 0.98f), 5L -> Seq(0.01f, 0.99f))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.clusterSummary(d, k = 2, iters = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet == Set(0L, 1L))
+    assert(r.values.map(_._1).sum == 6L)
+    assert(r(0L)._1 == 3L && r(1L)._1 == 3L)
+    // centroid ≈ group mean → avg squared quantized dist well under
+    // one cross-group hop (~2e12); within-group it's ~1e8-scale
+    assert(r.values.forall(_._2 < 1000000000L), s"inertia too large: $r")
+  }
 }

@@ -186,6 +186,21 @@ class TemporalSpec extends AnyFunSuite {
       (("x", 7200000L, 7L, 2333333L)))
   }
 
+  test("session stats: gap break splits sessions, durations floor-averaged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_millis
+    // user 1: events at 0, 10min, 51min → sessions {0,10min} (dur
+    // 600000) and {51min} (dur 0) → avg = 300000; user 2: one event.
+    val ev = Seq((1L, 0L), (1L, 600000L), (1L, 3060000L), (2L, 0L))
+      .toDF("user_id", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val r = queries.TemporalOps.sessionStats(ev).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    assert(r(1L) == ((2L, 3L, 2L, 300000L)))
+    assert(r(2L) == ((1L, 1L, 1L, 0L)))
+  }
+
   test("transition matrix: consecutive pairs per user, ppm row-normalized, ties by event_id") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}
