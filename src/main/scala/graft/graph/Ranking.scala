@@ -179,20 +179,28 @@ object Ranking {
     var prev = und.count()
     var round = 0
     var converged = false
+    var lastSup = und.limit(0).withColumn("support", lit(0L))
     while (round < rounds && !converged) {
-      und = supports(und).filter(col("support") >= k - 2)
-        .select("a", "b").localCheckpoint(true)
+      lastSup = supports(und).filter(col("support") >= k - 2)
+        .localCheckpoint(true)
+      und = lastSup.select("a", "b")
       val n = und.count()
       converged = n == prev
       prev = n
       round += 1
     }
-    if (!converged)
+    if (!converged) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"kTrussBounded: round budget $rounds exhausted before the peel " +
           "settled; surviving supports may still exceed the threshold " +
           "only transiently — raise `rounds` for deep peel cascades")
-    supports(und).orderBy("a", "b")
+      // non-fixpoint exit: supports must be re-measured on the final set
+      return supports(und).orderBy("a", "b")
+    }
+    // at the fixpoint the last filter removed nothing, so the kept
+    // frame IS the final edge set with its final supports — returning
+    // it saves a whole support pass (the most expensive step)
+    lastSup.orderBy("a", "b")
   }
 
   /** Triangle count via degree-ordered orientation (the standard
