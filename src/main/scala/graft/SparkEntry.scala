@@ -120,8 +120,10 @@ object SparkEntry {
     "graph_cosupply" -> ((s, d) => GraphQueries.coSupply(s, d)),
     "graph_adamic" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
     "graph_ktruss" -> ((s, d) => GraphQueries.graphKTruss(s, d)),
+    "graph_weakties" -> ((s, d) => GraphQueries.graphWeakTies(s, d)),
     "customer_rfm" -> ((s, d) => Relational.customerRfm(Tables.orders(s, d))),
     "basket_lift" -> ((s, d) => Relational.basketLift(Tables.lineitem(s, d))),
+    "q_yoy" -> ((s, d) => Relational.monthlyYoy(Tables.orders(s, d))),
     "graph_temporal" -> ((s, d) => GraphQueries.graphTemporal(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
@@ -1138,6 +1140,42 @@ object SparkEntry {
          |LEFT JOIN symf y ON y.u = u.b AND y.v = x.v
          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
     },
+    // Weak ties: per-node count of support-0 (local-bridge) edges;
+    // the support subquery mirrors the ktruss final LEFT-JOIN form.
+    "graph_weakties" ->
+      s"""WITH $E,
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        |sup AS MATERIALIZED (
+        |  SELECT u.a, u.b, COUNT(y.v) AS s
+        |  FROM und u
+        |  LEFT JOIN sym x ON x.u = u.a
+        |  LEFT JOIN sym y ON y.u = u.b AND y.v = x.v
+        |  GROUP BY 1, 2),
+        |ends AS (
+        |  SELECT a AS node, s FROM sup UNION ALL SELECT b, s FROM sup)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |       CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_weak,
+        |       CAST((1000000 * SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END))
+        |         // COUNT(*) AS BIGINT) AS weak_ppm
+        |FROM ends GROUP BY 1 ORDER BY node""".stripMargin,
+    // Monthly seasonality: integer ym key, YoY via self equi-join on
+    // ym−100; -1 sentinels for missing prior-year months.
+    "q_yoy" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT m.ym, m.n_orders, m.rev_cents,
+        |       COALESCE(p.rev_cents, -1) AS prev_rev_cents,
+        |       COALESCE(CAST((1000000 * m.rev_cents) // p.rev_cents AS BIGINT),
+        |                -1) AS yoy_ppm
+        |FROM m LEFT JOIN m p ON m.ym = p.ym + 100
+        |ORDER BY m.ym""".stripMargin,
     // Market-basket lift in exact ppm; parts in > 30 orders never
     // enter the pair join (the cosupply frequent-item cap).
     "basket_lift" ->

@@ -160,6 +160,45 @@ object Ranking {
     * (cheaper, degree-only) is the standard volume reducer before the
     * first support round.
     */
+  /** Per-edge triangle support |N(a) ∩ N(b)| over an undirected
+    * (a < b) edge frame — the [[triangleCount]] edge-iterator shape:
+    * one adjacency-array build, one edge⋈adjacency join, a codegen
+    * array_intersect per edge. Shared by [[kTrussBounded]] and
+    * [[weakTies]]. */
+  private[graph] def edgeSupports(u: DataFrame): DataFrame = {
+    val sym = u.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(u.select(col("b").as("u"), col("a").as("v")))
+    val adj = sym.groupBy("u").agg(sort_array(collect_set(col("v"))).as("nbrs"))
+    u.join(adj.select(col("u").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
+  }
+
+  /** Granovetter weak-tie profile: per node, how many of its edges are
+    * LOCAL BRIDGES (zero common neighbors — ties whose removal
+    * lengthens every path between communities) vs embedded ties. One
+    * [[edgeSupports]] pass + one symmetric endpoint aggregation; the
+    * ratio is exact integer ppm. The information-flow complement to
+    * [[clusteringCoefficient]]: high weak-tie nodes are the brokers.
+    */
+  def weakTies(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val sup = edgeSupports(und).localCheckpoint(true)
+    val ends = sup.select(col("a").as("node"), col("support"))
+      .unionByName(sup.select(col("b").as("node"), col("support")))
+    ends.groupBy("node")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("support") === 0L, 1L).otherwise(0L)).as("n_weak"))
+      .select(col("node"), col("n_edges"), col("n_weak"),
+        expr("(1000000 * n_weak) div n_edges").as("weak_ppm"))
+      .orderBy("node")
+  }
+
   def kTrussBounded(edges: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame = {
     var und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
@@ -167,15 +206,7 @@ object Ranking {
       .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
       .distinct()
       .localCheckpoint(true)
-    def supports(u: DataFrame): DataFrame = {
-      val sym = u.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(u.select(col("b").as("u"), col("a").as("v")))
-      val adj = sym.groupBy("u").agg(sort_array(collect_set(col("v"))).as("nbrs"))
-      u.join(adj.select(col("u").as("a"), col("nbrs").as("na")), Seq("a"))
-        .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), Seq("b"))
-        .select(col("a"), col("b"),
-          size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
-    }
+    def supports(u: DataFrame): DataFrame = edgeSupports(u)
     var prev = und.count()
     var round = 0
     var converged = false

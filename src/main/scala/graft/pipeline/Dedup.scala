@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.functions.TextOps.P
 
+import org.apache.spark.sql.Column
+
 /** Deduplication operators for large-scale training-data pipelines
   * (SURVEY.md §2 D1–D4).
   *
@@ -206,6 +208,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Containment join — the ASYMMETRIC near-dup detector: pairs where
+    * one doc's shingle set is ≥ `tauNum/tauDen` inside the other's
+    * (quoted inclusion, boilerplate wrapping, excerpt pages — the
+    * cases Jaccard structurally misses because a small doc inside a
+    * big one has tiny |∩|/|∪|). The Jaccard prefix filter can't
+    * generate these candidates either (it bounds the UNION), so
+    * candidates come from shared RARE shingles: only shingles with
+    * df ≤ `dfCap` propose pairs — a quoted span of ≥ 3 tokens always
+    * carries rare shingles unless the quote is pure boilerplate, and
+    * the cap bounds the self-join at dfCap·|shingles| exactly like
+    * the minhash band and cosupply frequent-item caps. Verification
+    * is the Vernica-style sorted-array intersect; both containments
+    * ride the exact integer inequality den·|∩| ≥ num·min(|A|,|B|),
+    * ratios are floor-form 4dp.
+    */
+  private def rnd(c: Column, s: Int): Column = graft.functions.Rounding.rnd(c, s)
+
+  def containmentJoin(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5,
+      dfCap: Int = 20): DataFrame = {
+    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("sh"),
+      Seq("sh"), "left_semi")
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val arrs = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("arr"),
+        count(lit(1)).as("n_sh"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .filter(col("inter") * tauDen >= least(col("na"), col("nb")) * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"),
+        rnd(col("inter") / col("na"), 4).as("cont_a"),
+        rnd(col("inter") / col("nb"), 4).as("cont_b"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -297,6 +297,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source domain drift: KL(source ‖ corpus) over the unigram
+    * distributions — the mixture-health number that flags a source
+    * whose token distribution has diverged from the pool it feeds
+    * (crawl rot, template floods). KL = Σ_t (c_st/n_s)·ln((c_st·n)/
+    * (n_s·c_t)) with every count an exact long; the float surface is
+    * the entropy-style contract: the weighted log sum rounds
+    * at 4dp, the final per-token division floor-rounds at 4dp. Two
+    * narrow aggs ((source, token) then token/corpus) and a broadcast
+    * of the vocab-sized frames — nothing scales with the corpus but
+    * the first count.
+    */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val tf = TextOps.tokensBag(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+    val corpus = tf.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+    val nS = tf.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val n = corpus.agg(sum(col("c_t")).as("n"))
+    tf.join(broadcast(corpus), "token")
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(col("c_st") *
+          (log(col("c_st").cast("double")) + log(col("n").cast("double"))
+            - log(col("n_s").cast("double")) - log(col("c_t").cast("double")))),
+          4).as("_skl"))
+      .select(col("source"), col("n_tokens"),
+        graft.functions.Rounding.rnd(col("_skl") / col("n_tokens"), 4).as("kl"))
+      .orderBy("source")
+  }
+
   /** D22 training-mixture weights: per-source token counts →
     * temperature-scaled sampling weights (the PaLM/LLaMA-style α=0.5
     * mixing that upsamples small high-value sources). The weight base

@@ -214,6 +214,12 @@ object GraphQueries {
   def graphKTruss(s: SparkSession, d: String): DataFrame =
     Ranking.kTrussBounded(callEdges(s, d), k = 4, rounds = 6)
 
+  /** C28 weak-tie (local-bridge) profile per function: which nodes'
+    * call edges mostly cross community boundaries
+    * (Ranking.weakTies). */
+  def graphWeakTies(s: SparkSession, d: String): DataFrame =
+    Ranking.weakTies(callEdges(s, d))
+
   /** C10 multi-source weighted shortest paths: cheapest ≤4-hop call
     * cost from the entry set to every reachable function (bounded
     * Bellman-Ford, Traversal.shortestPaths — integer offsets as

@@ -175,6 +175,9 @@ object PipelineEntries {
     "text_oov" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
     "embed_cluster" -> ((s, d) =>
       Similarity.clusterSummary(Tables.embeddings(s, d))),
+    "text_source_kl" -> ((s, d) => TextAnalysis.sourceKl(Tables.documents(s, d))),
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentJoin(Tables.documents(s, d))),
     "events_session_stats" -> ((s, d) =>
       TemporalOps.sessionStats(graft.streaming.EventStreams.events(s, d)))
   )
@@ -975,6 +978,56 @@ object PipelineEntries {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin
     },
+    // Source-vs-corpus unigram KL: exact counts inside the logs, the
+    // entropy contract's 4dp round on the weighted sum, floor-form
+    // 4dp on the final per-token divide.
+    "text_source_kl" ->
+      s"""WITH $TOK,
+         |tf AS (
+         |  SELECT d.source, t.token, COUNT(*) AS c_st
+         |  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |ct AS (SELECT token, SUM(c_st) AS c_t FROM tf GROUP BY 1),
+         |ns AS (SELECT source, SUM(c_st) AS n_s FROM tf GROUP BY 1),
+         |n AS (SELECT SUM(c_t) AS n FROM ct),
+         |s AS (
+         |  SELECT tf.source, CAST(MAX(ns.n_s) AS BIGINT) AS n_tokens,
+         |         round(SUM(tf.c_st * (ln(CAST(tf.c_st AS DOUBLE))
+         |           + ln(CAST(n.n AS DOUBLE)) - ln(CAST(ns.n_s AS DOUBLE))
+         |           - ln(CAST(ct.c_t AS DOUBLE)))), 4) AS skl
+         |  FROM tf JOIN ct USING (token) JOIN ns USING (source), n
+         |  GROUP BY 1)
+         |SELECT source, n_tokens,
+         |       floor(skl / n_tokens * 10000 + 0.5) / 10000 AS kl
+         |FROM s ORDER BY source""".stripMargin,
+    // Containment join: candidates REPLAY the df-cap rare-shingle
+    // generation (the cap is part of the operator's contract, not a
+    // lossless filter like the Jaccard prefix), then exact intersects
+    // and the integer threshold den·|∩| ≥ num·min(na, nb).
+    "dedup_containment" ->
+      s"""WITH $TOK,
+         |$SH,
+         |shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+         |rare AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) <= 20),
+         |rs AS (SELECT shd.doc_id, shd.sh FROM shd JOIN rare USING (sh)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM rs x JOIN rs y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN shd x ON x.doc_id = c.doc_a
+         |  JOIN shd y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, sa.n_sh AS na, sb.n_sh AS nb,
+         |       CAST(inter AS BIGINT) AS inter,
+         |       floor(inter / sa.n_sh * 10000 + 0.5) / 10000 AS cont_a,
+         |       floor(inter / sb.n_sh * 10000 + 0.5) / 10000 AS cont_b
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter * 5 >= least(sa.n_sh, sb.n_sh) * 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Cluster summary: the sim_ivf/dedup_semantic training replay +
     // final assignment keeping the chosen distance; the per-cluster
     // distance sum rides HUGEINT (Spark widens via DECIMAL(38,0)),

@@ -677,6 +677,32 @@ object Relational {
         col("rev_cents"), col("n_rows"))
       .orderBy("returnflag", "linestatus")
 
+  /** Monthly seasonality with year-over-year growth: one orders scan
+    * → (year·100+month) integer-keyed agg (exact cents), then YoY as
+    * a self equi-join on ym−100 — an integer-key join, NEVER a
+    * 12-step global-order lag window (which would single-partition
+    * the month sequence; the month frame is small today but the
+    * pattern must hold when the group key widens to (region, month)).
+    * Growth is exact ppm of rev/prev_rev; months with no prior-year
+    * twin report -1 (NULL-free gate columns).
+    */
+  def monthlyYoy(orders: DataFrame): DataFrame = {
+    val m = orders
+      .select(expr("cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint)")
+          .as("ym"),
+        centsOf(col("o_totalprice")).as("cents"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      .localCheckpoint(true)
+    m.join(m.select((col("ym") + 100).as("ym"),
+        col("rev_cents").as("prev_rev_cents")), Seq("ym"), "left")
+      .select(col("ym"), col("n_orders"), col("rev_cents"),
+        coalesce(col("prev_rev_cents"), lit(-1L)).as("prev_rev_cents"),
+        coalesce(expr("(1000000 * rev_cents) div prev_rev_cents"), lit(-1L))
+          .as("yoy_ppm"))
+      .orderBy("ym")
+  }
+
   /** Market-basket lift: part pairs co-occurring in the same order,
     * scored by lift = P(a,b)/(P(a)·P(b)) as the exact integer ppm
     * ⌊10⁶·n_ab·N / (n_a·n_b)⌋ — every count a long, one integer

@@ -262,6 +262,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(r("small")._5 > 1.0 && r("big")._5 < 1.0)
   }
 
+  test("containment join finds a quote inside a longer doc that Jaccard misses") {
+    // doc 2 quotes doc 1 verbatim inside 3x the surrounding text:
+    // containment of 1 in 2 is 1.0 while Jaccard is ~0.25 — below any
+    // sane Jaccard dedup cut. doc 3 is unrelated.
+    val quote = "the five boxing wizards jump quickly over the frozen lake tonight"
+    val host = "unrelated preamble text goes here first " + quote +
+      " and then a very long trailing discussion continues with many more words" +
+      " about completely different topics entirely for a while longer still"
+    val d = docs(1L -> quote, 2L -> host, 3L -> "nothing shared with the others at all here")
+    val r = Dedup.containmentJoin(d, tauNum = 4, tauDen = 5, dfCap = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getAs[Double]("cont_a"), x.getAs[Double]("cont_b")))).toMap
+    assert(r.keySet == Set((1L, 2L)))
+    assert(r((1L, 2L))._1 == 1.0) // the quote is fully contained
+    assert(r((1L, 2L))._2 < 0.5)  // the host is not contained in the quote
+  }
+
+  test("source KL: a drifted source scores higher than an on-distribution one") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta alpha beta", "web"),
+      (2L, "alpha beta gamma delta gamma delta", "web"),
+      (3L, "zzz yyy zzz yyy zzz yyy zzz", "spam"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceKl(d).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("spam") > r("web"), s"drifted source must dominate: $r")
+    assert(r.values.forall(_ >= 0.0), s"KL is non-negative: $r")
+  }
+
   test("cosine top-k ranks the aligned vector first") {
     import spark.implicits._
     val emb = Seq(

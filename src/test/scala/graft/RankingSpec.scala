@@ -302,6 +302,17 @@ class RankingSpec extends AnyFunSuite {
     assert(r.values.toSet == Set(2L))
   }
 
+  test("weakTies: bridge edges score, triangle edges don't") {
+    // triangle {1,2,3} + bridge 3-9: node 3 has 3 edges, 1 weak
+    // (333333 ppm); 9 has 1 edge, all weak; 1 and 2 have none.
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L))
+    val r = Ranking.weakTies(g).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(3L) == ((3L, 1L, 333333L)))
+    assert(r(9L) == ((1L, 1L, 1000000L)))
+    assert(r(1L) == ((2L, 0L, 0L)) && r(2L) == ((2L, 0L, 0L)))
+  }
+
   test("kTruss: k=3 keeps any triangle edge, drops bridges") {
     val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L), (9L, 8L))
     val r = Ranking.kTrussBounded(g, k = 3, rounds = 6).collect()

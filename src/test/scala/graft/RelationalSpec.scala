@@ -40,6 +40,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(m(4L) == 16000L)
   }
 
+  test("monthlyYoy: growth joins the prior-year month, -1 where none exists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val orders = Seq(
+      (1L, "1995-03-10", 100.0), (2L, "1995-03-20", 100.0),
+      (3L, "1996-03-05", 300.0), (4L, "1996-07-01", 50.0))
+      .toDF("o_orderkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp($"d")).drop("d")
+    val r = Relational.monthlyYoy(orders).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))).toMap
+    assert(r(199503L) == ((2L, 20000L, -1L, -1L)))
+    // 1996-03 vs 1995-03: 30000/20000 → 1.5x = 1_500_000 ppm
+    assert(r(199603L) == ((1L, 30000L, 20000L, 1500000L)))
+    assert(r(199607L) == ((1L, 5000L, -1L, -1L)))
+  }
+
   test("basketLift: co-ordered pair lifts, hub parts capped out") {
     import spark.implicits._
     // 4 orders; parts 1,2 always together (n_ab=2 of 2 each → lift
