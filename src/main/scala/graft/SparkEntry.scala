@@ -121,9 +121,12 @@ object SparkEntry {
     "graph_adamic" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
     "graph_ktruss" -> ((s, d) => GraphQueries.graphKTruss(s, d)),
     "graph_weakties" -> ((s, d) => GraphQueries.graphWeakTies(s, d)),
+    "graph_coreness" -> ((s, d) => GraphQueries.graphCoreness(s, d)),
     "customer_rfm" -> ((s, d) => Relational.customerRfm(Tables.orders(s, d))),
     "basket_lift" -> ((s, d) => Relational.basketLift(Tables.lineitem(s, d))),
     "q_yoy" -> ((s, d) => Relational.monthlyYoy(Tables.orders(s, d))),
+    "q_pareto" -> ((s, d) =>
+      Relational.revenueConcentration(Tables.orders(s, d))),
     "graph_temporal" -> ((s, d) => GraphQueries.graphTemporal(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
   )
@@ -1140,6 +1143,64 @@ object SparkEntry {
          |LEFT JOIN symf y ON y.u = u.b AND y.v = x.v
          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
     },
+    // Coreness: one unrolled bounded peel chain per k (2..6), nodes
+    // keep the largest k whose chain retains them; edge-owning nodes
+    // outside the 2-core report 1.
+    "graph_coreness" -> {
+      val chains = (2 to 6).map { k =>
+        val rounds = (0 until 8).map { r =>
+          s"""s${r}_$k AS MATERIALIZED (
+             |  SELECT u FROM (SELECT u, COUNT(*) AS deg FROM ed${r}_$k GROUP BY 1)
+             |  WHERE deg >= $k),
+             |ed${r + 1}_$k AS MATERIALIZED (
+             |  SELECT e.u, e.v FROM ed${r}_$k e
+             |  JOIN s${r}_$k x ON e.u = x.u JOIN s${r}_$k y ON e.v = y.u)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"ed0_$k AS (SELECT u, v FROM ed0),\n$rounds"
+      }.mkString(",\n")
+      val union = (2 to 6).map(k =>
+        s"SELECT DISTINCT u AS node, $k AS k FROM ed8_$k").mkString("\n  UNION ALL ")
+      s"""WITH $E,
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |ed0 AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+         |$chains,
+         |cores AS (
+         |  $union),
+         |mx AS (SELECT node, MAX(k) AS coreness FROM cores GROUP BY 1),
+         |nodes AS (SELECT DISTINCT u AS node FROM ed0)
+         |SELECT n.node, CAST(COALESCE(mx.coreness, 1) AS BIGINT) AS coreness
+         |FROM nodes n LEFT JOIN mx ON n.node = mx.node
+         |ORDER BY n.node""".stripMargin
+    },
+    // Revenue concentration: descending $10-bin histogram, first
+    // cum·5 ≥ total·4 crossing from the top; exact longs + exact ppm.
+    "q_pareto" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT cents // 1000 AS bin, COUNT(*) AS nc, SUM(cents) AS rev
+        |  FROM c GROUP BY 1),
+        |cw AS (
+        |  SELECT bin,
+        |         SUM(nc) OVER (ORDER BY bin DESC) AS cum_nc,
+        |         SUM(rev) OVER (ORDER BY bin DESC) AS cum_rev,
+        |         SUM(nc) OVER () AS total_nc,
+        |         SUM(rev) OVER () AS total_rev
+        |  FROM b)
+        |SELECT CAST(cum_nc AS BIGINT) AS n_top,
+        |       CAST(total_nc AS BIGINT) AS n_customers,
+        |       CAST(cum_rev AS BIGINT) AS top_rev_cents,
+        |       CAST(total_rev AS BIGINT) AS rev_cents,
+        |       CAST((1000000 * cum_nc) // total_nc AS BIGINT) AS top_frac_ppm
+        |FROM cw WHERE cum_rev * 5 >= total_rev * 4
+        |ORDER BY bin DESC LIMIT 1""".stripMargin,
     // Weak ties: per-node count of support-0 (local-bridge) edges;
     // the support subquery mirrors the ktruss final LEFT-JOIN form.
     "graph_weakties" ->

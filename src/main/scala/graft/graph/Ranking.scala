@@ -160,6 +160,35 @@ object Ranking {
     * (cheaper, degree-only) is the standard volume reducer before the
     * first support round.
     */
+  /** Full core decomposition up to `maxK`: each node's CORENESS (the
+    * largest k with the node inside the k-core) — the load-bearing
+    * profile a single [[kCoreBounded]] membership bit flattens.
+    * Runs the bounded peel once per k (2..maxK) from the full graph;
+    * nested cores mean the per-k loops shrink fast, and every peel
+    * is the same oracle-replayable bounded cascade. Nodes with an
+    * edge but outside the 2-core report coreness 1. At very large
+    * maxK the right algorithm switches to distributed Montresor-style
+    * h-index iteration; for the bounded profile the repeated peel is
+    * simpler and each round is one degree-filter semi join.
+    */
+  def coreness(edges: DataFrame, maxK: Int = 6, rounds: Int = 8): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val nodes = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node"))).distinct()
+    val cores = (2 to maxK).map { k =>
+      kCoreBounded(edges, k, rounds).select(col("node"), lit(k.toLong).as("k"))
+    }.reduce(_ unionByName _)
+    nodes
+      .join(cores.groupBy("node").agg(max(col("k")).as("coreness")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("coreness"), lit(1L)).as("coreness"))
+      .orderBy("node")
+  }
+
   /** Per-edge triangle support |N(a) ∩ N(b)| over an undirected
     * (a < b) edge frame — the [[triangleCount]] edge-iterator shape:
     * one adjacency-array build, one edge⋈adjacency join, a codegen

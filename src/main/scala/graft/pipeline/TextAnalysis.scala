@@ -297,6 +297,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Zipf fit over the top-`topV` vocabulary: least-squares slope of
+    * ln(freq) on ln(rank) — the corpus-health scalar (natural text
+    * sits near −1; template floods flatten it, spam steepens it).
+    * Ranks come from the deterministic (ctf desc, token) order; the
+    * four regression sums are over ≤ topV terms of ln(exact longs),
+    * each rounded at 6dp (the entropy contract), and the final
+    * slope/intercept are floor-form 4dp — the intercept reuses the
+    * ROUNDED slope so both engines divide identical doubles. The
+    * ranking window runs over the vocab-sized tf frame, never the
+    * corpus.
+    */
+  def zipfFit(docs: DataFrame, topV: Int = 30): DataFrame = {
+    val ctf = TextOps.tokensBag(docs)
+      .groupBy("token").agg(count(lit(1)).as("ctf"))
+    val ranked = ctf
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ctf").desc, col("token"))))
+      .filter(col("rk") <= topV)
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("ctf").cast("double")).as("y"))
+    val s = ranked.agg(count(lit(1)).as("k"),
+      round(sum(col("x")), 6).as("sx"), round(sum(col("y")), 6).as("sy"),
+      round(sum(col("x") * col("y")), 6).as("sxy"),
+      round(sum(col("x") * col("x")), 6).as("sxx"))
+    val rnd = graft.functions.Rounding.rnd _
+    s.withColumn("slope",
+        rnd((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 4))
+      .select(col("k").as("n_tokens"), col("slope"),
+        rnd((col("sy") - col("slope") * col("sx")) / col("k"), 4)
+          .as("intercept"))
+  }
+
   /** Per-source domain drift: KL(source ‖ corpus) over the unigram
     * distributions — the mixture-health number that flags a source
     * whose token distribution has diverged from the pool it feeds

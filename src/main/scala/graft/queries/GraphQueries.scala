@@ -220,6 +220,11 @@ object GraphQueries {
   def graphWeakTies(s: SparkSession, d: String): DataFrame =
     Ranking.weakTies(callEdges(s, d))
 
+  /** C29 full core decomposition (coreness ≤ 6 per function) — the
+    * graph's load-bearing onion layers (Ranking.coreness). */
+  def graphCoreness(s: SparkSession, d: String): DataFrame =
+    Ranking.coreness(callEdges(s, d), maxK = 6, rounds = 8)
+
   /** C10 multi-source weighted shortest paths: cheapest ≤4-hop call
     * cost from the entry set to every reachable function (bounded
     * Bellman-Ford, Traversal.shortestPaths — integer offsets as

@@ -176,6 +176,7 @@ object PipelineEntries {
     "embed_cluster" -> ((s, d) =>
       Similarity.clusterSummary(Tables.embeddings(s, d))),
     "text_source_kl" -> ((s, d) => TextAnalysis.sourceKl(Tables.documents(s, d))),
+    "text_zipf" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentJoin(Tables.documents(s, d))),
     "events_session_stats" -> ((s, d) =>
@@ -978,6 +979,30 @@ object PipelineEntries {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin
     },
+    // Zipf fit: regression sums over ln(exact longs) rounded 6dp,
+    // slope floor-form 4dp, intercept reuses the ROUNDED slope.
+    "text_zipf" ->
+      s"""WITH $TOK,
+         |ctf AS (SELECT token, COUNT(*) AS ctf FROM tok GROUP BY 1),
+         |rk AS (
+         |  SELECT ln(CAST(row_number() OVER (ORDER BY ctf DESC, token)
+         |           AS DOUBLE)) AS x,
+         |         ln(CAST(ctf AS DOUBLE)) AS y
+         |  FROM ctf
+         |  QUALIFY row_number() OVER (ORDER BY ctf DESC, token) <= 30),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |         round(SUM(x), 6) AS sx, round(SUM(y), 6) AS sy,
+         |         round(SUM(x * y), 6) AS sxy, round(SUM(x * x), 6) AS sxx
+         |  FROM rk),
+         |sl AS (
+         |  SELECT k, sx, sy,
+         |         floor((k * sxy - sx * sy) / (k * sxx - sx * sx) * 10000
+         |           + 0.5) / 10000 AS slope
+         |  FROM s)
+         |SELECT k AS n_tokens, slope,
+         |       floor((sy - slope * sx) / k * 10000 + 0.5) / 10000 AS intercept
+         |FROM sl""".stripMargin,
     // Source-vs-corpus unigram KL: exact counts inside the logs, the
     // entropy contract's 4dp round on the weighted sum, floor-form
     // 4dp on the final per-token divide.

@@ -677,6 +677,45 @@ object Relational {
         col("rev_cents"), col("n_rows"))
       .orderBy("returnflag", "linestatus")
 
+  /** Revenue concentration (the Pareto profile): how many top
+    * customers carry ≥ `num/den` of lifetime revenue. The global
+    * sort this classically needs is replaced by the mergeable
+    * histogram ([[customerRfm]]'s move, DESCENDING): bin customers
+    * by revenue ($10 bins), cumulate bin totals from the top, and
+    * report the first crossing of cum·den ≥ total·num — customers
+    * and revenue at the crossing are exact longs, the headcount
+    * fraction is exact ppm. Within-bin resolution (±$10 of revenue
+    * at the cut) is the honest cost of never sorting the corpus.
+    * One orders scan → customer agg → bin agg; the cumulative
+    * window runs over the bin histogram only.
+    */
+  def revenueConcentration(orders: DataFrame, num: Int = 4, den: Int = 5,
+      binCents: Long = 1000L): DataFrame = {
+    val bins = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(centsOf(col("o_totalprice"))).as("cents"))
+      .select(expr(s"cents div $binCents").as("bin"), col("cents"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("nc"), sum(col("cents")).as("rev"))
+    val cum = bins
+      .withColumn("cum_rev", sum(col("rev")).over(
+        Window.orderBy(col("bin").desc)))
+      .withColumn("cum_nc", sum(col("nc")).over(
+        Window.orderBy(col("bin").desc)))
+      .withColumn("total_rev", sum(col("rev")).over(
+        Window.orderBy(col("bin").desc).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("total_nc", sum(col("nc")).over(
+        Window.orderBy(col("bin").desc).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.filter(col("cum_rev") * den >= col("total_rev") * num)
+      .orderBy(col("bin").desc)
+      .limit(1)
+      .select(col("cum_nc").as("n_top"), col("total_nc").as("n_customers"),
+        col("cum_rev").as("top_rev_cents"), col("total_rev").as("rev_cents"),
+        expr("(1000000 * cum_nc) div total_nc").as("top_frac_ppm"))
+  }
+
   /** Monthly seasonality with year-over-year growth: one orders scan
     * → (year·100+month) integer-keyed agg (exact cents), then YoY as
     * a self equi-join on ym−100 — an integer-key join, NEVER a

@@ -302,6 +302,18 @@ class RankingSpec extends AnyFunSuite {
     assert(r.values.toSet == Set(2L))
   }
 
+  test("coreness: K4 nodes report 3, the tail reports 1, a triangle 2") {
+    // K4 (4-clique) = 3-core; a pendant off node 4 is only 1; a
+    // detached triangle is exactly the 2-core.
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L), (20L, 21L), (21L, 22L), (22L, 20L))
+    val r = Ranking.coreness(g, maxK = 6, rounds = 8).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(r(_) == 3L), s"clique coreness: $r")
+    assert(r(9L) == 1L)
+    assert(Seq(20L, 21L, 22L).forall(r(_) == 2L), s"triangle coreness: $r")
+  }
+
   test("weakTies: bridge edges score, triangle edges don't") {
     // triangle {1,2,3} + bridge 3-9: node 3 has 3 edges, 1 weak
     // (333333 ppm); 9 has 1 edge, all weak; 1 and 2 have none.

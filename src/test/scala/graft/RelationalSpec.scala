@@ -40,6 +40,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(m(4L) == 16000L)
   }
 
+  test("revenueConcentration: one whale crosses the 80% cut alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // whale: $900 of $1000 total → the top bin alone crosses 4/5;
+    // 9 minnows at $11.11... wait — $900 + 9×$11.11 ≈ $1000
+    val orders = ((1L, 900.0) +: (2L to 10L).map(c => (c, 11.0)))
+      .zipWithIndex.map { case ((c, p), i) => (i.toLong, c, 0L, p) }
+      .toDF("o_orderkey", "o_custkey", "ms", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_millis(col("ms"))).drop("ms")
+    val r = Relational.revenueConcentration(orders, num = 4, den = 5)
+      .collect()(0)
+    // 90000 cents of 99900 total = 90.1% ≥ 80% — the whale alone
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((1L, 10L, 90000L, 99900L, 100000L)))
+  }
+
   test("monthlyYoy: growth joins the prior-year month, -1 where none exists") {
     import spark.implicits._
     import org.apache.spark.sql.functions.to_timestamp

@@ -324,6 +324,17 @@ class TextSpec extends AnyFunSuite {
     assert(d1.head._3 > 0)
   }
 
+  test("zipf fit: an exact power law recovers its slope") {
+    // freq(rank) = 1000·rank⁻¹ for ranks 1..4 → slope −1, intercept
+    // ln 1000 ≈ 6.9078 (4dp floor-form)
+    val text = Seq("aa" -> 1000, "bb" -> 500, "cc" -> 333, "dd" -> 250)
+      .flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+    val r = TextAnalysis.zipfFit(docs(1L -> text), topV = 4).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 0.01, s"slope: ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 6.9078) < 0.01, s"intercept: ${r.getDouble(2)}")
+  }
+
   test("oov rate: tokens outside the top-V vocab counted in exact ppm") {
     val d = docs(1L -> "a a b", 2L -> "a c")
     // top-1 vocab = {a} (ctf 3); b and c are OOV
