@@ -166,4 +166,25 @@ object Multimodal {
   /** Driver-contract query: decoded metadata, ordered. */
   def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(spark, docs).toDF().orderBy("doc_id")
+
+  /** Per-format corpus profile over the DECODED headers (the ingest
+    * dashboard a multimodal pipeline watches): counts, byte volume,
+    * and integer-floor mean dimensions/rates. Absent fields are the
+    * decoder's −1 sentinel uniformly across a format, so their means
+    * stay exactly −1 — no NULL arithmetic, no conditional schema.
+    * One narrow |formats|-row aggregation after the mapPartitions
+    * decode; at scale this is the same single pass the decode itself
+    * costs. */
+  def mediaStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    decodeMeta(spark, docs).toDF()
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        sum(col("byte_len")).as("total_bytes"),
+        sum(col("width")).as("_sw"), sum(col("height")).as("_sh"),
+        sum(col("sample_rate")).as("_sr"), sum(col("channels")).as("_sc"))
+      .select(col("format"), col("n"), col("total_bytes"),
+        expr("_sw div n").as("avg_width"), expr("_sh div n").as("avg_height"),
+        expr("_sr div n").as("avg_rate"), expr("_sc div n").as("avg_channels"))
+      .orderBy("format")
+  }
 }

@@ -177,6 +177,7 @@ object PipelineEntries {
       Similarity.clusterSummary(Tables.embeddings(s, d))),
     "text_source_kl" -> ((s, d) => TextAnalysis.sourceKl(Tables.documents(s, d))),
     "text_zipf" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
+    "multimodal_stats" -> ((s, d) => Multimodal.mediaStats(s, Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentJoin(Tables.documents(s, d))),
     "events_session_stats" -> ((s, d) =>
@@ -1435,6 +1436,34 @@ object PipelineEntries {
         |                 ELSE 44 + (doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2
         |            END AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Per-format profile over the decoded headers: the meta replay
+    // wrapped in a GROUP BY; absent fields are uniformly −1 per
+    // format so the integer-floor means stay exactly −1.
+    "multimodal_stats" ->
+      """WITH meta AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CASE CAST(doc_id % 3 AS INTEGER)
+        |           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+        |                   ELSE doc_id % 509 + 16 END AS BIGINT) AS width,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+        |                   ELSE (doc_id * 7) % 509 + 16 END AS BIGINT) AS height,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 * (doc_id % 5 + 1)
+        |                   ELSE -1 END AS BIGINT) AS sample_rate,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1
+        |                   ELSE -1 END AS BIGINT) AS channels,
+        |         CAST(CASE WHEN doc_id % 3 = 0 THEN 45
+        |                   WHEN doc_id % 3 = 1 THEN 23
+        |                   ELSE 44 + (doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2
+        |              END AS BIGINT) AS byte_len
+        |  FROM documents)
+        |SELECT format, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+        |       CAST(SUM(width) // COUNT(*) AS BIGINT) AS avg_width,
+        |       CAST(SUM(height) // COUNT(*) AS BIGINT) AS avg_height,
+        |       CAST(SUM(sample_rate) // COUNT(*) AS BIGINT) AS avg_rate,
+        |       CAST(SUM(channels) // COUNT(*) AS BIGINT) AS avg_channels
+        |FROM meta GROUP BY 1 ORDER BY format""".stripMargin,
     // Signed random projection: the weight table is the SAME integer
     // hash both engines compute (k = j·64 + i, i 1-based); every
     // projection is a sum of exact long products — order-free.

@@ -381,13 +381,23 @@ object TemporalOps {
     * broadcast — the same two-shuffle shape at any scale.
     */
   def burstWindows(events: DataFrame, windowMs: Long = 3600000L,
+      num: Int = 2, den: Int = 1): DataFrame =
+    burstFlags(
+      events
+        .select(col("event_type"), expr(s"unix_millis(ts) div $windowMs").as("w"))
+        .groupBy("event_type", "w").agg(count(lit(1)).as("c")),
+      windowMs, num, den)
+
+  /** The flag tail shared VERBATIM by [[burstWindows]] and the
+    * streaming deployment ([[EventStreams.streamingBucketCounts]] →
+    * this, per micro-batch in foreachBatch under complete mode — the
+    * rankWindows pattern, so batch/stream parity cannot drift).
+    * Input: one (event_type, w, c) row per occupied bucket. */
+  def burstFlags(bucketCounts: DataFrame, windowMs: Long = 3600000L,
       num: Int = 2, den: Int = 1): DataFrame = {
-    val b = events
-      .select(col("event_type"), expr(s"unix_millis(ts) div $windowMs").as("w"))
-      .groupBy("event_type", "w").agg(count(lit(1)).as("c"))
-    val t = b.groupBy("event_type")
+    val t = bucketCounts.groupBy("event_type")
       .agg(sum(col("c")).as("total"), count(lit(1)).as("nb"))
-    b.join(broadcast(t), Seq("event_type"))
+    bucketCounts.join(broadcast(t), Seq("event_type"))
       .filter(col("c") * col("nb") * den > col("total") * num)
       .select(col("event_type"), (col("w") * windowMs).as("window_start_ms"),
         col("c").as("n_events"),

@@ -359,6 +359,25 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming bucket counts for the burst detector: watermarked
+    * per-(type, fixed window) counts whose output shape feeds
+    * [[graft.queries.TemporalOps.burstFlags]] unchanged per
+    * micro-batch (complete mode ⇒ the last batch carries full state,
+    * so its flags equal the batch operator's — the
+    * [[streamingHourlyCounts]]/rankWindows deployment shape). */
+  def streamingBucketCounts(s: SparkSession, dir: String,
+      windowMs: Long = 3600000L): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), s"$windowMs milliseconds"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        expr(s"unix_millis(window.start) div $windowMs").as("w"), col("c"))
+  }
+
   /** The enrich+aggregate core shared VERBATIM by the batch entry and
     * the streaming deployment (the rankWindows pattern — one body, two
     * execution modes), so batch/stream parity can't drift apart. No

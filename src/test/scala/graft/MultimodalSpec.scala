@@ -78,4 +78,16 @@ class MultimodalSpec extends AnyFunSuite {
     // all three container formats exercised
     assert(dist.map(_.format).toSet == Set("png", "jpeg", "wav"))
   }
+
+  test("mediaStats: per-format profile, absent fields stay exactly -1") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val r = Multimodal.mediaStats(spark, docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(3), x.getLong(5)))).toMap
+    assert(r.keySet == Set("png", "jpeg", "wav"))
+    assert(r.values.map(_._1).sum == 30L)
+    assert(r("wav")._2 == -1L, "wav has no width")
+    assert(r("png")._3 == -1L && r("jpeg")._3 == -1L, "images have no rate")
+    assert(r("png")._2 > 0L && r("jpeg")._2 > 0L)
+  }
 }

@@ -52,6 +52,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming burst flags (foreachBatch over bucket counts) == batch burstWindows") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.TemporalOps
+      .burstWindows(EventStreams.events(spark, dir))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    var lastFlags: Map[(String, Long), (Long, Long)] = Map.empty
+    val q = EventStreams.streamingBucketCounts(spark, dir)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        lastFlags = graft.queries.TemporalOps.burstFlags(df)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(lastFlags.nonEmpty && lastFlags == batch)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrich == batch enrich") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventStreams.enrichByNation(
