@@ -254,6 +254,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"returnflag filter not pushed:\n$p")
   }
 
+  test("customer_rfm scans orders once: histograms and scoring read the checkpoint") {
+    // the per-customer metric frame is checkpointed, so the three
+    // quartile histograms and the final scoring pass must consume RDD
+    // scans of it — a parquet scan in this plan means orders is being
+    // re-read per histogram (4 fact scans at 100 TB)
+    val p = planOf("customer_rfm")
+    assert(!p.contains("Scan parquet"),
+      s"orders re-scanned instead of reading the checkpointed metrics:\n$p")
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r.findFirstIn(p).isDefined,
+      s"the 1-row cuts frame should broadcast:\n$p")
+  }
+
+  test("q_pareto aggregates orders in a single scan") {
+    val p = planOf("q_pareto")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"the Pareto histogram must come from ONE orders scan:\n$p")
+  }
+
+  test("q_yoy self-join reads the checkpointed month aggregate, not orders twice") {
+    val p = planOf("q_yoy")
+    assert(!p.contains("Scan parquet") &&
+      "Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"YoY join must consume the month aggregate twice, never re-scan orders:\n$p")
+  }
+
   test("graph_neighbor_sim never re-expands hub pairs past the cap (plan sanity)") {
     // the capped edge set must be the input to BOTH the sizes agg and
     // the pair self-join — i.e. the in-degree cap happens before the
