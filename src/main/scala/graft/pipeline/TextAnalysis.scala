@@ -297,6 +297,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Lexical diversity (type-token ratio) per doc: distinct tokens /
+    * token occurrences in exact ppm — the cheap repetition screen
+    * (template floods and keyword stuffing crater it; natural prose
+    * sits in a stable band for a given length). One (doc, token)
+    * count; map-side combine does the heavy lifting. */
+  def typeTokenRatio(docs: DataFrame): DataFrame =
+    TextOps.tokensBag(docs)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_types"), col("n_tokens"),
+        expr("(1000000 * n_types) div n_tokens").as("ttr_ppm"))
+      .orderBy("doc_id")
+
+  /** N-gram novelty: the fraction of a doc's DISTINCT 3-token
+    * shingles that appear in no other document (corpus df = 1) — how
+    * much text this doc contributes that exists nowhere else. The
+    * inverse signal of the dedup family: boilerplate scores ~0,
+    * unique content ~10⁶ ppm. One shingle-df aggregation joined back
+    * to the per-doc distinct shingle frame; exact integer ppm.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("(1000000 * n_unique) div n_shingles").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Zipf fit over the top-`topV` vocabulary: least-squares slope of
     * ln(freq) on ln(rank) — the corpus-health scalar (natural text
     * sits near −1; template floods flatten it, spam steepens it).

@@ -178,6 +178,10 @@ object PipelineEntries {
     "text_source_kl" -> ((s, d) => TextAnalysis.sourceKl(Tables.documents(s, d))),
     "text_zipf" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
     "multimodal_stats" -> ((s, d) => Multimodal.mediaStats(s, Tables.documents(s, d))),
+    "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documents(s, d))),
+    "text_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d))),
+    "events_active" -> ((s, d) =>
+      TemporalOps.activeUsers(graft.streaming.EventStreams.events(s, d))),
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentJoin(Tables.documents(s, d))),
     "events_session_stats" -> ((s, d) =>
@@ -980,6 +984,45 @@ object PipelineEntries {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin
     },
+    // Type-token ratio in exact ppm.
+    "text_ttr" ->
+      s"""WITH $TOK,
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+         |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |       CAST((1000000 * COUNT(*)) // SUM(tf) AS BIGINT) AS ttr_ppm
+         |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // N-gram novelty: distinct shingles with corpus df = 1, exact ppm.
+    "text_novelty" ->
+      s"""WITH $TOK,
+         |$SH,
+         |shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+         |dfq AS (SELECT sh, COUNT(*) AS df FROM shd GROUP BY 1)
+         |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_unique,
+         |       CAST((1000000 * SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END))
+         |         // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM shd s JOIN dfq d USING (sh)
+         |GROUP BY 1 ORDER BY s.doc_id""".stripMargin,
+    // DAU/WAU/stickiness: trailing-7-day distinct via the bounded
+    // contribution explode (day-user rows fan to their 7 target days,
+    // clipped at the last observed day), never a window distinct.
+    "events_active" ->
+      """WITH ad AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM ad),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ad GROUP BY 1),
+        |contrib AS (
+        |  SELECT ad.user_id,
+        |         unnest(range(ad.day, least(ad.day + 7, mx.max_day + 1))) AS day
+        |  FROM ad, mx),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
+        |SELECT CAST(dau.day * 86400000 AS BIGINT) AS day_start_ms,
+        |       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+        |       CAST((1000000 * dau.dau) // wau.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day_start_ms""".stripMargin,
     // Zipf fit: regression sums over ln(exact longs) rounded 6dp,
     // slope floor-form 4dp, intercept reuses the ROUNDED slope.
     "text_zipf" ->

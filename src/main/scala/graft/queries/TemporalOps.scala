@@ -436,6 +436,35 @@ object TemporalOps {
       .orderBy("user_id")
   }
 
+  /** Daily/weekly active users + stickiness: DAU, trailing-7-day WAU,
+    * and DAU/WAU in exact ppm per day. The rolling distinct is NOT a
+    * window-distinct (no per-day set state): each distinct (user,
+    * day) activity row CONTRIBUTES to the 7 target days it keeps a
+    * user active for — a bounded 7× explode on the already-distinct
+    * day-user frame, then one plain (day → distinct user) count.
+    * Contribution days past the last observed day are clipped so
+    * trailing windows never invent future days. Both counts shuffle
+    * on the day key; everything is exact longs.
+    */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ad = events
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val dau = ad.groupBy("day").agg(count(lit(1)).as("dau"))
+    val maxDay = ad.agg(max(col("day")).as("max_day"))
+    val wau = ad.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          least(col("day") + (windowDays - 1), col("max_day")))).as("wd"))
+      .groupBy(col("wd").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select((col("day") * 86400000L).as("day_start_ms"), col("dau"), col("wau"),
+        expr("(1000000 * dau) div wau").as("stickiness_ppm"))
+      .orderBy("day_start_ms")
+  }
+
   /** Exact interpolated quantiles per event type (Spark `percentile`
     * ≡ DuckDB `quantile_cont`). The approx scale path is
     * `approx_percentile` — same call shape, sketch-based. */
