@@ -1145,7 +1145,11 @@ object SparkEntry {
     },
     // Coreness: one unrolled bounded peel chain per k (2..6), nodes
     // keep the largest k whose chain retains them; edge-owning nodes
-    // outside the 2-core report 1.
+    // outside the 2-core report 1. Chains are NESTED exactly like the
+    // Spark side (Ranking.coreness): the k-chain starts from the
+    // (k−1)-chain's round-8 survivors, not the full graph — the two
+    // formulations replay the identical bounded recursion even when a
+    // chain's cascade would need more than 8 rounds from scratch.
     "graph_coreness" -> {
       val chains = (2 to 6).map { k =>
         val rounds = (0 until 8).map { r =>
@@ -1157,7 +1161,8 @@ object SparkEntry {
              |  JOIN s${r}_$k x ON e.u = x.u JOIN s${r}_$k y ON e.v = y.u)"""
             .stripMargin
         }.mkString(",\n")
-        s"ed0_$k AS (SELECT u, v FROM ed0),\n$rounds"
+        val start = if (k == 2) "ed0" else s"ed8_${k - 1}"
+        s"ed0_$k AS (SELECT u, v FROM $start),\n$rounds"
       }.mkString(",\n")
       val union = (2 to 6).map(k =>
         s"SELECT DISTINCT u AS node, $k AS k FROM ed8_$k").mkString("\n  UNION ALL ")
@@ -1233,7 +1238,8 @@ object SparkEntry {
         |  FROM orders GROUP BY 1)
         |SELECT m.ym, m.n_orders, m.rev_cents,
         |       COALESCE(p.rev_cents, -1) AS prev_rev_cents,
-        |       COALESCE(CAST((1000000 * m.rev_cents) // p.rev_cents AS BIGINT),
+        |       COALESCE(CAST((1000000 * CAST(m.rev_cents AS HUGEINT))
+        |                  // p.rev_cents AS BIGINT),
         |                -1) AS yoy_ppm
         |FROM m LEFT JOIN m p ON m.ym = p.ym + 100
         |ORDER BY m.ym""".stripMargin,

@@ -116,15 +116,21 @@ object Ranking {
     * emitted — the peel input shape. Checkpointed: every peel reads
     * it at least twice. */
   private def symEdges(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
-      .filter(col("s") =!= col("t"))
-      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
-      .distinct()
+    val und = undEdges(edges)
     und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
   }
+
+  /** Distinct undirected (a < b) edge frame from a raw src/dst one:
+    * self-loops dropped, duplicates and reversals collapsed — the
+    * single normalization every undirected operator shares. */
+  private def undEdges(edges: DataFrame): DataFrame =
+    edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
 
   /** The bounded degree-peel cascade on a prepared symmetric edge
     * frame; returns the surviving symmetric edges. Early-exit on
@@ -177,9 +183,13 @@ object Ranking {
   /** Full core decomposition up to `maxK`: each node's CORENESS (the
     * largest k with the node inside the k-core) — the load-bearing
     * profile a single [[kCoreBounded]] membership bit flattens.
-    * Runs the bounded peel once per k (2..maxK) from the full graph;
-    * nested cores mean the per-k loops shrink fast, and every peel
-    * is the same oracle-replayable bounded cascade. Nodes with an
+    * Runs the bounded peel once per k (2..maxK), each chain starting
+    * from the previous chain's survivor set (nested cores: the
+    * (k+1)-core lives inside the k-core, so later passes touch only
+    * the shrinking core); the oracle replays the SAME chained bounded
+    * recursion — each of its k-chains unrolls from the (k−1)-chain's
+    * final round, so the two sides agree even when a cascade would
+    * outlast the round budget from scratch. Nodes with an
     * edge but outside the 2-core report coreness 1. At very large
     * maxK the right algorithm switches to distributed Montresor-style
     * h-index iteration; for the bounded profile the repeated peel is
@@ -230,12 +240,7 @@ object Ranking {
     * [[clusteringCoefficient]]: high weak-tie nodes are the brokers.
     */
   def weakTies(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
-      .filter(col("s") =!= col("t"))
-      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
-      .distinct()
-    val sup = edgeSupports(und).localCheckpoint(true)
+    val sup = edgeSupports(undEdges(edges)).localCheckpoint(true)
     val ends = sup.select(col("a").as("node"), col("support"))
       .unionByName(sup.select(col("b").as("node"), col("support")))
     ends.groupBy("node")
@@ -247,19 +252,13 @@ object Ranking {
   }
 
   def kTrussBounded(edges: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame = {
-    var und = edges
-      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
-      .filter(col("s") =!= col("t"))
-      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
-      .distinct()
-      .localCheckpoint(true)
-    def supports(u: DataFrame): DataFrame = edgeSupports(u)
+    var und = undEdges(edges).localCheckpoint(true)
     var prev = und.count()
     var round = 0
     var converged = false
     var lastSup = und.limit(0).withColumn("support", lit(0L))
     while (round < rounds && !converged) {
-      lastSup = supports(und).filter(col("support") >= k - 2)
+      lastSup = edgeSupports(und).filter(col("support") >= k - 2)
         .localCheckpoint(true)
       und = lastSup.select("a", "b")
       val n = und.count()
@@ -273,7 +272,7 @@ object Ranking {
           "settled; surviving supports may still exceed the threshold " +
           "only transiently — raise `rounds` for deep peel cascades")
       // non-fixpoint exit: supports must be re-measured on the final set
-      return supports(und).orderBy("a", "b")
+      return edgeSupports(und).orderBy("a", "b")
     }
     // at the fixpoint the last filter removed nothing, so the kept
     // frame IS the final edge set with its final supports — returning

@@ -3,10 +3,10 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.Column
+
 import graft.functions.TextOps
 import graft.functions.TextOps.P
-
-import org.apache.spark.sql.Column
 
 /** Deduplication operators for large-scale training-data pipelines
   * (SURVEY.md §2 D1–D4).
@@ -17,6 +17,8 @@ import org.apache.spark.sql.Column
   * plain shuffle join on a uniform key that AQE can also skew-split.
   */
 object Dedup {
+
+  private def rnd(c: Column, s: Int): Column = graft.functions.Rounding.rnd(c, s)
 
   /** D1 exact dedup: md5 content groups with the canonical (min) id.
     * One shuffle on the 128-bit hash — uniform by construction. */
@@ -226,8 +228,6 @@ object Dedup {
     * ride the exact integer inequality den·|∩| ≥ num·min(|A|,|B|),
     * ratios are floor-form 4dp.
     */
-  private def rnd(c: Column, s: Int): Column = graft.functions.Rounding.rnd(c, s)
-
   def containmentJoin(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5,
       dfCap: Int = 20): DataFrame = {
     val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)

@@ -338,16 +338,21 @@ object TextAnalysis {
     * each rounded at 6dp (the entropy contract), and the final
     * slope/intercept are floor-form 4dp — the intercept reuses the
     * ROUNDED slope so both engines divide identical doubles. The
-    * ranking window runs over the vocab-sized tf frame, never the
-    * corpus.
+    * top-topV cut is a parallel TakeOrdered over the vocab-sized tf
+    * frame; only the ≤ topV surviving rows see a ranking window.
     */
   def zipfFit(docs: DataFrame, topV: Int = 30): DataFrame = {
     val ctf = TextOps.tokensBag(docs)
       .groupBy("token").agg(count(lit(1)).as("ctf"))
+    // top-topV via TakeOrdered (the oovRate shape — parallel partial
+    // top-k, never a global row_number window that would funnel the
+    // whole vocabulary into one partition); ranks are then assigned
+    // on the ≤ topV-row frame, where a single-partition window is
+    // exactly the right plan
     val ranked = ctf
+      .orderBy(col("ctf").desc, col("token")).limit(topV)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("ctf").desc, col("token"))))
-      .filter(col("rk") <= topV)
       .select(log(col("rk").cast("double")).as("x"),
         log(col("ctf").cast("double")).as("y"))
     val s = ranked.agg(count(lit(1)).as("k"),

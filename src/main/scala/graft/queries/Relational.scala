@@ -737,7 +737,12 @@ object Relational {
         col("rev_cents").as("prev_rev_cents")), Seq("ym"), "left")
       .select(col("ym"), col("n_orders"), col("rev_cents"),
         coalesce(col("prev_rev_cents"), lit(-1L)).as("prev_rev_cents"),
-        coalesce(expr("(1000000 * rev_cents) div prev_rev_cents"), lit(-1L))
+        // widen through DECIMAL(38,0) (the HITS lesson): the long
+        // product 10⁶·rev_cents wraps past ~$92B/month (≈ sf100) —
+        // Spark would wrap silently while the oracle throws
+        coalesce(expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * rev_cents)" +
+            " div prev_rev_cents AS BIGINT)"), lit(-1L))
           .as("yoy_ppm"))
       .orderBy("ym")
   }
