@@ -71,10 +71,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             except AssertionError as ex:
                 print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}")
                 fails += 1
-    missing = [n for n in oracle if n not in names]
-    for n in missing:
-        print(f"FAIL {n}: oracle present but no result")
-        fails += 1
+    # A GRAFT_VERIFY_ONLY run intentionally writes a subset; only a
+    # full run should treat a missing result dir as a failure.
+    if not os.environ.get("GRAFT_VERIFY_ONLY"):
+        missing = [n for n in oracle if n not in names]
+        for n in missing:
+            print(f"FAIL {n}: oracle present but no result")
+            fails += 1
     print(f"{'=' * 40}\n{len(names) - fails}/{len(names)} pass")
     return 1 if fails else 0
 

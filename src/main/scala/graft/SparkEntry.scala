@@ -100,6 +100,7 @@ object SparkEntry {
     "graph_degrees" -> ((s, d) => GraphQueries.graphDegrees(s, d)),
     "graph_components" -> ((s, d) => GraphQueries.graphComponents(s, d)),
     "graph_pagerank" -> ((s, d) => GraphQueries.graphPageRank(s, d)),
+    "graph_pagerank_w" -> ((s, d) => GraphQueries.graphPageRankWeighted(s, d)),
     "graph_triangles" -> ((s, d) => GraphQueries.graphTriangles(s, d)),
     "graph_kcore" -> ((s, d) => GraphQueries.graphKCore(s, d)),
     "graph_sssp" -> ((s, d) => GraphQueries.graphSssp(s, d)),
@@ -158,6 +159,29 @@ object SparkEntry {
        |c$t AS (
        |  SELECT e.dst AS node, SUM(p.pr // o.outdeg) AS c
        |  FROM pr${t - 1} p JOIN od o ON p.node = o.node JOIN e ON e.src = p.node
+       |  GROUP BY 1),
+       |pr$t AS (
+       |  SELECT n.node,
+       |         CAST(150000 + (17 * COALESCE(c.c, 0)) // 20 AS BIGINT) AS pr
+       |  FROM nodes n LEFT JOIN c$t c ON n.node = c.node)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled WEIGHTED fixed-point PageRank CTEs over the `ew`
+    * (src, dst, w) edge CTE: per-edge contribution ⌊pr·w / Σw_out⌋
+    * widened to HUGEINT then floored back to BIGINT per term — the
+    * exact replay of Ranking.pageRankWeighted's DECIMAL(38,0) widen. */
+  private def pageRankWeightedCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """nodes AS (SELECT DISTINCT n AS node FROM
+        |  (SELECT src AS n FROM ew UNION ALL SELECT dst FROM ew) t),
+        |od AS (SELECT src AS node, SUM(w) AS wout FROM ew GROUP BY 1),
+        |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)""".stripMargin)
+    for (t <- 1 to iters) sb.append(s""",
+       |c$t AS (
+       |  SELECT ew.dst AS node,
+       |         SUM(CAST((CAST(p.pr AS HUGEINT) * ew.w) // o.wout AS BIGINT)) AS c
+       |  FROM pr${t - 1} p JOIN od o ON p.node = o.node JOIN ew ON ew.src = p.node
        |  GROUP BY 1),
        |pr$t AS (
        |  SELECT n.node,
@@ -787,6 +811,16 @@ object SparkEntry {
       s"""WITH $E,
         |${pageRankCtes(3)}
         |SELECT node, pr AS pagerank_ppm FROM pr3
+        |ORDER BY node""".stripMargin,
+    // Call-frequency-weighted PageRank: the `ew` weights are the
+    // per-(caller, callee) call-site counts from the same scan.
+    "graph_pagerank_w" ->
+      s"""WITH ew AS (
+        |  SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |${pageRankWeightedCtes(3)}
+        |SELECT node, pr AS wpagerank_ppm FROM pr3
         |ORDER BY node""".stripMargin,
     "graph_triangles" ->
       s"""WITH $E,

@@ -49,6 +49,43 @@ object Ranking {
     pr.select(col("node"), col("pr").as("pagerank_ppm"))
   }
 
+  /** Frequency-WEIGHTED PageRank: mass flows along an edge in
+    * proportion to its integer weight (call-site count — a function
+    * invoked from a hot loop matters more than one behind a cold
+    * error path, which uniform [[pageRank]] cannot see). Same
+    * fixed-point contract (ppm longs, damping 17/20, bit-identical
+    * across engines); the per-edge contribution generalizes from
+    * ⌊pr/outdeg⌋ to ⌊pr·w / Σw_out⌋, widened through DECIMAL(38,0)
+    * (the HITS lesson: pr·w would wrap a long once pr ≈ 10⁶·indeg
+    * meets a hot edge weight; the oracle widens to HUGEINT). Plan
+    * shape is identical to [[pageRank]]: one edge join + one narrow
+    * dst-keyed agg per round, rank frame checkpointed.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("weight").cast("long").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val e2 = e.join(
+        e.groupBy(col("src").as("u")).agg(sum(col("w")).as("wout")),
+        col("src") === col("u"))
+      .select(col("src"), col("dst"), col("w"), col("wout"))
+      .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(e2, pr("node") === e2("src"))
+        .groupBy(col("dst").as("node2"))
+        .agg(sum(expr(
+          "CAST((CAST(pr AS DECIMAL(38,0)) * w) div wout AS BIGINT)")).as("c"))
+      pr = nodes.join(contrib, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(17 * coalesce(c, 0L)) div 20")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), col("pr").as("wpagerank_ppm"))
+  }
+
   /** PERSONALIZED PageRank: rank relative to a seed set — "which
     * functions matter from THESE entry points" (e.g. exported symbols
     * of one binary), vs [[pageRank]]'s global importance. Same

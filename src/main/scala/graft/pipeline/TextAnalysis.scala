@@ -260,6 +260,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PMI collocations (Church & Hanks 1990): the top-`topK` adjacent
+    * token pairs by pointwise mutual information over the corpus
+    * bigram event space — ln(c_ab·T / (c_a·c_b)) with both margins
+    * and the total drawn from the SAME bigram frame (the
+    * [[bigramCrossEntropy]] discipline: no zero ever reaches the
+    * log). The `minCount` support cut kills the degenerate top of
+    * the ranking (hapax pairs score highest by construction —
+    * Church & Hanks' own caveat). Scores fixed-point-floor to
+    * micro-units BEFORE the rank cut (the [[keywords]] lesson:
+    * longs compare, ties on (a, b)), and the cut is a parallel
+    * TakeOrdered — never a global window. The count products ride
+    * doubles (c_a·c_b wraps a long once margins pass ~3·10⁹ at
+    * corpus scale; both engines promote identically). The pair
+    * frame is checkpointed once and read three times (two margins
+    * + total); margins are vocab-sized → broadcast.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+      topK: Int = 40): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("seq")
+    val pair = TextOps.tokens(docs)
+      .withColumn("next", lead(col("token"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("token").as("a"), col("next").as("b"))
+      .agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
+    val total = pair.agg(sum(col("cab")).as("t"))
+    val ca = pair.groupBy("a").agg(sum(col("cab")).as("ca"))
+    val cb = pair.groupBy("b").agg(sum(col("cab")).as("cb"))
+    pair.filter(col("cab") >= minCount)
+      .join(broadcast(ca), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_micro",
+        floor(log(col("cab").cast("double") * col("t") /
+            (col("ca").cast("double") * col("cb")))
+          * 1000000 + lit(0.5)).cast("long"))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Feature hashing (the "hashing trick" featurizer): each token
     * lands in bucket tokenHash mod `dim`; per-doc bucket counts form
     * a fixed-width sparse count vector with NO vocabulary state — the

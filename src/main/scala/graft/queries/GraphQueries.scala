@@ -197,6 +197,18 @@ object GraphQueries {
   def graphPageRank(s: SparkSession, d: String): DataFrame =
     Ranking.pageRank(callEdges(s, d)).orderBy("node")
 
+  /** Frequency-weighted PageRank: importance with mass flowing in
+    * proportion to CALL-SITE COUNT per edge — the hot-path ranking
+    * uniform PageRank flattens (Ranking.pageRankWeighted). Weights
+    * come from the same lineitem scan as [[callEdges]], aggregated
+    * to counts instead of min-offset. */
+  def graphPageRankWeighted(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+    Ranking.pageRankWeighted(w).orderBy("node")
+  }
+
   /** C8 triangle count: callgraph clustering structure via
     * degree-ordered wedge join (Ranking.triangleCount). */
   def graphTriangles(s: SparkSession, d: String): DataFrame =

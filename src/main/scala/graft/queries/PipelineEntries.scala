@@ -94,6 +94,7 @@ object PipelineEntries {
     "events_quantiles" -> ((s, d) => TemporalOps.eventQuantiles(s, d)),
     "events_rolling" -> ((s, d) => TemporalOps.eventRolling(s, d)),
     "events_anomaly" -> ((s, d) => TemporalOps.eventAnomalies(s, d)),
+    "events_cusum" -> ((s, d) => TemporalOps.eventCusum(s, d)),
     "embed_quantize" -> ((s, d) =>
       Similarity.quantizeSummary(Tables.embeddings(s, d))),
     "sample_stratified" -> ((s, d) =>
@@ -129,6 +130,7 @@ object PipelineEntries {
     "embed_project" -> ((s, d) =>
       Similarity.projectSigned(Tables.embeddings(s, d))),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(Tables.documents(s, d))),
+    "text_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d))),
     "sample_balance" -> ((s, d) => Sampling.balanceSample(Tables.documents(s, d))),
     "events_disorder" -> ((s, d) => TemporalOps.eventDisorder(s, d)),
     "events_cdc" -> ((s, d) =>
@@ -1409,6 +1411,42 @@ object PipelineEntries {
         |          > 4 * (st.n * st.sq - st.s * st.s)) AS is_outlier
         |FROM q JOIN st USING (user_id)
         |ORDER BY q.user_id, q.event_id""".stripMargin,
+    // CUSUM changepoints (see TemporalOps.cusum): running n-scaled
+    // deviation sums, drift = distance from the running extreme,
+    // earliest max-drift rank. Unique (ts, event_id) order makes the
+    // default RANGE running frame identical to Spark's ROWS frame.
+    "events_cusum" ->
+      """WITH q AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id,
+        |         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |         CAST(SUM(x) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |         CAST(SUM(x) OVER w AS BIGINT) AS cx
+        |  FROM q
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, n, rn, n * cx - rn * s AS cs FROM e),
+        |c2 AS (
+        |  SELECT user_id, n, rn, cs,
+        |         cs - MIN(cs) OVER v AS up,
+        |         MAX(cs) OVER v - cs AS down
+        |  FROM c
+        |  WINDOW v AS (PARTITION BY user_id ORDER BY rn)),
+        |c3 AS (
+        |  SELECT user_id, n, rn, up, down,
+        |         abs(cs) AS adev,
+        |         MAX(abs(cs)) OVER (PARTITION BY user_id) AS mdev
+        |  FROM c2)
+        |SELECT user_id, MAX(n) AS n_events,
+        |       CAST(MAX(up) AS BIGINT) AS max_up,
+        |       CAST(MAX(down) AS BIGINT) AS max_down,
+        |       CAST(MIN(CASE WHEN adev = mdev THEN rn END) AS BIGINT)
+        |         AS cp_rank
+        |FROM c3 GROUP BY 1 ORDER BY user_id""".stripMargin,
     "sample_stratified" ->
       s"""WITH $TOK,
          |lid AS (
@@ -1765,6 +1803,26 @@ object PipelineEntries {
          |SELECT doc_id, n_bigrams, ll_sum,
          |       floor(ll_sum / n_bigrams * 10000 + 0.5) / 10000 AS ce
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // PMI collocations: margins and total from the same bigram frame,
+    // micro-unit floor before the (pmi desc, a, b) rank cut.
+    "text_pmi" ->
+      s"""WITH $TOK,
+         |bi AS (
+         |  SELECT doc_id, token,
+         |         lead(token) OVER (PARTITION BY doc_id ORDER BY seq) AS next
+         |  FROM tok),
+         |pair AS (SELECT token AS a, next AS b, CAST(COUNT(*) AS BIGINT) AS cab
+         |         FROM bi WHERE next IS NOT NULL GROUP BY 1, 2),
+         |tt AS (SELECT CAST(SUM(cab) AS BIGINT) AS t FROM pair),
+         |ma AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM pair GROUP BY 1),
+         |mb AS (SELECT b, CAST(SUM(cab) AS BIGINT) AS cb FROM pair GROUP BY 1)
+         |SELECT a, b, cab, ca, cb,
+         |       CAST(floor(ln((CAST(cab AS DOUBLE) * t) /
+         |                     (CAST(ca AS DOUBLE) * cb)) * 1000000 + 0.5)
+         |         AS BIGINT) AS pmi_micro
+         |FROM pair JOIN ma USING (a) JOIN mb USING (b), tt
+         |WHERE cab >= 5
+         |ORDER BY pmi_micro DESC, a, b LIMIT 40""".stripMargin,
     // Hashing-trick featurizer: bucket = shared tokenHash mod 64.
     "text_hash_features" ->
       s"""WITH $TOK

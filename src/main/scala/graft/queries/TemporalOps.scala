@@ -111,6 +111,56 @@ object TemporalOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** CUSUM changepoint detection (Page 1954) per user, in EXACT
+    * integers: where did this metric's level shift? The sequential
+    * recursion S_i = max(0, S_{i-1} + x_i − μ) is not window-
+    * expressible, but its closed form is — S_i = cs_i − min_{j≤i}
+    * cs_j over the running deviation sum — so one window pass
+    * computes both the upward and downward drift tracks. Division by
+    * n never happens: deviations are scaled by n (d_i = n·x_i − S,
+    * so cs_k = n·Σ_{i≤k}x_i − k·S), keeping every term an exact long
+    * exactly like [[anomalies]]' z-score trick. The estimated
+    * changepoint is the earliest rank attaining max |cs| — the MLE
+    * location for a single level shift (deterministic tie-break);
+    * the up/down drift maxima are the alarm magnitudes. Long headroom: |cs| ≲ n²·|x̄| — safe
+    * to ~10⁶ events/user at cent magnitudes; promote to
+    * decimal(38,0) beyond. One user-keyed window sort + one narrow
+    * agg — two shuffles, both on user_id.
+    */
+  def eventCusum(s: SparkSession, d: String): DataFrame =
+    cusum(EventStreams.events(s, d))
+
+  /** Core of [[eventCusum]] over any (user_id, event_id, ts, value)
+    * frame. */
+  def cusum(events: DataFrame): DataFrame = {
+    val part = Window.partitionBy("user_id")
+    val ord = part.orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = part.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val enriched = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("x"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s", sum(col("x")).over(all))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("cs", col("n") * sum(col("x")).over(run) - col("rn") * col("s"))
+      .withColumn("up", col("cs") - min(col("cs")).over(run))
+      .withColumn("down", max(col("cs")).over(run) - col("cs"))
+      // changepoint estimate: the MLE for a single level shift is the
+      // earliest argmax of |cs| (the drift tracks `up`/`down` are the
+      // ALARM statistic; |cs| peaks where the level changed)
+      .withColumn("adev", abs(col("cs")))
+      .withColumn("mdev", max(abs(col("cs"))).over(part))
+    enriched.groupBy("user_id")
+      .agg(max(col("n")).as("n_events"),
+        max(col("up")).as("max_up"),
+        max(col("down")).as("max_down"),
+        min(when(col("adev") === col("mdev"), col("rn")))
+          .cast("long").as("cp_rank"))
+      .orderBy("user_id")
+  }
+
   /** Ordered conversion funnel view→click→purchase: per user, the
     * earliest view, the earliest click strictly after that view, and
     * the earliest purchase strictly after that click — stage

@@ -59,6 +59,25 @@ class RankingSpec extends AnyFunSuite {
     assert(chain(1L) == 150000L) // no in-edges: bare teleport mass
   }
 
+  test("weighted pagerank: hot edge carries more mass; uniform weights = pageRank") {
+    import spark.implicits._
+    // 1 splits 9:1 between 2 and 3 — node 2 ends with ~9x node 3's
+    // inflow share: contribution to 2 = ⌊pr·9/10⌋, to 3 = ⌊pr·1/10⌋
+    val w = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "weight")
+    val r = Ranking.pageRankWeighted(w)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(3L))
+    assert(r(1L) == 150000L) // no in-edges: bare teleport mass
+    // weight-1 everywhere reproduces the uniform operator exactly
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val uni = Ranking.pageRank(g.toDF("src", "dst"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val wuni = Ranking.pageRankWeighted(
+        g.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "weight"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(uni == wuni)
+  }
+
   def docs(rows: (Long, String)*) = {
     import spark.implicits._
     rows.toDF("doc_id", "text")

@@ -41,6 +41,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(!out(11L) && !out(12L) && !out(13L))    // zero variance
   }
 
+  test("cusum: level shift located at the |cs| peak, flat series scores zero") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(i * 1000L)
+    // user 1: [1,1,1,5,5,5] — shift after the 3rd observation.
+    // cents x=[100,100,100,500,500,500], n=6, S=1800,
+    // cs = 6·cumsum − rn·1800 = [-1200,-2400,-3600,-2400,-1200,0]:
+    // |cs| peaks 3600 at rn=3, up-drift max = 0−(−3600) = 3600,
+    // down-drift max = −1200−(−3600)… running max −1200 vs cs −3600
+    // at rn=3 → 2400.
+    val ev = Seq(1.0, 1.0, 1.0, 5.0, 5.0, 5.0).zipWithIndex.map {
+      case (v, i) => (1L, i.toLong, t(i), v)
+    } ++ Seq((2L, 10L, t(10), 7.0), (2L, 11L, t(11), 7.0))
+    val out = TemporalOps.cusum(
+        ev.toDF("user_id", "event_id", "ts", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((6L, 3600L, 2400L, 3L)))
+    // constant series: every cs is 0, changepoint degenerates to rank 1
+    assert(out(2L) == ((2L, 0L, 0L, 1L)))
+  }
+
   test("conversion funnel requires causal stage order") {
     import spark.implicits._
     // u1: full ordered funnel; u2: purchase but never clicked;

@@ -324,6 +324,20 @@ class TextSpec extends AnyFunSuite {
     assert(d1.head._3 > 0)
   }
 
+  test("pmi collocations: the glued pair wins with its exact micro score") {
+    // (new, york) adjacent in all three docs; every other bigram is a
+    // hapax and dies at minCount=2. Over the 6-bigram event space:
+    // pmi = ln(3·6 / (3·3)) = ln 2 → ⌊693147.18 + 0.5⌋ = 693147
+    val d = docs(1L -> "new york alpha", 2L -> "beta new york",
+      3L -> "new york gamma")
+    val out = TextAnalysis.pmiCollocations(d, minCount = 2, topK = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == ("new", "york"))
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 3L)
+    assert(r.getLong(5) == 693147L)
+  }
+
   test("zipf fit: an exact power law recovers its slope") {
     // freq(rank) = 1000·rank⁻¹ for ranks 1..4 → slope −1, intercept
     // ln 1000 ≈ 6.9078 (4dp floor-form)
