@@ -187,4 +187,70 @@ object Multimodal {
         expr("_sr div n").as("avg_rate"), expr("_sc div n").as("avg_channels"))
       .orderBy("format")
   }
+
+  /** BYTE-LEVEL exact dedup over the binary payload column — the
+    * asset-dedup step a multimodal ingest runs before any decode
+    * (identical files are the dominant duplicate class in crawled
+    * media). Spark groups on md5 of the REAL container bytes (one
+    * shuffle on a uniform 128-bit key, the [[graft.pipeline.Dedup]]
+    * D1 shape); the digest itself never reaches the output, so the
+    * DuckDB oracle can replay the grouping from the arithmetic
+    * equivalence classes the payload synthesis guarantees (two
+    * payloads are byte-equal iff (format, header params) match).
+    * Returns (canonical_id, n_copies, byte_len) per distinct payload.
+    */
+  def payloadDedup(spark: SparkSession, docs: DataFrame): DataFrame =
+    withPayload(spark, docs).toDF()
+      .groupBy(md5(col("payload")).as("_h"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        min(length(col("payload"))).cast("long").as("byte_len"))
+      .select(col("canonical_id"), col("n_copies"), col("byte_len"))
+      .orderBy("canonical_id")
+
+  /** Byte-shingle NEAR-dup over binary payloads: candidate pairs from
+    * shared 8-byte shingles (1-byte stride over the hex encoding),
+    * verified by exact shingle-set Jaccard — the binary analogue of
+    * the n-gram text path (Dedup D4b), for catching re-encoded or
+    * header-patched copies of the same asset. Shingles with corpus
+    * df > `dfCap` never propose pairs (every PNG shares the
+    * signature shingle — the frequent-token cut keeps boilerplate
+    * from quadratic blowup, exactly the containment-join defense).
+    * Not SQL-replayable (the oracle cannot construct CRC-bearing
+    * container bytes), so this operator is spec-gated instead.
+    */
+  def payloadNearDup(spark: SparkSession, docs: DataFrame,
+      minJaccardPpm: Long = 300000L, dfCap: Int = 200): DataFrame = {
+    val hx = withPayload(spark, docs).toDF()
+      .select(col("doc_id"), hex(col("payload")).as("hx"))
+    val sh = hx
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(hx) - 15, 1), 2)," +
+          " i -> substring(hx, i, 16))")).as("sh"))
+      .distinct()
+      .localCheckpoint(true)
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("sh"),
+      Seq("sh"), "left_semi")
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val arrs = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("arr"),
+        count(lit(1)).as("n_sh"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard_ppm", expr(
+        "(1000000 * inter) div (na + nb - inter)"))
+      .filter(col("jaccard_ppm") >= minJaccardPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -260,6 +260,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Flesch readability (reading-ease) per doc in exact MILLI-units:
+    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word) with
+    * both ratios as integer floor divisions — the classic
+    * quality-filter signal (too-easy ≈ template spam, unreadable ≈
+    * OCR garbage), on the fixed-point contract so both engines
+    * replay every value bit-exactly. Heuristic conventions,
+    * documented and replayed identically by the oracle: words are
+    * the tokenizer's alnum runs, sentences = max(1, terminator-run
+    * count [.!?]+), syllables = vowel-group runs [aeiouy]+ (a
+    * vowel-free word contributes 0 — the standard estimator bias).
+    * Vowel-less docs report −1. MAP-ONLY: three regexp counts per
+    * row, no shuffle at all — at 100 TB this runs at scan speed.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        greatest(lit(1L), size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))).cast("long")).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).cast("long").as("n_words"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0))).cast("long").as("n_syllables"))
+      .withColumn("flesch_milli",
+        when(col("n_words") > 0,
+          lit(206835L) - expr("(1015 * n_words) div n_sentences")
+            - expr("(84600 * n_syllables) div n_words"))
+          .otherwise(lit(-1L)))
+      .orderBy("doc_id")
+
   /** PMI collocations (Church & Hanks 1990): the top-`topK` adjacent
     * token pairs by pointwise mutual information over the corpus
     * bigram event space — ln(c_ab·T / (c_a·c_b)) with both margins

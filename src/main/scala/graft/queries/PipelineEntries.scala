@@ -131,6 +131,7 @@ object PipelineEntries {
       Similarity.projectSigned(Tables.embeddings(s, d))),
     "text_keywords" -> ((s, d) => TextAnalysis.keywords(Tables.documents(s, d))),
     "text_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d))),
+    "text_readability" -> ((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
     "sample_balance" -> ((s, d) => Sampling.balanceSample(Tables.documents(s, d))),
     "events_disorder" -> ((s, d) => TemporalOps.eventDisorder(s, d)),
     "events_cdc" -> ((s, d) =>
@@ -180,6 +181,7 @@ object PipelineEntries {
     "text_source_kl" -> ((s, d) => TextAnalysis.sourceKl(Tables.documents(s, d))),
     "text_zipf" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
     "multimodal_stats" -> ((s, d) => Multimodal.mediaStats(s, Tables.documents(s, d))),
+    "multimodal_dedup" -> ((s, d) => Multimodal.payloadDedup(s, Tables.documents(s, d))),
     "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documents(s, d))),
     "text_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d))),
     "events_active" -> ((s, d) =>
@@ -1545,6 +1547,30 @@ object PipelineEntries {
         |       CAST(SUM(sample_rate) // COUNT(*) AS BIGINT) AS avg_rate,
         |       CAST(SUM(channels) // COUNT(*) AS BIGINT) AS avg_channels
         |FROM meta GROUP BY 1 ORDER BY format""".stripMargin,
+    // Byte-level payload dedup: Spark groups on md5 of the real
+    // container bytes; the oracle replays the equivalence classes
+    // arithmetically (byte-equal iff (format, header params) equal —
+    // the synthesis guarantee the decoder rides too).
+    "multimodal_dedup" ->
+      """WITH cls AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 3 AS INTEGER) AS fmt,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 * (doc_id % 5 + 1)
+        |                   ELSE doc_id % 509 + 16 END AS BIGINT) AS p1,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1
+        |                   ELSE (doc_id * 7) % 509 + 16 END AS BIGINT) AS p2,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 1000 + 1
+        |                   ELSE 0 END AS BIGINT) AS p3,
+        |         CAST(CASE WHEN doc_id % 3 = 0 THEN 45
+        |                   WHEN doc_id % 3 = 1 THEN 23
+        |                   ELSE 44 + (doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2
+        |              END AS BIGINT) AS byte_len
+        |  FROM documents)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |       CAST(MIN(byte_len) AS BIGINT) AS byte_len
+        |FROM cls GROUP BY fmt, p1, p2, p3
+        |ORDER BY canonical_id""".stripMargin,
     // Signed random projection: the weight table is the SAME integer
     // hash both engines compute (k = j·64 + i, i 1-based); every
     // projection is a sum of exact long products — order-free.
@@ -1803,6 +1829,24 @@ object PipelineEntries {
          |SELECT doc_id, n_bigrams, ll_sum,
          |       floor(ll_sum / n_bigrams * 10000 + 0.5) / 10000 AS ce
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // Flesch reading ease in milli-units: the same three regexp
+    // counts and integer floor divisions as the Spark side.
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |           AS BIGINT)) AS n_sentences,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |           AS BIGINT) AS n_words,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |           AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |       CASE WHEN n_words > 0
+        |            THEN 206835 - (1015 * n_words) // n_sentences
+        |                        - (84600 * n_syllables) // n_words
+        |            ELSE -1 END AS flesch_milli
+        |FROM c ORDER BY doc_id""".stripMargin,
     // PMI collocations: margins and total from the same bigram frame,
     // micro-unit floor before the (pmi desc, a, b) rank cut.
     "text_pmi" ->

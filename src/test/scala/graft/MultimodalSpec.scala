@@ -90,4 +90,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r("png")._3 == -1L && r("jpeg")._3 == -1L, "images have no rate")
     assert(r("png")._2 > 0L && r("jpeg")._2 > 0L)
   }
+
+  test("payload dedup: byte-identical payloads collapse, distinct ones don't") {
+    import spark.implicits._
+    // ids 0 and 1527 build byte-identical PNGs (1527 = lcm(3, 509):
+    // same format branch, same w = id%509+16, same h); id 3 is a
+    // different PNG; id 2 is a WAV
+    val docs = Seq(0L, 1527L, 3L, 2L).map(i => (i, "t")).toDF("doc_id", "text")
+    assert(java.util.Arrays.equals(
+      Multimodal.synthesizePayload(0L), Multimodal.synthesizePayload(1527L)))
+    val out = Multimodal.payloadDedup(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // wav id 2: nSamples = 2%1000+1 = 3, channels = 2%2+1 = 1 →
+    // 44 + 3·1·2 = 50 bytes
+    assert(out == Map(0L -> ((2L, 45L)), 3L -> ((1L, 45L)),
+      2L -> ((1L, 50L))))
+  }
+
+  test("payload near-dup: identical bytes score 1e6 ppm, shared header boilerplate less") {
+    import spark.implicits._
+    val docs = Seq(0L, 1527L, 3L, 2L).map(i => (i, "t")).toDF("doc_id", "text")
+    val pairs = Multimodal.payloadNearDup(spark, docs, minJaccardPpm = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // byte-identical pair: full Jaccard
+    assert(pairs((0L, 1527L)) == 1000000L)
+    // two different PNGs: share signature/IEND shingles but not the
+    // dimension/CRC region — strictly between 0 and 1e6
+    val cross = pairs((0L, 3L))
+    assert(cross > 0L && cross < 1000000L)
+    // png vs wav share no 8-byte shingle: no candidate pair at all
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((2L, 3L)))
+  }
 }

@@ -324,6 +324,22 @@ class TextSpec extends AnyFunSuite {
     assert(d1.head._3 > 0)
   }
 
+  test("readability: exact milli-unit Flesch, prose outscores a jargon wall") {
+    // doc 1: "the cat sat. it ran!" — 2 sentence runs, 5 words,
+    // vowel groups: e/a/a/i/a = 5 → wps=⌊1015·5/2⌋=2537,
+    // spw=⌊84600·5/5⌋=84600 → 206835−2537−84600 = 119698
+    // doc 2: one long latinate word pile, 1 sentence, syllable-heavy
+    val d = docs(1L -> "the cat sat. it ran!",
+      2L -> "incomprehensibility notwithstanding organizational",
+      3L -> "zzz qqq") // vowel-free: syllables 0, score floors high
+    val out = TextAnalysis.readability(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((2L, 5L, 5L, 119698L)))
+    assert(out(2L)._4 < out(1L)._4, "jargon wall reads harder than prose")
+    assert(out(3L) == ((1L, 2L, 0L, 206835L - 2030L)))
+  }
+
   test("pmi collocations: the glued pair wins with its exact micro score") {
     // (new, york) adjacent in all three docs; every other bigram is a
     // hapax and dies at minCount=2. Over the 6-bigram event space:
