@@ -381,17 +381,16 @@ object Ranking {
     // accumulated union is built once at the end — checkpointing a
     // growing union every round re-materialized all finished levels)
     val depth = levels.size - 1
+    // each delta frame CARRIES its level's sigma, so the successor
+    // side of the DAG join is one frame, not a (delta ⋈ level)
+    // re-attachment per round
     val deltas = Array.ofDim[DataFrame](levels.size)
     deltas(depth) = levels(depth)
-      .select(col("s"), col("v"), lit(0L).as("delta"))
+      .select(col("s"), col("v"), col("sigma"), lit(0L).as("delta"))
       .localCheckpoint(true)
     for (t <- depth - 1 to 0 by -1) {
-      // δ and σ of the level-(t+1) successors, keyed for the DAG join
-      val succ = deltas(t + 1)
-        .join(levels(t + 1).select(col("s").as("s2"), col("v").as("w"),
-            col("sigma").as("sw")),
-          col("s") === col("s2") && col("v") === col("w"))
-        .select(col("s2"), col("w"), col("delta").as("dw"), col("sw"))
+      val succ = deltas(t + 1).select(col("s").as("s2"), col("v").as("w"),
+        col("delta").as("dw"), col("sigma").as("sw"))
       val cur = levels(t)
       val contrib = cur
         .join(e, col("v") === col("_src"))
@@ -399,12 +398,14 @@ object Ranking {
         .select(col("s"), col("v"), col("sigma"), col("dw"), col("sw"))
         .groupBy("s", "v")
         .agg(sum(expr("sigma * (1000000 + dw) div sw")).as("delta"))
-      deltas(t) = cur.select("s", "v")
+      deltas(t) = cur
         .join(contrib, Seq("s", "v"), "left")
-        .select(col("s"), col("v"), coalesce(col("delta"), lit(0L)).as("delta"))
+        .select(col("s"), col("v"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
         .localCheckpoint(true)
     }
-    deltas.reduce(_ unionByName _).filter(col("s") =!= col("v"))
+    deltas.map(_.select("s", "v", "delta")).reduce(_ unionByName _)
+      .filter(col("s") =!= col("v"))
       .groupBy(col("v").as("node"))
       .agg(sum(col("delta")).as("betweenness_ppm"))
       .filter(col("betweenness_ppm") > 0)
