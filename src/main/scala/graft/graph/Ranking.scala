@@ -276,8 +276,20 @@ object Ranking {
     * ratio is exact integer ppm. The information-flow complement to
     * [[clusteringCoefficient]]: high weak-tie nodes are the brokers.
     */
-  def weakTies(edges: DataFrame): DataFrame = {
-    val sup = edgeSupports(undEdges(edges)).localCheckpoint(true)
+  /** Materialized triangle-support index over the normalized
+    * undirected edge set — one (a, b, support) row per edge. The
+    * shared wave-0 input of [[kTrussBounded]] and [[weakTies]]: an
+    * engine serving both maintains ONE such index (GraphQueries
+    * memoizes it per (session, dir), like the CALLS edge cache), so
+    * the O(Σdeg²) intersect pass is paid once, not per query. */
+  def edgeSupportIndex(edges: DataFrame): DataFrame =
+    edgeSupports(undEdges(edges))
+
+  def weakTies(edges: DataFrame): DataFrame =
+    weakTiesFromSupports(edgeSupportIndex(edges).localCheckpoint(true))
+
+  /** [[weakTies]] body over a prepared support index. */
+  def weakTiesFromSupports(sup: DataFrame): DataFrame = {
     val ends = sup.select(col("a").as("node"), col("support"))
       .unionByName(sup.select(col("b").as("node"), col("support")))
     ends.groupBy("node")
@@ -288,33 +300,78 @@ object Ranking {
       .orderBy("node")
   }
 
-  def kTrussBounded(edges: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame = {
-    var und = undEdges(edges).localCheckpoint(true)
-    var prev = und.count()
+  /** Supports for a SUBSET of the surviving edge set: adjacency
+    * arrays are built only for the subset's endpoints (over the full
+    * surviving graph `und`, so the counts are exact), then the same
+    * codegen array_intersect as [[edgeSupports]]. The incremental
+    * peel's workhorse — a wave that removes e edges re-measures
+    * O(e·deg) edges, not all of them. */
+  private def supportsFor(und: DataFrame, sub: DataFrame): DataFrame = {
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val need = sub.select(col("a").as("u"))
+      .unionByName(sub.select(col("b").as("u"))).distinct()
+    val adj = sym.join(need, Seq("u"), "left_semi")
+      .groupBy("u").agg(sort_array(collect_set(col("v"))).as("nbrs"))
+    sub.join(adj.select(col("u").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
+  }
+
+  /** Bounded k-truss peel with INCREMENTAL support maintenance:
+    * supports are measured in full once, then each wave re-measures
+    * only edges incident to a removed endpoint — removing (a,b) can
+    * only destroy triangles (a,b,z), whose other two edges touch a or
+    * b, so untouched edges keep their exact support. Wave semantics
+    * (and therefore the surviving edge sequence and the DuckDB
+    * oracle's bounded-recursion replay) are identical to the full
+    * recompute; only the work per wave shrinks — on the dense sf0.1
+    * callgraph the first wave removes a thin tail and every later
+    * wave was a full O(Σdeg²) intersect pass spent discovering
+    * almost nothing changed. */
+  def kTrussBounded(edges: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame =
+    kTrussFromSupports(edgeSupportIndex(edges).localCheckpoint(true), k, rounds)
+
+  /** [[kTrussBounded]] waves over a prepared support index (the
+    * index rows ARE wave-0's exact supports, so no initial measure
+    * pass runs here). */
+  def kTrussFromSupports(sup0: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame = {
+    var sup = sup0
+    var und = sup.select("a", "b")
     var round = 0
     var converged = false
-    var lastSup = und.limit(0).withColumn("support", lit(0L))
     while (round < rounds && !converged) {
-      lastSup = edgeSupports(und).filter(col("support") >= k - 2)
-        .localCheckpoint(true)
-      und = lastSup.select("a", "b")
-      val n = und.count()
-      converged = n == prev
-      prev = n
+      val removed = sup.filter(col("support") < k - 2).localCheckpoint(true)
+      if (removed.isEmpty) converged = true
+      else {
+        val kept = sup.filter(col("support") >= k - 2).localCheckpoint(true)
+        und = kept.select("a", "b")
+        val touched = removed.select(col("a").as("t"))
+          .unionByName(removed.select(col("b").as("t"))).distinct()
+        val aff = und.join(touched, col("a") === col("t"), "left_semi")
+          .unionByName(und.join(touched, col("b") === col("t"), "left_semi"))
+          .distinct()
+        val fresh = supportsFor(und, aff)
+        sup = kept.join(fresh.withColumnRenamed("support", "s2"),
+            Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("s2"), col("support")).as("support"))
+          .localCheckpoint(true)
+      }
       round += 1
     }
-    if (!converged) {
+    if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"kTrussBounded: round budget $rounds exhausted before the peel " +
           "settled; surviving supports may still exceed the threshold " +
           "only transiently — raise `rounds` for deep peel cascades")
-      // non-fixpoint exit: supports must be re-measured on the final set
-      return edgeSupports(und).orderBy("a", "b")
-    }
-    // at the fixpoint the last filter removed nothing, so the kept
-    // frame IS the final edge set with its final supports — returning
-    // it saves a whole support pass (the most expensive step)
-    lastSup.orderBy("a", "b")
+    // `sup` is maintained exact for the CURRENT edge set after every
+    // wave (converged or budget-exhausted alike), so no final
+    // re-measure pass is needed on either exit path; on the exhausted
+    // path below-threshold rows are reported as-is, matching the
+    // full-recompute form's behavior
+    sup.orderBy("a", "b")
   }
 
   /** Triangle count via degree-ordered orientation (the standard

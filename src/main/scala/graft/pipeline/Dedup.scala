@@ -126,16 +126,18 @@ object Dedup {
   /** 40-bit SimHash signature per doc: token-frequency-weighted bit
     * votes over the token hash (40 low bits of the base-31 poly are
     * well-mixed; wider sig = selective hamming threshold even on
-    * small-vocabulary corpora). Pure aggregation — one shuffle. */
+    * small-vocabulary corpora). The vote sum is linear in term
+    * frequency, so occurrences feed the doc-level agg directly — no
+    * (doc_id, token) tf pre-pass: that shuffle added nothing (rows
+    * crossing the network are one partial-agg row per doc either
+    * way) and cost a full extra exchange of the token-instance set. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tf = TextOps.tokensBag(docs)
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
+    val occ = TextOps.tokensBag(docs)
       .withColumn("th", TextOps.tokenHash(col("token")))
     val votes = (0 until 40).map { i =>
-      sum(col("tf") * (shiftright(col("th"), i).bitwiseAND(1L) * 2L - 1L)).as(s"v$i")
+      sum(shiftright(col("th"), i).bitwiseAND(1L) * 2L - 1L).as(s"v$i")
     }
-    tf.groupBy("doc_id")
+    occ.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until 40).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))

@@ -223,14 +223,26 @@ object GraphQueries {
   /** C27 4-truss backbone: edges in ≥2 triangles after the peel
     * cascade settles (Ranking.kTrussBounded) — the cohesive cores
     * sharper than k-core's degree cut. */
+  /** One materialized triangle-support index per (session, dir) —
+    * the graph engine's analogue of the CALLS edge cache: ktruss and
+    * weak-ties both consume exact per-edge supports over the same
+    * undirected graph, so the O(Σdeg²) intersect pass is built once
+    * and served to both (localCheckpoint so neither query re-derives
+    * the lineage). */
+  private val supMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def supportIndex(s: SparkSession, d: String): DataFrame =
+    supMemo.getOrElseUpdate((s, d),
+      Ranking.edgeSupportIndex(callEdges(s, d)).localCheckpoint(true))
+
   def graphKTruss(s: SparkSession, d: String): DataFrame =
-    Ranking.kTrussBounded(callEdges(s, d), k = 4, rounds = 6)
+    Ranking.kTrussFromSupports(supportIndex(s, d), k = 4, rounds = 6)
 
   /** C28 weak-tie (local-bridge) profile per function: which nodes'
     * call edges mostly cross community boundaries
     * (Ranking.weakTies). */
   def graphWeakTies(s: SparkSession, d: String): DataFrame =
-    Ranking.weakTies(callEdges(s, d))
+    Ranking.weakTiesFromSupports(supportIndex(s, d))
 
   /** C29 full core decomposition (coreness ≤ 6 per function) — the
     * graph's load-bearing onion layers (Ranking.coreness). */
