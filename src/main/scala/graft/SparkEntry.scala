@@ -99,6 +99,7 @@ object SparkEntry {
     "graph_stats" -> ((s, d) => GraphQueries.graphStats(s, d)),
     "graph_degrees" -> ((s, d) => GraphQueries.graphDegrees(s, d)),
     "graph_components" -> ((s, d) => GraphQueries.graphComponents(s, d)),
+    "graph_scc" -> ((s, d) => GraphQueries.graphScc(s, d)),
     "graph_pagerank" -> ((s, d) => GraphQueries.graphPageRank(s, d)),
     "graph_pagerank_w" -> ((s, d) => GraphQueries.graphPageRankWeighted(s, d)),
     "graph_triangles" -> ((s, d) => GraphQueries.graphTriangles(s, d)),
@@ -807,6 +808,26 @@ object SparkEntry {
         |SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT)
         |FROM region
         |ORDER BY node""".stripMargin,
+    // SCC ground truth is algorithm-independent (scc_id = min
+    // mutually-reachable id, self included via cycle membership), so
+    // the oracle replays it from a recursive-CTE transitive closure —
+    // fine at gate scale, Θ(n·m), NOT the scale path; Spark runs
+    // FW-coloring+trim instead (Components.stronglyConnected).
+    "graph_scc" ->
+      s"""WITH RECURSIVE $E,
+        |de AS (SELECT DISTINCT src, dst FROM e),
+        |reach(s, t) AS (
+        |  SELECT src, dst FROM de
+        |  UNION
+        |  SELECT r.s, d.dst FROM reach r JOIN de d ON r.t = d.src),
+        |nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
+        |mut AS (
+        |  SELECT a.s AS u, a.t AS v FROM reach a
+        |  JOIN reach b ON a.s = b.t AND a.t = b.s)
+        |SELECT CAST(n.node AS BIGINT) AS node,
+        |       CAST(COALESCE(MIN(m.u), n.node) AS BIGINT) AS scc_id
+        |FROM nodes n LEFT JOIN mut m ON m.v = n.node
+        |GROUP BY n.node ORDER BY n.node""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $E,
         |${pageRankCtes(3)}

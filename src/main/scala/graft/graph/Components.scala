@@ -178,4 +178,155 @@ object Components {
     }
     lab.select(col("node"), col("lab").as("community"))
   }
+
+  /** Strongly connected components at FULL depth — the unbounded
+    * complement of the bounded-radius mutual-recursion detector
+    * (Neighborhood.recursionGroups): distributed FW-coloring with
+    * trimming (Orzan 2004; McLendon et al. 2005's FW-BW-Trim;
+    * Slota-Rajamanickam-Madduri 2014 — the standard Pregel-era SCC,
+    * no transitive closure anywhere).
+    *
+    * Per outer round: (1) TRIM — a node missing an in- or out-edge in
+    * the remaining graph is a singleton SCC, peeled to fixpoint
+    * (chains and DAG fringes fall out here in O(longest chain)
+    * cheap degree-filter rounds); (2) COLOR — propagate the minimum
+    * forward-reaching node id to fixpoint (the [[labelPropagation]]
+    * loop, directed); (3) EXTRACT — color roots p (color(p) = p) are
+    * pivots, and the nodes of color p that reach p BACKWARD through
+    * same-color edges are exactly SCC(p), all extracted at once with
+    * scc_id = p. Removing a complete SCC never severs another SCC's
+    * internal paths (a path between mutually-reachable nodes cannot
+    * leave their SCC), so every extraction is final.
+    *
+    * The emitted scc_id is CANONICAL — the minimum member id: a
+    * color root has no smaller id reaching it, and any SCC member
+    * reached by a smaller outside id would relay that id to the
+    * root. That makes the output algorithm-independent, so the
+    * DuckDB oracle can replay it from a recursive-CTE transitive
+    * closure (fine at gate scale, Θ(n·m) and NOT the scale path)
+    * while Spark runs the iterative form whose rounds are all
+    * node-keyed joins/aggs.
+    *
+    * Budgets mirror [[alternatingStar]]: generous bounds + a WARN on
+    * exhaustion (inner fixpoints need ~diameter rounds; outer rounds
+    * ~pivot layers — both small on real callgraphs).
+    */
+  def stronglyConnected(edges: DataFrame, maxOuter: Int = 10,
+      maxInner: Int = 40): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    // no dedup: every step (min-aggs, degree presence, distinct
+    // frontiers) is insensitive to duplicate edges, so the input
+    // rides as-is — one full shuffle saved up front
+    var e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
+    var nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    var done = nodes.isEmpty
+    while (!done && outer < maxOuter) {
+      // ---- trim singleton SCCs to fixpoint
+      var trimming = true
+      var trims = 0
+      while (trimming && trims < maxInner) {
+        // one endpoint-keyed agg finds nodes with BOTH an in- and an
+        // out-edge (two distinct+semi-join passes fused into one)
+        val both = e.select(col("src").as("node"), lit(0).as("side"))
+          .unionByName(e.select(col("dst").as("node"), lit(1).as("side")))
+          .groupBy("node").agg(countDistinct(col("side")).as("ns"))
+          .filter(col("ns") === 2).select("node")
+        val keep = nodes.join(both, Seq("node"), "left_semi")
+          .localCheckpoint(true)
+        val cut = nodes.join(keep, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("scc_id"))
+          .localCheckpoint(true)
+        if (cut.isEmpty) trimming = false
+        else {
+          found += cut
+          nodes = keep
+          e = e.join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
+            .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
+            .localCheckpoint(true)
+        }
+        trims += 1
+      }
+      if (nodes.isEmpty) done = true
+      else {
+        // ---- forward min-color to fixpoint. The edge frame is read
+        // once per inner round: hash-partition it on the probe key a
+        // single time (localCheckpoint preserves outputPartitioning)
+        // so each round exchanges only the 1-row-per-node label frame.
+        val ep = e.repartition(
+            e.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
+          .localCheckpoint(true)
+        var c = nodes.withColumn("color", col("node")).localCheckpoint(true)
+        var converged = false
+        var it = 0
+        while (!converged && it < maxInner) {
+          val nbrMin = ep
+            .join(c.select(col("node").as("u"), col("color").as("cu")), col("src") === col("u"))
+            .groupBy(col("dst").as("node2"))
+            .agg(min(col("cu")).as("m"))
+          val next = c
+            .join(nbrMin, col("node") === col("node2"), "left")
+            .select(col("node"), col("color").as("prev"),
+              least(col("color"), coalesce(col("m"), col("color"))).as("color"))
+            .localCheckpoint(true)
+          converged = next.filter(col("color") < col("prev")).limit(1).isEmpty
+          c = next.select("node", "color")
+          it += 1
+        }
+        if (!converged)
+          log.warn(s"stronglyConnected: color fixpoint not reached in $maxInner " +
+            "rounds — graph diameter exceeds the inner budget; raise maxInner")
+        // ---- backward sweep inside each color class, from the pivots:
+        // frontier-style BFS (probe only the newly-reached level each
+        // round, not the whole reached set), same-color edges
+        // pre-partitioned on the probe key dst
+        val ec = ep
+          .join(c.select(col("node").as("u"), col("color").as("cu")), col("src") === col("u"))
+          .join(c.select(col("node").as("w"), col("color").as("cw")), col("dst") === col("w"))
+          .filter(col("cu") === col("cw"))
+          .select(col("src"), col("dst"))
+          .repartition(
+            e.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
+          .localCheckpoint(true)
+        var r = c.filter(col("color") === col("node")).select(col("node"))
+          .localCheckpoint(true)
+        var frontier = r
+        var grew = true
+        it = 0
+        while (grew && it < maxInner) {
+          val newR = ec.join(frontier.select(col("node").as("t")), col("dst") === col("t"))
+            .select(col("src").as("node")).distinct()
+            .join(r, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+          grew = !newR.isEmpty
+          if (grew) { r = r.unionByName(newR); frontier = newR }
+          it += 1
+        }
+        if (grew)
+          log.warn(s"stronglyConnected: backward sweep not settled in $maxInner " +
+            "rounds — raise maxInner")
+        val members = c.join(r, Seq("node"), "left_semi")
+          .select(col("node"), col("color").as("scc_id"))
+          .localCheckpoint(true)
+        found += members
+        nodes = nodes.join(members.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        e = e.join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
+          .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
+          .localCheckpoint(true)
+        done = nodes.isEmpty
+      }
+      outer += 1
+    }
+    if (!done)
+      log.warn(s"stronglyConnected: outer budget $maxOuter exhausted with nodes " +
+        "remaining — their SCCs are NOT emitted; raise maxOuter")
+    if (found.isEmpty) nodes.select(col("node"), col("node").as("scc_id"))
+    else found.reduce(_ unionByName _)
+  }
 }

@@ -192,6 +192,13 @@ object GraphQueries {
     Components.auto(hierarchyEdges(s, d))
       .orderBy("node")
 
+  /** C30 full-depth strongly connected components over the call
+    * graph (mutual recursion at ANY depth — the unbounded complement
+    * of recursionGroups' bounded radius): FW-coloring + trim,
+    * Components.stronglyConnected. scc_id = min member id. */
+  def graphScc(s: SparkSession, d: String): DataFrame =
+    Components.stronglyConnected(callEdges(s, d)).orderBy("node")
+
   /** C7 PageRank over the call graph: function importance ranking
     * (3 power iterations, scaled formulation — Ranking.pageRank). */
   def graphPageRank(s: SparkSession, d: String): DataFrame =
