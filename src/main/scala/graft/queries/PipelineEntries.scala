@@ -152,6 +152,7 @@ object PipelineEntries {
       graft.streaming.EventStreams.typePivot(graft.streaming.EventStreams.events(s, d))),
     "dedup_editdist" -> ((s, d) => Dedup.editDistance(Tables.documents(s, d))),
     "events_ewma" -> ((s, d) => TemporalOps.eventEwma(s, d)),
+    "events_holt" -> ((s, d) => TemporalOps.eventHolt(s, d)),
     "vocab_bpe_apply" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     "text_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramCrossEntropy(Tables.documents(s, d))),
@@ -1807,6 +1808,38 @@ object PipelineEntries {
          |SELECT user_id, event_id, value_cents,
          |       ($num) // ($den) AS ewma_cents
          |FROM l ORDER BY user_id, event_id""".stripMargin
+    },
+    // Holt level+trend: the SAME bounded-lag unroll as the Spark
+    // side, sequenced through DuckDB lateral column aliases; `//`
+    // truncates toward zero exactly like Spark's `div` (verified on
+    // negative trends), so the recursion replays bit-identically.
+    "events_holt" -> {
+      val n = 6
+      val lags = (1 until n)
+        .map(i => s"lag(value_cents, $i) OVER w AS x$i").mkString(", ")
+      val steps = (0 until n - 1).map { s =>
+        val x = if (s == n - 2) "value_cents" else s"x${n - 2 - s}"
+        s"($x + l$s + b$s) // 2 AS l${s + 1}, (l${s + 1} - l$s + b$s) // 2 AS b${s + 1}"
+      }.mkString(",\n         |       ")
+      s"""WITH b AS (
+         |  SELECT user_id, event_id, ts,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+         |  FROM events WHERE user_id % 20 = 0),
+         |l AS (
+         |  SELECT user_id, event_id, value_cents,
+         |         row_number() OVER w AS rn, $lags
+         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |h AS (
+         |  SELECT user_id, event_id, value_cents, rn,
+         |       x${n - 1} AS l0, x${n - 2} - x${n - 1} AS b0,
+         |       $steps
+         |  FROM l)
+         |SELECT user_id, event_id, value_cents,
+         |       CASE WHEN rn >= $n THEN l${n - 1} ELSE value_cents END AS holt_level,
+         |       CASE WHEN rn >= $n THEN b${n - 1} ELSE 0 END AS holt_trend,
+         |       CASE WHEN rn >= $n THEN l${n - 1} + b${n - 1}
+         |            ELSE value_cents END AS forecast_cents
+         |FROM h ORDER BY user_id, event_id""".stripMargin
     },
     // Bigram-LM cross-entropy: c(a) derived from the SAME bigram
     // frame (never zero under the log), 4dp-sum contract as unigram.

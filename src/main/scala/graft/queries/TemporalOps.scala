@@ -286,6 +286,57 @@ object TemporalOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** E23 Holt double exponential smoothing (level + trend) with a
+    * TRUNCATED warm start — the forecasting complement of [[ewma]]
+    * (which has no trend term and so lags ramps by construction).
+    * Contract, all exact integer cents: over the last `lastN` = 6
+    * points per user in (ts, event_id) order, init l = x₅ (oldest),
+    * b = x₄ − x₅, then five smoothing steps (x₄ down to the current
+    * value — the init's second point is re-smoothed, the textbook
+    * warm start that makes a perfect linear ramp an exact fixpoint:
+    * l stays ON the ramp and b at its slope) with α = β = ½:
+    * l' = (x + l + b) div 2, b' = ((l' − l) + b) div 2 — `div` is
+    * TRUNCATING integral division, which is what DuckDB's `//` does
+    * too (verified on negatives: −3 div 2 = −1 in both; arithmetic
+    * shiftright would floor instead and diverge on negative trends),
+    * and the one-step-ahead forecast is l + b. Rows with fewer than
+    * lastN predecessors report (value, 0, value) — total, no NULL
+    * branches for the oracle to mis-replay. The recursion is unrolled
+    * over bounded lag columns (the [[ewma]] discipline): per-row
+    * window state is O(lastN), one user-keyed shuffle at scale, and
+    * the oracle replays the identical unroll via lateral column
+    * aliases. */
+  def holt(events: DataFrame, lastN: Int = 6): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val base = events.select(col("user_id"), col("event_id"), col("ts"),
+      floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
+    var df = base.withColumn("rn", row_number().over(w))
+    for (i <- 1 until lastN)
+      df = df.withColumn(s"x$i", lag(col("value_cents"), i).over(w))
+    df = df
+      .withColumn("l0", col(s"x${lastN - 1}"))
+      .withColumn("b0", col(s"x${lastN - 2}") - col(s"x${lastN - 1}"))
+    var step = 0
+    for (i <- lastN - 2 to 0 by -1) {
+      val x = if (i == 0) "value_cents" else s"x$i"
+      df = df
+        .withColumn(s"l${step + 1}", expr(s"($x + l$step + b$step) div 2"))
+        .withColumn(s"b${step + 1}", expr(s"(l${step + 1} - l$step + b$step) div 2"))
+      step += 1
+    }
+    df.select(col("user_id"), col("event_id"), col("value_cents"),
+        when(col("rn") >= lastN, col(s"l$step")).otherwise(col("value_cents"))
+          .as("holt_level"),
+        when(col("rn") >= lastN, col(s"b$step")).otherwise(lit(0L))
+          .as("holt_trend"),
+        when(col("rn") >= lastN, col(s"l$step") + col(s"b$step"))
+          .otherwise(col("value_cents")).as("forecast_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def eventHolt(s: SparkSession, d: String): DataFrame =
+    holt(EventStreams.events(s, d).filter(col("user_id") % 20 === 0))
+
   /** Per-user inter-arrival gap statistics with EXACT integer
     * quantiles: consecutive (ts, event_id)-ordered gap in epoch-ms,
     * then per user n_gaps / min / max plus the discrete median and

@@ -132,6 +132,46 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Map(1L -> 100L, 2L -> 233L, 3L -> 385L))
   }
 
+  test("holt: forecast tracks a linear ramp exactly, warm-up rows pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // perfect ramp 1.00, 2.00, ..., 8.00 (cents 100..800): Holt with
+    // α=β=½ locks onto level=x, trend=100 — hand-rolled at row 6:
+    // l0=100, b0=100; each step l'=(x+l+b)/2 keeps l=x, b'=100; so
+    // forecast = x+100 from row 6 on. Rows 1-5 are warm-up: (x, 0, x).
+    // ewma on the same ramp UNDER-forecasts (no trend term) — the
+    // property that motivates the operator.
+    val ev = (1 to 8).map(i => (1L, i.toLong, i * 1000L, i.toDouble))
+      .toDF("user_id", "event_id", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = queries.TemporalOps.holt(ev)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(5L) == (500L, 0L, 500L))       // warm-up passthrough
+    assert(out(6L) == (600L, 100L, 700L))     // locked on the ramp
+    assert(out(7L) == (700L, 100L, 800L))
+    assert(out(8L) == (800L, 100L, 900L))
+    val ew = queries.TemporalOps.ewma(ev)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(ew(8L) < 800L)                     // ewma lags the ramp
+  }
+
+  test("holt: negative trend stays exact through truncating division") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // descending ramp 8.00 → 1.00: trend locks at −100; forecasts
+    // continue downward. Exercises the div-truncation contract on
+    // negatives (a floor-division engine would drift here).
+    val ev = (1 to 8).map(i => (1L, i.toLong, i * 1000L, (9 - i).toDouble))
+      .toDF("user_id", "event_id", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = queries.TemporalOps.holt(ev)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(6L) == (300L, -100L, 200L))
+    assert(out(8L) == (100L, -100L, 0L))
+  }
+
   test("interarrival: rank-selected median and p90, gaps from the time order") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_millis}
