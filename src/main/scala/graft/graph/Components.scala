@@ -220,32 +220,33 @@ object Components {
     var e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .localCheckpoint(true)
-    var nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+    // the node universe falls out of the first trim round's degree
+    // agg — no standalone distinct pass over the endpoint union
+    var nodes: DataFrame = null
     val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
-    var done = nodes.isEmpty
+    var done = false
     while (!done && outer < maxOuter) {
       // ---- trim singleton SCCs to fixpoint
       var trimming = true
       var trims = 0
       while (trimming && trims < maxInner) {
-        // one endpoint-keyed agg finds nodes with BOTH an in- and an
-        // out-edge (two distinct+semi-join passes fused into one)
-        val both = e.select(col("src").as("node"), lit(0).as("side"))
+        // one endpoint-keyed agg finds the nodes with BOTH an in- and
+        // an out-edge; every survivor candidate is an edge endpoint,
+        // so `keep` needs no join back to the node set
+        val deg = e.select(col("src").as("node"), lit(0).as("side"))
           .unionByName(e.select(col("dst").as("node"), lit(1).as("side")))
           .groupBy("node").agg(countDistinct(col("side")).as("ns"))
-          .filter(col("ns") === 2).select("node")
-        val keep = nodes.join(both, Seq("node"), "left_semi")
           .localCheckpoint(true)
+        if (nodes == null) nodes = deg.select("node")
+        val keep = deg.filter(col("ns") === 2).select("node")
         val cut = nodes.join(keep, Seq("node"), "left_anti")
           .select(col("node"), col("node").as("scc_id"))
           .localCheckpoint(true)
         if (cut.isEmpty) trimming = false
         else {
           found += cut
-          nodes = keep
+          nodes = keep.localCheckpoint(true)
           e = e.join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
             .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
             .localCheckpoint(true)
@@ -284,12 +285,20 @@ object Components {
         // ---- backward sweep inside each color class, from the pivots:
         // frontier-style BFS (probe only the newly-reached level each
         // round, not the whole reached set), same-color edges
-        // pre-partitioned on the probe key dst
-        val ec = ep
-          .join(c.select(col("node").as("u"), col("color").as("cu")), col("src") === col("u"))
-          .join(c.select(col("node").as("w"), col("color").as("cw")), col("dst") === col("w"))
-          .filter(col("cu") === col("cw"))
-          .select(col("src"), col("dst"))
+        // pre-partitioned on the probe key dst. When one color flooded
+        // the whole remaining graph (the giant-SCC round — the common
+        // case on real callgraphs) every edge is same-color by
+        // construction and the two restriction joins are skipped.
+        val nColors = c.agg(countDistinct(col("color")).as("nc"))
+          .first().getLong(0)
+        val sameColor =
+          if (nColors == 1L) ep
+          else ep
+            .join(c.select(col("node").as("u"), col("color").as("cu")), col("src") === col("u"))
+            .join(c.select(col("node").as("w"), col("color").as("cw")), col("dst") === col("w"))
+            .filter(col("cu") === col("cw"))
+            .select(col("src"), col("dst"))
+        val ec = sameColor
           .repartition(
             e.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
           .localCheckpoint(true)
