@@ -130,7 +130,9 @@ object SparkEntry {
     "q_pareto" -> ((s, d) =>
       Relational.revenueConcentration(Tables.orders(s, d))),
     "graph_temporal" -> ((s, d) => GraphQueries.graphTemporal(s, d)),
-    "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d))
+    "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d)),
+    "q_skyline" -> ((s, d) => Relational.skyline(Tables.part(s, d))),
+    "table_profile" -> ((s, d) => Relational.tableProfile(Tables.lineitem(s, d)))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -1238,6 +1240,60 @@ object SparkEntry {
     },
     // Revenue concentration: descending $10-bin histogram, first
     // cum·5 ≥ total·4 crossing from the top; exact longs + exact ppm.
+    // Skyline: the oracle states the DEFINITION (NOT EXISTS a
+    // dominating part) rather than replaying the two-phase prune —
+    // the strongest possible gate for a pruning plan, since a prune
+    // that drops a frontier point or keeps a dominated one cannot
+    // hash-match the declarative form.
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+        |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM part)
+        |SELECT p_partkey, price_cents, size FROM p q
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p d
+        |  WHERE d.price_cents <= q.price_cents AND d.size >= q.size
+        |    AND (d.price_cents < q.price_cents OR d.size > q.size))
+        |ORDER BY price_cents, p_partkey""".stripMargin,
+    "table_profile" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         CAST(l_quantity AS BIGINT) AS l_quantity,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+        |         epoch_ms(l_shipdate) // 86400000 AS ship_day
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey' AS column_name,
+        |         CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_null,
+        |         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(l_orderkey) AS BIGINT) AS min_val,
+        |         CAST(MAX(l_orderkey) AS BIGINT) AS max_val FROM l
+        |  UNION ALL
+        |  SELECT 'l_partkey', COUNT(*) - COUNT(l_partkey),
+        |         COUNT(DISTINCT l_partkey), MIN(l_partkey), MAX(l_partkey) FROM l
+        |  UNION ALL
+        |  SELECT 'l_suppkey', COUNT(*) - COUNT(l_suppkey),
+        |         COUNT(DISTINCT l_suppkey), MIN(l_suppkey), MAX(l_suppkey) FROM l
+        |  UNION ALL
+        |  SELECT 'l_linenumber', COUNT(*) - COUNT(l_linenumber),
+        |         COUNT(DISTINCT l_linenumber), MIN(l_linenumber),
+        |         MAX(l_linenumber) FROM l
+        |  UNION ALL
+        |  SELECT 'l_quantity', COUNT(*) - COUNT(l_quantity),
+        |         COUNT(DISTINCT l_quantity), MIN(l_quantity), MAX(l_quantity) FROM l
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', COUNT(*) - COUNT(price_c),
+        |         COUNT(DISTINCT price_c), MIN(price_c), MAX(price_c) FROM l
+        |  UNION ALL
+        |  SELECT 'l_discount', COUNT(*) - COUNT(disc_c),
+        |         COUNT(DISTINCT disc_c), MIN(disc_c), MAX(disc_c) FROM l
+        |  UNION ALL
+        |  SELECT 'l_shipdate', COUNT(*) - COUNT(ship_day),
+        |         COUNT(DISTINCT ship_day), MIN(ship_day), MAX(ship_day) FROM l)
+        |ORDER BY column_name""".stripMargin,
     "q_pareto" ->
       """WITH c AS (
         |  SELECT o_custkey,

@@ -95,6 +95,10 @@ object PipelineEntries {
     "events_rolling" -> ((s, d) => TemporalOps.eventRolling(s, d)),
     "events_anomaly" -> ((s, d) => TemporalOps.eventAnomalies(s, d)),
     "events_cusum" -> ((s, d) => TemporalOps.eventCusum(s, d)),
+    "events_mad" -> ((s, d) =>
+      TemporalOps.madOutliers(graft.streaming.EventStreams.events(s, d))),
+    "events_seasonal" -> ((s, d) =>
+      TemporalOps.seasonalProfile(graft.streaming.EventStreams.events(s, d))),
     "embed_quantize" -> ((s, d) =>
       Similarity.quantizeSummary(Tables.embeddings(s, d))),
     "sample_stratified" -> ((s, d) =>
@@ -1450,6 +1454,52 @@ object PipelineEntries {
         |       CAST(MIN(CASE WHEN adev = mdev THEN rn END) AS BIGINT)
         |         AS cp_rank
         |FROM c3 GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // MAD: both medians rank-selected at ⌊(n+1)/2⌋ with event_id
+    // tie-break — no interpolation anywhere, so the replay is exact.
+    "events_mad" ->
+      """WITH q AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, x,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY x, event_id)
+        |           AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM q),
+        |m AS (SELECT user_id, x AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT q.user_id, q.event_id, m.med, abs(q.x - m.med) AS d
+        |  FROM q JOIN m USING (user_id)),
+        |r2 AS (
+        |  SELECT user_id, d,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d, event_id)
+        |           AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM d),
+        |md AS (SELECT user_id, d AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MAX(d.med) AS BIGINT) AS med_cents,
+        |       CAST(MAX(md.mad) AS BIGINT) AS mad_cents,
+        |       CAST(SUM(CASE WHEN d.d > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM d JOIN md USING (user_id)
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "events_seasonal" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, hour, SUM(x) // COUNT(*) AS mean_cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_type, CAST(e.hour AS BIGINT) AS hour,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MAX(p.mean_cents) AS BIGINT) AS mean_cents,
+        |       CAST(SUM(abs(e.x - p.mean_cents)) AS BIGINT) AS sae_cents
+        |FROM e JOIN p USING (event_type, hour)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_stratified" ->
       s"""WITH $TOK,
          |lid AS (

@@ -835,4 +835,89 @@ object Relational {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy("custkey")
   }
+
+  /** Skyline (Pareto-frontier) over parts: every part for which no
+    * other part is both cheaper-or-equal AND larger-or-equal with at
+    * least one strict — minimize retail price, maximize size. The
+    * naive plan is an O(n²) dominance self-join; this one is the
+    * classic distributed two-phase prune:
+    *
+    *  1. Bucket price into fixed-width cents bands; per-bucket max
+    *     size is a ≤-#buckets-row frame whose PREFIX max over
+    *     strictly-lower buckets (lower bucket ⇒ strictly lower cents,
+    *     since `div` is monotone) is a certificate of dominance —
+    *     any part at or below that prefix max is dominated by some
+    *     cheaper part. The certificate frame is tiny → broadcast;
+    *     survivors are ~the frontier's neighborhood, not the corpus.
+    *  2. Exact dominance test on the survivors only, via two RANGE
+    *     windows over price cents: dominated ⟺ max size over
+    *     strictly-cheaper rows ≥ size, OR max size over
+    *     cheaper-or-equal rows > size (the second catches equal-price
+    *     strictly-larger; exact duplicates stay mutually undominated,
+    *     per the standard skyline definition). The global-order
+    *     window runs over the PRUNED set — thousands of rows at any
+    *     corpus scale, so the single-partition sort is safe.
+    */
+  def skyline(part: DataFrame, bucketCents: Long = 100000L): DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_size").cast("long").as("size"),
+        centsOf(col("p_retailprice")).as("price_cents"))
+      .withColumn("bucket", expr(s"price_cents div $bucketCents"))
+    val certs = p.groupBy("bucket").agg(max(col("size")).as("bmax"))
+      .withColumn("lower_max",
+        max(col("bmax")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), coalesce(col("lower_max"), lit(-1L)).as("lower_max"))
+    val survivors = p.join(broadcast(certs), "bucket")
+      .filter(col("size") > col("lower_max"))
+    val below = Window.orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val atOrBelow = Window.orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, 0)
+    survivors
+      .withColumn("m_lt", max(col("size")).over(below))
+      .withColumn("m_le", max(col("size")).over(atOrBelow))
+      .filter((col("m_lt").isNull || col("m_lt") < col("size")) &&
+        !(col("m_le") > col("size")))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy("price_cents", "p_partkey")
+  }
+
+  /** Data-quality profile of the lineitem fact: per numeric column,
+    * row/null/distinct counts and integer min/max (money in cents,
+    * dates in epoch days) — the ingest-validation sweep a pipeline
+    * runs before training jobs trust a drop. ONE scan: Spark plans
+    * the multi-column `count(distinct …)` set as a single Expand +
+    * two-level aggregate (each input row fans out once per profiled
+    * column), so the fact table is read and shuffled once, not once
+    * per column; the per-column unpivot happens on the 1-row
+    * aggregate via `stack`. Adding a column to the profile is one
+    * more Expand projection, not another scan.
+    */
+  def tableProfile(lineitem: DataFrame): DataFrame = {
+    val cols: Seq[(String, Column)] = Seq(
+      "l_orderkey" -> col("l_orderkey"),
+      "l_partkey" -> col("l_partkey"),
+      "l_suppkey" -> col("l_suppkey"),
+      "l_linenumber" -> col("l_linenumber").cast("long"),
+      "l_quantity" -> col("l_quantity").cast("long"),
+      "l_extendedprice" -> centsOf(col("l_extendedprice")),
+      "l_discount" -> centsOf(col("l_discount")),
+      "l_shipdate" -> expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000"))
+    val aggs = cols.flatMap { case (n, c) =>
+      Seq(count(c).as(s"cnt_$n"), countDistinct(c).as(s"nd_$n"),
+        min(c).as(s"min_$n"), max(c).as(s"max_$n"))
+    }
+    val total = count(lit(1)).as("n_rows")
+    val one = lineitem.agg(aggs.head, (aggs.tail :+ total): _*)
+    val stacked = cols.map { case (n, _) =>
+      s"'$n', n_rows - cnt_$n, nd_$n, min_$n, max_$n"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${cols.size}, $stacked) as " +
+          "(column_name, n_null, n_distinct, min_val, max_val)"))
+      .select(col("column_name"), col("n_null").cast("long").as("n_null"),
+        col("n_distinct"), col("min_val").cast("long").as("min_val"),
+        col("max_val").cast("long").as("max_val"))
+      .orderBy("column_name")
+  }
 }

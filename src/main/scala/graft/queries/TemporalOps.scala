@@ -578,4 +578,68 @@ object TemporalOps {
         round(expr("percentile(value, 0.99)"), 4).as("p99"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
+
+  /** Robust per-user outlier profile via median/MAD — the
+    * heavy-tail-safe complement of [[anomalies]]' z-score (a single
+    * wild value inflates a stddev but moves a median by at most one
+    * rank). Both medians are RANK-SELECTED (the [[interArrival]]
+    * discipline): med = the ⌊(n+1)/2⌋-th smallest value (ties broken
+    * by event_id), MAD = the same rank over |x − med|. A row is an
+    * outlier iff |x − med| > 3·MAD — exact longs end to end, no
+    * interpolation, so the two engines cannot drift. Three shuffles,
+    * all user-keyed (value-rank window, deviation-rank window, final
+    * agg); at scale user_id is the natural partition key and the
+    * per-user window state is the value list.
+    */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("x"))
+    val byUser = Window.partitionBy("user_id")
+    val wv = byUser.orderBy(col("x"), col("event_id"))
+    val med = ev
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("x").as("med"))
+    val dev = ev.join(med, "user_id")
+      .withColumn("d", abs(col("x") - col("med")))
+    val wd = byUser.orderBy(col("d"), col("event_id"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("d").as("mad"))
+    dev.join(mad, "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).as("med_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(col("d") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("user_id")
+  }
+
+  /** Hour-of-day seasonal profile + seasonal-naive fit error per
+    * event type: the mean level per (type, hour-of-day) slot in
+    * truncated cents (`div`, the [[holt]] division contract), and the
+    * sum of absolute residuals against that profile — the in-sample
+    * SAE of the seasonal-naive forecaster, i.e. how much of the
+    * stream the 24-slot profile explains. The profile is ≤ |types|·24
+    * rows, so the residual pass joins it BROADCAST: two narrow
+    * map-side-combinable (type, hour) aggregations and zero wide
+    * exchanges of the event stream at any scale.
+    */
+  def seasonalProfile(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      (expr("unix_millis(ts) div 3600000") % 24).as("hour"),
+      floor(col("value") * 100 + 0.5).cast("long").as("x"))
+    val prof = ev.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .select(col("event_type"), col("hour"), expr("s div n").as("mean_cents"))
+    ev.join(broadcast(prof), Seq("event_type", "hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), max(col("mean_cents")).as("mean_cents"),
+        sum(abs(col("x") - col("mean_cents"))).as("sae_cents"))
+      .orderBy("event_type", "hour")
+  }
 }

@@ -100,4 +100,43 @@ class RelationalSpec extends AnyFunSuite {
     // nobody is strictly above any cut → uniform score 111
     assert(r == Set(111L))
   }
+
+  test("skyline: frontier kept, dominated dropped, exact duplicates both survive") {
+    import spark.implicits._
+    // (partkey, size, price): minimize price, maximize size.
+    //  4: (2, $1)  cheapest → frontier.   2: (5, $3) → frontier.
+    //  1 & 5: (10, $5) exact duplicates → BOTH frontier (neither strict).
+    //  3: (10, $7) dominated by 1 (same size, strictly cheaper).
+    val part = Seq((1L, 10, 5.0), (2L, 5, 3.0), (3L, 10, 7.0),
+      (4L, 2, 1.0), (5L, 10, 5.0))
+      .toDF("p_partkey", "p_size", "p_retailprice")
+    // bucketCents=100 → one bucket per price point, so the prefix-max
+    // certificate phase actually prunes (part 3 dies in phase 1)
+    val out = Relational.skyline(part, bucketCents = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 4L, 5L))
+    // one giant bucket → no phase-1 pruning, phase 2 alone must agree
+    val out1 = Relational.skyline(part, bucketCents = 1000000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out1 == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("tableProfile: null/distinct/min/max per column off one scan") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10L, 100L, 1, Some(5.0), 10.0, 0.05, 86400000L),
+      (1L, 11L, 100L, 2, None, 20.0, 0.10, 172800000L),
+      (2L, 10L, 101L, 1, Some(7.0), 30.0, 0.05, 172800000L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "ms")
+      .withColumn("l_shipdate", timestamp_millis(col("ms"))).drop("ms")
+    val p = Relational.tableProfile(li).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(p("l_orderkey") == ((0L, 2L, 1L, 2L)))
+    assert(p("l_quantity") == ((1L, 2L, 5L, 7L)))    // the None is a null
+    assert(p("l_extendedprice") == ((0L, 3L, 1000L, 3000L))) // cents
+    assert(p("l_shipdate") == ((0L, 2L, 1L, 2L)))    // epoch days
+    assert(p.size == 8)
+  }
 }

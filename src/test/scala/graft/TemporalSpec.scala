@@ -320,4 +320,43 @@ class TemporalSpec extends AnyFunSuite {
       (1L, "y") -> (1L, 4L, 950L),
       (2L, "x") -> (1L, 5L, 725L)))
   }
+
+  test("madOutliers: rank-selected median/MAD, spike beyond 3·MAD flagged") {
+    import spark.implicits._
+    // user 1: [1,1,1,1,100] → med=100c, every baseline dev 0 → MAD 0,
+    //   the 9900c spike is the lone outlier (d > 3·0).
+    // user 2: [1,2,3,4,5,100] cents [100..500,10000] → med = 3rd
+    //   smallest = 300; devs [200,100,0,100,200,9700] → MAD = 3rd
+    //   smallest = 100; only 9700 > 300 → one outlier.
+    val ev = (Seq.tabulate(4)(i => (1L, i.toLong + 1, 1.0)) :+ ((1L, 5L, 100.0))) ++
+      ((1 to 5).map(i => (2L, 10L + i, i.toDouble)) :+ ((2L, 16L, 100.0)))
+    val out = TemporalOps.madOutliers(ev.toDF("user_id", "event_id", "value"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((5L, 100L, 0L, 1L)))
+    assert(out(2L) == ((6L, 300L, 100L, 1L)))
+  }
+
+  test("seasonalProfile: per-hour mean and absolute residual sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    def at(h: Int, m: Int) = (h * 3600L + m * 60L) * 1000L
+    val ev = Seq(
+      ("a", 1L, at(0, 5), 1.0),   // hour 0: 100c, 300c → mean 200,
+      ("a", 2L, at(0, 50), 3.0),  //   sae = 100 + 100
+      ("a", 3L, at(1, 10), 5.0),  // hour 1: single point, sae 0
+      ("b", 4L, at(0, 0), 2.0),   // day 2, still hour-of-day 0
+      ("b", 5L, at(24, 30), 4.0)) // 24h later → hour 0 again
+      .toDF("event_type", "event_id", "ms", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = TemporalOps.seasonalProfile(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", 0L)) == ((2L, 200L, 200L)))
+    assert(out(("a", 1L)) == ((1L, 500L, 0L)))
+    // both b events fold into the same hour-of-day slot
+    assert(out(("b", 0L)) == ((2L, 300L, 200L)))
+    assert(out.size == 3)
+  }
 }
