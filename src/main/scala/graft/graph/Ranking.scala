@@ -422,8 +422,18 @@ object Ranking {
     */
   def betweennessSampled(edges: DataFrame, sources: DataFrame,
       maxDepth: Int = 3): DataFrame = {
+    // both sweeps probe the edge frame on _src — maxDepth forward
+    // joins plus maxDepth backward DAG joins. distinct() leaves the
+    // checkpoint partitioned on (src, dst), which satisfies none of
+    // them, so every join would re-exchange the full edge set; one
+    // pinned hash-partition on _src (the reachLevels amortization)
+    // makes all 2·maxDepth probes exchange only the frontier/delta.
     val e = edges.select(col("src").cast("long").as("_src"),
-      col("dst").cast("long").as("_dst")).distinct().localCheckpoint(true)
+      col("dst").cast("long").as("_dst")).distinct()
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("_src"))
+      .localCheckpoint(true)
     // forward: levels(t) = (s, v, sigma) reached first at depth t
     var frontier = sources.select(col("node").cast("long").as("s"))
       .distinct()

@@ -15,13 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object EventStreams {
 
-  /** The testdata `events.ts` column is parquet TIMESTAMP(NANOS),
-    * which Spark cannot read natively — read nanos as long and
-    * truncate to microseconds (identical to DuckDB's ns→µs read). */
+  /** Normalize `events.ts` to a plain session-zone TIMESTAMP whatever
+    * the generator wrote: historical testdata used parquet
+    * TIMESTAMP(NANOS), which Spark only reads via
+    * `nanosAsLong` → BIGINT nanos (truncate to µs, identical to
+    * DuckDB's ns→µs read); newer drops write plain µs, surfacing as
+    * TIMESTAMP_NTZ (cast to LTZ — the session zone is UTC everywhere,
+    * so the instant equals the naive wall clock DuckDB sees). Keyed
+    * on the OBSERVED column type, not the generator's era, so a
+    * regenerated dataset never breaks the reader again. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** Events reader: nanos-era AND micros-era parquet (see
+    * [[normalizeTs]]). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(s.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Tumbling 1-hour windowed counts/sums per event type. In
@@ -349,8 +365,7 @@ object EventStreams {
   def streamingHourlyCounts(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normalizeTs(s.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", "1 hour")
     stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -369,8 +384,7 @@ object EventStreams {
       windowMs: Long = 3600000L): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(s.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", "1 hour")
       .groupBy(col("event_type"), window(col("ts"), s"$windowMs milliseconds"))
       .agg(count(lit(1)).as("c"))
@@ -449,9 +463,8 @@ object EventStreams {
     // a directory): the other tables' parquet would surface as
     // all-NULL rows, and a keyed groupBy — unlike window(ts), which
     // drops null event times — would keep them as a junk NULL group
-    latestCore(s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    latestCore(normalizeTs(s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)))
   }
 
   case class HllIn(event_type: String, event_id: Long)
