@@ -110,6 +110,7 @@ object SparkEntry {
     "graph_neighbor_sim" -> ((s, d) => GraphQueries.neighborSim(s, d)),
     "graph_anf" -> ((s, d) => GraphQueries.graphAnf(s, d)),
     "graph_betweenness" -> ((s, d) => GraphQueries.graphBetweenness(s, d)),
+    "graph_walks" -> ((s, d) => GraphQueries.graphWalks(s, d)),
     "graph_diff" -> ((s, d) => GraphQueries.graphDiff(s, d)),
     "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
     "graph_closeness" -> ((s, d) => GraphQueries.graphCloseness(s, d)),
@@ -308,6 +309,23 @@ object SparkEntry {
          |  LEFT JOIN und u ON u.a = l.node
          |  LEFT JOIN l$t n ON n.node = u.b
          |  GROUP BY l.node, l.component)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled deterministic-walk CTEs: step t picks, per live walker,
+    * the out-neighbor with the smallest md5(walk,t,node,nbr) — the
+    * same keyed draw Traversal.walks computes (md5 over the identical
+    * comma-joined decimal rendering), tie-broken on nbr. row_number
+    * over (hash, nbr) is the oracle's argmin; walkers at sinks drop
+    * out of later CTEs exactly as the Spark join does. */
+  private def walkCtes(steps: Int): String =
+    (1 to steps).map { t =>
+      s"""w$t AS (SELECT walk_id, CAST($t AS BIGINT) AS step, n AS node FROM (
+         |  SELECT w.walk_id, e.dst AS n,
+         |         row_number() OVER (PARTITION BY w.walk_id ORDER BY
+         |           md5(CAST(w.walk_id AS VARCHAR) || ',' || '$t' || ',' ||
+         |               CAST(w.node AS VARCHAR) || ',' || CAST(e.dst AS VARCHAR)),
+         |           e.dst) AS rn
+         |  FROM w${t - 1} w JOIN e ON e.src = w.node) s$t WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
   /** Shared oracle CTE: the derived CALLS edge table (SURVEY.md §4). */
@@ -890,6 +908,17 @@ object SparkEntry {
         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM s),
         |${ssspCtes(4)}
         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
+    "graph_walks" ->
+      s"""WITH $E,
+        |w0 AS (SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step,
+        |         src AS node FROM e WHERE src % 50 = 1),
+        |${walkCtes(6)}
+        |SELECT walk_id, step, node FROM (
+        |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL
+        |  SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL
+        |  SELECT * FROM w4 UNION ALL SELECT * FROM w5 UNION ALL
+        |  SELECT * FROM w6) u
+        |ORDER BY walk_id, step""".stripMargin,
     "graph_ppr" ->
       s"""WITH $E,
         |${pprCtes(3)}

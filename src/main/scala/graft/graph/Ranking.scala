@@ -152,19 +152,26 @@ object Ranking {
     * semi joins; at scale that is two shuffles per round on node id,
     * and the edge set only ever shrinks.
     */
-  def kCoreBounded(edges: DataFrame, k: Int = 5, rounds: Int = 8): DataFrame =
-    peelCore(symEdges(edges), k, rounds)
-      .groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+  def kCoreBounded(edges: DataFrame, k: Int = 5, rounds: Int = 8): DataFrame = {
+    val symP = symEdges(edges)
+    val deg0 = symP.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    peelDegrees(symP, deg0, k, rounds)
+      .select(col("u").as("node"), col("deg").as("core_deg"))
       .orderBy("node")
+  }
 
   /** Symmetric (u, v) edge frame from a raw src/dst one: self-loops
     * dropped, duplicates and reversals collapsed, both directions
-    * emitted — the peel input shape. Checkpointed: every peel reads
-    * it at least twice. */
+    * emitted — the peel input shape. Hash-partitioned on v and
+    * checkpointed: every peel wave probes it on v (edges INTO the
+    * just-removed nodes), so after the one up-front exchange each
+    * wave ships only the removed-node frame. */
   private def symEdges(edges: DataFrame): DataFrame = {
     val und = undEdges(edges)
     und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions, col("v"))
       .localCheckpoint(true)
   }
 
@@ -178,35 +185,45 @@ object Ranking {
       .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
       .distinct()
 
-  /** The bounded degree-peel cascade on a prepared symmetric edge
-    * frame; returns the surviving symmetric edges. Early-exit on
-    * fixpoint: peeling only ever REMOVES edges, so an unchanged edge
-    * count means nothing fell below k — every further round is a
-    * no-op and the result equals the full `rounds` budget (the
-    * oracle's unrolled recursion). The count is a cheap action on
-    * the already-checkpointed frame. */
-  private def peelCore(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var ed = sym
-    var prev = ed.count()
+  /** The bounded degree-peel cascade as DEGREE-DECREMENT waves: state
+    * is the per-node degree of the alive induced subgraph, never a
+    * re-materialized edge set. Wave r removes every alive node with
+    * deg < k, then decrements its alive neighbors — identical wave
+    * semantics to re-filtering the edges (what the oracle's unrolled
+    * recursion replays: a removed node's row simply vanishes from the
+    * next degree agg either way), but a wave's work is proportional
+    * to the REMOVED nodes' adjacency, not m. The k-core survivor
+    * graph is always the induced subgraph on alive nodes, so the
+    * ORIGINAL symmetric frame + alive filters stay exact across waves
+    * AND across nested-k reuse; `symP` must be [[symEdges]]-shaped
+    * (hash-partitioned on v) so each wave exchanges only the removed
+    * frame. Early exit on an empty wave — every further round is a
+    * no-op, so bounded ≡ the full `rounds` budget. Returns the final
+    * alive (u, deg) — members with their within-core degree. */
+  private def peelDegrees(symP: DataFrame, deg0: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var deg = deg0
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
-      val keep = ed.groupBy("u").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("u")
-      ed = ed.join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint(true)
-      val n = ed.count()
-      converged = n == prev
-      prev = n
+      val removed = deg.filter(col("deg") < k).select("u").localCheckpoint(true)
+      if (removed.isEmpty) converged = true
+      else {
+        val dec = symP.join(removed.select(col("u").as("r")), col("v") === col("r"))
+          .groupBy("u").agg(count(lit(1)).as("d"))
+        deg = deg.filter(col("deg") >= k)
+          .join(dec, Seq("u"), "left")
+          .select(col("u"), (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
+          .localCheckpoint(true)
+      }
       round += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"peelCore: round budget $rounds exhausted before the peel cascade " +
+        s"peelDegrees: round budget $rounds exhausted before the peel cascade " +
           "settled; surviving nodes may include non-core members (long chains " +
           "peel two nodes per round — raise `rounds` for such graphs)")
-    ed
+    deg
   }
 
   /** C27 k-truss backbone: the subgraph where every edge sits in ≥
@@ -243,16 +260,19 @@ object Ranking {
     */
   def coreness(edges: DataFrame, maxK: Int = 6, rounds: Int = 8): DataFrame = {
     val sym = symEdges(edges)
-    val nodes = sym.select(col("u").as("node")).distinct()
+    val deg0 = sym.groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val nodes = deg0.select(col("u").as("node"))
     // nested cores: the (k+1)-core lives inside the k-core, so each
-    // peel starts from the PREVIOUS survivor set — the k=2 pass does
-    // the full-graph work once and every later pass touches only the
-    // shrinking core (the from-scratch form re-peeled the whole graph
-    // maxK−1 times; measured 9.7 s → this shape at sf0.1's dense core)
-    var cur = sym
+    // peel starts from the PREVIOUS survivor state — and the state is
+    // just the alive degree frame ([[peelDegrees]]), which the next k
+    // consumes directly: across the whole decomposition the m-row
+    // edge frame is materialized ONCE (the from-scratch form re-peeled
+    // the whole graph maxK−1 times, 9.7 s; the edge-refilter nested
+    // form still checkpointed m rows per round)
+    var deg = deg0
     val members = (2 to maxK).map { k =>
-      cur = peelCore(cur, k, rounds)
-      cur.select(col("u").as("node")).distinct()
+      deg = peelDegrees(sym, deg, k, rounds)
+      deg.select(col("u").as("node"))
         .withColumn("k", lit(k.toLong))
     }
     val cores = members.reduce(_ unionByName _)

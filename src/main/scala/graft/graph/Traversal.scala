@@ -420,4 +420,49 @@ object Traversal {
       })
       .select(col("node"), round(col("est"), 2).as("est_ball"))
   }
+
+  /** Deterministic "random" walks — the graph-embedding corpus
+    * generator (DeepWalk / node2vec sample walks feed the skip-gram
+    * trainer; at 100 TB the walk corpus IS training data, so it must
+    * be reproducible run-to-run and auditable engine-to-engine).
+    * One walker starts at every node in `starts`; at step t the
+    * walker at v moves to the out-neighbor n minimizing
+    * md5(walk ‖ t ‖ v ‖ n) — a keyed hash draw both engines compute
+    * bit-identically (md5 is the one digest Spark and DuckDB share),
+    * uniform over neighbors, decorrelated across walks and steps by
+    * the key. Walkers at sinks stop; completed prefixes are kept.
+    *
+    * Scale shape: state is ONE row per live walker; each step is one
+    * equality join against the edge set (pre-hash-partitioned on src
+    * once, the [[reachLevels]] amortization) + one narrow walk-keyed
+    * argmin agg — min(struct(hash, nbr)), partially aggregated
+    * map-side, never a per-walker window sort. Returns
+    * (walk_id, step, node), step 0..maxLen.
+    */
+  def randomWalks(edges: DataFrame, starts: DataFrame, maxLen: Int = 6): DataFrame = {
+    val e = edgeCols(edges).select("_src", "_dst").distinct()
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("_src"))
+      .localCheckpoint(true)
+    var cur = starts.select(col("node").cast("long").as("node")).distinct()
+      .select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
+      .localCheckpoint(true)
+    val segs = scala.collection.mutable.ArrayBuffer(cur)
+    for (t <- 1 to maxLen if !cur.isEmpty) {
+      cur = cur
+        .join(e, col("node") === col("_src"))
+        .select(col("walk_id"),
+          struct(
+            md5(concat_ws(",", col("walk_id"), lit(t.toLong), col("node"),
+              col("_dst"))).as("h"),
+            col("_dst").as("n")).as("cand"))
+        .groupBy("walk_id")
+        .agg(min(col("cand")).as("c"))
+        .select(col("walk_id"), lit(t.toLong).as("step"), col("c.n").as("node"))
+        .localCheckpoint(true)
+      segs += cur
+    }
+    segs.reduce(_ unionByName _).orderBy("walk_id", "step")
+  }
 }

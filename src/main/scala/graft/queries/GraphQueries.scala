@@ -327,6 +327,17 @@ object GraphQueries {
     Ranking.betweennessSampled(e, sources, maxDepth = 3)
   }
 
+  /** C31 deterministic walk corpus: one 6-step hash-drawn walk from
+    * every 1-in-50 sampled function — the DeepWalk/node2vec sampling
+    * pass whose output feeds a skip-gram embedding trainer
+    * (Traversal.walks; md5-keyed neighbor draw, engine-replayable). */
+  def graphWalks(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val starts = e.select(col("src").as("node"))
+      .filter(col("node") % 50 === 1).distinct()
+    Traversal.randomWalks(e, starts, maxLen = 6)
+  }
+
   /** C13 neighborhood function (ANF): |N_≤2(v)| for every function —
     * the "how much of the binary does this function transitively
     * touch" profile (the exact small-d form of the approximate

@@ -257,4 +257,29 @@ class TraversalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c1(5L) == 1L, s"tie not broken to min label: $c1")
   }
+
+  test("randomWalks: every step follows an edge, sinks stop, reruns identical") {
+    val edgeSet = edges.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val w = Traversal.randomWalks(edges, starts(1L, 6L, 7L), maxLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byWalk = w.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.sortBy(_._2).map(_._3).toSeq
+    }
+    // step 0 is the start itself; every later hop is a real edge
+    byWalk.foreach { case (id, path) =>
+      assert(path.head == id)
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(edgeSet.contains(a -> b), s"walk $id took non-edge $a->$b")
+      }
+    }
+    // 7 is a sink: its walk is just the start row; 6 stops after 6->7
+    assert(byWalk(7L) == Seq(7L))
+    assert(byWalk(6L) == Seq(6L, 7L))
+    // walker 1 lives in the 1->2->3->1 cycle (2->4 may divert it, but
+    // steps are contiguous 0..k)
+    assert(byWalk(1L).size >= 2)
+    val w2 = Traversal.randomWalks(edges, starts(1L, 6L, 7L), maxLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w.sorted.toSeq == w2.sorted.toSeq, "walks not deterministic")
+  }
 }
