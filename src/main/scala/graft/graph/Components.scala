@@ -28,9 +28,16 @@ object Components {
     * reached within `maxIter` (false ⇒ the graph's diameter exceeds
     * the round budget — [[auto]] uses this to switch engines). */
   private def propagate(edges: DataFrame, maxIter: Int): (DataFrame, Boolean) = {
+    // every iteration probes the symmetric frame on b; distinct()
+    // would checkpoint it partitioned on (a, b), forcing a full edge
+    // re-exchange per round — one pinned hash-partition on b (the
+    // reachLevels amortization) makes each round exchange only the
+    // 1-row-per-node label frame
     val und = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .unionByName(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
       .distinct()
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions, col("b"))
       .localCheckpoint(true)
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
@@ -156,10 +163,14 @@ object Components {
     * would just entrench the initial label). Returns (node, community).
     */
   def communities(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    // probed on b every round — pinned hash-partition once (the
+    // propagate() amortization)
     val und = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .unionByName(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions, col("b"))
       .localCheckpoint(true)
     // every node in `und` has ≥1 neighbor (symmetric closure), so the
     // per-round argmax always produces a row per node — no carry join
