@@ -232,7 +232,14 @@ object Traversal {
     * nothing to drift cross-engine.
     */
   def shortestPaths(edges: DataFrame, starts: DataFrame, rounds: Int): DataFrame = {
+    // probed on _src every relaxation round — pinned hash-partition
+    // once (the reachLevels amortization) so each round exchanges
+    // only the frontier
     val e = edgeCols(edges)
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("_src"))
+      .localCheckpoint(true)
     var dist = starts.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L))
