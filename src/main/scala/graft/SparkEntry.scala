@@ -113,6 +113,7 @@ object SparkEntry {
     "graph_walks" -> ((s, d) => GraphQueries.graphWalks(s, d)),
     "graph_diff" -> ((s, d) => GraphQueries.graphDiff(s, d)),
     "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
+    "graph_modularity" -> ((s, d) => GraphQueries.graphModularity(s, d)),
     "graph_closeness" -> ((s, d) => GraphQueries.graphCloseness(s, d)),
     "graph_harmonic" -> ((s, d) => GraphQueries.graphHarmonic(s, d)),
     "graph_hits" -> ((s, d) => GraphQueries.graphHits(s, d)),
@@ -1028,6 +1029,36 @@ object SparkEntry {
         |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und),
         |${lpaCtes(4)}
         |SELECT node, lab AS community FROM l4 ORDER BY node""".stripMargin,
+    // Modularity of the LPA partition: per-community floored ppm terms
+    // (10^6*m_in)//m and (10^6*d_c^2)//(4m^2) summed — the Spark side
+    // floors identically, so Q matches bit-for-bit.
+    "graph_modularity" ->
+      s"""WITH $E,
+        |und AS MATERIALIZED (SELECT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e
+        |  UNION
+        |  SELECT dst AS a, src AS b FROM e) u WHERE a <> b),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und),
+        |${lpaCtes(4)},
+        |ue AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |mm AS (SELECT COUNT(*) AS m FROM ue),
+        |dg AS (SELECT node, COUNT(*) AS d FROM (
+        |  SELECT a AS node FROM ue UNION ALL SELECT b FROM ue) t GROUP BY 1),
+        |dcm AS (SELECT l.lab AS community, SUM(dg.d) AS d_c
+        |  FROM l4 l JOIN dg ON dg.node = l.node GROUP BY 1),
+        |mi AS (SELECT la.lab AS community, COUNT(*) AS m_in
+        |  FROM ue JOIN l4 la ON la.node = ue.a JOIN l4 lb ON lb.node = ue.b
+        |  WHERE la.lab = lb.lab GROUP BY 1),
+        |per AS (SELECT dcm.community, COALESCE(mi.m_in, 0) AS m_in, dcm.d_c
+        |  FROM dcm LEFT JOIN mi USING (community))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |       CAST(MAX(mm.m) AS BIGINT) AS m_edges,
+        |       CAST(COALESCE(SUM((1000000 * m_in) // mm.m)
+        |         - SUM((1000000 * d_c * d_c) // (4 * mm.m * mm.m)), 0) AS BIGINT)
+        |         AS q_ppm
+        |FROM per, mm""".stripMargin,
     // Unrolled first-touch BFS levels (the reachLevels contract): each
     // p{t} is the depth-t frontier minus everything already seen, so a
     // pair's level IS its min depth; closeness is exact integer ppm.

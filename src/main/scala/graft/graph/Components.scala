@@ -190,6 +190,51 @@ object Components {
     lab.select(col("node"), col("lab").as("community"))
   }
 
+  /** Modularity Q of the [[communities]] partition over the simple
+    * undirected graph — the single-number partition-quality metric
+    * (Newman 2006): Q = Σ_c [ m_c/m − (d_c/2m)² ], where m_c counts
+    * within-community edges, d_c sums member degrees, and m is the
+    * undirected edge count. Both terms ride exact integer ppm with a
+    * PER-COMMUNITY floor — (10⁶·m_c) div m and (10⁶·d_c²) div (4m²) —
+    * so the oracle replays the value bit-identically (10⁶·d_c² fits a
+    * long while d_c < 3·10⁶; beyond that widen to DECIMAL(38,0) /
+    * HUGEINT — the weighted-PageRank bound discipline). Plan shape:
+    * the LPA labels, one degree agg, one label-pair edge join, three
+    * narrow community-keyed aggs — nothing wider than the community
+    * count after the first joins. Returns one
+    * (n_communities, m_edges, q_ppm) row.
+    */
+  def modularity(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val lab = communities(edges, rounds).localCheckpoint(true)
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val m = und.agg(count(lit(1)).as("m"))
+    val mIn = und
+      .join(lab.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("m_in"))
+    val degs = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dc = lab.join(degs, "node")
+      .groupBy("community").agg(sum(col("d")).as("d_c"))
+    dc.join(mIn, Seq("community"), "left")
+      .select(col("community"), coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_c"))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("m_edges"),
+        coalesce(sum(expr("(1000000 * m_in) div m"))
+          - sum(expr("(1000000 * d_c * d_c) div (4 * m * m)")), lit(0L))
+          .as("q_ppm"))
+      .select(col("n_communities"),
+        coalesce(col("m_edges"), lit(0L)).as("m_edges"), col("q_ppm"))
+  }
+
   /** Strongly connected components at FULL depth — the unbounded
     * complement of the bounded-radius mutual-recursion detector
     * (Neighborhood.recursionGroups): distributed FW-coloring with

@@ -400,6 +400,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Templated-ness score — [[ngramNovelty]]'s opposite tail: the
+    * fraction of a doc's DISTINCT 3-token shingles that are CORPUS-
+    * COMMON, i.e. appear in at least ⌈n_docs/dfDen⌉ documents (the
+    * threshold rides the integer cross-multiplication df·dfDen ≥
+    * n_docs, so it is scale-free and float-free). The C4/boilerplate
+    * quality gate: navigation chrome, license blocks, and template
+    * pages score near 10⁶ ppm while organic prose stays low. Same
+    * plan shape as novelty — one shingle-df agg joined back to the
+    * per-doc distinct shingles, one 1-row corpus count broadcast —
+    * and the df frame is computed once for both signals at 100 TB.
+    */
+  def templateScore(docs: DataFrame, dfDen: Int = 20): DataFrame = {
+    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    sh.join(df, "sh")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") * dfDen >= col("n_docs"), 1L).otherwise(0L))
+          .as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        expr("(1000000 * n_common) div n_shingles").as("template_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Zipf fit over the top-`topV` vocabulary: least-squares slope of
     * ln(freq) on ln(rank) — the corpus-health scalar (natural text
     * sits near −1; template floods flatten it, spam steepens it).

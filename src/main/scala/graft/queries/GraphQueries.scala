@@ -441,6 +441,11 @@ object GraphQueries {
     Components.communities(callEdges(s, d), rounds = 4)
       .orderBy("node")
 
+  /** C32 modularity of the C14 partition — the quality scalar for the
+    * community structure (Components.modularity, exact integer ppm). */
+  def graphModularity(s: SparkSession, d: String): DataFrame =
+    Components.modularity(callEdges(s, d), rounds = 4)
+
   /** Upward lineage context (order → customer → nation → region):
     * the natural-key analogue of analyze_call_context's upward chain.
     * Dims broadcast; single pass over orders. */

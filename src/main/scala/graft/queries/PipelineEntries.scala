@@ -189,6 +189,7 @@ object PipelineEntries {
     "multimodal_dedup" -> ((s, d) => Multimodal.payloadDedup(s, Tables.documents(s, d))),
     "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documents(s, d))),
     "text_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d))),
+    "text_template" -> ((s, d) => TextAnalysis.templateScore(Tables.documents(s, d))),
     "events_active" -> ((s, d) =>
       TemporalOps.activeUsers(graft.streaming.EventStreams.events(s, d))),
     "dedup_containment" -> ((s, d) =>
@@ -1013,6 +1014,21 @@ object PipelineEntries {
          |       CAST((1000000 * SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END))
          |         // COUNT(*) AS BIGINT) AS novelty_ppm
          |FROM shd s JOIN dfq d USING (sh)
+         |GROUP BY 1 ORDER BY s.doc_id""".stripMargin,
+    // Templated-ness: distinct shingles with df*20 >= n_docs, exact ppm
+    // (the novelty query's opposite tail; scale-free integer threshold).
+    "text_template" ->
+      s"""WITH $TOK,
+         |$SH,
+         |shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+         |dfq AS (SELECT sh, COUNT(*) AS df FROM shd GROUP BY 1),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+         |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN d.df * 20 >= nd.n_docs THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_common,
+         |       CAST((1000000 * SUM(CASE WHEN d.df * 20 >= nd.n_docs
+         |         THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS template_ppm
+         |FROM shd s JOIN dfq d USING (sh), nd
          |GROUP BY 1 ORDER BY s.doc_id""".stripMargin,
     // DAU/WAU/stickiness: trailing-7-day distinct via the bounded
     // contribution explode (day-user rows fan to their 7 target days,

@@ -377,4 +377,26 @@ class TextSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
     assert(all == Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("templateScore: the shared boilerplate shingle scores, unique tails don't") {
+    // 4 docs; "terms of service" appears in docs 1-3 (df=3), every
+    // other shingle is doc-unique (df=1). dfDen=1 → common iff the
+    // shingle is in EVERY doc (none); dfDen=2 → common iff df*2 ≥ 4.
+    val d = docs(
+      1L -> "terms of service alpha beta",
+      2L -> "terms of service gamma delta",
+      3L -> "epsilon terms of service",
+      4L -> "zeta eta theta iota")
+    val r2 = TextAnalysis.templateScore(d, dfDen = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 1 shingles: (terms,of,service)(of,service,alpha)(service,alpha,beta)
+    assert(r2(1L) == ((3L, 1L, 333333L)), s"got ${r2(1L)}")
+    assert(r2(2L) == ((3L, 1L, 333333L)))
+    assert(r2(3L) == ((2L, 1L, 500000L))) // (epsilon,terms,of)(terms,of,service)
+    assert(r2(4L) == ((2L, 0L, 0L)))
+    val r1 = TextAnalysis.templateScore(d, dfDen = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r1.values.forall(_ == 0L), s"df=3 < n_docs=4 must not be common: $r1")
+  }
 }

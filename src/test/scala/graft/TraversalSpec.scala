@@ -258,6 +258,19 @@ class TraversalSpec extends AnyFunSuite {
     assert(c1(5L) == 1L, s"tie not broken to min label: $c1")
   }
 
+  test("modularity: two-clique bridge graph scores the hand value") {
+    import spark.implicits._
+    // two triangles joined by one bridge: communities settles on the
+    // cliques, so m=7, m_c=3 each, d_c=7 each:
+    // Q = 2*((3e6 div 7) - (49e6 div 196)) = 2*(428571-250000) = 357142
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val r = Components.modularity(g, rounds = 4).collect().head
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("m_edges") == 7L)
+    assert(r.getAs[Long]("q_ppm") == 357142L, s"got $r")
+  }
+
   test("randomWalks: every step follows an edge, sinks stop, reruns identical") {
     val edgeSet = edges.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     val w = Traversal.randomWalks(edges, starts(1L, 6L, 7L), maxLen = 4)
