@@ -111,6 +111,7 @@ object SparkEntry {
     "graph_anf" -> ((s, d) => GraphQueries.graphAnf(s, d)),
     "graph_betweenness" -> ((s, d) => GraphQueries.graphBetweenness(s, d)),
     "graph_walks" -> ((s, d) => GraphQueries.graphWalks(s, d)),
+    "graph_walks_biased" -> ((s, d) => GraphQueries.graphWalksBiased(s, d)),
     "graph_diff" -> ((s, d) => GraphQueries.graphDiff(s, d)),
     "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
     "graph_modularity" -> ((s, d) => GraphQueries.graphModularity(s, d)),
@@ -327,6 +328,33 @@ object SparkEntry {
          |               CAST(w.node AS VARCHAR) || ',' || CAST(e.dst AS VARCHAR)),
          |           e.dst) AS rn
          |  FROM w${t - 1} w JOIN e ON e.src = w.node) s$t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled node2vec-biased walk CTEs (Traversal.randomWalksBiased):
+    * per candidate the weight is chosen by the prev-hop CASE, the
+    * candidate is fanned out wt times via unnest(range(wt)), and the
+    * argmin over md5(walk,t,v,n,k) picks the move — replication
+    * symmetry makes P(pick) ∝ wt while staying a pure hash function
+    * both engines compute identically. State rows carry prev. */
+  private def walkBiasCtes(steps: Int, wRet: Int, wIn: Int, wOut: Int): String =
+    (1 to steps).map { t =>
+      s"""s$t AS (
+         |  SELECT w.walk_id, w.node AS v, ce.dst AS n,
+         |         CASE WHEN ce.dst = w.prev THEN $wRet
+         |              WHEN pe.src IS NOT NULL THEN $wIn
+         |              ELSE $wOut END AS wt
+         |  FROM b${t - 1} w
+         |  JOIN e ce ON ce.src = w.node
+         |  LEFT JOIN e pe ON pe.src = w.prev AND pe.dst = ce.dst),
+         |b$t AS (SELECT walk_id, CAST($t AS BIGINT) AS step, v AS prev,
+         |              n AS node FROM (
+         |  SELECT walk_id, v, n,
+         |         row_number() OVER (PARTITION BY walk_id ORDER BY
+         |           md5(CAST(walk_id AS VARCHAR) || ',' || '$t' || ',' ||
+         |               CAST(v AS VARCHAR) || ',' || CAST(n AS VARCHAR) ||
+         |               ',' || CAST(k AS VARCHAR)), n) AS rn
+         |  FROM (SELECT s.*, unnest(range(s.wt)) AS k FROM s$t s) x) y
+         |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
   /** Shared oracle CTE: the derived CALLS edge table (SURVEY.md §4). */
@@ -909,6 +937,21 @@ object SparkEntry {
         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM s),
         |${ssspCtes(4)}
         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
+    "graph_walks_biased" ->
+      s"""WITH $E,
+        |b0 AS (SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step,
+        |         CAST(NULL AS BIGINT) AS prev, src AS node
+        |       FROM e WHERE src % 50 = 1),
+        |${walkBiasCtes(6, 1, 2, 4)}
+        |SELECT walk_id, step, node FROM (
+        |  SELECT walk_id, step, node FROM b0
+        |  UNION ALL SELECT walk_id, step, node FROM b1
+        |  UNION ALL SELECT walk_id, step, node FROM b2
+        |  UNION ALL SELECT walk_id, step, node FROM b3
+        |  UNION ALL SELECT walk_id, step, node FROM b4
+        |  UNION ALL SELECT walk_id, step, node FROM b5
+        |  UNION ALL SELECT walk_id, step, node FROM b6) u
+        |ORDER BY walk_id, step""".stripMargin,
     "graph_walks" ->
       s"""WITH $E,
         |w0 AS (SELECT DISTINCT src AS walk_id, CAST(0 AS BIGINT) AS step,

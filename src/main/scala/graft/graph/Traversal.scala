@@ -472,4 +472,65 @@ object Traversal {
     }
     segs.reduce(_ unionByName _).orderBy("walk_id", "step")
   }
+
+  /** node2vec-BIASED [[randomWalks]]: the draw weight depends on the
+    * PREVIOUS hop — wReturn for stepping back to it, wIn for a
+    * candidate that is also the previous node's out-neighbor (the
+    * "BFS-ish" distance-1 move), wOut otherwise (the "DFS-ish"
+    * outward move); node2vec's (1/p, 1, 1/q) as exact integers.
+    * Weighted determinism by REPLICATION SYMMETRY: candidate n is
+    * hashed w times — md5(walk, t, v, n, k) for k < w — and the
+    * walker takes the globally-smallest hash. For i.i.d. uniform
+    * hashes P(argmin lands on n) = w_n / Σ w_m exactly, yet the
+    * choice is a pure function of the key material, so DuckDB replays
+    * it from an unnest(range(w)) of the same md5 strings. Per step
+    * that is one edge join + one (prev→n) adjacency probe + a narrow
+    * argmin agg over Σw ≤ wOut·outdeg rows per walker — never a
+    * per-walker sort. First hop has no previous node: all candidates
+    * weigh wOut.
+    */
+  def randomWalksBiased(edges: DataFrame, starts: DataFrame, maxLen: Int = 6,
+      wReturn: Int = 1, wIn: Int = 2, wOut: Int = 4): DataFrame = {
+    require(wReturn >= 1 && wIn >= 1 && wOut >= 1, "weights must be ≥ 1")
+    val np = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = edgeCols(edges).select("_src", "_dst").distinct()
+      .repartition(np, col("_src"))
+      .localCheckpoint(true)
+    // the adjacency probe keys on the composite (prev, cand) edge —
+    // pinned to ITS key too, so each step exchanges only candidates
+    val adj = e.select(col("_src").as("p_src"), col("_dst").as("p_dst"),
+      lit(1).as("is_adj"))
+      .repartition(np, col("p_src"), col("p_dst"))
+      .localCheckpoint(true)
+    var cur = starts.select(col("node").cast("long").as("node")).distinct()
+      .select(col("node").as("walk_id"), lit(0L).as("step"),
+        lit(null).cast("long").as("prev"), col("node"))
+      .localCheckpoint(true)
+    val segs = scala.collection.mutable.ArrayBuffer(cur)
+    for (t <- 1 to maxLen if !cur.isEmpty) {
+      val w = when(col("_dst") === col("prev"), wReturn)
+        .when(col("is_adj").isNotNull, wIn)
+        .otherwise(wOut)
+      cur = cur
+        .join(e, col("node") === col("_src"))
+        .join(adj, col("prev") === col("p_src") && col("_dst") === col("p_dst"),
+          "left")
+        .select(col("walk_id"), col("node"), col("_dst"),
+          explode(sequence(lit(0), w - 1)).as("k"))
+        .select(col("walk_id"), col("node"),
+          struct(
+            md5(concat_ws(",", col("walk_id"), lit(t.toLong), col("node"),
+              col("_dst"), col("k"))).as("h"),
+            col("_dst").as("n")).as("cand"))
+        .groupBy("walk_id")
+        .agg(min(col("cand")).as("c"), first(col("node")).as("v"))
+        .select(col("walk_id"), lit(t.toLong).as("step"),
+          col("v").as("prev"), col("c.n").as("node"))
+        .localCheckpoint(true)
+      segs += cur
+    }
+    segs.reduce(_ unionByName _)
+      .select(col("walk_id"), col("step"), col("node"))
+      .orderBy("walk_id", "step")
+  }
 }

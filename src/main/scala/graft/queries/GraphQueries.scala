@@ -338,6 +338,18 @@ object GraphQueries {
     Traversal.randomWalks(e, starts, maxLen = 6)
   }
 
+  /** C33 node2vec-biased walk corpus over the same start sample:
+    * return/in/out weights (1, 2, 4) ≙ p = 4, q = 1/2 scaled to exact
+    * integers (Traversal.randomWalksBiased — weighted draw by
+    * hash-replication symmetry, engine-replayable). */
+  def graphWalksBiased(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val starts = e.select(col("src").as("node"))
+      .filter(col("node") % 50 === 1).distinct()
+    Traversal.randomWalksBiased(e, starts, maxLen = 6,
+      wReturn = 1, wIn = 2, wOut = 4)
+  }
+
   /** C13 neighborhood function (ANF): |N_≤2(v)| for every function —
     * the "how much of the binary does this function transitively
     * touch" profile (the exact small-d form of the approximate

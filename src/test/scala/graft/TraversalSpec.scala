@@ -271,6 +271,42 @@ class TraversalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("q_ppm") == 357142L, s"got $r")
   }
 
+  test("randomWalksBiased: weights steer the draw, steps still follow edges") {
+    import spark.implicits._
+    // 400 independent gadgets: i → c_i, then from c_i either RETURN
+    // to i or go OUT to o_i (o_i ∉ N(i), so the out move weighs wOut).
+    // P(return) = wReturn/(wReturn+wOut); the hash draw is
+    // deterministic per key, so each weighting gives a fixed count —
+    // assert the two extremes land on opposite sides.
+    val n = 400L
+    val g = (1L to n).flatMap(i =>
+      Seq((i, 1000 + i, 1L), (1000 + i, i, 2L), (1000 + i, 2000 + i, 3L)))
+      .toDF("src", "dst", "offset")
+    val st = (1L to n).toDF("node")
+    def returns(wRet: Int, wOut: Int): Long = {
+      val w = Traversal.randomWalksBiased(g, st, maxLen = 2,
+        wReturn = wRet, wIn = 2, wOut = wOut)
+        .filter(col("step") === 2).collect()
+      w.count(r => r.getLong(2) == r.getLong(0)) // node == walk_id ⇒ returned
+    }
+    val favourReturn = returns(8, 1) // P ≈ 8/9 → ~356
+    val favourOut = returns(1, 8)    // P ≈ 1/9 → ~44
+    assert(favourReturn > n / 2, s"favourReturn=$favourReturn")
+    assert(favourOut < n / 2, s"favourOut=$favourOut")
+    assert(favourReturn > 2 * favourOut,
+      s"weights did not steer: $favourReturn vs $favourOut")
+    // edges respected under bias too
+    val edgeSet = g.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val w = Traversal.randomWalksBiased(g, st.limit(20), maxLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    w.groupBy(_._1).foreach { case (_, rows) =>
+      val path = rows.sortBy(_._2).map(_._3).toSeq
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(edgeSet.contains(a -> b), s"non-edge $a->$b")
+      }
+    }
+  }
+
   test("randomWalks: every step follows an edge, sinks stop, reruns identical") {
     val edgeSet = edges.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     val w = Traversal.randomWalks(edges, starts(1L, 6L, 7L), maxLen = 4)
