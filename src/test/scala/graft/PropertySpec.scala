@@ -135,4 +135,37 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  /** In-memory reference k-core: repeatedly drop nodes with
+    * undirected simple degree < k until stable; returns survivor →
+    * within-core degree. */
+  private def bruteKCore(edges: List[(Long, Long)], k: Int): Map[Long, Int] = {
+    val und = edges.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    var alive = und.flatMap { case (a, b) => Set(a, b) }
+    var changed = true
+    while (changed) {
+      val deg = alive.map { n =>
+        n -> und.count { case (a, b) =>
+          (a == n && alive(b)) || (b == n && alive(a)) }
+      }.toMap
+      val next = alive.filter(deg(_) >= k)
+      changed = next != alive
+      alive = next
+    }
+    alive.map { n =>
+      n -> und.count { case (a, b) =>
+        (a == n && alive(b)) || (b == n && alive(a)) }
+    }.toMap
+  }
+
+  test("property: degree-decrement peel equals brute-force k-core") {
+    import spark.implicits._
+    check("kcore peel")(Prop.forAll(edgeListGen, Gen.choose(2, 4)) { (es, k) =>
+      val expected = bruteKCore(es, k)
+      val got = Ranking.kCoreBounded(es.toDF("src", "dst"), k, rounds = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      got == expected
+    })
+  }
 }
