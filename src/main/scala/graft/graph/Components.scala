@@ -204,8 +204,14 @@ object Components {
     * count after the first joins. Returns one
     * (n_communities, m_edges, q_ppm) row.
     */
-  def modularity(edges: DataFrame, rounds: Int = 4): DataFrame = {
-    val lab = communities(edges, rounds).localCheckpoint(true)
+  def modularity(edges: DataFrame, rounds: Int = 4): DataFrame =
+    modularityOf(edges, communities(edges, rounds).localCheckpoint(true))
+
+  /** [[modularity]] body over a prepared (node, community) labeling —
+    * an engine serving both the partition query and its quality
+    * scalar computes the LPA once and scores it here (the
+    * edgeSupportIndex sharing discipline). */
+  def modularityOf(edges: DataFrame, lab: DataFrame): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
       .filter(col("s") =!= col("t"))

@@ -449,14 +449,22 @@ object GraphQueries {
     * graph (Components.communities, 4 synchronous rounds) — module
     * structure, as distinct from mere connectivity (C1): dense
     * subsystems adopt one label, bridge calls don't spread it. */
+  /** The 4-round LPA labels, computed once per (session, dir) and
+    * served to both the partition query (C14) and its modularity
+    * scalar (C32) — the supportIndex sharing discipline. */
+  private val commMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def communityLabels(s: SparkSession, d: String): DataFrame =
+    commMemo.getOrElseUpdate((s, d),
+      Components.communities(callEdges(s, d), rounds = 4).localCheckpoint(true))
+
   def graphCommunities(s: SparkSession, d: String): DataFrame =
-    Components.communities(callEdges(s, d), rounds = 4)
-      .orderBy("node")
+    communityLabels(s, d).orderBy("node")
 
   /** C32 modularity of the C14 partition — the quality scalar for the
-    * community structure (Components.modularity, exact integer ppm). */
+    * community structure (Components.modularityOf, exact integer ppm). */
   def graphModularity(s: SparkSession, d: String): DataFrame =
-    Components.modularity(callEdges(s, d), rounds = 4)
+    Components.modularityOf(callEdges(s, d), communityLabels(s, d))
 
   /** Upward lineage context (order → customer → nation → region):
     * the natural-key analogue of analyze_call_context's upward chain.
