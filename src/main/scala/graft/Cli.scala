@@ -183,9 +183,15 @@ object Cli {
               b, opt(args, "--max-depth").map(_.toInt).getOrElse(3),
               sampleOpt(args)).limit(limit))
           case "shape" => emit(engine.graphShape(b))
+          case "modularity" => emit(engine.modularity(b))
+          case "walks" =>
+            emit(engine.walks(b,
+              opt(args, "--max-depth").map(_.toInt).getOrElse(6),
+              sampleOpt(args)).limit(limit))
           case other => sys.error(
             s"unknown analytics '$other' (expected components, pagerank, kcore, " +
-              "triangles, communities, reach, betweenness, closeness, or shape)")
+              "triangles, communities, reach, betweenness, closeness, shape, " +
+              "modularity, or walks)")
         }
       case Seq("database", "stats", _*) =>
         emit(engine.stats())

@@ -376,6 +376,29 @@ class GraphQueryEngine(g: BinaryGraph) {
       .orderBy("uid")
   }
 
+  /** Partition quality of the [[communities]] labeling: Newman Q in
+    * exact integer ppm ([[graft.graph.Components.modularity]]) — one
+    * (n_communities, m_edges, q_ppm) row. */
+  def modularity(binary: Option[String] = None, rounds: Int = 4): DataFrame =
+    graft.graph.Components.modularity(withIds(binary)._2, rounds)
+
+  /** Deterministic walk corpus from every `samplePeriod`-th caller
+    * ([[graft.graph.Traversal.randomWalks]]) — the graph-embedding
+    * sampling pass, reproducible run-to-run; uids mapped back per
+    * step. */
+  def walks(binary: Option[String] = None, maxLen: Int = 6,
+      samplePeriod: Int = 8): DataFrame = {
+    val (ids, e) = withIds(binary)
+    val starts = e.select(col("src").as("node"))
+      .filter(pmod(col("node"), lit(samplePeriod.toLong)) === 0).distinct()
+    graft.graph.Traversal.randomWalks(e, starts, maxLen)
+      .join(ids.select(col("id").as("node"), col("uid")), "node")
+      .join(ids.select(col("id").as("wid"), col("uid").as("walk_uid")),
+        col("walk_id") === col("wid"))
+      .select(col("walk_uid"), col("step"), col("uid"))
+      .orderBy("walk_uid", "step")
+  }
+
   /** Brokers of the call graph: sampled bounded betweenness
     * ([[graft.graph.Ranking.betweennessSampled]]) from a 1-in-
     * `samplePeriod` source sample (1 = every caller — fine for small

@@ -116,6 +116,11 @@ class CliSpec extends AnyFunSuite {
     val cl = capture("query", "analytics", "closeness", "--sample", "1",
       "--limit", "5")
     assert(cl.contains("closeness_ppm"))
+    val md = capture("query", "analytics", "modularity")
+    assert(md.contains("q_ppm") && md.contains("n_communities"))
+    val wk = capture("query", "analytics", "walks", "--sample", "1",
+      "--limit", "10")
+    assert(wk.contains("walk_uid") && wk.contains("step"))
     val sh = capture("query", "analytics", "shape")
     assert(sh.contains("reciprocity_ppm") && sh.contains("clustering_ppm")
       && sh.contains("assortativity"))
