@@ -295,13 +295,16 @@ object Components {
       while (trimming && trims < maxInner) {
         // one endpoint-keyed agg finds the nodes with BOTH an in- and
         // an out-edge; every survivor candidate is an edge endpoint,
-        // so `keep` needs no join back to the node set
+        // so `keep` needs no join back to the node set. side ∈ {0,1},
+        // so min ≠ max ⇔ both sides present — plain min/max aggs with
+        // map-side partials instead of countDistinct, which planned a
+        // two-phase distinct over the 2m endpoint rows
         val deg = e.select(col("src").as("node"), lit(0).as("side"))
           .unionByName(e.select(col("dst").as("node"), lit(1).as("side")))
-          .groupBy("node").agg(countDistinct(col("side")).as("ns"))
+          .groupBy("node").agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
           .localCheckpoint(true)
         if (nodes == null) nodes = deg.select("node")
-        val keep = deg.filter(col("ns") === 2).select("node")
+        val keep = deg.filter(col("mn") === 0 && col("mx") === 1).select("node")
         val cut = nodes.join(keep, Seq("node"), "left_anti")
           .select(col("node"), col("node").as("scc_id"))
           .localCheckpoint(true)
@@ -351,10 +354,12 @@ object Components {
         // the whole remaining graph (the giant-SCC round — the common
         // case on real callgraphs) every edge is same-color by
         // construction and the two restriction joins are skipped.
-        val nColors = c.agg(countDistinct(col("color")).as("nc"))
-          .first().getLong(0)
+        // one color left ⇔ min == max — two simple aggs, not a
+        // two-phase countDistinct over the label frame
+        val cr = c.agg(min(col("color")).as("mn"), max(col("color")).as("mx")).first()
+        val oneColor = cr.getLong(0) == cr.getLong(1)
         val sameColor =
-          if (nColors == 1L) ep
+          if (oneColor) ep
           else ep
             .join(c.select(col("node").as("u"), col("color").as("cu")), col("src") === col("u"))
             .join(c.select(col("node").as("w"), col("color").as("cw")), col("dst") === col("w"))
