@@ -903,12 +903,17 @@ object Relational {
       "l_extendedprice" -> centsOf(col("l_extendedprice")),
       "l_discount" -> centsOf(col("l_discount")),
       "l_shipdate" -> expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000"))
-    val aggs = cols.flatMap { case (n, c) =>
-      Seq(count(c).as(s"cnt_$n"), countDistinct(c).as(s"nd_$n"),
+    // one agg SUBTREE per column, crossJoined: 8 DISTINCT aggregates
+    // in a single agg would plan an Expand (9× the scan through one
+    // hash aggregate); separate subtrees each scan ONE parquet column
+    // (columnar pruning makes 8 one-column scans ≈ one 8-column scan)
+    // and run their partial-distinct stages in parallel within the
+    // same job DAG (measured ~2× at sf0.1)
+    val subs = cols.map { case (n, c) =>
+      lineitem.agg(count(c).as(s"cnt_$n"), countDistinct(c).as(s"nd_$n"),
         min(c).as(s"min_$n"), max(c).as(s"max_$n"))
-    }
-    val total = count(lit(1)).as("n_rows")
-    val one = lineitem.agg(aggs.head, (aggs.tail :+ total): _*)
+    } :+ lineitem.agg(count(lit(1)).as("n_rows"))
+    val one = subs.reduce(_ crossJoin _)
     val stacked = cols.map { case (n, _) =>
       s"'$n', n_rows - cnt_$n, nd_$n, min_$n, max_$n"
     }.mkString(", ")
