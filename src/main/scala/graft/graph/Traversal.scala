@@ -22,6 +22,28 @@ object Traversal {
       col("dst").cast("long").as("_dst"),
       col("offset").cast("long").as("_off"))
 
+  /** The (_src, _dst) projection hash-partitioned on _src and
+    * checkpointed — the shared amortization of every iterative
+    * traversal that probes edges on the source key. Memoized by the
+    * INPUT FRAME'S OBJECT IDENTITY: GraphQueries serves one cached
+    * edge DataFrame per (session, dir), so closeness, harmonic, ANF,
+    * recursion-groups and the walk generators all reuse ONE exchange
+    * instead of each paying their own (DataFrame equality is
+    * reference equality — two lexically identical plans don't
+    * collide). Cleared wholesale past 64 entries so spec-suite
+    * throwaway frames can't grow it unboundedly. */
+  private val prepMemo =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private[graph] def srcPrepared(edges: DataFrame): DataFrame =
+    prepMemo.getOrElseUpdate(edges, {
+      if (prepMemo.size > 64) prepMemo.clear()
+      edgeCols(edges).select("_src", "_dst")
+        .repartition(
+          edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("_src"))
+        .localCheckpoint(true)
+    })
+
   /** BFS minimum-depth reachability from `starts` (column `node`), up
     * to `maxDepth` hops. Returns (node, depth) where depth is the
     * first level the node is discovered at (excludes the start
@@ -296,14 +318,9 @@ object Traversal {
     // repartition(col)) so AQE cannot coalesce it into a shape the
     // join must re-exchange. Only worth it when ≥3 levels amortize
     // the up-front exchange; shallow walks use the edge frame as-is.
-    val raw = edgeCols(edges).select("_src", "_dst")
     val e =
-      if (maxDepth >= 3)
-        raw.repartition(
-            edges.sparkSession.sessionState.conf.numShufflePartitions,
-            col("_src"))
-          .localCheckpoint(true)
-      else raw
+      if (maxDepth >= 3) srcPrepared(edges)
+      else edgeCols(edges).select("_src", "_dst")
     var frontier = starts.select(col("node").cast("long").as("start"))
       .distinct()
       .select(col("start"), col("start").as("node"))
@@ -447,11 +464,10 @@ object Traversal {
     * (walk_id, step, node), step 0..maxLen.
     */
   def randomWalks(edges: DataFrame, starts: DataFrame, maxLen: Int = 6): DataFrame = {
-    val e = edgeCols(edges).select("_src", "_dst").distinct()
-      .repartition(
-        edges.sparkSession.sessionState.conf.numShufflePartitions,
-        col("_src"))
-      .localCheckpoint(true)
+    // no distinct: duplicate (v, n) rows hash to identical (h, n)
+    // candidates, and the argmin is insensitive to multiplicity —
+    // so the shared prepared frame serves walks too
+    val e = srcPrepared(edges)
     var cur = starts.select(col("node").cast("long").as("node")).distinct()
       .select(col("node").as("walk_id"), lit(0L).as("step"), col("node"))
       .localCheckpoint(true)
@@ -493,9 +509,9 @@ object Traversal {
       wReturn: Int = 1, wIn: Int = 2, wOut: Int = 4): DataFrame = {
     require(wReturn >= 1 && wIn >= 1 && wOut >= 1, "weights must be ≥ 1")
     val np = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edgeCols(edges).select("_src", "_dst").distinct()
-      .repartition(np, col("_src"))
-      .localCheckpoint(true)
+    // duplicate-insensitive like randomWalks: repeated candidate or
+    // adjacency rows only repeat identical (h, n) entries under min
+    val e = srcPrepared(edges)
     // the adjacency probe keys on the composite (prev, cand) edge —
     // pinned to ITS key too, so each step exchanges only candidates
     val adj = e.select(col("_src").as("p_src"), col("_dst").as("p_dst"),
