@@ -75,7 +75,21 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count { case (_, (_, e)) => e.isDefined }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir","runs":$runs,"note":"per-query median of $runs runs"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir","runs":$runs,"note":"per-query median of $runs runs"}"""
+    println(line)
+    // The stdout line is the driver contract, but a log-buffer tail
+    // capture can truncate it (BENCH_r05.json lost 101 of 166 query
+    // timings that way) — so the full JSON is ALSO written to a file
+    // that gets committed, making the authoritative numbers loss-proof.
+    // Overridable for ad-hoc runs; never fatal (a read-only checkout
+    // must not fail the bench).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

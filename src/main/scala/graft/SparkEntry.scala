@@ -1097,10 +1097,10 @@ object SparkEntry {
         |per AS (SELECT dcm.community, COALESCE(mi.m_in, 0) AS m_in, dcm.d_c
         |  FROM dcm LEFT JOIN mi USING (community))
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
-        |       CAST(MAX(mm.m) AS BIGINT) AS m_edges,
-        |       CAST(COALESCE(SUM((1000000 * m_in) // mm.m)
-        |         - SUM((1000000 * d_c * d_c) // (4 * mm.m * mm.m)), 0) AS BIGINT)
-        |         AS q_ppm
+        |       CAST(COALESCE(MAX(mm.m), 0) AS BIGINT) AS m_edges,
+        |       CAST(COALESCE(SUM((1000000::HUGEINT * m_in) // mm.m)
+        |         - SUM((1000000::HUGEINT * d_c * d_c) // (4::HUGEINT * mm.m * mm.m)),
+        |         0) AS BIGINT) AS q_ppm
         |FROM per, mm""".stripMargin,
     // Unrolled first-touch BFS levels (the reachLevels contract): each
     // p{t} is the depth-t frontier minus everything already seen, so a

@@ -234,8 +234,17 @@ object Components {
       .crossJoin(broadcast(m))
       .agg(count(lit(1)).as("n_communities"),
         max(col("m")).as("m_edges"),
-        coalesce(sum(expr("(1000000 * m_in) div m"))
-          - sum(expr("(1000000 * d_c * d_c) div (4 * m * m)")), lit(0L))
+        // Both ppm terms ride DECIMAL(38,0): 10⁶·d_c² wraps a long
+        // silently (non-ANSI multiply) once d_c ≥ ~3.03e6, and
+        // 10⁶·m_in once m_in ≥ ~9.2e12 — decimal keeps the integral
+        // division exact to d_c ≤ 1e15 (the 100 TB edge bound) while
+        // the oracle widens identically via HUGEINT. `div` on decimals
+        // still returns the floored BIGINT quotient both engines agree
+        // on.
+        coalesce(
+          sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * m_in) div CAST(m AS DECIMAL(38,0))"))
+          - sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * d_c * d_c) div " +
+            "(CAST(4 AS DECIMAL(38,0)) * m * m)")), lit(0L))
           .as("q_ppm"))
       .select(col("n_communities"),
         coalesce(col("m_edges"), lit(0L)).as("m_edges"), col("q_ppm"))
@@ -288,45 +297,83 @@ object Components {
     val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     var done = false
+    val nPart = e.sparkSession.sessionState.conf.numShufflePartitions
     while (!done && outer < maxOuter) {
-      // ---- trim singleton SCCs to fixpoint
+      // ---- trim singleton SCCs to fixpoint, as DEGREE-DECREMENT
+      // waves (the peelDegrees/coreness discipline, r5's 8× k-core
+      // win applied here): state is the per-node alive (out, in)
+      // counter pair, never a re-aggregated edge set. A wave removes
+      // every node missing a side (in = 0 or out = 0 — it cannot sit
+      // on a cycle), then decrements its alive neighbors' counters by
+      // probing the two pinned edge projections with ONLY the removed
+      // frame — wave work ∝ removed adjacency, not m. The old form
+      // re-aggregated all 2m endpoint rows AND re-filtered + re-
+      // checkpointed the full edge frame every wave. The edge set is
+      // filtered ONCE, at the fixpoint. Wave-by-wave removal order is
+      // identical (a node's counters hit zero exactly when the
+      // re-aggregated form stops seeing its side), so the emitted
+      // singleton SCCs are bit-identical.
+      // the pinned probe copies are built LAZILY, on the first wave
+      // that actually removes something: a graph whose every node
+      // sits on a cycle (common after the first flood — and on the
+      // derived call graph even at round 0) pays one degree agg and
+      // nothing else for the trim phase
+      lazy val eBySrc = e.repartition(nPart, col("src")).localCheckpoint(true)
+      lazy val eByDst = e.repartition(nPart, col("dst")).localCheckpoint(true)
+      val outAgg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("o"))
+      val inAgg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("i"))
+      // survivors of earlier outer rounds that lost ALL edges to an
+      // extracted SCC are no longer edge endpoints — the carried node
+      // set (not the endpoint union) is the degree universe, so they
+      // surface as (0, 0) rows and trim away in the first wave
+      var deg = (if (nodes == null) outAgg.join(inAgg, Seq("node"), "full")
+        else nodes.join(outAgg, Seq("node"), "left")
+          .join(inAgg, Seq("node"), "left"))
+        .select(col("node"), coalesce(col("o"), lit(0L)).as("out"),
+          coalesce(col("i"), lit(0L)).as("in"))
+        .localCheckpoint(true)
       var trimming = true
       var trims = 0
+      var trimmedAny = false
       while (trimming && trims < maxInner) {
-        // one endpoint-keyed agg finds the nodes with BOTH an in- and
-        // an out-edge; every survivor candidate is an edge endpoint,
-        // so `keep` needs no join back to the node set. side ∈ {0,1},
-        // so min ≠ max ⇔ both sides present — plain min/max aggs with
-        // map-side partials instead of countDistinct, which planned a
-        // two-phase distinct over the 2m endpoint rows
-        val deg = e.select(col("src").as("node"), lit(0).as("side"))
-          .unionByName(e.select(col("dst").as("node"), lit(1).as("side")))
-          .groupBy("node").agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
-          .localCheckpoint(true)
-        if (nodes == null) nodes = deg.select("node")
-        val keep = deg.filter(col("mn") === 0 && col("mx") === 1).select("node")
-        val cut = nodes.join(keep, Seq("node"), "left_anti")
-          .select(col("node"), col("node").as("scc_id"))
-          .localCheckpoint(true)
-        if (cut.isEmpty) trimming = false
+        val removed = deg.filter(col("in") === 0 || col("out") === 0)
+          .select("node").localCheckpoint(true)
+        if (removed.isEmpty) trimming = false
         else {
-          found += cut
-          nodes = keep.localCheckpoint(true)
-          e = e.join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
-            .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
+          trimmedAny = true
+          found += removed.select(col("node"), col("node").as("scc_id"))
+          val decIn = eBySrc
+            .join(removed.select(col("node").as("r")), col("src") === col("r"))
+            .groupBy(col("dst").as("node")).agg(count(lit(1)).as("di"))
+          val decOut = eByDst
+            .join(removed.select(col("node").as("r")), col("dst") === col("r"))
+            .groupBy(col("src").as("node")).agg(count(lit(1)).as("dout"))
+          deg = deg
+            .join(removed.select(col("node").as("r")), col("node") === col("r"),
+              "left_anti")
+            .join(decIn, Seq("node"), "left")
+            .join(decOut, Seq("node"), "left")
+            .select(col("node"),
+              (col("out") - coalesce(col("dout"), lit(0L))).as("out"),
+              (col("in") - coalesce(col("di"), lit(0L))).as("in"))
             .localCheckpoint(true)
         }
         trims += 1
       }
+      nodes = deg.select("node").localCheckpoint(true)
       if (nodes.isEmpty) done = true
       else {
-        // ---- forward min-color to fixpoint. The edge frame is read
-        // once per inner round: hash-partition it on the probe key a
-        // single time (localCheckpoint preserves outputPartitioning)
-        // so each round exchanges only the 1-row-per-node label frame.
-        val ep = e.repartition(
-            e.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
+        // one-shot restriction of the edge set to the trim survivors
+        // (the per-wave re-filter this trim no longer pays), pinned on
+        // src for the color sweep: each inner round then exchanges
+        // only the 1-row-per-node label frame. Skipped entirely when
+        // the trim removed nothing — e is already exactly the induced
+        // edge set.
+        if (trimmedAny) e = e
+          .join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
+          .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
           .localCheckpoint(true)
+        val ep = e.repartition(nPart, col("src")).localCheckpoint(true)
         var c = nodes.withColumn("color", col("node")).localCheckpoint(true)
         var converged = false
         var it = 0
@@ -392,10 +439,13 @@ object Components {
         found += members
         nodes = nodes.join(members.select("node"), Seq("node"), "left_anti")
           .localCheckpoint(true)
-        e = e.join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
-          .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
-          .localCheckpoint(true)
         done = nodes.isEmpty
+        // restrict e only if another outer round will actually run —
+        // on the (common) final round the filter's output is dead
+        if (!done)
+          e = e.join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
+            .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
+            .localCheckpoint(true)
       }
       outer += 1
     }

@@ -223,7 +223,14 @@ object Ranking {
         s"peelDegrees: round budget $rounds exhausted before the peel cascade " +
           "settled; surviving nodes may include non-core members (long chains " +
           "peel two nodes per round — raise `rounds` for such graphs)")
-    deg
+    // A node whose last alive neighbors were all removed in the final
+    // wave survives the budget with deg 0 — but it is absent from the
+    // final induced edge frame, so the oracle's edge-projection degree
+    // agg never emits it. Dropping deg-0 rows (for k ≥ 1, where they
+    // would have been peeled next wave anyway) keeps the non-converged
+    // return bit-identical to the unrolled oracle; in the converged
+    // case every survivor has deg ≥ k so the filter is a no-op.
+    if (k >= 1) deg.filter(col("deg") > 0) else deg
   }
 
   /** C27 k-truss backbone: the subgraph where every edge sits in ≥
@@ -454,7 +461,20 @@ object Ranking {
         edges.sparkSession.sessionState.conf.numShufflePartitions,
         col("_src"))
       .localCheckpoint(true)
-    // forward: levels(t) = (s, v, sigma) reached first at depth t
+    // forward: levels(t) = (s, v, sigma) reached first at depth t.
+    // The σ-aggregation runs BEFORE the visited anti-join: summing σ
+    // over ALL in-edges from the frontier and then dropping visited
+    // (s, v) pairs wholesale is bit-identical to anti-joining first
+    // (a visited pair's partial sums are discarded either way, and a
+    // NEW pair's σ is the full in-edge sum in both orders) — but with
+    // the agg first, map-side combine compresses the raw frontier⋈e
+    // expansion to one (s, v, σ) row per pair per partition before
+    // the exchange, where the anti-join-first order shipped every
+    // expanded edge row uncombined. The anti-join then runs on the
+    // already-aggregated (and already (s,v)-partitioned) frame.
+    // `visited` is a plain union of checkpointed frontiers — cheap to
+    // recompute, so re-checkpointing the growing union every round
+    // (O(depth²) rewritten blocks) is dropped.
     var frontier = sources.select(col("node").cast("long").as("s"))
       .distinct()
       .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
@@ -465,12 +485,12 @@ object Ranking {
       frontier = frontier
         .join(e, col("v") === col("_src"))
         .select(col("s"), col("_dst").as("v"), col("sigma"))
-        .join(visited, Seq("s", "v"), "left_anti")
         .groupBy("s", "v")
         .agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
         .localCheckpoint(true)
       levels += frontier
-      visited = visited.unionByName(frontier.select("s", "v")).localCheckpoint(true)
+      visited = visited.unionByName(frontier.select("s", "v"))
     }
     // backward: deepest level contributes nothing; each level's δ only
     // ever feeds the level ABOVE it, so deltas stay per-level (the

@@ -31,12 +31,30 @@ object Traversal {
     * instead of each paying their own (DataFrame equality is
     * reference equality — two lexically identical plans don't
     * collide). Cleared wholesale past 64 entries so spec-suite
-    * throwaway frames can't grow it unboundedly. */
+    * throwaway frames can't grow it unboundedly; eviction UNPERSISTS
+    * each dropped frame's checkpoint blocks (and skips frames whose
+    * session has already stopped) so storage is released eagerly
+    * rather than lingering until the ContextCleaner GCs the
+    * reference. */
   private val prepMemo =
     scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
   private[graph] def srcPrepared(edges: DataFrame): DataFrame =
     prepMemo.getOrElseUpdate(edges, {
-      if (prepMemo.size > 64) prepMemo.clear()
+      if (prepMemo.size > 64) {
+        // A localCheckpointed frame's blocks live behind the
+        // LogicalRDD leaf, not the CacheManager — unpersist that RDD
+        // directly (non-blocking) so eviction releases storage now
+        // instead of waiting for ContextCleaner GC.
+        prepMemo.values.foreach { f =>
+          try if (!f.sparkSession.sparkContext.isStopped)
+            f.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(false)
+            }
+          catch { case _: Exception => () }
+        }
+        prepMemo.clear()
+      }
       edgeCols(edges).select("_src", "_dst")
         .repartition(
           edges.sparkSession.sessionState.conf.numShufflePartitions,
@@ -389,15 +407,19 @@ object Traversal {
     * Register semantics: j = xxhash64(node) mod m picks the register,
     * ρ = leading-zero count of the remaining 58 hash bits + 1 is the
     * candidate value (computed via `bin()` length — pure codegen'd
-    * exprs, no UDF). The merge is max per register, realized as an
-    * explode to (node, register-index, ρ) + groupBy(node, idx) MAX:
-    * the shuffle key space is n·m — parallelism GROWS with the graph
-    * (unlike a k-keyed centroid shuffle), and rows are 3 longs. The
-    * estimator is the standard bias-corrected harmonic mean with the
-    * linear-counting small-range branch. Fully deterministic (fixed
-    * xxhash64 seed) — same input, same estimate, every run; the ball
-    * INCLUDES the node itself (HyperANF convention; exact graphAnf
-    * excludes it — spec compares against exact + 1).
+    * exprs, no UDF). Each node carries ONE m-int array column; the
+    * per-round merge joins edges against it (one row per edge, m·4 B
+    * payload) and folds neighbors element-wise with the partial
+    * [[graft.functions.RegisterMax]] aggregate — map-side combine
+    * collapses every partition to ≤ n register banks BEFORE the
+    * shuffle, so a round ships O(n·m) ints, never the exploded
+    * m×|E| (node, idx, ρ) rows of the row-form merge. The estimator
+    * is the standard bias-corrected harmonic mean with the
+    * linear-counting small-range branch, computed per node with a
+    * single `aggregate()` fold over the array. Fully deterministic
+    * (fixed xxhash64 seed) — same input, same estimate, every run;
+    * the ball INCLUDES the node itself (HyperANF convention; exact
+    * graphAnf excludes it — spec compares against exact + 1).
     */
   def anfApprox(edges: DataFrame, depth: Int, m: Int = 64): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
@@ -414,32 +436,36 @@ object Traversal {
     // P(ρ=1) = 1/2 exactly). pmod keeps the index non-negative.
     val h = xxhash64(col("node"))
     val rest = shiftrightunsigned(h, idxBits)
+    val idx = pmod(h, lit(m.toLong)).cast("int")
+    val rho = when(rest === 0, lit(restBits + 1))
+      .otherwise(lit(restBits + 1) - length(bin(rest))).cast("int")
+    // seed bank: all-zero except the node's own register
     var regs = nodes.select(col("node"),
-      pmod(h, lit(m.toLong)).cast("int").as("idx"),
-      when(rest === 0, lit(restBits + 1))
-        .otherwise(lit(restBits + 1) - length(bin(rest))).cast("int").as("rho"))
+      transform(sequence(lit(0), lit(m - 1)),
+        i => when(i === idx, rho).otherwise(lit(0))).as("regs"))
       .localCheckpoint(true)
     for (_ <- 1 to depth) {
       val fromNbrs = e.join(regs, e("_dst") === regs("node"))
-        .select(e("_src").as("node"), col("idx"), col("rho"))
+        .select(e("_src").as("node"), col("regs"))
       regs = regs.unionByName(fromNbrs)
-        .groupBy("node", "idx")
-        .agg(max(col("rho")).as("rho"))
+        .groupBy("node")
+        .agg(graft.functions.RegisterAgg.registerMax(col("regs"), m).as("regs"))
         .localCheckpoint(true)
     }
-    // harmonic-mean HLL estimate per node; registers never touched
-    // stay 0 ⇒ they are the (m − found) missing rows per node.
+    // harmonic-mean HLL estimate per node; untouched registers are 0
+    // and contribute 2⁻⁰ = 1 to Z, so one fold covers both branches.
     val alpha = if (m >= 128) 0.7213 / (1 + 1.079 / m)
       else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
-    regs.groupBy("node")
-      .agg(sum(pow(lit(2.0), -col("rho"))).as("z_present"),
-        count(lit(1)).as("n_present"))
+    regs
+      .select(col("node"),
+        aggregate(col("regs"), lit(0.0),
+          (acc, r) => acc + pow(lit(2.0), -r)).as("z"),
+        aggregate(col("regs"), lit(0),
+          (acc, r) => acc + when(r === 0, 1).otherwise(0)).as("zeros"))
       .select(col("node"), {
-        val zeros = lit(m.toDouble) - col("n_present")
-        val z = col("z_present") + zeros // 2^-0 = 1 per untouched register
-        val raw = lit(alpha * m * m) / z
-        when(raw <= 2.5 * m && zeros > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+        val raw = lit(alpha * m * m) / col("z")
+        when(raw <= 2.5 * m && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
           .otherwise(raw).as("est")
       })
       .select(col("node"), round(col("est"), 2).as("est_ball"))

@@ -451,7 +451,17 @@ object GraphQueries {
     * subsystems adopt one label, bridge calls don't spread it. */
   /** The 4-round LPA labels, computed once per (session, dir) and
     * served to both the partition query (C14) and its modularity
-    * scalar (C32) — the supportIndex sharing discipline. */
+    * scalar (C32) — the supportIndex sharing discipline.
+    *
+    * CONSTRAINT (shared with [[edgeMemo]]): the memo key is
+    * (session, dir) with no dataset fingerprint, so the parquet under
+    * `dir` must be immutable for the session's lifetime — regenerating
+    * the directory in-session would serve stale labels AND a stale
+    * modularity score. That matches how the engine is driven (Verify/
+    * Bench/CLI read driver-written, write-once test directories); if
+    * in-session regeneration ever becomes a use case, key the memo on
+    * a content fingerprint (e.g. the directory's file list + sizes)
+    * instead. */
   private val commMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def communityLabels(s: SparkSession, d: String): DataFrame =
