@@ -135,7 +135,9 @@ object SparkEntry {
     "graph_temporal" -> ((s, d) => GraphQueries.graphTemporal(s, d)),
     "lineage_up" -> ((s, d) => GraphQueries.lineageUp(s, d)),
     "q_skyline" -> ((s, d) => Relational.skyline(Tables.part(s, d))),
-    "table_profile" -> ((s, d) => Relational.tableProfile(Tables.lineitem(s, d)))
+    "table_profile" -> ((s, d) => Relational.tableProfile(Tables.lineitem(s, d))),
+    "q_gini" -> ((s, d) => Relational.giniRevenue(Tables.orders(s, d))),
+    "graph_ecc" -> ((s, d) => GraphQueries.graphEccentricity(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -1133,6 +1135,52 @@ object SparkEntry {
         |       (1000000 * COUNT(*)) // CAST(SUM(depth) AS BIGINT)
         |         AS closeness_ppm
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Bounded eccentricity over the 1-in-100 sample at slice 9: the
+    // graph_closeness first-touch level chain with MAX(depth) + ball
+    // size as the aggregate.
+    "graph_ecc" ->
+      s"""WITH $E,
+        |st AS (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 9),
+        |v0 AS MATERIALIZED (SELECT s, s AS node FROM st),
+        |p1 AS MATERIALIZED (
+        |  SELECT DISTINCT st.s, e.dst AS node
+        |  FROM st JOIN e ON e.src = st.s WHERE e.dst <> st.s),
+        |v1 AS MATERIALIZED (SELECT * FROM v0 UNION SELECT * FROM p1),
+        |p2 AS MATERIALIZED (
+        |  SELECT DISTINCT p1.s, e.dst AS node
+        |  FROM p1 JOIN e ON e.src = p1.node
+        |  LEFT JOIN v1 ON v1.s = p1.s AND v1.node = e.dst
+        |  WHERE v1.node IS NULL),
+        |v2 AS MATERIALIZED (SELECT * FROM v1 UNION SELECT * FROM p2),
+        |p3 AS MATERIALIZED (
+        |  SELECT DISTINCT p2.s, e.dst AS node
+        |  FROM p2 JOIN e ON e.src = p2.node
+        |  LEFT JOIN v2 ON v2.s = p2.s AND v2.node = e.dst
+        |  WHERE v2.node IS NULL),
+        |reach AS (
+        |  SELECT s, node, 1 AS depth FROM p1
+        |  UNION ALL SELECT s, node, 2 FROM p2
+        |  UNION ALL SELECT s, node, 3 FROM p3)
+        |SELECT s AS node, CAST(MAX(depth) AS BIGINT) AS ecc_bounded,
+        |       COUNT(*) AS n_reached
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Gini over per-customer revenue: ascending (cents, custkey) rank,
+    // G = (2*Σ i*x - (n+1)*Σx) * 1e6 // (n*Σx) — all HUGEINT, the
+    // Spark side widens to DECIMAL(38,0) identically.
+    "q_gini" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM per)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(x) AS BIGINT) AS total_cents,
+        |       CAST((2::HUGEINT * SUM(i::HUGEINT * x)
+        |           - (COUNT(*) + 1) * SUM(x::HUGEINT)) * 1000000
+        |         // (COUNT(*)::HUGEINT * SUM(x::HUGEINT)) AS BIGINT)
+        |         AS gini_ppm
+        |FROM r""".stripMargin,
     // Harmonic centrality over the 1-in-100 sample at slice 7: the
     // graph_closeness first-touch level chain (p1/p2/p3 minus seen)
     // with the final aggregate Σ ⌊10⁶/depth⌋ — exact integer terms.

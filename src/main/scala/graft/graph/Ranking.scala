@@ -628,6 +628,22 @@ object Ranking {
       .select(col("node"), col("n_reach"), col("sum_dist"),
         expr("(1000000 * n_reach) div sum_dist").as("closeness_ppm"))
 
+  /** Bounded eccentricity over a start sample: the deepest BFS level
+    * each sampled source reaches within `maxDepth` (a LOWER bound on
+    * its true eccentricity — exact whenever the ball closes before
+    * the budget, i.e. n_reached stops growing) plus the ball size.
+    * max(ecc_bounded) over the sample is the standard iFUB-style
+    * diameter lower bound. Same [[Traversal.reachLevels]] pass and
+    * (start, node)-keyed scale shape as [[closeness]]/[[harmonic]];
+    * sources with no out-edges reach nothing and are omitted, like
+    * the closeness contract. */
+  def eccentricity(edges: DataFrame, starts: DataFrame,
+      maxDepth: Int = 3): DataFrame =
+    Traversal.reachLevels(edges, starts, maxDepth)
+      .groupBy(col("start").as("node"))
+      .agg(max(col("depth")).as("ecc_bounded"),
+        count(lit(1)).as("n_reached"))
+
   /** Bounded harmonic centrality over a start sample: Σ ⌊10⁶/depth⌋
     * across the ≤maxDepth out-ball — the centrality that stays
     * well-defined on disconnected graphs (an unreached node simply

@@ -361,4 +361,48 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Near-dup cluster-size histogram — the one-page answer to "how
+    * duplicated is this corpus": (cluster_size, n_clusters) over the
+    * [[clusters]] partition. Two narrow aggs on the pair-graph-sized
+    * cluster frame; the tail of this histogram is what decides
+    * between keep-best canonicalization and outright drop at scale.
+    */
+  def clusterSizes(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
+    clusters(docs, minEstJaccard)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cs"))
+      .groupBy("cs").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cs").as("cluster_size"), col("n_clusters"))
+      .orderBy("cluster_size")
+
+  /** Paragraph-level duplicate share (the MassiveText/Gopher dup-
+    * fraction gate at sub-document granularity): each doc splits into
+    * consecutive non-overlapping `k`-token segments, a segment's hash
+    * is the position-weighted sum Σ (1 + (seq−1) mod k)·tokenHash mod
+    * P — order-sensitive via the position weight yet a PLAIN SUM
+    * aggregate, so the per-segment digest is one map-side-combinable
+    * (doc, seg)-keyed agg (no collect_list, no per-segment sort; every
+    * intermediate < 2⁶³ for k ≤ 100). A segment is duplicated iff its
+    * hash occurs in more than one (doc, seg) slot corpus-wide —
+    * catching both cross-doc boilerplate and in-doc repetition.
+    * Returns per-doc (n_segs, n_dup_segs, dup_ppm). Scale shape: two
+    * uniform-key shuffles (segment digest, hash df) + one doc-keyed
+    * agg — the D1 exact-dedup cost class, never pairwise.
+    */
+  def paragraphDedup(docs: DataFrame, k: Int = 20): DataFrame = {
+    val segs = TextOps.tokens(docs)
+      .select(col("doc_id"), expr(s"(seq - 1) div $k").as("seg"),
+        ((((col("seq") - 1) % k) + 1) * TextOps.tokenHash(col("token"))).as("w"))
+      .groupBy("doc_id", "seg")
+      .agg((sum(col("w")) % P).as("sh"))
+      .localCheckpoint(true)
+    val df = segs.groupBy("sh").agg(count(lit(1)).as("df"))
+    segs.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_segs"))
+      .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+        expr("(1000000 * n_dup_segs) div n_segs").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
 }

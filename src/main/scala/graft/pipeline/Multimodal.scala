@@ -199,6 +199,21 @@ object Multimodal {
     * payloads are byte-equal iff (format, header params) match).
     * Returns (canonical_id, n_copies, byte_len) per distinct payload.
     */
+  /** Image aspect-ratio histogram over the decoded headers: bucket =
+    * ⌊100·width/height⌋ (integer aspect percent), images only —
+    * the resize/crop planning profile a vision-training pipeline
+    * reads before choosing target shapes. One narrow agg after the
+    * decode pass; audio rows (−1 dims) are excluded by the
+    * width/height guard. */
+  def aspectProfile(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeMeta(spark, docs).toDF()
+      .filter(col("width") > 0 && col("height") > 0)
+      .select(expr("(100 * width) div height").as("aspect_pct"), col("width"))
+      .groupBy("aspect_pct")
+      .agg(count(lit(1)).as("n_images"),
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"))
+      .orderBy("aspect_pct")
+
   def payloadDedup(spark: SparkSession, docs: DataFrame): DataFrame =
     withPayload(spark, docs).toDF()
       .groupBy(md5(col("payload")).as("_h"))

@@ -437,6 +437,29 @@ object Similarity {
         col("recon_mse"))
       .orderBy("vec_id")
 
+  /** Embedding-norm health profile per label bucket: n, zero-vector
+    * count, min/max/floor-mean squared norm in the exact 1e-6-
+    * quantized integer contract (‖q‖² = Σ qx², qx = round(x·10⁶) —
+    * the sim_topk arithmetic, so the same numbers gate retrieval
+    * too). Zero and near-zero vectors are the classic silent killer
+    * of cosine pipelines; this is the one-pass pre-flight check.
+    * MAP-ONLY per row (one `aggregate` fold) + one |labels|-row agg;
+    * the mean rides DECIMAL(38,0)/HUGEINT.
+    */
+  def normStats(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label").cast("long").as("label"),
+        aggregate(quantize(asDouble(col("embedding"))), lit(0L),
+          (acc, x) => acc + x * x).as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min_norm2"), max(col("n2")).as("max_norm2"),
+        sum(col("n2").cast("decimal(38,0)")).as("_s"))
+      .select(col("label"), col("n_vecs"), col("n_zero"), col("min_norm2"),
+        col("max_norm2"), expr("CAST(_s div n_vecs AS BIGINT)").as("mean_norm2"))
+      .orderBy("label")
+
   /** Product quantization (Jégou, Douze & Schmid, TPAMI 2011): split
     * each vector into `m` contiguous subvectors and vector-quantize
     * every subspace independently with its own k-codeword codebook —

@@ -381,6 +381,67 @@ object TextAnalysis {
         expr("(1000000 * n_types) div n_tokens").as("ttr_ppm"))
       .orderBy("doc_id")
 
+  /** Vocabulary coverage point: the smallest top-k vocab prefix (tf
+    * desc, token asc — the deterministic [[vocabulary]] rank) whose
+    * cumulative frequency reaches `num`/`den` of total token mass,
+    * with the exact share it lands on. The tokenizer-budget planning
+    * scalar ("how big must the vocab be to cover 90%"). The rank
+    * window runs over the VOCAB-sized tf aggregate, never the corpus
+    * (the zipfFit discipline); the crossing test is an integer
+    * cross-multiply and the share a DECIMAL(38,0)/HUGEINT-widened
+    * floor-ppm. */
+  def vocabCoverage(docs: DataFrame, num: Int = 9, den: Int = 10): DataFrame = {
+    val tf = TextOps.tokensBag(docs).groupBy("token").agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("token"))
+    val ranked = tf
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("tf")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val tot = ranked.agg(max(col("cum")).as("total"),
+      count(lit(1)).as("vocab"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("cum") * den >= col("total") * num)
+      .orderBy("rk").limit(1)
+      .select(col("total").as("n_tokens_total"), col("vocab").as("vocab_size"),
+        col("rk").cast("long").as("cover_k"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cum)" +
+          " div CAST(total AS DECIMAL(38,0)) AS BIGINT)").as("cover_share_ppm"))
+  }
+
+  /** Tokenizer fertility by language: regex tokens emitted per
+    * whitespace word, aggregated per `lang` bucket — the
+    * multilingual-corpus health check (a tokenizer that fragments one
+    * language inflates its effective sequence length and its compute
+    * share; fertility per language is the standard diagnostic).
+    * Word counts are a MAP-ONLY split-length expression, token counts
+    * one doc-keyed agg, the final frame |langs| rows; fertility is
+    * exact floor-ppm, −1 when a bucket has no words (NULL-free gate
+    * columns). */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val tok = TextOps.tokensBag(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_words"))
+      .join(tok, Seq("doc_id"), "left")
+      .select(col("lang"), col("n_words"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_words")).as("n_words"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_words"),
+        // DECIMAL(38,0)-widened ppm (oracle: HUGEINT): 10⁶·n_tokens
+        // outgrows a long once a language bucket passes ~9e12 tokens —
+        // the 100 TB regime, not a corner case
+        expr("CASE WHEN n_words = 0 THEN CAST(-1 AS BIGINT)" +
+          " ELSE (CAST(1000000 AS DECIMAL(38,0)) * n_tokens)" +
+          " div CAST(n_words AS DECIMAL(38,0)) END").as("fertility_ppm"))
+      .orderBy("lang")
+  }
+
   /** N-gram novelty: the fraction of a doc's DISTINCT 3-token
     * shingles that appear in no other document (corpus df = 1) — how
     * much text this doc contributes that exists nowhere else. The

@@ -402,6 +402,18 @@ object GraphQueries {
     Ranking.harmonic(e, starts, maxDepth = 3).orderBy("node")
   }
 
+  /** C35 bounded eccentricity over a 1-in-100 start sample: deepest
+    * BFS level reached within 3 hops + ball size per source; the
+    * sample max is the iFUB-style diameter lower bound
+    * (Ranking.eccentricity — the reachLevels pass closeness and
+    * harmonic already ride). */
+  def graphEccentricity(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val starts = e.select(col("src").as("node"))
+      .filter(col("node") % 100 === 9).distinct()
+    Ranking.eccentricity(e, starts, maxDepth = 3).orderBy("node")
+  }
+
   /** C22 HITS hubs/authorities, 2 fixed-point integer rounds
     * (Ranking.hits): dispatcher-vs-utility scores for every function
     * in the call graph. */

@@ -195,7 +195,23 @@ object PipelineEntries {
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentJoin(Tables.documents(s, d))),
     "events_session_stats" -> ((s, d) =>
-      TemporalOps.sessionStats(graft.streaming.EventStreams.events(s, d)))
+      TemporalOps.sessionStats(graft.streaming.EventStreams.events(s, d))),
+    "events_ohlc" -> ((s, d) =>
+      TemporalOps.ohlcBars(graft.streaming.EventStreams.events(s, d))),
+    "events_overlap" -> ((s, d) =>
+      TemporalOps.sessionOverlap(graft.streaming.EventStreams.events(s, d))),
+    "dedup_para" -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
+    "text_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
+    "events_twap" -> ((s, d) =>
+      TemporalOps.twap(graft.streaming.EventStreams.events(s, d))),
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizes(Tables.documents(s, d))),
+    "embed_norms" -> ((s, d) => Similarity.normStats(Tables.embeddings(s, d))),
+    "vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d))),
+    "multimodal_aspect" -> ((s, d) =>
+      Multimodal.aspectProfile(s, Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -2163,6 +2179,166 @@ object PipelineEntries {
          |       (1000000 * CAST(SUM(CASE WHEN v.token IS NULL THEN t.tf ELSE 0 END)
          |         AS BIGINT)) // CAST(SUM(t.tf) AS BIGINT) AS oov_ppm
          |FROM tf t LEFT JOIN v ON t.token = v.token
-         |GROUP BY 1 ORDER BY t.doc_id""".stripMargin
+         |GROUP BY 1 ORDER BY t.doc_id""".stripMargin,
+    // OHLC bars: open/close replayed via (ms, event_id)-ranked
+    // row_number (the Spark side's lexicographic struct-argmin).
+    "events_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |         epoch_ms(ts) AS ms, event_id
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, hr
+        |           ORDER BY ms, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY event_type, hr
+        |           ORDER BY ms DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT event_type, hr,
+        |       CAST(MAX(CASE WHEN ra = 1 THEN c END) AS BIGINT) AS open_cents,
+        |       MAX(c) AS high_cents, MIN(c) AS low_cents,
+        |       CAST(MAX(CASE WHEN rd = 1 THEN c END) AS BIGINT) AS close_cents,
+        |       COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Concurrent sessions per hour: the session_stats gap machinery
+    // (epoch-ms gaps, full-ts ordering), then each session unnests
+    // over the hour range it overlaps.
+    "events_overlap" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, epoch_ms(ts) AS ms,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS session_id
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, session_id, MIN(ms) // 3600000 AS h0,
+        |         MAX(ms) // 3600000 AS h1
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT hr, COUNT(*) AS n_sessions
+        |FROM (SELECT unnest(range(h0, h1 + 1)) AS hr FROM per)
+        |GROUP BY 1 ORDER BY hr""".stripMargin,
+    // Paragraph-dedup: position-weighted segment hash replayed from
+    // the shared tok CTE; duplicate iff the hash fills >1 (doc, seg)
+    // slot anywhere in the corpus.
+    "dedup_para" ->
+      s"""WITH $TOK,
+         |sg AS (
+         |  SELECT doc_id, (seq - 1) // 20 AS seg,
+         |         CAST(SUM(((seq - 1) % 20 + 1)
+         |           * ${TextOps.tokenHashSql("token")}) % ${TextOps.P}
+         |           AS BIGINT) AS sh
+         |  FROM tok GROUP BY 1, 2),
+         |fd AS (SELECT sh, COUNT(*) AS df FROM sg GROUP BY 1)
+         |SELECT sg.doc_id, COUNT(*) AS n_segs,
+         |       CAST(SUM(CASE WHEN fd.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_segs,
+         |       (1000000 * CAST(SUM(CASE WHEN fd.df > 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT)) // COUNT(*) AS dup_ppm
+         |FROM sg JOIN fd USING (sh)
+         |GROUP BY 1 ORDER BY sg.doc_id""".stripMargin,
+    // Tokenizer fertility per language: regex tokens over whitespace
+    // words, HUGEINT-widened ppm (the Spark side rides DECIMAL(38,0)).
+    "text_fertility" ->
+      s"""WITH $TOK,
+         |tc AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY 1),
+         |d AS (
+         |  SELECT doc_id, lang,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+         |                AS BIGINT)
+         |         END AS n_words
+         |  FROM documents),
+         |j AS (
+         |  SELECT d.lang, d.n_words, COALESCE(tc.n_tok, 0) AS n_tok
+         |  FROM d LEFT JOIN tc USING (doc_id))
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |       CAST(CASE WHEN SUM(n_words) = 0 THEN -1
+         |            ELSE (1000000::HUGEINT * SUM(n_tok)) // SUM(n_words)
+         |       END AS BIGINT) AS fertility_ppm
+         |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
+    // TWAP: left-Riemann interval weights in (ts, event_id) order;
+    // HUGEINT products (the Spark side rides DECIMAL(38,0)).
+    "events_twap" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, c,
+        |         lead(ms) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) - ms AS dt
+        |  FROM b)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |       CAST(CASE WHEN SUM(dt::HUGEINT) = 0 THEN -1
+        |            ELSE SUM(c::HUGEINT * dt) // SUM(dt::HUGEINT)
+        |       END AS BIGINT) AS twap_cents
+        |FROM g WHERE dt IS NOT NULL
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // Cluster-size histogram off the shared 12-round cluster chain.
+    "dedup_cluster_sizes" ->
+      s"""WITH $TOK,
+         |$SH,
+         |$clusterChain,
+         |sz AS (SELECT component, COUNT(*) AS cs FROM l12 GROUP BY 1)
+         |SELECT cs AS cluster_size, COUNT(*) AS n_clusters
+         |FROM sz GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    // Norm profile in the exq fixed-point contract, keyed by label.
+    "embed_norms" ->
+      """WITH n2 AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(SUM(CAST(round(x * 1000000, 0) AS BIGINT)
+        |           * CAST(round(x * 1000000, 0) AS BIGINT)) AS BIGINT) AS n2
+        |  FROM (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+        |        FROM embeddings)
+        |  GROUP BY 1, 2)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |       CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero,
+        |       MIN(n2) AS min_norm2, MAX(n2) AS max_norm2,
+        |       CAST(SUM(n2::HUGEINT) // COUNT(*) AS BIGINT) AS mean_norm2
+        |FROM n2 GROUP BY 1 ORDER BY label""".stripMargin,
+    // Coverage point: vocab-ranked cumulative mass, integer crossing.
+    "vocab_coverage" ->
+      s"""WITH $TOK,
+         |ctf AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1),
+         |r AS (
+         |  SELECT token, tf,
+         |         row_number() OVER (ORDER BY tf DESC, token) AS rk,
+         |         SUM(tf) OVER (ORDER BY tf DESC, token
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ctf),
+         |t AS (SELECT MAX(cum) AS total, COUNT(*) AS vocab FROM r)
+         |SELECT CAST(t.total AS BIGINT) AS n_tokens_total,
+         |       CAST(t.vocab AS BIGINT) AS vocab_size,
+         |       CAST(r.rk AS BIGINT) AS cover_k,
+         |       CAST((1000000::HUGEINT * r.cum) // t.total AS BIGINT)
+         |         AS cover_share_ppm
+         |FROM r, t WHERE r.cum * 10 >= t.total * 9
+         |ORDER BY r.rk LIMIT 1""".stripMargin,
+    // Aspect histogram replayed from the synthetic-header arithmetic
+    // (the multimodal_stats meta equivalence).
+    "multimodal_aspect" ->
+      """WITH meta AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+        |                   ELSE doc_id % 509 + 16 END AS BIGINT) AS width,
+        |         CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+        |                   ELSE (doc_id * 7) % 509 + 16 END AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT (100 * width) // height AS aspect_pct,
+        |       CAST(COUNT(*) AS BIGINT) AS n_images,
+        |       MIN(width) AS min_w, MAX(width) AS max_w
+        |FROM meta WHERE width > 0 AND height > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

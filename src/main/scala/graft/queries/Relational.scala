@@ -716,6 +716,35 @@ object Relational {
         expr("(1000000 * cum_nc) div total_nc").as("top_frac_ppm"))
   }
 
+  /** Gini coefficient of the per-customer revenue distribution — the
+    * inequality scalar next to [[revenueConcentration]]'s whale count:
+    * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over revenues xᵢ sorted
+    * ascending with 1-based rank i, emitted as floor-ppm. Ranks are
+    * (cents, custkey)-tie-broken so the rank assignment (and thus the
+    * exact Σ i·xᵢ) is deterministic; the products ride DECIMAL(38,0)/
+    * HUGEINT (i·x overflows a long once ~10⁹ customers meet large
+    * cents — the HITS widening lesson). The global rank window runs
+    * over the per-customer AGGREGATE (customer-dim-sized, ≪ the
+    * orders fact); at extreme customer counts the binned
+    * [[revenueConcentration]] histogram form is the mergeable
+    * fallback, per its docstring.
+    */
+  def giniRevenue(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum(centsOf(col("o_totalprice"))).as("x"))
+    per
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("x"), col("o_custkey"))))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * x")).as("six"))
+      .select(
+        expr("CAST(n AS BIGINT) AS n_customers"),
+        expr("CAST(sx AS BIGINT) AS total_cents"),
+        expr("CAST((CAST(2 AS DECIMAL(38,0)) * six - (n + 1) * sx) * 1000000" +
+          " div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT) AS gini_ppm"))
+  }
+
   /** Monthly seasonality with year-over-year growth: one orders scan
     * → (year·100+month) integer-keyed agg (exact cents), then YoY as
     * a self equi-join on ym−100 — an integer-key join, NEVER a

@@ -642,4 +642,89 @@ object TemporalOps {
         sum(abs(col("x") - col("mean_cents"))).as("sae_cents"))
       .orderBy("event_type", "hour")
   }
+
+  /** OHLC bars per (event_type, stream-hour): open/close picked by
+    * the (epoch-ms, event_id) total order via min/max over a
+    * lexicographic struct — ONE map-side-combinable keyed aggregation
+    * over the stream, no per-bar window sort anywhere (the window
+    * formulation sorts every bar's rows; the struct-argmin is a plain
+    * partial agg, the 100 TB shape). All prices in exact floor-cents
+    * (the anomaly/cusum contract), so both engines agree bit-for-bit.
+    */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      expr("unix_millis(ts) div 3600000").as("hr"),
+      expr("unix_millis(ts)").as("ms"), col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    ev.groupBy("event_type", "hr")
+      .agg(
+        min(struct(col("ms"), col("event_id"), col("c")))
+          .getField("c").as("open_cents"),
+        max(col("c")).as("high_cents"),
+        min(col("c")).as("low_cents"),
+        max(struct(col("ms"), col("event_id"), col("c")))
+          .getField("c").as("close_cents"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** Concurrent-session load profile: how many gap-delimited sessions
+    * (the [[sessionStats]] 30-min break contract, epoch-ms) were LIVE
+    * in each stream-hour. The interval-overlap count is NOT a sweep
+    * over a global time order (a single-partition running sum at any
+    * scale): each session contributes one row per hour bucket it
+    * overlaps — a bounded explode (sessions are gap-bounded, so the
+    * span is short) — and the count is one plain hour-keyed agg, the
+    * [[activeUsers]] contribution-day trick applied to intervals.
+    */
+  /** Time-weighted average value per user (TWAP): each observation is
+    * weighted by the epoch-ms interval it was live for (gap to the
+    * next event in (ts, event_id) order; the last observation has no
+    * interval and drops — the standard left-Riemann TWAP). Products
+    * and the divisor ride DECIMAL(38,0)/HUGEINT (cents·ms exceeds a
+    * long once day-scale gaps meet large values at corpus scale);
+    * co-timestamped events get 0-ms weight identically on both
+    * engines. One user-keyed window pass + one user-keyed agg. Users
+    * whose every interval is 0 ms report the −1 sentinel.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("unix_millis(ts)").as("ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .withColumn("nxt", lead(col("ms"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("user_id"), col("c"), (col("nxt") - col("ms")).as("dt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * dt")).as("_num"),
+        sum(expr("CAST(dt AS DECIMAL(38,0))")).as("_den"))
+      .select(col("user_id"), col("n_intervals"),
+        expr("CASE WHEN _den = 0 THEN CAST(-1 AS BIGINT)" +
+          " ELSE CAST(_num div _den AS BIGINT) END").as("twap_cents"))
+      .orderBy("user_id")
+  }
+
+  def sessionOverlap(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val sess = events
+      .withColumn("ms", expr("unix_millis(ts)"))
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ms") - col("prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+    sess
+      .select(explode(sequence(
+        expr("start_ms div 3600000"), expr("end_ms div 3600000"))).as("hr"))
+      .groupBy("hr")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("hr")
+  }
 }

@@ -121,4 +121,18 @@ class MultimodalSpec extends AnyFunSuite {
     // png vs wav share no 8-byte shingle: no candidate pair at all
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((2L, 3L)))
   }
+  test("aspect profile buckets decoded image dims, audio excluded") {
+    import spark.implicits._
+    // doc 0: png 16x16 -> 100; doc 1: jpeg 17x23 -> 73; doc 2: wav (out)
+    // doc 3: png 19x37 -> 51
+    val d = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val r = Multimodal.aspectProfile(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(100L) == ((1L, 16L, 16L)))
+    assert(r(73L) == ((1L, 17L, 17L)))
+    assert(r(51L) == ((1L, 19L, 19L)))
+    assert(r.size == 3)
+  }
+
 }

@@ -302,4 +302,33 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(top.head == (1L, 1)) // most-aligned neighbor ranked 1
   }
+  test("paragraph dedup: cross-doc and in-doc repeated segments flagged") {
+    val seg = (1 to 20).map(i => s"w$i").mkString(" ")
+    val uniq = (1 to 20).map(i => s"u$i").mkString(" ")
+    val other = (1 to 20).map(i => s"v$i").mkString(" ")
+    val d = docs(
+      1L -> (seg + " " + uniq),    // seg shared with doc 2 -> 1 of 2 dup
+      2L -> (seg + " " + other),   // ditto
+      3L -> (seg2x(seg)))          // same segment twice -> both dup
+    val r = graft.pipeline.Dedup.paragraphDedup(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(1L) == ((2L, 1L, 500000L)))
+    assert(r(2L) == ((2L, 1L, 500000L)))
+    assert(r(3L) == ((2L, 2L, 1000000L)))
+  }
+
+  private def seg2x(seg: String): String = seg + " " + seg
+
+  test("cluster-size histogram counts near-dup clusters by size") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> base, 2L -> base,            // identical pair -> one 2-cluster
+      3L -> base, // joins the same cluster -> actually a 3-cluster
+      4L -> (31 to 60).map(i => s"only$i").mkString(" "))  // unique
+    val r = graft.pipeline.Dedup.clusterSizes(d).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(3L -> 1L))
+  }
+
 }

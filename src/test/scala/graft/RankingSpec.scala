@@ -350,4 +350,16 @@ class RankingSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+  test("eccentricity: path graph depth-bounded, ball sizes exact") {
+    import spark.implicits._
+    // path 1->2->3->4->5; depth 3: ecc(1)=3 over {2,3,4}, ecc(4)=1 over {5};
+    // sink 5 reaches nothing and is omitted
+    val g = Seq((1L, 2L, 0L), (2L, 3L, 0L), (3L, 4L, 0L), (4L, 5L, 0L))
+      .toDF("src", "dst", "offset")
+    val starts = Seq(1L, 4L, 5L).toDF("node")
+    val r = Ranking.eccentricity(g, starts, maxDepth = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(1L -> ((3L, 3L)), 4L -> ((1L, 1L))))
+  }
+
 }

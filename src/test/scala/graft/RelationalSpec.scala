@@ -139,4 +139,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(p("l_shipdate") == ((0L, 2L, 1L, 2L)))    // epoch days
     assert(p.size == 8)
   }
+  test("gini: equal revenues score 0, a whale pushes toward 1") {
+    import spark.implicits._
+    val eq = Seq((1L, 1L, 10.0), (2L, 2L, 10.0), (3L, 3L, 10.0), (4L, 4L, 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val g0 = Relational.giniRevenue(eq).collect().head
+    assert((g0.getLong(0), g0.getLong(1), g0.getLong(2)) == ((4L, 4000L, 0L)))
+    // cents x = [1, 1, 1, 10000]: n=4, Sx=10003, S(i*x)=1+2+3+40000=40006
+    // G_ppm = (2*40006 - 5*10003) * 1e6 // (4*10003) = 29997000000 // 40012
+    val wh = Seq((1L, 1L, 0.01), (2L, 2L, 0.01), (3L, 3L, 0.01), (4L, 4L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val g1 = Relational.giniRevenue(wh).collect().head
+    assert(g1.getLong(2) == 29997000000L / 40012L)
+  }
+
 }

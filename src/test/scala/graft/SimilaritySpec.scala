@@ -359,4 +359,19 @@ class SimilaritySpec extends AnyFunSuite {
     // one cross-group hop (~2e12); within-group it's ~1e8-scale
     assert(r.values.forall(_._2 < 1000000000L), s"inertia too large: $r")
   }
+  test("normStats: exact quantized norms, zero vectors counted") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),          // qx [1000000, 0] -> n2 = 1e12
+      (2L, Seq(0.0f, 0.0f), 0),          // zero vector
+      (3L, Seq(0.0f, 2.0f), 1))          // n2 = 4e12
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.normStats(emb).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+      .toMap
+    assert(r(0L) == ((2L, 1L, 0L, 1000000000000L, 500000000000L)))
+    assert(r(1L) == ((1L, 0L, 4000000000000L, 4000000000000L, 4000000000000L)))
+  }
+
 }

@@ -359,4 +359,54 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(("b", 0L)) == ((2L, 300L, 200L)))
     assert(out.size == 3)
   }
+  test("ohlc bars: open/close by (ts, event_id) order, high/low exact cents") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(i * 60000L) // minute i
+    val ev = Seq(
+      (1L, t(0), 7L, "a", 3.0),
+      (2L, t(1), 7L, "a", 9.0),
+      (3L, t(2), 7L, "a", 1.0),
+      (4L, t(60), 8L, "a", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TemporalOps.ohlcBars(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // hour 0: 3.00 then 9.00 then 1.00 -> open 300, high 900, low 100, close 100
+    assert(out(("a", 0L)) == ((300L, 900L, 100L, 100L, 3L)))
+    assert(out(("a", 1L)) == ((500L, 500L, 500L, 500L, 1L)))
+    assert(out.size == 2)
+  }
+
+  test("session overlap: a session spanning three hours counts in each") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val H = 3600000L
+    // user 1: events every 20 min from 0:10 to 2:50 -> ONE session
+    // (gaps < 30 min) spanning hours 0, 1, 2
+    val u1 = (0 to 8).map(i => (i.toLong, t(600000L + i * 1200000L), 1L, "x", 0.0))
+    // user 2: a single event in hour 1
+    val u2 = Seq((100L, t(H + 5000L), 2L, "x", 0.0))
+    val ev = (u1 ++ u2).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TemporalOps.sessionOverlap(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+  }
+
+  test("twap: interval weights, last observation dropped, 0-gap sentinel") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // user 1: 1.00 held for 3000 ms, then 5.00 for 1000 ms, last drops
+    // -> (100*3000 + 500*1000) / 4000 = 200
+    val u1 = Seq((1L, t(0L), 1L, "x", 1.0), (2L, t(3000L), 1L, "x", 5.0),
+      (3L, t(4000L), 1L, "x", 9.0))
+    // user 2: two co-timestamped events -> one 0-ms interval -> -1
+    val u2 = Seq((4L, t(100L), 2L, "x", 2.0), (5L, t(100L), 2L, "x", 3.0))
+    val ev = (u1 ++ u2).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TemporalOps.twap(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 200L)))
+    assert(out(2L) == ((1L, -1L)))
+  }
+
 }

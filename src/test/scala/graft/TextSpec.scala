@@ -399,4 +399,24 @@ class TextSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(r1.values.forall(_ == 0L), s"df=3 < n_docs=4 must not be common: $r1")
   }
+  test("tokenizer fertility: regex tokens per whitespace word per lang") {
+    import spark.implicits._
+    // "a-b c": 2 whitespace words but 3 alnum-run tokens -> 1.5 fertility
+    val d = Seq((1L, "a-b c", "en"), (2L, "x y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.tokenizerFertility(d).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("en") == ((1L, 3L, 2L, 1500000L)))
+    assert(r("de") == ((1L, 2L, 2L, 1000000L)))
+  }
+
+  test("vocab coverage: smallest prefix crossing 90% of token mass") {
+    // "a" x9 + "b" x1: top-1 vocab covers exactly 90%
+    val d = docs(1L -> (Seq.fill(9)("a") ++ Seq("b")).mkString(" "))
+    val r = TextAnalysis.vocabCoverage(d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 2L, 1L, 900000L)))
+  }
+
 }
