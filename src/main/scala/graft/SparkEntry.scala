@@ -137,7 +137,8 @@ object SparkEntry {
     "q_skyline" -> ((s, d) => Relational.skyline(Tables.part(s, d))),
     "table_profile" -> ((s, d) => Relational.tableProfile(Tables.lineitem(s, d))),
     "q_gini" -> ((s, d) => Relational.giniRevenue(Tables.orders(s, d))),
-    "graph_ecc" -> ((s, d) => GraphQueries.graphEccentricity(s, d))
+    "graph_ecc" -> ((s, d) => GraphQueries.graphEccentricity(s, d)),
+    "graph_katz" -> ((s, d) => GraphQueries.graphKatz(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -157,6 +158,22 @@ object SparkEntry {
   /** Unrolled fixed-point PageRank CTEs: ppm integers, floor-div
     * contributions, damping as the exact fraction 17/20 — bit-exact
     * replay with no float summation-order hazard. */
+  /** Unrolled Katz rounds: kₜ = 10⁶ + Σ_in ⌊kₜ₋₁/8⌋ (Ranking.katz). */
+  private def katzCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """nodes AS (SELECT DISTINCT n AS node FROM
+        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) t),
+        |k0 AS (SELECT node, CAST(1000000 AS BIGINT) AS k FROM nodes)""".stripMargin)
+    for (t <- 1 to iters) sb.append(s""",
+       |kc$t AS (
+       |  SELECT e.dst AS node, SUM(p.k // 8) AS c
+       |  FROM k${t - 1} p JOIN e ON e.src = p.node GROUP BY 1),
+       |k$t AS (
+       |  SELECT n.node, CAST(1000000 + COALESCE(c.c, 0) AS BIGINT) AS k
+       |  FROM nodes n LEFT JOIN kc$t c ON c.node = n.node)""".stripMargin)
+    sb.toString
+  }
+
   private def pageRankCtes(iters: Int): String = {
     val sb = new StringBuilder(
       """nodes AS (SELECT DISTINCT n AS node FROM
@@ -883,6 +900,11 @@ object SparkEntry {
       s"""WITH $E,
         |${pageRankCtes(3)}
         |SELECT node, pr AS pagerank_ppm FROM pr3
+        |ORDER BY node""".stripMargin,
+    "graph_katz" ->
+      s"""WITH $E,
+        |${katzCtes(3)}
+        |SELECT node, k AS katz_ppm FROM k3
         |ORDER BY node""".stripMargin,
     // Call-frequency-weighted PageRank: the `ew` weights are the
     // per-(caller, callee) call-site counts from the same scan.

@@ -49,6 +49,40 @@ object Ranking {
     pr.select(col("node"), col("pr").as("pagerank_ppm"))
   }
 
+  /** Katz centrality (Katz 1953) in the C7 fixed-point contract:
+    * k₀ = 10⁶, kₜ₊₁(v) = 10⁶ + Σ_{u→v} ⌊kₜ(u)/8⌋ — attenuation
+    * α = 1/8 as exact integer floor division, β = 10⁶, bounded
+    * `iters` rounds both engines unroll identically. Unlike PageRank
+    * (out-degree-normalized flow), Katz counts ALL bounded-length
+    * in-walks with geometric decay — a hub called from many hubs
+    * scores high even when its callers fan out widely. All-long
+    * arithmetic stays in whole-stage codegen; after r rounds
+    * k ≤ 10⁶·(d_max/8)^r, so 3 rounds fit a long up to max in-degree
+    * ~2·10⁵ — beyond that widen the contribution sum to
+    * DECIMAL(38,0) (the weighted-PageRank bound discipline; the
+    * HUGEINT oracle computes the same value either way). Plan shape
+    * per round: one edge join + one narrow dst-keyed agg,
+    * checkpointed.
+    */
+  def katz(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var k = nodes.withColumn("k", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = k.join(e, k("node") === e("src"))
+        .groupBy(col("dst").as("node2"))
+        .agg(sum(expr("k div 8")).as("c"))
+      k = nodes.join(contrib, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (lit(1000000L) + coalesce(col("c"), lit(0L))).as("k"))
+        .localCheckpoint(true)
+    }
+    k.select(col("node"), col("k").as("katz_ppm"))
+  }
+
   /** Frequency-WEIGHTED PageRank: mass flows along an edge in
     * proportion to its integer weight (call-site count — a function
     * invoked from a hot loop matters more than one behind a cold

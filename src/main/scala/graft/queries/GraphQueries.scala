@@ -402,6 +402,13 @@ object GraphQueries {
     Ranking.harmonic(e, starts, maxDepth = 3).orderBy("node")
   }
 
+  /** C36 Katz centrality, 3 bounded integer rounds (Ranking.katz):
+    * in-walk counting with geometric α=1/8 decay — the importance
+    * signal that sees "called from many important callers" without
+    * PageRank's out-degree dilution. */
+  def graphKatz(s: SparkSession, d: String): DataFrame =
+    Ranking.katz(callEdges(s, d), iters = 3).orderBy("node")
+
   /** C35 bounded eccentricity over a 1-in-100 start sample: deepest
     * BFS level reached within 3 hops + ball size per source; the
     * sample max is the iFUB-style diameter lower bound

@@ -651,20 +651,26 @@ object TemporalOps {
     * partial agg, the 100 TB shape). All prices in exact floor-cents
     * (the anomaly/cusum contract), so both engines agree bit-for-bit.
     */
+  /** The OHLC aggregate list — shared VERBATIM by the batch operator
+    * and the streaming twin (EventStreams.streamingOhlc), so parity
+    * cannot drift. Every entry is an ordinary incremental aggregate:
+    * per-bar streaming state is 4 longs + 2 structs, never raw rows. */
+  private[graft] def ohlcAggs: Seq[Column] = Seq(
+    min(struct(col("ms"), col("event_id"), col("c")))
+      .getField("c").as("open_cents"),
+    max(col("c")).as("high_cents"),
+    min(col("c")).as("low_cents"),
+    max(struct(col("ms"), col("event_id"), col("c")))
+      .getField("c").as("close_cents"),
+    count(lit(1)).as("n_events"))
+
   def ohlcBars(events: DataFrame): DataFrame = {
     val ev = events.select(col("event_type"),
       expr("unix_millis(ts) div 3600000").as("hr"),
       expr("unix_millis(ts)").as("ms"), col("event_id"),
       floor(col("value") * 100 + 0.5).cast("long").as("c"))
     ev.groupBy("event_type", "hr")
-      .agg(
-        min(struct(col("ms"), col("event_id"), col("c")))
-          .getField("c").as("open_cents"),
-        max(col("c")).as("high_cents"),
-        min(col("c")).as("low_cents"),
-        max(struct(col("ms"), col("event_id"), col("c")))
-          .getField("c").as("close_cents"),
-        count(lit(1)).as("n_events"))
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
       .orderBy("event_type", "hr")
   }
 

@@ -392,6 +392,31 @@ object EventStreams {
         expr(s"unix_millis(window.start) div $windowMs").as("w"), col("c"))
   }
 
+  /** Streaming twin of [[graft.queries.TemporalOps.ohlcBars]]: the
+    * struct-argmin open/close are ordinary incremental min/max
+    * aggregates (the SAME ohlcAggs list, so parity cannot drift), so
+    * each live bar holds 4 longs + 2 small structs of state — no
+    * per-bar sort, no raw-event retention; the watermark closes bars
+    * an hour after their window passes. Hour ids come from the
+    * window start, which for a 1-hour epoch-aligned window equals
+    * the batch side's `unix_millis div 3600000`. */
+  def streamingOhlc(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val aggs = graft.queries.TemporalOps.ohlcAggs
+    normalizeTs(s.readStream.schema(schema).parquet(dir))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_type"), col("ts"),
+        expr("unix_millis(ts)").as("ms"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"),
+        expr("unix_millis(window.start) div 3600000").as("hr"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_events"))
+  }
+
   /** The enrich+aggregate core shared VERBATIM by the batch entry and
     * the streaming deployment (the rankWindows pattern — one body, two
     * execution modes), so batch/stream parity can't drift apart. No

@@ -362,4 +362,15 @@ class RankingSpec extends AnyFunSuite {
     assert(r == Map(1L -> ((3L, 3L)), 4L -> ((1L, 1L))))
   }
 
+  test("katz: in-walk counting with 1/8 decay, hand-checked star") {
+    // star: 1->3, 2->3, 3->4. After round 1: k(3)=1e6+2*125000=1250000,
+    // k(4)=1125000. Round 2: k(3) unchanged (sources stay 1e6),
+    // k(4)=1e6+1250000/8=1156250. Round 3: k(4)=1156250 again.
+    val g = edges((1L, 3L), (2L, 3L), (3L, 4L))
+    val r = Ranking.katz(g, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1250000L, 4L -> 1156250L))
+  }
+
 }

@@ -320,4 +320,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(toMap(spark.table("cdc_out").collect()) == batch)
     } finally q.stop()
   }
+  test("streaming ohlc bars == batch ohlc bars") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.TemporalOps.ohlcBars(EventStreams.events(spark, dir))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    val q = EventStreams.streamingOhlc(spark, dir)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_out")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
 }
