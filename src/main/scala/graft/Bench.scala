@@ -83,12 +83,17 @@ object Bench {
     // that gets committed, making the authoritative numbers loss-proof.
     // Overridable for ad-hoc runs; never fatal (a read-only checkout
     // must not fail the bench).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      line + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    // A targeted SPARK_GRAFT_BENCH_ONLY run must not clobber the
+    // committed full-board record with a partial one — it writes a
+    // file only when SPARK_GRAFT_BENCH_OUT is explicitly set.
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("/root/repo/BENCH_LOCAL.json") else None)
+    outFile.foreach { f =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

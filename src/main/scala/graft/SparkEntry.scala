@@ -138,7 +138,9 @@ object SparkEntry {
     "table_profile" -> ((s, d) => Relational.tableProfile(Tables.lineitem(s, d))),
     "q_gini" -> ((s, d) => Relational.giniRevenue(Tables.orders(s, d))),
     "graph_ecc" -> ((s, d) => GraphQueries.graphEccentricity(s, d)),
-    "graph_katz" -> ((s, d) => GraphQueries.graphKatz(s, d))
+    "graph_katz" -> ((s, d) => GraphQueries.graphKatz(s, d)),
+    "graph_richclub" -> ((s, d) => GraphQueries.graphRichClub(s, d)),
+    "graph_mixing" -> ((s, d) => GraphQueries.graphMixing(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -906,6 +908,63 @@ object SparkEntry {
         |${katzCtes(3)}
         |SELECT node, k AS katz_ppm FROM k3
         |ORDER BY node""".stripMargin,
+    // Rich-club ladder: both counts come from degree histograms, so
+    // the ladder joins tiny frames; HUGEINT mirrors DECIMAL(38,0).
+    "graph_richclub" ->
+      s"""WITH $E,
+        |u0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |dg AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT a AS n FROM u0 UNION ALL SELECT b FROM u0) t GROUP BY 1),
+        |nh AS (SELECT d, COUNT(*) AS nn FROM dg GROUP BY 1),
+        |eh AS (
+        |  SELECT least(da.d, db.d) AS me, COUNT(*) AS ne
+        |  FROM u0 JOIN dg da ON u0.a = da.n JOIN dg db ON u0.b = db.n
+        |  GROUP BY 1),
+        |ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+        |nk AS (
+        |  SELECT k, COALESCE(SUM(nn), 0) AS n_nodes
+        |  FROM ks LEFT JOIN nh ON nh.d > ks.k GROUP BY 1),
+        |ek AS (
+        |  SELECT k, COALESCE(SUM(ne), 0) AS n_edges
+        |  FROM ks LEFT JOIN eh ON eh.me > ks.k GROUP BY 1)
+        |SELECT CAST(nk.k AS BIGINT) AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |       CAST(n_edges AS BIGINT) AS n_edges,
+        |       CASE WHEN n_nodes < 2 THEN 0
+        |            ELSE CAST((2000000::HUGEINT * n_edges)
+        |                 // (n_nodes::HUGEINT * (n_nodes - 1)) AS BIGINT)
+        |       END AS phi_ppm
+        |FROM nk JOIN ek USING (k) ORDER BY k""".stripMargin,
+    // Attribute mixing over the derived binary classes (node % 20):
+    // homophily share + chance-corrected assortativity, n²-scaled
+    // exact integers through HUGEINT, ppm via the floor(x+0.5)
+    // double contract (numerator may be negative).
+    "graph_mixing" ->
+      s"""WITH $E,
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT src AS x, dst AS y FROM e WHERE src <> dst),
+        |bo AS MATERIALIZED (
+        |  SELECT x % 20 AS cx, y % 20 AS cy FROM ed
+        |  UNION ALL SELECT y % 20, x % 20 FROM ed),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_ends,
+        |         SUM(CASE WHEN cx = cy THEN 1 ELSE 0 END) AS n_same
+        |  FROM bo),
+        |sq AS (
+        |  SELECT SUM(c::HUGEINT * c) AS sum_c2
+        |  FROM (SELECT cx, COUNT(*) AS c FROM bo GROUP BY 1) t)
+        |SELECT CAST(n_ends AS BIGINT) AS n_ends,
+        |       CAST(n_same AS BIGINT) AS n_same,
+        |       CAST((1000000::HUGEINT * n_same) // n_ends AS BIGINT)
+        |         AS homophily_ppm,
+        |       CASE WHEN n_ends::HUGEINT * n_ends - sum_c2 = 0 THEN 0
+        |            ELSE CAST(floor(
+        |              CAST(n_same::HUGEINT * n_ends - sum_c2 AS DOUBLE)
+        |              / CAST(n_ends::HUGEINT * n_ends - sum_c2 AS DOUBLE)
+        |              * 1000000 + 0.5) AS BIGINT)
+        |       END AS assortativity_ppm
+        |FROM tot, sq""".stripMargin,
     // Call-frequency-weighted PageRank: the `ew` weights are the
     // per-(caller, callee) call-site counts from the same scan.
     "graph_pagerank_w" ->

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics beyond the reference's query surface
@@ -839,5 +839,97 @@ object Ranking {
         col("item") === col("i2") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Rich-club coefficient ladder (Colizza et al. 2006): for each
+    * degree threshold k, the edge density φ(k) = 2·E_k / (N_k·(N_k−1))
+    * among the N_k nodes of degree > k, in ppm. Rising φ(k) means
+    * hubs preferentially wire to each other — on a call graph, a
+    * dispatcher core.
+    *
+    * Plan shape: one undirected distinct edge frame + one degree agg
+    * (the triangle/assortativity machinery), then BOTH ladder counts
+    * come from tiny pre-aggregated histograms — nodes collapse to
+    * (degree → count) and edges to (min-end-degree → count) BEFORE
+    * the ladder join, so the k-ladder multiplies histogram rows, not
+    * graph rows. The edge scan happens exactly once at any scale.
+    * E_k·2·10⁶ and N_k² ride DECIMAL(38,0): at 100 TB both products
+    * wrap a long silently (the modularity lesson).
+    */
+  def richClub(edges: DataFrame, ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val u0 = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val dg = u0.select(col("a").as("n")).unionByName(u0.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // histograms: (d → n_nodes) and (min(da,db) → n_edges) — ≤ d_max rows
+    val nodeHist = dg.groupBy("d").agg(count(lit(1)).as("nn"))
+    val edgeHist = u0
+      .join(dg.select(col("n").as("a2"), col("d").as("da")), col("a") === col("a2"))
+      .join(dg.select(col("n").as("b2"), col("d").as("db")), col("b") === col("b2"))
+      .select(least(col("da"), col("db")).as("me"))
+      .groupBy("me").agg(count(lit(1)).as("ne"))
+    val ladder = ks.toDF("k")
+    ladder.join(broadcast(nodeHist), col("d") > col("k"), "left")
+      .groupBy("k").agg(coalesce(sum(col("nn")), lit(0L)).as("n_nodes"))
+      .join(
+        ladder.join(broadcast(edgeHist), col("me") > col("k"), "left")
+          .groupBy(col("k").as("k2"))
+          .agg(coalesce(sum(col("ne")), lit(0L)).as("n_edges")),
+        col("k") === col("k2"))
+      .select(col("k").cast("long").as("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") < 2, lit(0L)).otherwise(
+          expr("""CAST((CAST(2000000 AS DECIMAL(38,0)) * n_edges) div
+                 (CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1)) AS BIGINT)"""))
+          .as("phi_ppm"))
+      .orderBy("k")
+  }
+
+  /** Discrete-attribute homophily + assortativity (Newman 2003): how
+    * much the graph wires within an attribute class vs across. Over
+    * the both-orientations end list (2m rows): n_same = same-class
+    * ends, homophily_ppm = ⌊10⁶·n_same/2m⌋, and the chance-corrected
+    * assortativity r = (Σe_ii − Σa_i²)/(1 − Σa_i²) computed in exact
+    * integers as (n_same·2m − Σc_i²) / ((2m)² − Σc_i²) with c_i the
+    * per-class end counts — every product in DECIMAL(38,0) ((2m)²
+    * wraps a long past m ≈ 2·10⁹; 100 TB graphs are past it).
+    *
+    * Plan: one edge scan → two tiny aggs (per-class counts broadcast
+    * back); no joins against node frames since the class is a pure
+    * function of the node id (`classOf`). With a real attribute
+    * table this becomes two hash joins on node — same shape.
+    */
+  def attributeMixing(edges: DataFrame, classOf: Column => Column): DataFrame = {
+    val ends = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val both = ends.select(classOf(col("x")).as("cx"), classOf(col("y")).as("cy"))
+      .unionByName(ends.select(classOf(col("y")).as("cx"), classOf(col("x")).as("cy")))
+      .localCheckpoint(true)
+    val tot = both.agg(count(lit(1)).as("n_ends"),
+      sum(when(col("cx") === col("cy"), 1L).otherwise(0L)).as("n_same"))
+    val sq = both.groupBy("cx").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sum_c2"))
+    tot.crossJoin(broadcast(sq))
+      .select(col("n_ends"), col("n_same"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_same) div n_ends AS BIGINT)")
+          .as("homophily_ppm"),
+        // the numerator can be negative (heterophil graphs) and `div`
+        // truncates toward zero while DuckDB's `//` floors — so the
+        // ppm goes through the graph_assortativity floor(x·10⁶+0.5)
+        // double contract instead (both engines round the same
+        // DECIMAL → DOUBLE, and the ratio is in [−1, 1] so the
+        // double is exact to far beyond 6 dp)
+        when(expr("CAST(n_ends AS DECIMAL(38,0)) * n_ends - sum_c2") === 0, lit(0L))
+          .otherwise(expr(
+            """CAST(floor(CAST(CAST(n_same AS DECIMAL(38,0)) * n_ends - sum_c2 AS DOUBLE)
+                 / CAST(CAST(n_ends AS DECIMAL(38,0)) * n_ends - sum_c2 AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT)"""))
+          .as("assortativity_ppm"))
   }
 }

@@ -405,4 +405,34 @@ object Dedup {
         expr("(1000000 * n_dup_segs) div n_segs").as("dup_ppm"))
       .orderBy("doc_id")
   }
+
+  /** Train/eval split-leakage audit: deterministically split the
+    * corpus (here doc_id % 10 — the stand-in for a uid splitmix, the
+    * dedup_incremental convention), then surface every near-duplicate
+    * pair that CROSSES the split — eval docs whose minhash-estimated
+    * Jaccard against some training doc clears the band threshold.
+    * This is the pre-training leakage check that `decontaminate`
+    * (exact n-gram containment against a benchmark) does not cover:
+    * paraphrase-level overlap between your own splits.
+    *
+    * Candidates come from the [[minhashLsh]] band join restricted to
+    * one-side-per-split — the bucket key is uniform so the join
+    * scales like the full LSH, and the split filters prune BEFORE
+    * the join (no post-hoc pair filtering). est_jaccard is
+    * [[scorePairs]] verbatim. Returns (val_doc, train_doc,
+    * est_jaccard).
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val mh = minhashLong(docs).localCheckpoint(true)
+    val trainSigs = mh.filter(col("doc_id") % 10 < 8)
+    val valSigs = mh.filter(col("doc_id") % 10 >= 8)
+    val cand = valSigs.as("x").join(trainSigs.as("y"),
+        col("x.perm") === col("y.perm") && col("x.mh") === col("y.mh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    scorePairs(cand, mh)
+      .select(col("doc_a").as("val_doc"), col("doc_b").as("train_doc"),
+        col("est_jaccard"))
+      .orderBy("val_doc", "train_doc")
+  }
 }

@@ -464,6 +464,23 @@ object GraphQueries {
   def graphAssortativity(s: SparkSession, d: String): DataFrame =
     Ranking.assortativity(callEdges(s, d))
 
+  /** C37 rich-club ladder: hub-core edge density φ(k) by degree
+    * threshold — one edge scan folded into two tiny histograms
+    * before the k ladder touches anything (Ranking.richClub). */
+  def graphRichClub(s: SparkSession, d: String): DataFrame =
+    Ranking.richClub(callEdges(s, d))
+
+  /** Number of derived "binary" classes for the C38 mixing query —
+    * node % NB is the synthetic function→binary assignment (the
+    * same modulus family as the §4 node derivation); with imported
+    * data this is a join against the functions table's binary id. */
+  val MixClasses = 20L
+
+  /** C38 attribute homophily/assortativity: do functions call within
+    * their own binary? (Ranking.attributeMixing over node % NB). */
+  def graphMixing(s: SparkSession, d: String): DataFrame =
+    Ranking.attributeMixing(callEdges(s, d), n => n % MixClasses)
+
   /** C14 communities by plurality label propagation over the call
     * graph (Components.communities, 4 synchronous rounds) — module
     * structure, as distinct from mere connectivity (C1): dense

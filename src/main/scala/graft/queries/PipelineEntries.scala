@@ -211,7 +211,10 @@ object PipelineEntries {
     "vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, d))),
     "multimodal_aspect" -> ((s, d) =>
-      Multimodal.aspectProfile(s, Tables.documents(s, d)))
+      Multimodal.aspectProfile(s, Tables.documents(s, d))),
+    "events_acf" -> ((s, d) =>
+      TemporalOps.acf(graft.streaming.EventStreams.events(s, d))),
+    "split_leakage" -> ((s, d) => Dedup.splitLeakage(Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -2339,6 +2342,55 @@ object PipelineEntries {
         |       CAST(COUNT(*) AS BIGINT) AS n_images,
         |       MIN(width) AS min_w, MAX(width) AS max_w
         |FROM meta WHERE width > 0 AND height > 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Sample ACF of the DENSIFIED hourly count series, n²-scaled
+    // exact-integer centering; ppm via the floor(x·10⁶+0.5) double
+    // contract (lag terms go negative).
+    "events_acf" ->
+      """WITH h AS (
+        |  SELECT epoch_ms(ts) // 3600000 AS hr, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+        |dense AS (
+        |  SELECT g.hr, COALESCE(h.cnt, 0) AS x
+        |  FROM (SELECT unnest(range((SELECT h0 FROM b),
+        |                            (SELECT h1 FROM b) + 1)) AS hr) g
+        |  LEFT JOIN h ON g.hr = h.hr),
+        |st AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM dense),
+        |c AS MATERIALIZED (
+        |  SELECT hr, CAST(n * x - s AS HUGEINT) AS cx FROM dense, st),
+        |den AS (SELECT SUM(cx * cx) AS den FROM c),
+        |lags AS (SELECT unnest(range(1, 7)) AS lag),
+        |num AS (
+        |  SELECT l.lag, COUNT(*) AS n_terms, SUM(a.cx * b2.cx) AS num
+        |  FROM lags l JOIN c a ON TRUE JOIN c b2 ON b2.hr = a.hr + l.lag
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(n_terms AS BIGINT) AS n_terms,
+        |       CASE WHEN den = 0 THEN 0
+        |            ELSE CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |                 * 1000000 + 0.5) AS BIGINT)
+        |       END AS acf_ppm
+        |FROM num, den ORDER BY lag""".stripMargin,
+    // Cross-split LSH leakage: the dedup_minhash chain with the band
+    // join restricted to val×train (doc_id % 10 split, the
+    // dedup_incremental convention).
+    "split_leakage" ->
+      s"""WITH $TOK,
+         |$SH,
+         |mh AS (
+         |  $minhashUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM mh x JOIN mh y
+         |    ON x.perm = y.perm AND x.mh = y.mh
+         |  WHERE x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8)
+         |SELECT doc_a AS val_doc, doc_b AS train_doc,
+         |       round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
+         |         AS est_jaccard
+         |FROM cand
+         |JOIN mh a ON doc_a = a.doc_id
+         |JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+         |GROUP BY 1, 2
+         |ORDER BY val_doc, train_doc""".stripMargin
   )
 }

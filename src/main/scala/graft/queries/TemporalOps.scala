@@ -733,4 +733,59 @@ object TemporalOps {
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy("hr")
   }
+
+  /** Autocorrelation function of the hourly event-count series at
+    * lags 1..maxLag — the seasonality detector (a daily cycle shows
+    * as a peak at lag 24). The series is DENSIFIED over
+    * [min_hour, max_hour] (a quiet hour is a 0, not a missing row —
+    * skipping gaps would silently splice the series), then the
+    * standard sample ACF r_L = Σ_{t≤n−L}(x_t−x̄)(x_{t+L}−x̄) /
+    * Σ(x_t−x̄)² is computed in EXACT integers by scaling both sides
+    * by n²: with S = Σx, the centered products become
+    * (n·x_t − S)(n·x_{t+L} − S) — longs times longs, so the sums
+    * ride DECIMAL(38,0) (n·x ≈ 10⁵·10⁹ already puts the square at
+    * 10²⁸). Lag terms can be negative, so the ppm goes through the
+    * assortativity floor(x·10⁶+0.5) double contract, exact to far
+    * beyond 6 dp for a ratio in [−1, 1].
+    *
+    * Plan: one map-side-combinable hour agg over the stream (the
+    * only pass that sees raw events), a sequence() densify of the
+    * ≤ |hours| count frame, one self-join per the lag ladder on
+    * (hour+lag) — all over the tiny hourly frame. At 100 TB the
+    * event scan is one shuffle; everything after is metadata-sized.
+    */
+  def acf(events: DataFrame, maxLag: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourly = events
+      .select(expr("unix_millis(ts) div 3600000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+    val bounds = hourly.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val dense = bounds
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(hourly, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint(true)
+    val stats = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val centered = dense.crossJoin(broadcast(stats))
+      .select(col("hr"), (col("n") * col("x") - col("s")).as("cx"),
+        col("n"), col("s"))
+    val den = centered
+      .agg(sum(expr("CAST(cx AS DECIMAL(38,0)) * cx")).as("den"))
+    val lags = (1 to maxLag).toDF("lag")
+    centered.select(col("hr"), col("cx"))
+      .crossJoin(broadcast(lags))
+      .select(col("lag"), (col("hr") + col("lag")).as("hr2"), col("cx"))
+      .join(centered.select(col("hr").as("hrr"), col("cx").as("cy")),
+        col("hr2") === col("hrr"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("CAST(cx AS DECIMAL(38,0)) * cy")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("n_terms"),
+        when(col("den") === 0, lit(0L)).otherwise(expr(
+          """CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT)""")).as("acf_ppm"))
+      .orderBy("lag")
+  }
 }

@@ -331,4 +331,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(r == Map(3L -> 1L))
   }
 
+  test("splitLeakage: only val×train duplicate pairs surface") {
+    val sentence = "the quick brown fox jumps over the lazy sleeping dog again"
+    val d = docs(
+      (1L, sentence),                     // train (1 % 10 < 8)
+      (8L, sentence),                     // val — leaks against 1
+      (18L, sentence),                    // val — leaks against 1, NOT vs 8
+      (2L, "completely different words about streaming window queries"),
+      (9L, "unrelated validation text mentioning graphs and joins"))
+    val r = graft.pipeline.Dedup.splitLeakage(d).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(r.keySet == Set((8L, 1L), (18L, 1L)))
+    assert(r.values.forall(_ == 1.0))
+  }
+
 }

@@ -373,4 +373,31 @@ class RankingSpec extends AnyFunSuite {
       3L -> 1250000L, 4L -> 1156250L))
   }
 
+  test("richClub: K4 hub core is fully wired above the pendant degrees") {
+    // K4 on {1,2,3,4} + pendants 5−1, 6−2:
+    // degrees 1:4, 2:4, 3:3, 4:3, 5:1, 6:1
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 2L))
+    val r = Ranking.richClub(g, ks = Seq(1, 2, 4)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // k=1 and k=2: the club is exactly the K4 → φ = 6/(4·3/2) = 1
+    assert(r(1L) == ((4L, 6L, 1000000L)))
+    assert(r(2L) == ((4L, 6L, 1000000L)))
+    // k=4: nobody has degree > 4
+    assert(r(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("attributeMixing: two same-class paths + one cross edge, hand values") {
+    // class = node % 2; within-class edges (2,4),(4,6),(1,3),(3,5)
+    // plus the single cross edge (2,1)
+    val g = edges((2L, 4L), (4L, 6L), (1L, 3L), (3L, 5L), (2L, 1L))
+    val r = Ranking.attributeMixing(g, n => n % 2).collect()(0)
+    assert(r.getLong(0) == 10L)      // n_ends = 2·5
+    assert(r.getLong(1) == 8L)       // same-class ends
+    assert(r.getLong(2) == 800000L)  // homophily 0.8
+    // c0 = c1 = 5 → r = (80 − 50)/(100 − 50) = 0.6
+    assert(r.getLong(3) == 600000L)
+  }
+
 }

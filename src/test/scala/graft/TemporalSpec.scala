@@ -409,4 +409,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, -1L)))
   }
 
+  test("acf: densified hourly series, hand-computed lag correlations") {
+    import spark.implicits._
+    def t(h: Int, m: Int) = new java.sql.Timestamp((h * 3600L + m * 60L) * 1000L)
+    // hourly counts [2, 0, 2] — hour 1 has NO events and must appear
+    // as a zero via densification, not be skipped
+    val ev = Seq(
+      (1L, t(0, 5), 1L, "x", 0.0), (2L, t(0, 40), 1L, "x", 0.0),
+      (3L, t(2, 10), 1L, "x", 0.0), (4L, t(2, 50), 1L, "x", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TemporalOps.acf(ev, maxLag = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // n=3, S=4, cx = 3x−4 = [2, −4, 2]; den = 24
+    // lag1: 2·(−4) + (−4)·2 = −16 → −0.6667 → −666667 (floor +0.5)
+    // lag2: 2·2 = 4 → 0.1667 → 166667
+    assert(out(1L) == ((2L, -666667L)))
+    assert(out(2L) == ((1L, 166667L)))
+  }
+
 }
