@@ -62,6 +62,35 @@ object Traversal {
         .localCheckpoint(true)
     })
 
+  /** [[srcPrepared]] with an explicit DISTINCT — the variant for
+    * path-COUNTING operators (betweenness σ) where a duplicate edge
+    * row would double a shortest-path count rather than be absorbed
+    * by set semantics. Same identity-keyed memo discipline, same
+    * eviction pool (both maps stay small together under the shared
+    * 64 cap). Requires only (src, dst) columns. */
+  private val prepDistinctMemo =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private[graph] def srcPreparedDistinct(edges: DataFrame): DataFrame =
+    prepDistinctMemo.getOrElseUpdate(edges, {
+      if (prepDistinctMemo.size > 64) {
+        prepDistinctMemo.values.foreach { f =>
+          try if (!f.sparkSession.sparkContext.isStopped)
+            f.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(false)
+            }
+          catch { case _: Exception => () }
+        }
+        prepDistinctMemo.clear()
+      }
+      edges.select(col("src").cast("long").as("_src"),
+          col("dst").cast("long").as("_dst")).distinct()
+        .repartition(
+          edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("_src"))
+        .localCheckpoint(true)
+    })
+
   /** BFS minimum-depth reachability from `starts` (column `node`), up
     * to `maxDepth` hops. Returns (node, depth) where depth is the
     * first level the node is discovered at (excludes the start
