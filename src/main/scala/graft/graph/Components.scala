@@ -288,9 +288,25 @@ object Components {
     // no dedup: every step (min-aggs, degree presence, distinct
     // frontiers) is insensitive to duplicate edges, so the input
     // rides as-is — one full shuffle saved up front
-    var e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .localCheckpoint(true)
+    val trOn = sys.env.get("GRAFT_TRACE").contains("1")
+    var trT = System.nanoTime()
+    def trMark(lbl: String): Unit = if (trOn) {
+      val now = System.nanoTime()
+      println(f"[trace] scc $lbl: ${(now - trT) / 1e9}%.2fs")
+      trT = now
+    }
+    // round 0 rides the SHARED distinct prepared-edge memos (the
+    // betweenness/traversal amortization): src-partitioned for the
+    // trim aggs + color probes, dst-partitioned for the backward
+    // coloring — in a bench/CLI session the exchanges are paid once
+    // across the whole operator family. Dedup is semantics-neutral
+    // here (trim compares counts only to zero; min-aggs and
+    // reachability are set-valued). Alias-aware output partitioning
+    // keeps the rename projection exchange-free.
+    var e = Traversal.srcPreparedDistinct(edges)
+      .select(col("_src").as("src"), col("_dst").as("dst"))
+    var eShared = true
+    trMark("e0")
     // the node universe falls out of the first trim round's degree
     // agg — no standalone distinct pass over the endpoint union
     var nodes: DataFrame = null
@@ -318,8 +334,13 @@ object Components {
       // sits on a cycle (common after the first flood — and on the
       // derived call graph even at round 0) pays one degree agg and
       // nothing else for the trim phase
-      lazy val eBySrc = e.repartition(nPart, col("src")).localCheckpoint(true)
-      lazy val eByDst = e.repartition(nPart, col("dst")).localCheckpoint(true)
+      lazy val eBySrc =
+        if (eShared) e
+        else e.repartition(nPart, col("src")).localCheckpoint(true)
+      lazy val eByDst =
+        if (eShared) Traversal.dstPreparedDistinct(edges)
+          .select(col("_src").as("src"), col("_dst").as("dst"))
+        else e.repartition(nPart, col("dst")).localCheckpoint(true)
       val outAgg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("o"))
       val inAgg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("i"))
       // survivors of earlier outer rounds that lost ALL edges to an
@@ -343,10 +364,12 @@ object Components {
           trimmedAny = true
           found += removed.select(col("node"), col("node").as("scc_id"))
           val decIn = eBySrc
-            .join(removed.select(col("node").as("r")), col("src") === col("r"))
+            .join(removed.select(col("node").as("r")).hint("shuffle_hash"),
+              col("src") === col("r"))
             .groupBy(col("dst").as("node")).agg(count(lit(1)).as("di"))
           val decOut = eByDst
-            .join(removed.select(col("node").as("r")), col("dst") === col("r"))
+            .join(removed.select(col("node").as("r")).hint("shuffle_hash"),
+              col("dst") === col("r"))
             .groupBy(col("src").as("node")).agg(count(lit(1)).as("dout"))
           deg = deg
             .join(removed.select(col("node").as("r")), col("node") === col("r"),
@@ -360,6 +383,7 @@ object Components {
         }
         trims += 1
       }
+      trMark(s"trim(waves=$trims)")
       nodes = deg.select("node").localCheckpoint(true)
       if (nodes.isEmpty) done = true
       else {
@@ -369,23 +393,47 @@ object Components {
         // only the 1-row-per-node label frame. Skipped entirely when
         // the trim removed nothing — e is already exactly the induced
         // edge set.
-        if (trimmedAny) e = e
-          .join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
-          .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
-          .localCheckpoint(true)
-        val ep = e.repartition(nPart, col("src")).localCheckpoint(true)
+        if (trimmedAny) {
+          eShared = false
+          e = e
+            .join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
+            .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
+            .localCheckpoint(true)
+        }
+        // the shared frame is already src-partitioned — no re-exchange
+        val ep =
+          if (eShared) e
+          else e.repartition(nPart, col("src")).localCheckpoint(true)
+        trMark("ep")
         var c = nodes.withColumn("color", col("node")).localCheckpoint(true)
         var converged = false
         var it = 0
         while (!converged && it < maxInner) {
+          // SHUFFLE_HASH on the label side: the default sort-merge
+          // join re-sorts the full pinned edge frame on EVERY round;
+          // hashing the 1-row-per-node label frame streams it instead
+          // (the betweenness probe lesson; partition-local at any m)
           val nbrMin = ep
-            .join(c.select(col("node").as("u"), col("color").as("cu")), col("src") === col("u"))
+            .join(c.select(col("node").as("u"), col("color").as("cu"))
+              .hint("shuffle_hash"), col("src") === col("u"))
             .groupBy(col("dst").as("node2"))
             .agg(min(col("cu")).as("m"))
-          val next = c
+          val relaxed = c
             .join(nbrMin, col("node") === col("node2"), "left")
             .select(col("node"), col("color").as("prev"),
               least(col("color"), coalesce(col("m"), col("color"))).as("color"))
+          // POINTER JUMP (pointer-doubling shortcut): forward
+          // reachability is transitive, so color(color(v)) is also a
+          // valid forward-reacher of v — composing it each round
+          // turns the O(diameter) min-flood into O(log diameter)
+          // without changing the fixpoint (a state stable under
+          // relax+jump is stable under relax alone, and the oracle's
+          // transitive closure never sees intermediate rounds)
+          val next = relaxed
+            .join(relaxed.select(col("node").as("rn"), col("color").as("rc"))
+              .hint("shuffle_hash"), col("color") === col("rn"), "left")
+            .select(col("node"), col("prev"),
+              least(col("color"), coalesce(col("rc"), col("color"))).as("color"))
             .localCheckpoint(true)
           converged = next.filter(col("color") < col("prev")).limit(1).isEmpty
           c = next.select("node", "color")
@@ -394,6 +442,7 @@ object Components {
         if (!converged)
           log.warn(s"stronglyConnected: color fixpoint not reached in $maxInner " +
             "rounds — graph diameter exceeds the inner budget; raise maxInner")
+        trMark(s"color(rounds=$it)")
         // ---- backward sweep inside each color class, from the pivots:
         // frontier-style BFS (probe only the newly-reached level each
         // round, not the whole reached set), same-color edges
@@ -408,32 +457,60 @@ object Components {
         val sameColor =
           if (oneColor) ep
           else ep
-            .join(c.select(col("node").as("u"), col("color").as("cu")), col("src") === col("u"))
-            .join(c.select(col("node").as("w"), col("color").as("cw")), col("dst") === col("w"))
+            .join(c.select(col("node").as("u"), col("color").as("cu"))
+              .hint("shuffle_hash"), col("src") === col("u"))
+            .join(c.select(col("node").as("w"), col("color").as("cw"))
+              .hint("shuffle_hash"), col("dst") === col("w"))
             .filter(col("cu") === col("cw"))
             .select(col("src"), col("dst"))
-        val ec = sameColor
-          .repartition(
-            e.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
-          .localCheckpoint(true)
-        var r = c.filter(col("color") === col("node")).select(col("node"))
-          .localCheckpoint(true)
-        var frontier = r
-        var grew = true
-        it = 0
-        while (grew && it < maxInner) {
-          val newR = ec.join(frontier.select(col("node").as("t")), col("dst") === col("t"))
-            .select(col("src").as("node")).distinct()
-            .join(r, Seq("node"), "left_anti")
+        // the common giant-SCC round (one color, untrimmed graph)
+        // needs exactly the dst-partitioned distinct frame the shared
+        // memo already holds — zero new exchanges
+        val ec =
+          if (oneColor && eShared) Traversal.dstPreparedDistinct(edges)
+            .select(col("_src").as("src"), col("_dst").as("dst"))
+          else sameColor
+            .repartition(
+              e.sparkSession.sessionState.conf.numShufflePartitions, col("dst"))
             .localCheckpoint(true)
-          grew = !newR.isEmpty
-          if (grew) { r = r.unionByName(newR); frontier = newR }
+        trMark("ec")
+        // ---- extraction as a BACKWARD min-coloring with the same
+        // pointer jump: bcolor(v) = min id v REACHES through
+        // same-color edges (propagated src←dst, shortcut each round).
+        // A color class's root p is its minimum id, so v ∈ SCC(p) ⇔
+        // color(v) = p ∧ bcolor(v) = p — the frontier BFS from the
+        // roots computed the same set in O(SCC diameter) rounds; the
+        // doubled coloring needs O(log diameter).
+        var b = c.select(col("node"), col("node").as("bcolor"))
+          .localCheckpoint(true)
+        var settled = false
+        it = 0
+        while (!settled && it < maxInner) {
+          val nbrMin2 = ec
+            .join(b.select(col("node").as("w2"), col("bcolor").as("bw"))
+              .hint("shuffle_hash"), col("dst") === col("w2"))
+            .groupBy(col("src").as("node2"))
+            .agg(min(col("bw")).as("m2"))
+          val relaxed2 = b
+            .join(nbrMin2, col("node") === col("node2"), "left")
+            .select(col("node"), col("bcolor").as("prev2"),
+              least(col("bcolor"), coalesce(col("m2"), col("bcolor"))).as("bcolor"))
+          val next2 = relaxed2
+            .join(relaxed2.select(col("node").as("rn2"), col("bcolor").as("rc2"))
+              .hint("shuffle_hash"), col("bcolor") === col("rn2"), "left")
+            .select(col("node"), col("prev2"),
+              least(col("bcolor"), coalesce(col("rc2"), col("bcolor"))).as("bcolor"))
+            .localCheckpoint(true)
+          settled = next2.filter(col("bcolor") < col("prev2")).limit(1).isEmpty
+          b = next2.select("node", "bcolor")
           it += 1
         }
-        if (grew)
-          log.warn(s"stronglyConnected: backward sweep not settled in $maxInner " +
-            "rounds — raise maxInner")
-        val members = c.join(r, Seq("node"), "left_semi")
+        if (!settled)
+          log.warn(s"stronglyConnected: backward coloring not settled in " +
+            s"$maxInner rounds — raise maxInner")
+        trMark(s"bcolor(rounds=$it)")
+        val members = c.join(b.hint("shuffle_hash"), Seq("node"))
+          .filter(col("bcolor") === col("color"))
           .select(col("node"), col("color").as("scc_id"))
           .localCheckpoint(true)
         found += members

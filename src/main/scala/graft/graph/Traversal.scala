@@ -91,6 +91,32 @@ object Traversal {
         .localCheckpoint(true)
     })
 
+  /** [[srcPreparedDistinct]] mirrored on the DESTINATION key — for
+    * backward sweeps (SCC extraction) that probe edges on dst. Same
+    * identity memo discipline. */
+  private val dstPrepDistinctMemo =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private[graph] def dstPreparedDistinct(edges: DataFrame): DataFrame =
+    dstPrepDistinctMemo.getOrElseUpdate(edges, {
+      if (dstPrepDistinctMemo.size > 64) {
+        dstPrepDistinctMemo.values.foreach { f =>
+          try if (!f.sparkSession.sparkContext.isStopped)
+            f.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(false)
+            }
+          catch { case _: Exception => () }
+        }
+        dstPrepDistinctMemo.clear()
+      }
+      edges.select(col("src").cast("long").as("_src"),
+          col("dst").cast("long").as("_dst")).distinct()
+        .repartition(
+          edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("_dst"))
+        .localCheckpoint(true)
+    })
+
   /** BFS minimum-depth reachability from `starts` (column `node`), up
     * to `maxDepth` hops. Returns (node, depth) where depth is the
     * first level the node is discovered at (excludes the start
