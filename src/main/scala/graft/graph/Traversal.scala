@@ -391,8 +391,11 @@ object Traversal {
     // repartition(col)) so AQE cannot coalesce it into a shape the
     // join must re-exchange. Only worth it when ≥3 levels amortize
     // the up-front exchange; shallow walks use the edge frame as-is.
+    // the memo makes the prepared frame FREE for every caller after
+    // the first, so even 2-level walks ride it (the recursion-groups
+    // maxDepth=2 case paid a full edge exchange per level without it)
     val e =
-      if (maxDepth >= 3) srcPrepared(edges)
+      if (maxDepth >= 2) srcPrepared(edges)
       else edgeCols(edges).select("_src", "_dst")
     var frontier = starts.select(col("node").cast("long").as("start"))
       .distinct()
@@ -401,7 +404,9 @@ object Traversal {
     var visited = frontier
     val reached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (d <- 1 to maxDepth if !frontier.isEmpty) {
-      frontier = frontier
+      // SHUFFLE_HASH on the frontier: the sort-merge default re-sorts
+      // the pinned edge frame every level (the betweenness lesson)
+      frontier = frontier.hint("shuffle_hash")
         .join(e, frontier("node") === e("_src"))
         .select(col("start"), col("_dst").as("node"))
         .distinct()

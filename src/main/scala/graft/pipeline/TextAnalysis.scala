@@ -135,6 +135,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per document,
+    * the mean unigram log-likelihood ratio between a TARGET
+    * distribution (here the stopword-ratio-'en' stratum — the
+    * trusted-subset stand-in; in production, the wiki/books LM) and
+    * the full-corpus source distribution, Laplace-smoothed over the
+    * source vocabulary. High score = looks like the target; sampling
+    * ∝ exp(score·n) IS importance resampling. Same plan shape as
+    * [[unigramCrossEntropy]]: both LMs are vocabulary-sized
+    * broadcast frames off ONE (doc, token, tf) aggregate; the
+    * corpus-sized pass is a single broadcast-join + doc-keyed agg
+    * (rounded to 4 dp — the CE float-sum contract).
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val tf = TextOps.tokensBag(docs)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val enDocs = langId(docs).filter(col("lang_pred") === "en").select("doc_id")
+    val src = tf.groupBy("token").agg(sum(col("tf")).as("ctf"))
+    val tgt = tf.join(enDocs, Seq("doc_id"), "left_semi")
+      .groupBy("token").agg(sum(col("tf")).as("ttf"))
+    val lm = src.join(tgt, Seq("token"), "left")
+      .select(col("token"), col("ctf"), coalesce(col("ttf"), lit(0L)).as("ttf"))
+      .localCheckpoint(true)
+    val tot = lm.agg(sum(col("ctf")).as("ts"), sum(col("ttf")).as("tt"),
+      count(lit(1)).as("v"))
+    tf.join(broadcast(lm), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * log(
+          ((col("ttf") + 1).cast("double") / (col("tt") + col("v"))) /
+            ((col("ctf") + 1).cast("double") / (col("ts") + col("v"))))), 4)
+          .as("llr_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("llr_sum"),
+        rnd(col("llr_sum") / col("n_tokens"), 4).as("dsir_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-length truncation planning: for a ladder of maximum
+    * sequence lengths, how many documents overflow and how many
+    * tokens a hard truncation would discard — the measurement behind
+    * choosing context length and chunk-vs-truncate policy
+    * ([[graft.pipeline.Sampling.chunkDocs]] is the remedial path).
+    * The corpus collapses to a (token-count → doc-count) histogram
+    * FIRST; the ladder joins histogram rows, never documents (the
+    * rich-club histogram-ladder shape), and everything is exact
+    * longs.
+    */
+  def truncationPlan(docs: DataFrame,
+      ls: Seq[Int] = Seq(128, 512, 2048, 8192)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = TextOps.tokensBag(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val hist = n.groupBy("nt").agg(count(lit(1)).as("nd"))
+      .localCheckpoint(true)
+    val tot = hist.agg(sum(col("nt") * col("nd")).as("total"))
+    ls.toDF("max_len")
+      .join(broadcast(hist), col("nt") > col("max_len"), "left")
+      .groupBy("max_len")
+      .agg(coalesce(sum(col("nd")), lit(0L)).as("n_docs_over"),
+        coalesce(sum((col("nt") - col("max_len")) * col("nd")), lit(0L))
+          .as("tokens_lost"))
+      .crossJoin(broadcast(tot))
+      .select(col("max_len").cast("long").as("max_len"), col("n_docs_over"),
+        col("tokens_lost"),
+        // 10⁶·tokens_lost wraps a long past ~9·10¹² lost tokens — a
+        // 100 TB corpus is past it (the modularity DECIMAL discipline)
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * tokens_lost)
+               div CAST(total AS DECIMAL(38,0)) AS BIGINT)""").as("lost_ppm"))
+      .orderBy("max_len")
+  }
+
   /** D21 BPE merge induction — the core loop of tokenizer training as
     * set-oriented DataFrame ops: per round, count adjacent symbol
     * pairs over the word-frequency table, pick the most frequent

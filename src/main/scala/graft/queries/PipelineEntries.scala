@@ -214,7 +214,10 @@ object PipelineEntries {
       Multimodal.aspectProfile(s, Tables.documents(s, d))),
     "events_acf" -> ((s, d) =>
       TemporalOps.acf(graft.streaming.EventStreams.events(s, d))),
-    "split_leakage" -> ((s, d) => Dedup.splitLeakage(Tables.documents(s, d)))
+    "split_leakage" -> ((s, d) => Dedup.splitLeakage(Tables.documents(s, d))),
+    "text_dsir" -> ((s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d))),
+    "text_truncation" -> ((s, d) =>
+      TextAnalysis.truncationPlan(Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -2391,6 +2394,55 @@ object PipelineEntries {
          |JOIN mh a ON doc_a = a.doc_id
          |JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
          |GROUP BY 1, 2
-         |ORDER BY val_doc, train_doc""".stripMargin
+         |ORDER BY val_doc, train_doc""".stripMargin,
+    // DSIR log-likelihood ratio: target = the langid 'en' stratum,
+    // both LMs Laplace-smoothed over the source vocabulary; the
+    // 4-dp round replays the Spark float-sum contract.
+    "text_dsir" ->
+      s"""WITH $TOK,
+         |$TF,
+         |lid AS (
+         |  SELECT doc_id,
+         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |                THEN 1.0 ELSE 0.0 END), 4) AS r
+         |  FROM tok GROUP BY 1),
+         |en AS (SELECT doc_id FROM lid WHERE r >= 0.05),
+         |src AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+         |tgt AS (
+         |  SELECT token, CAST(SUM(tf) AS BIGINT) AS ttf FROM tf
+         |  WHERE doc_id IN (SELECT doc_id FROM en) GROUP BY 1),
+         |lm AS (
+         |  SELECT s.token, s.ctf, COALESCE(g.ttf, 0) AS ttf
+         |  FROM src s LEFT JOIN tgt g USING (token)),
+         |tot AS (
+         |  SELECT CAST(SUM(ctf) AS BIGINT) AS ts, CAST(SUM(ttf) AS BIGINT) AS tt,
+         |         CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM lm),
+         |agg AS (
+         |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         |         round(SUM(tf.tf * ln(
+         |           ((lm.ttf + 1) / CAST(tot.tt + tot.v AS DOUBLE))
+         |           / ((lm.ctf + 1) / CAST(tot.ts + tot.v AS DOUBLE)))), 4)
+         |           AS llr_sum
+         |  FROM tf JOIN lm USING (token), tot
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tokens, llr_sum,
+         |       floor(llr_sum / n_tokens * 10000 + 0.5) / 10000 AS dsir_score
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    // Truncation ladder over the (token-count -> doc-count) histogram.
+    "text_truncation" ->
+      s"""WITH $TOK,
+         |n AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
+         |h AS (SELECT nt, COUNT(*) AS nd FROM n GROUP BY 1),
+         |t AS (SELECT CAST(SUM(nt * nd) AS BIGINT) AS total FROM h),
+         |ls AS (SELECT unnest([128, 512, 2048, 8192]) AS max_len)
+         |SELECT CAST(ls.max_len AS BIGINT) AS max_len,
+         |       CAST(COALESCE(SUM(h.nd), 0) AS BIGINT) AS n_docs_over,
+         |       CAST(COALESCE(SUM((h.nt - ls.max_len) * h.nd), 0) AS BIGINT)
+         |         AS tokens_lost,
+         |       CAST((1000000::HUGEINT * COALESCE(SUM((h.nt - ls.max_len) * h.nd), 0))
+         |            // (SELECT total FROM t) AS BIGINT) AS lost_ppm
+         |FROM ls LEFT JOIN h ON h.nt > ls.max_len
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

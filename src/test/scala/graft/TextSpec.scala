@@ -419,4 +419,27 @@ class TextSpec extends AnyFunSuite {
       ((10L, 2L, 1L, 900000L)))
   }
 
+  test("dsirWeights: target-looking docs score positive, off-target negative") {
+    // doc 1 is pure stopwords (the en target); doc 2 shares nothing
+    // with the target. Hand LM: V=5, ts=6, tt=4 → every doc-1 token
+    // has ratio (ttf+1)/9 ÷ (ctf+1)/11 = 11/9; doc-2 tokens 11/18.
+    val d = docs(1L -> "the and of the", 2L -> "zebra quark")
+    val r = TextAnalysis.dsirWeights(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(3)))).toMap
+    assert(r(1L)._1 == 4L && r(2L)._1 == 2L)
+    assert(math.abs(r(1L)._2 - math.log(11.0 / 9)) < 1e-3, s"got ${r(1L)}")
+    assert(math.abs(r(2L)._2 - math.log(11.0 / 18)) < 1e-3, s"got ${r(2L)}")
+  }
+
+  test("truncationPlan: histogram ladder, exact lost-token counts") {
+    val d = docs(1L -> "a b c", 2L -> "a b c d e f")
+    val r = TextAnalysis.truncationPlan(d, ls = Seq(2, 4, 8)).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // total = 9 tokens; L=2: both over, lose 1+4=5; L=4: doc2 loses 2
+    assert(r(2L) == ((2L, 5L, 555555L)))
+    assert(r(4L) == ((1L, 2L, 222222L)))
+    assert(r(8L) == ((0L, 0L, 0L)))
+  }
+
 }
