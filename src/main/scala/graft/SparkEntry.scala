@@ -140,7 +140,8 @@ object SparkEntry {
     "graph_ecc" -> ((s, d) => GraphQueries.graphEccentricity(s, d)),
     "graph_katz" -> ((s, d) => GraphQueries.graphKatz(s, d)),
     "graph_richclub" -> ((s, d) => GraphQueries.graphRichClub(s, d)),
-    "graph_mixing" -> ((s, d) => GraphQueries.graphMixing(s, d))
+    "graph_mixing" -> ((s, d) => GraphQueries.graphMixing(s, d)),
+    "graph_lcc" -> ((s, d) => GraphQueries.graphLcc(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -965,6 +966,37 @@ object SparkEntry {
         |              * 1000000 + 0.5) AS BIGINT)
         |       END AS assortativity_ppm
         |FROM tot, sq""".stripMargin,
+    // Per-node local clustering: the triangle CTEs are the
+    // graph_triangles oracle verbatim, each triangle then fans its
+    // three member nodes into a per-node count; HUGEINT mirrors the
+    // Spark side's DECIMAL(38,0) ppm (both operands non-negative, so
+    // DuckDB's flooring // and Spark's truncating div agree).
+    "graph_lcc" ->
+      s"""WITH $E,
+        |u0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |dg AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT a AS n FROM u0 UNION ALL SELECT b FROM u0) t GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u0.a < u0.b)
+        |              THEN u0.a ELSE u0.b END AS x,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND u0.a < u0.b)
+        |              THEN u0.b ELSE u0.a END AS y
+        |  FROM u0 JOIN dg da ON u0.a = da.n JOIN dg db ON u0.b = db.n),
+        |tr AS MATERIALIZED (
+        |  SELECT e1.x AS x, e1.y AS y, e2.y AS w
+        |  FROM o e1 JOIN o e2 ON e1.y = e2.x
+        |  JOIN o e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |pn AS (SELECT n, COUNT(*) AS tri FROM
+        |  (SELECT x AS n FROM tr UNION ALL SELECT y FROM tr
+        |   UNION ALL SELECT w FROM tr) t GROUP BY 1)
+        |SELECT dg.n AS node, CAST(dg.d AS BIGINT) AS degree,
+        |       CAST(COALESCE(pn.tri, 0) AS BIGINT) AS n_tri,
+        |       CAST((2000000::HUGEINT * COALESCE(pn.tri, 0))
+        |            // (dg.d::HUGEINT * (dg.d - 1)) AS BIGINT) AS lcc_ppm
+        |FROM dg LEFT JOIN pn ON dg.n = pn.n
+        |WHERE dg.d >= 2 ORDER BY node""".stripMargin,
     // Call-frequency-weighted PageRank: the `ew` weights are the
     // per-(caller, callee) call-site counts from the same scan.
     "graph_pagerank_w" ->

@@ -84,7 +84,13 @@ object Sketches {
     * the V>0 ∧ raw<5m/2 small-range regime switches to the
     * [[LinearCountTable]]. Returns (group, zero_regs, est_distinct).
     */
-  def hllDistinct(df: DataFrame, key: String, group: String): DataFrame = {
+  def hllDistinct(df: DataFrame, key: String, group: String): DataFrame =
+    registerEstimate(hllRegisters(df, key, group), Seq(group))
+
+  /** Dense per-group register frame (group, bucket, m_rho) — the
+    * only row-scaled pass of any HLL derivative; |groups|·256 rows
+    * out, map-side-combinable max agg in. */
+  def hllRegisters(df: DataFrame, key: String, group: String): DataFrame = {
     val spark = df.sparkSession
     val withRho = df
       .withColumn("h", keyHash(col(key)))
@@ -97,21 +103,114 @@ object Sketches {
       .agg(max(col("rho")).as("m_rho"))
     val spine = withRho.select(col(group)).distinct()
       .crossJoin(spark.range(HllM).select(col("id").cast("long").as("bucket")))
-    val regsFull = spine.join(maxes, Seq(group, "bucket"), "left")
+    spine.join(maxes, Seq(group, "bucket"), "left")
       .select(col(group), col("bucket"),
         coalesce(col("m_rho"), lit(0)).as("m_rho"))
-    val agg = regsFull.groupBy(col(group))
+  }
+
+  /** The estimate arithmetic over a dense register frame keyed by
+    * `groupCols` — shared VERBATIM by [[hllDistinct]] and the
+    * set-operation path in [[hllOverlap]] so the two cannot drift. */
+  def registerEstimate(regsFull: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val spark = regsFull.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+    val agg = regsFull.groupBy(g: _*)
       .agg(sum(expr(s"CAST(1 AS BIGINT) << ($RhoCap - m_rho)")).as("s"),
         sum(when(col("m_rho") === 0, 1L).otherwise(0L)).as("zero_regs"))
       .withColumn("raw",
         expr(s"($AlphaNum * (($HllM * $HllM * (CAST(1 AS BIGINT) << $RhoCap)) div s)) div $AlphaDen"))
-    import spark.implicits._
     val lc = LinearCountTable.toDF("v", "lc_est")
     agg.join(broadcast(lc), col("zero_regs") === col("v"), "left")
-      .select(col(group),
-        col("zero_regs"),
+      .select((g :+ col("zero_regs") :+
         when(col("zero_regs") > 0 && col("raw") < lit(5L * HllM / 2),
-          col("lc_est")).otherwise(col("raw")).as("est_distinct"))
+          col("lc_est")).otherwise(col("raw")).as("est_distinct")): _*)
+  }
+
+  /** Pairwise set-operation estimates between the per-group distinct
+    * `key` sets, via HLL register algebra: the union of two sets'
+    * registers is the element-wise max (exact — the defining HLL
+    * merge), the intersection rides inclusion-exclusion
+    * est(A)+est(B)−est(A∪B), clamped at 0 where estimator noise goes
+    * negative. On events: which event types share their user
+    * population, without ever shuffling a (type, user) pair list.
+    *
+    * Scale shape: after the one register-build pass the whole
+    * computation lives on the |groups|·256-row frame — the pair join,
+    * both estimates, everything. |groups|²/2 pairs of 256 registers
+    * is flat in the data size. Returns one row per unordered pair
+    * (type_a < type_b). */
+  def hllOverlap(df: DataFrame, key: String, group: String): DataFrame = {
+    val regs = hllRegisters(df, key, group).localCheckpoint(true)
+    val single = registerEstimate(regs, Seq(group))
+      .select(col(group), col("est_distinct"))
+    val merged = regs.select(col(group).as("ga"), col("bucket"), col("m_rho").as("ma"))
+      .join(regs.select(col(group).as("gb"), col("bucket").as("bb"),
+        col("m_rho").as("mb")),
+        col("bucket") === col("bb") && col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("bucket"),
+        greatest(col("ma"), col("mb")).as("m_rho"))
+    registerEstimate(merged, Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), col("est_distinct").as("est_union"))
+      .join(broadcast(single.select(col(group).as("ga"), col("est_distinct").as("est_a"))), "ga")
+      .join(broadcast(single.select(col(group).as("gb"), col("est_distinct").as("est_b"))), "gb")
+      .select(col("ga").as("type_a"), col("gb").as("type_b"),
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_intersect"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Misra–Gries-gated EXACT heavy hitters (Misra & Gries 1982):
+    * every `key` whose frequency is ≥ n/k, with its exact count and
+    * floor-ppm share. Two passes over the data, but the shuffle only
+    * ever carries candidate keys:
+    *
+    *  1. candidate generation — a k-counter Misra–Gries summary per
+    *     partition (mapPartitions: genuinely imperative per-partition
+    *     state, one of the library's three intended escape-hatch
+    *     sites). Pigeonhole: a key with global count ≥ n/k has
+    *     partition count ≥ n_p/k somewhere, and MG(k) keeps any key
+    *     with partition count > n_p/(k+1) — so the union of
+    *     per-partition survivors is a SUPERSET of the true heavy
+    *     hitters regardless of how rows landed in partitions.
+    *  2. exact verify — broadcast-semi-join the ≤ partitions·k
+    *     candidates against the scan, count exactly, keep cnt·k ≥ n.
+    *
+    * The output is exact counts filtered by an exact threshold, so
+    * it is DETERMINISTIC even though the intermediate candidate set
+    * depends on partitioning — the same cheap-gate-then-exact shape
+    * as the Bloom decontaminator (D39). 10⁶·cnt rides DECIMAL(38,0)
+    * (wraps a long once a single key passes ~9·10¹² rows). */
+  def heavyHitters(df: DataFrame, key: String, k: Int = 125): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candidates = df.select(col(key).cast("long").as("k")).as[Long]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { x =>
+          if (counters.contains(x)) counters(x) += 1
+          else if (counters.size < k) counters(x) = 1L
+          else {
+            val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+            counters.foreachEntry { (kk, v) =>
+              if (v == 1L) dead += kk else counters(kk) = v - 1L
+            }
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }.toDF("k").distinct()
+    val n = df.agg(count(lit(1)).as("n"))
+    df.select(col(key).cast("long").as("k"))
+      .join(broadcast(candidates), Seq("k"), "left_semi")
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * k >= col("n"))
+      .select(col("k").as(key), col("cnt"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt) div n AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("cnt").desc, col(key))
   }
 
   /** Plain-Scala twin of [[keyHash]] for the STREAMING register path

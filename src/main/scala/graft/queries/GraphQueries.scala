@@ -459,6 +459,12 @@ object GraphQueries {
   def graphClustering(s: SparkSession, d: String): DataFrame =
     Ranking.clusteringCoefficient(callEdges(s, d))
 
+  /** C39 per-node local clustering coefficient: how clique-like each
+    * function's call neighborhood is (Ranking.localClustering) —
+    * the node-level refinement of C18's single global ratio. */
+  def graphLcc(s: SparkSession, d: String): DataFrame =
+    Ranking.localClustering(callEdges(s, d))
+
   /** C19 degree assortativity: do hubs call hubs? Exact-long Pearson
     * sums, one final floor-form divide (Ranking.assortativity). */
   def graphAssortativity(s: SparkSession, d: String): DataFrame =

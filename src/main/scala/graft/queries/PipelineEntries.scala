@@ -170,6 +170,12 @@ object PipelineEntries {
       graft.functions.Sketches.countMin(
         graft.streaming.EventStreams.events(s, d), "user_id")
         .orderBy("user_id")),
+    "events_hll_overlap" -> ((s, d) =>
+      graft.functions.Sketches.hllOverlap(
+        graft.streaming.EventStreams.events(s, d), "user_id", "event_type")),
+    "events_heavy" -> ((s, d) =>
+      graft.functions.Sketches.heavyHitters(
+        graft.streaming.EventStreams.events(s, d), "user_id")),
     "events_interarrival" -> ((s, d) =>
       TemporalOps.interArrival(graft.streaming.EventStreams.events(s, d))),
     "events_qsketch" -> ((s, d) =>
@@ -2037,6 +2043,86 @@ object PipelineEntries {
          |FROM est e LEFT JOIN lc l ON e.zero_regs = l.v
          |ORDER BY event_type""".stripMargin
     },
+    // HLL register algebra on the per-type USER sets: union = the
+    // element-wise register max, intersection = inclusion-exclusion
+    // clamped at 0; single-type estimates and the pair path share the
+    // events_hll arithmetic verbatim.
+    "events_hll_overlap" -> {
+      import graft.functions.Sketches._
+      val lcValues = LinearCountTable
+        .map { case (v, e) => s"($v, CAST($e AS BIGINT))" }.mkString(", ")
+      s"""WITH h AS (
+         |  SELECT event_type, ${keyHashSql("user_id")} AS h FROM events),
+         |b AS (SELECT event_type, h % $HllM AS bucket, h // $HllM AS w FROM h),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |         CASE WHEN w = 0 THEN $RhoCap
+         |              ELSE least(bit_count((w & -w) - 1) + 1, $RhoCap) END AS rho
+         |  FROM b),
+         |mx AS (SELECT event_type, bucket, MAX(rho) AS m_rho FROM r GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT t.event_type, bk.range AS bucket
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN range($HllM) bk),
+         |regs AS MATERIALIZED (
+         |  SELECT s.event_type, s.bucket, COALESCE(m.m_rho, 0) AS m_rho
+         |  FROM spine s LEFT JOIN mx m
+         |    ON s.event_type = m.event_type AND s.bucket = m.bucket),
+         |lc(v, lc_est) AS (VALUES $lcValues),
+         |agg AS (
+         |  SELECT event_type,
+         |         CAST(SUM(CAST(1 AS BIGINT) << ($RhoCap - m_rho)) AS BIGINT) AS s,
+         |         CAST(SUM(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS zero_regs
+         |  FROM regs GROUP BY 1),
+         |sg AS (
+         |  SELECT a.event_type, a.zero_regs,
+         |         ($AlphaNum * (($HllM * $HllM * (CAST(1 AS BIGINT) << $RhoCap)) // a.s))
+         |           // $AlphaDen AS raw
+         |  FROM agg a),
+         |sgl AS MATERIALIZED (
+         |  SELECT e.event_type,
+         |         CASE WHEN e.zero_regs > 0 AND e.raw < ${5L * HllM / 2}
+         |              THEN l.lc_est ELSE e.raw END AS est
+         |  FROM sg e LEFT JOIN lc l ON e.zero_regs = l.v),
+         |mg AS (
+         |  SELECT ra.event_type AS ga, rb.event_type AS gb, ra.bucket,
+         |         greatest(ra.m_rho, rb.m_rho) AS m_rho
+         |  FROM regs ra JOIN regs rb
+         |    ON ra.bucket = rb.bucket AND ra.event_type < rb.event_type),
+         |ag2 AS (
+         |  SELECT ga, gb,
+         |         CAST(SUM(CAST(1 AS BIGINT) << ($RhoCap - m_rho)) AS BIGINT) AS s,
+         |         CAST(SUM(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS zero_regs
+         |  FROM mg GROUP BY 1, 2),
+         |es2 AS (
+         |  SELECT ga, gb, zero_regs,
+         |         ($AlphaNum * (($HllM * $HllM * (CAST(1 AS BIGINT) << $RhoCap)) // s))
+         |           // $AlphaDen AS raw
+         |  FROM ag2),
+         |un AS (
+         |  SELECT e.ga, e.gb,
+         |         CASE WHEN e.zero_regs > 0 AND e.raw < ${5L * HllM / 2}
+         |              THEN l.lc_est ELSE e.raw END AS est_union
+         |  FROM es2 e LEFT JOIN lc l ON e.zero_regs = l.v)
+         |SELECT un.ga AS type_a, un.gb AS type_b,
+         |       sa.est AS est_a, sb.est AS est_b, un.est_union,
+         |       greatest(sa.est + sb.est - un.est_union, 0) AS est_intersect
+         |FROM un JOIN sgl sa ON un.ga = sa.event_type
+         |JOIN sgl sb ON un.gb = sb.event_type
+         |ORDER BY type_a, type_b""".stripMargin
+    },
+    // Heavy hitters: the oracle replays only the exact-verify side —
+    // the Misra-Gries candidate stage is a guaranteed superset, so
+    // the final exact-count ≥ n/k filter is partition-independent.
+    "events_heavy" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM events),
+        |c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
+        |SELECT c.user_id, CAST(c.cnt AS BIGINT) AS cnt,
+        |       CAST((1000000::HUGEINT * c.cnt) // n.n AS BIGINT) AS share_ppm
+        |FROM c, n WHERE c.cnt * 125 >= n.n
+        |ORDER BY cnt DESC, user_id""".stripMargin,
     // Count-Min: three 64-cell counter rows, estimate = min over the
     // key's three cells — identical hash family both engines.
     "events_cms" -> {

@@ -280,6 +280,27 @@ class RankingSpec extends AnyFunSuite {
     assert(sq.getLong(0) == 0L && sq.getLong(2) == 0L)
   }
 
+  test("localClustering: triangle+pendant per-node ppm, degree-1 nodes excluded") {
+    // triangle {1,2,3} + pendant 3—9: nodes 1,2 have d=2 t=1 →
+    // 2·10⁶·1/(2·1) = 10⁶; node 3 has d=3 t=1 → 2·10⁶/(3·2) =
+    // 333333; node 9 (d=1) is excluded from the output
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L))
+    val r = Ranking.localClustering(g).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      1L -> ((2L, 1L, 1000000L)),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L))))
+    // K4: every node d=3, t=3 → 2·10⁶·3/6 = 10⁶ (fully clustered)
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val rk = Ranking.localClustering(k4).collect()
+    assert(rk.length == 4 && rk.forall(_.getLong(3) == 1000000L))
+    // square: 4 nodes of degree 2, zero triangles → lcc 0 everywhere
+    val sq = Ranking.localClustering(
+      edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))).collect()
+    assert(sq.length == 4 && sq.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+
   test("assortativity: a star is perfectly disassortative (-1), regular graphs degenerate to 0") {
     val star = Ranking.assortativity(edges((1L, 2L), (1L, 3L), (1L, 4L))).collect()(0)
     assert(star.getDouble(3) == -1.0, s"star should be -1: $star")

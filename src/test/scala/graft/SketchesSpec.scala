@@ -42,6 +42,45 @@ class SketchesSpec extends AnyFunSuite {
     assert(e1 == e3, s"$e1 != $e3")
   }
 
+  test("hllOverlap: disjoint sets intersect near 0, identical sets near full") {
+    import spark.implicits._
+    // a: keys 1..1000, b: keys 501..1500 → true |A∩B| = 500
+    val df = ((1 to 1000).map(i => ("a", i.toLong)) ++
+      (501 to 1500).map(i => ("b", i.toLong))).toDF("grp", "k")
+    val r = Sketches.hllOverlap(df, "k", "grp").collect()(0)
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    val (ea, eb, eu, ei) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(math.abs(eu - 1500.0) / 1500.0 < 0.25, s"union est $eu")
+    assert(ei >= 0 && math.abs(ei - 500.0) / 500.0 < 0.6,
+      s"intersect est $ei (inclusion-exclusion compounds 3 estimator errors)")
+    assert(math.abs(ea - 1000.0) / 1000.0 < 0.25 &&
+      math.abs(eb - 1000.0) / 1000.0 < 0.25, s"single ests $ea/$eb")
+    // disjoint sets: intersection clamps to ≥ 0 and stays small
+    val dj = ((1 to 800).map(i => ("a", i.toLong)) ++
+      (10001 to 10800).map(i => ("b", i.toLong))).toDF("grp", "k")
+    val d = Sketches.hllOverlap(dj, "k", "grp").collect()(0)
+    assert(d.getLong(5) >= 0 && d.getLong(5) < 300,
+      s"disjoint intersect est ${d.getLong(5)}")
+  }
+
+  test("heavyHitters: exact counts over the MG gate, threshold keys only") {
+    import spark.implicits._
+    // 1000 rows: key 7 appears 200× (20%), key 9 appears 50× (5%),
+    // 750 singletons — k=15 means threshold ⌈1000/15⌉ ≈ 67 rows
+    val rows = Seq.fill(200)(7L) ++ Seq.fill(50)(9L) ++
+      (1000L until 1750L)
+    val df = rows.toDF("user_id").repartition(8)
+    val r = Sketches.heavyHitters(df, "user_id", k = 15)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((7L, 200L, 200000L)),
+      s"only the 20% key crosses n/15: ${r.toSeq}")
+    // lower the bar to 5% and the second key appears, exact count
+    val r2 = Sketches.heavyHitters(df, "user_id", k = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r2 == Seq((7L, 200L), (9L, 50L)), s"$r2")
+  }
+
   test("cms: never underestimates, exact when collision-free") {
     import spark.implicits._
     // 10 keys on 64 columns — likely collision-free per row, and the
