@@ -157,4 +157,32 @@ object Sampling {
           - col("chunk_idx") * stride).as("n_tok"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Training-shard layout planning: deterministic md5-hash assignment
+    * of documents to `nShards` output shards (shard =
+    * keyHash(doc_id) % n — the only assignment needing zero global
+    * state or coordination at 100 TB; any worker can place any doc
+    * independently), with the per-shard doc count, token mass (the
+    * text_tokens BPE-ish regex contract), and exact-ppm token share
+    * a shard writer checks for balance before committing to the
+    * layout. Map-only until the nShards-row aggregate — scan-speed;
+    * 10⁶·n_tokens rides DECIMAL(38,0) (wraps a long past ~9·10¹²
+    * tokens per shard). */
+  def shardPlan(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    val perDoc = docs.select(
+      (graft.functions.Sketches.keyHash(col("doc_id")) % nShards).as("shard"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("toks"))
+    // checkpointed: the total re-aggregates these 64 rows, not the
+    // corpus scan (Catalyst does not reuse exchanges across the
+    // broadcast boundary — the q11 lesson)
+    val shards = perDoc.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .localCheckpoint(true)
+    shards.crossJoin(broadcast(shards.agg(sum("n_tokens").as("total"))))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens) div total AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy("shard")
+  }
 }

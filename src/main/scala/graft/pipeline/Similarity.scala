@@ -75,6 +75,40 @@ object Similarity {
     rankTopK(pairs, "vec_id", k)
   }
 
+  /** Embedding-space label coherence: each sampled query's k nearest
+    * cosine neighbors (the D6 brute-force contract, [[topKCosine]]
+    * verbatim — same sample, same quantized dots, same tie-breaks)
+    * vote with their labels; the majority label (count desc, label
+    * asc) is compared to the query's own, and the per-label purity
+    * ratio is the clustering-health read a curation pipeline runs
+    * before trusting label-conditioned sampling or stratified
+    * eval splits. Everything after the top-k pass is narrow
+    * label/query-keyed aggregation over the (queries·k)-row frame;
+    * the majority pick is a min-of-struct((−count, label)) partial
+    * aggregate, never a per-query sort. 10⁶·n_pure rides
+    * DECIMAL(38,0). */
+  def knnPurity(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val labels = emb.select(col("vec_id").as("lid"), col("label").cast("long").as("lbl"))
+    val votes = topKCosine(emb, queryPred, k)
+      .join(labels, col("neighbor_id") === col("lid"))
+      .groupBy(col("query_id"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("query_id")
+      .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+      .select(col("query_id"), col("m.l").as("maj_label"))
+    votes
+      .join(labels, col("query_id") === col("lid"))
+      .select(col("lbl").as("label"),
+        (col("maj_label") === col("lbl")).as("pure"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pure"), 1L).otherwise(0L)).as("n_pure"))
+      .select(col("label"), col("n_queries"), col("n_pure"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_pure) div n_queries AS BIGINT)")
+          .as("purity_ppm"))
+      .orderBy("label")
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane j,
     * dim i), identical formula in the DuckDB oracle: a centered
     * residue of a Knuth-style multiplicative hash over the SQUARED

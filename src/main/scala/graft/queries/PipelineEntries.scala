@@ -129,6 +129,9 @@ object PipelineEntries {
         docs.filter(col("doc_id") % 3 === 0))
     }),
     "chunk_docs" -> ((s, d) => Sampling.chunkDocs(Tables.documents(s, d))),
+    "shard_plan" -> ((s, d) => Sampling.shardPlan(Tables.documents(s, d))),
+    "embed_knn_purity" -> ((s, d) =>
+      Similarity.knnPurity(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "events_funnel" -> ((s, d) =>
       TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d))),
     "embed_project" -> ((s, d) =>
@@ -624,6 +627,24 @@ object PipelineEntries {
         |SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
         |       least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS n_tok
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Shard layout plan: md5-hash shard assignment (the Sketches
+    // keyHash contract), per-shard doc/token masses, HUGEINT share.
+    "shard_plan" -> {
+      import graft.functions.Sketches.keyHashSql
+      s"""WITH t AS (
+        |  SELECT ${keyHashSql("doc_id")} % 64 AS shard,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS BIGINT) AS toks
+        |  FROM documents),
+        |s AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT SUM(n_tokens) AS total FROM s)
+        |SELECT s.shard, s.n_docs, s.n_tokens,
+        |       CAST((1000000::HUGEINT * s.n_tokens) // tot.total AS BIGINT)
+        |         AS share_ppm
+        |FROM s, tot ORDER BY shard""".stripMargin
+    },
     // Causally-ordered funnel: each stage's min-ts gates the next;
     // ratios are exact integer ppm floor-divs.
     "events_funnel" ->
@@ -944,6 +965,50 @@ object PipelineEntries {
          |SELECT query_id, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cosine, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+    // kNN label purity: the sim_topk ranking CTEs verbatim, then the
+    // neighbors vote (count desc, label asc majority) against the
+    // query's own label, aggregated per label.
+    "embed_knn_purity" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |$NRM,
+         |dots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nb_id,
+         |         CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot
+         |  FROM exq a JOIN exq b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 100 = 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, nb_id AS neighbor_id,
+         |         dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots
+         |  JOIN nrm na ON query_id = na.vec_id
+         |  JOIN nrm nb ON nb_id = nb.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY floor(cos * 1000000 + 0.5) DESC, neighbor_id) AS INTEGER) AS rnk
+         |  FROM scored),
+         |votes AS (
+         |  SELECT r.query_id, CAST(e.label AS BIGINT) AS lbl, COUNT(*) AS c
+         |  FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+         |  WHERE r.rnk <= 5 GROUP BY 1, 2),
+         |maj AS (
+         |  SELECT query_id, lbl AS maj_label,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY c DESC, lbl) AS rn
+         |  FROM votes),
+         |own AS (
+         |  SELECT m.query_id, CAST(e.label AS BIGINT) AS own_label, m.maj_label
+         |  FROM maj m JOIN embeddings e ON m.query_id = e.vec_id
+         |  WHERE m.rn = 1)
+         |SELECT own_label AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       CAST(SUM(CASE WHEN maj_label = own_label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_pure,
+         |       CAST((1000000::HUGEINT *
+         |             SUM(CASE WHEN maj_label = own_label THEN 1 ELSE 0 END))
+         |            // COUNT(*) AS BIGINT) AS purity_ppm
+         |FROM own GROUP BY 1 ORDER BY label""".stripMargin,
     "sim_lsh" ->
       s"""WITH $EX,
          |$EXQ,

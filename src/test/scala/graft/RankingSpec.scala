@@ -330,6 +330,20 @@ class RankingSpec extends AnyFunSuite {
     assert(again("large") == kept && again("small") == 2L)
   }
 
+  test("shardPlan: exact token mass, floor shares, purely deterministic") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "g h"))
+      .toDF("doc_id", "text")
+    val r = Sampling.shardPlan(docs, nShards = 2).collect()
+    // total 8 tokens across the 2 shards; every share is ⌊10⁶·n/8⌋
+    assert(r.map(_.getLong(2)).sum == 8L)
+    assert(r.map(_.getLong(1)).sum == 4L)
+    r.foreach(x => assert(x.getLong(3) == 1000000L * x.getLong(2) / 8))
+    // the md5 assignment is pure — a rerun is bit-identical
+    val r2 = Sampling.shardPlan(docs, nShards = 2).collect()
+    assert(r.toSeq.map(_.toSeq) == r2.toSeq.map(_.toSeq))
+  }
+
   test("kTruss: K4 survives with support 2, a triangle+tail peels away at k=4") {
     // K4: every edge in exactly 2 triangles → the whole clique is the
     // 4-truss. A lone triangle (support 1 each) peels in round 1, and

@@ -374,4 +374,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(1L) == ((1L, 0L, 4000000000000L, 4000000000000L, 4000000000000L)))
   }
 
+  test("knnPurity: coherent clusters score pure, a planted mislabel doesn't") {
+    import spark.implicits._
+    // two tight direction-clusters; label 0 = x-axis, label 1 =
+    // y-axis — except vec 12, which sits in the y cluster with label
+    // 0. Queries = ids % 2 == 0 (6 of 12). k=3 majorities: x-cluster
+    // queries see x neighbors (label 0, pure); query 12's neighbors
+    // are y vectors labeled 1 ≠ own 0 (impure).
+    val xs = (0L to 5L).map(i => (i * 2, Seq(1.0f, (i * 0.01f)), 0))
+    val ys = (0L to 4L).map(i => (i * 2 + 1, Seq((i * 0.01f), 1.0f), 1))
+    val planted = Seq((12L, Seq(0.02f, 1.0f), 0))
+    val d = (xs ++ ys ++ planted).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnPurity(d, col("vec_id") % 2 === 0, k = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // label-0 queries: 0,2,4,6,8,10 pure; 12 impure → 6/7
+    assert(r(0L) == ((7L, 6L, 857142L)), s"$r")
+  }
+
 }
