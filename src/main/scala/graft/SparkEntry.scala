@@ -141,7 +141,8 @@ object SparkEntry {
     "graph_katz" -> ((s, d) => GraphQueries.graphKatz(s, d)),
     "graph_richclub" -> ((s, d) => GraphQueries.graphRichClub(s, d)),
     "graph_mixing" -> ((s, d) => GraphQueries.graphMixing(s, d)),
-    "graph_lcc" -> ((s, d) => GraphQueries.graphLcc(s, d))
+    "graph_lcc" -> ((s, d) => GraphQueries.graphLcc(s, d)),
+    "graph_bowtie" -> ((s, d) => GraphQueries.graphBowTie(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -899,6 +900,60 @@ object SparkEntry {
         |       CAST(COALESCE(MIN(m.u), n.node) AS BIGINT) AS scc_id
         |FROM nodes n LEFT JOIN mut m ON m.v = n.node
         |GROUP BY n.node ORDER BY n.node""".stripMargin,
+    // Bow-tie: the graph_scc closure CTEs verbatim pick the giant
+    // SCC; two depth-bounded recursive BFS cones classify the rest.
+    // A (fwd ∩ bwd) non-core node cannot exist (it would be mutually
+    // reachable with the core), so the CASE order is semantics-free.
+    "graph_bowtie" ->
+      s"""WITH RECURSIVE $E,
+        |de AS (SELECT DISTINCT src, dst FROM e),
+        |reach(s, t) AS (
+        |  SELECT src, dst FROM de
+        |  UNION
+        |  SELECT r.s, d.dst FROM reach r JOIN de d ON r.t = d.src),
+        |-- explicit DISTINCT: inside WITH RECURSIVE, DuckDB gives a
+        |-- plain `a UNION b` CTE recursive-union semantics and keeps
+        |-- duplicates (the scc oracle tolerates that via GROUP BY;
+        |-- the 1:1 classification joins below would not)
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM de UNION ALL SELECT dst FROM de)),
+        |mut AS (
+        |  SELECT a.s AS u, a.t AS v FROM reach a
+        |  JOIN reach b ON a.s = b.t AND a.t = b.s),
+        |scc AS MATERIALIZED (
+        |  SELECT n.node, COALESCE(MIN(m.u), n.node) AS scc_id
+        |  FROM nodes n LEFT JOIN mut m ON m.v = n.node
+        |  GROUP BY n.node),
+        |core AS (
+        |  SELECT scc_id FROM (
+        |    SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY 1
+        |    ORDER BY n DESC, scc_id LIMIT 1)),
+        |cn AS MATERIALIZED (
+        |  SELECT node FROM scc WHERE scc_id = (SELECT scc_id FROM core)),
+        |fwd(node, d) AS (
+        |  SELECT node, 0 FROM cn
+        |  UNION
+        |  SELECT de.dst, f.d + 1 FROM fwd f JOIN de ON de.src = f.node
+        |  WHERE f.d < 8),
+        |bwd(node, d) AS (
+        |  SELECT node, 0 FROM cn
+        |  UNION
+        |  SELECT de.src, b2.d + 1 FROM bwd b2 JOIN de ON de.dst = b2.node
+        |  WHERE b2.d < 8),
+        |fw AS (SELECT DISTINCT node FROM fwd),
+        |bw AS (SELECT DISTINCT node FROM bwd),
+        |cls AS (
+        |  SELECT n.node,
+        |         CASE WHEN cn.node IS NOT NULL THEN 'core'
+        |              WHEN fw.node IS NOT NULL THEN 'out'
+        |              WHEN bw.node IS NOT NULL THEN 'in'
+        |              ELSE 'other' END AS component
+        |  FROM nodes n
+        |  LEFT JOIN cn ON n.node = cn.node
+        |  LEFT JOIN fw ON n.node = fw.node
+        |  LEFT JOIN bw ON n.node = bw.node)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM cls GROUP BY 1 ORDER BY component""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $E,
         |${pageRankCtes(3)}

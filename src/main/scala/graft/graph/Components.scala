@@ -44,6 +44,10 @@ object Components {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
+    // the frame whose checkpoint blocks back `labels` — released as
+    // soon as the round that superseded it is materialized (the
+    // betweenness releaseRound discipline)
+    var labelsBack = labels
     while (!converged && iter < maxIter) {
       val neighborMin = und
         .join(labels, und("b") === labels("node"))
@@ -61,9 +65,12 @@ object Components {
         .localCheckpoint(true)
       val changed = nextWide.filter(col("component") < col("prev")).limit(1).count()
       converged = changed == 0
+      Ranking.releaseRound(labelsBack)
       labels = nextWide.select("node", "component")
+      labelsBack = nextWide
       iter += 1
     }
+    Ranking.releaseRound(und)
     (labels, converged)
   }
 
@@ -105,6 +112,7 @@ object Components {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      val prevE = e
       val nb = withMin(neighbors(e))
       val ls = canon(nb.filter(col("b") > col("a"))
         .select(col("b").as("x"), col("m").as("y")))
@@ -117,6 +125,7 @@ object Components {
       converged = fp2 == fp
       fp = fp2
       e = ss
+      Ranking.releaseRound(prevE)
       round += 1
     }
     if (!converged)
@@ -178,6 +187,7 @@ object Components {
       .withColumn("lab", col("node"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      val prev = lab
       lab = und
         .join(lab.select(col("node").as("nb"), col("lab")), col("b") === col("nb"))
         .groupBy(col("a"), col("lab"))
@@ -186,7 +196,9 @@ object Components {
         .agg(min(struct((lit(0L) - col("c")).as("nc"), col("lab").as("l"))).as("m"))
         .select(col("node"), col("m.l").as("lab"))
         .localCheckpoint(true)
+      Ranking.releaseRound(prev)
     }
+    Ranking.releaseRound(und)
     lab.select(col("node"), col("lab").as("community"))
   }
 
@@ -334,13 +346,21 @@ object Components {
       // sits on a cycle (common after the first flood — and on the
       // derived call graph even at round 0) pays one degree agg and
       // nothing else for the trim phase
+      var probeSrc: DataFrame = null
+      var probeDst: DataFrame = null
       lazy val eBySrc =
         if (eShared) e
-        else e.repartition(nPart, col("src")).localCheckpoint(true)
+        else {
+          probeSrc = e.repartition(nPart, col("src")).localCheckpoint(true)
+          probeSrc
+        }
       lazy val eByDst =
         if (eShared) Traversal.dstPreparedDistinct(edges)
           .select(col("_src").as("src"), col("_dst").as("dst"))
-        else e.repartition(nPart, col("dst")).localCheckpoint(true)
+        else {
+          probeDst = e.repartition(nPart, col("dst")).localCheckpoint(true)
+          probeDst
+        }
       val outAgg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("o"))
       val inAgg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("i"))
       // survivors of earlier outer rounds that lost ALL edges to an
@@ -371,6 +391,7 @@ object Components {
             .join(removed.select(col("node").as("r")).hint("shuffle_hash"),
               col("dst") === col("r"))
             .groupBy(col("src").as("node")).agg(count(lit(1)).as("dout"))
+          val prevDeg = deg
           deg = deg
             .join(removed.select(col("node").as("r")), col("node") === col("r"),
               "left_anti")
@@ -380,11 +401,20 @@ object Components {
               (col("out") - coalesce(col("dout"), lit(0L))).as("out"),
               (col("in") - coalesce(col("di"), lit(0L))).as("in"))
             .localCheckpoint(true)
+          // the superseded wave's counter frame has no consumer left
+          // (`removed` keeps its OWN checkpoint for the final union)
+          Ranking.releaseRound(prevDeg)
         }
         trims += 1
       }
       trMark(s"trim(waves=$trims)")
+      // trim-private probe copies die with the trim loop
+      if (probeSrc != null) Ranking.releaseRound(probeSrc)
+      if (probeDst != null) Ranking.releaseRound(probeDst)
+      val prevNodes = nodes
       nodes = deg.select("node").localCheckpoint(true)
+      Ranking.releaseRound(deg)
+      if (prevNodes != null) Ranking.releaseRound(prevNodes)
       if (nodes.isEmpty) done = true
       else {
         // one-shot restriction of the edge set to the trim survivors
@@ -394,11 +424,16 @@ object Components {
         // the trim removed nothing — e is already exactly the induced
         // edge set.
         if (trimmedAny) {
+          val prevE = e
+          val prevShared = eShared
           eShared = false
           e = e
             .join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
             .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
             .localCheckpoint(true)
+          // a PRIVATE prior restriction is dead now; the round-0
+          // shared memo frame is never released (other operators ride it)
+          if (!prevShared) Ranking.releaseRound(prevE)
         }
         // the shared frame is already src-partitioned — no re-exchange
         val ep =
@@ -406,6 +441,7 @@ object Components {
           else e.repartition(nPart, col("src")).localCheckpoint(true)
         trMark("ep")
         var c = nodes.withColumn("color", col("node")).localCheckpoint(true)
+        var cBack = c
         var converged = false
         var it = 0
         while (!converged && it < maxInner) {
@@ -436,7 +472,9 @@ object Components {
               least(col("color"), coalesce(col("rc"), col("color"))).as("color"))
             .localCheckpoint(true)
           converged = next.filter(col("color") < col("prev")).limit(1).isEmpty
+          Ranking.releaseRound(cBack)
           c = next.select("node", "color")
+          cBack = next
           it += 1
         }
         if (!converged)
@@ -483,6 +521,7 @@ object Components {
         // doubled coloring needs O(log diameter).
         var b = c.select(col("node"), col("node").as("bcolor"))
           .localCheckpoint(true)
+        var bBack = b
         var settled = false
         it = 0
         while (!settled && it < maxInner) {
@@ -502,7 +541,9 @@ object Components {
               least(col("bcolor"), coalesce(col("rc2"), col("bcolor"))).as("bcolor"))
             .localCheckpoint(true)
           settled = next2.filter(col("bcolor") < col("prev2")).limit(1).isEmpty
+          Ranking.releaseRound(bBack)
           b = next2.select("node", "bcolor")
+          bBack = next2
           it += 1
         }
         if (!settled)
@@ -514,15 +555,26 @@ object Components {
           .select(col("node"), col("color").as("scc_id"))
           .localCheckpoint(true)
         found += members
+        // members is the last consumer of both fixpoint frames and
+        // of the private edge copies — release them (never the
+        // shared memo frames other operators ride)
+        Ranking.releaseRound(cBack)
+        Ranking.releaseRound(bBack)
+        if (!eShared) Ranking.releaseRound(ep)
+        if (!(oneColor && eShared)) Ranking.releaseRound(ec)
         nodes = nodes.join(members.select("node"), Seq("node"), "left_anti")
           .localCheckpoint(true)
         done = nodes.isEmpty
         // restrict e only if another outer round will actually run —
         // on the (common) final round the filter's output is dead
-        if (!done)
+        if (!done) {
+          val prevE = e
+          val prevShared = eShared
           e = e.join(nodes.select(col("node").as("u")), col("src") === col("u"), "left_semi")
             .join(nodes.select(col("node").as("w")), col("dst") === col("w"), "left_semi")
             .localCheckpoint(true)
+          if (!prevShared) Ranking.releaseRound(prevE)
+        }
       }
       outer += 1
     }
@@ -531,5 +583,48 @@ object Components {
         "remaining — their SCCs are NOT emitted; raise maxOuter")
     if (found.isEmpty) nodes.select(col("node"), col("node").as("scc_id"))
     else found.reduce(_ unionByName _)
+  }
+
+  /** Bow-tie decomposition (Broder et al., "Graph structure in the
+    * Web", WWW 2000) relative to the LARGEST strongly connected
+    * component: CORE = the giant SCC ([[stronglyConnected]], ties on
+    * size broken by min scc_id), OUT = non-core nodes the core
+    * reaches within `maxDepth` hops, IN = non-core nodes reaching
+    * the core within `maxDepth`, OTHER = the rest (tendrils, tubes,
+    * disconnected pieces — collapsed into one bucket). A node found
+    * in BOTH cones would be mutually reachable with the core and
+    * hence inside it, so the three non-other classes are disjoint by
+    * construction and the classification is order-free.
+    *
+    * On a call graph this is the macro architecture report: CORE =
+    * the mutually-recursive engine, IN = entry points/drivers, OUT =
+    * leaf utilities, OTHER = dead or peripheral code. Plan shape:
+    * the SCC pass + two set-level frontier BFS sweeps
+    * ([[Traversal.bfs]] — per-level distinct + visited anti-join,
+    * node-keyed shuffles only) + three left joins and a 4-row agg.
+    * The depth bound is the documented production compromise (the
+    * closeness/ecc discipline); both engines replay the same bound.
+    */
+  def bowTie(edges: DataFrame, maxDepth: Int = 8): DataFrame = {
+    val scc = stronglyConnected(edges).localCheckpoint(true)
+    val core1 = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("scc_id")).limit(1).select("scc_id")
+    val coreNodes = scc.join(broadcast(core1), Seq("scc_id"))
+      .select("node").localCheckpoint(true)
+    val fwd = Traversal.bfs(edges, coreNodes, maxDepth)
+      .select("node").distinct()
+    val bwd = Traversal.bfs(edges, coreNodes, maxDepth, reverse = true)
+      .select("node").distinct()
+    scc.select("node")
+      .join(coreNodes.select(col("node"), lit(1).as("in_core")), Seq("node"), "left")
+      .join(fwd.select(col("node"), lit(1).as("in_fwd")), Seq("node"), "left")
+      .join(bwd.select(col("node"), lit(1).as("in_bwd")), Seq("node"), "left")
+      .select(col("node"),
+        when(col("in_core") === 1, lit("core"))
+          .when(col("in_fwd") === 1, lit("out"))
+          .when(col("in_bwd") === 1, lit("in"))
+          .otherwise(lit("other")).as("component"))
+      .groupBy("component").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("component")
   }
 }

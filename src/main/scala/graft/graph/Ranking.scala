@@ -25,6 +25,24 @@ object Ranking {
     }
   }
 
+  /** Eagerly release a SUPERSEDED round frame's localCheckpoint
+    * blocks (the prepMemo eviction idiom): a checkpointed frame's
+    * storage lives behind its LogicalRDD leaf, invisible to the
+    * CacheManager, and otherwise lingers until the ContextCleaner
+    * happens to GC the reference — across a 190-query bench session
+    * that lingering storage is the observed multi-second GC-spike
+    * source. ONLY call on frames whose every consumer has already
+    * been eagerly materialized (the next round's checkpoint): the
+    * blocks are the frame's only substance, so a late consumer would
+    * have nothing to recompute from. */
+  private[graph] def releaseRound(df: DataFrame): Unit =
+    try if (!df.sparkSession.sparkContext.isStopped)
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+      }
+    catch { case _: Exception => () }
+
   /** PageRank in FIXED-POINT integer arithmetic: ranks are
     * parts-per-million longs (sp₀ = 10⁶ ≙ the n-scaled rank 1.0), the
     * per-edge contribution is integer floor division `pr div outdeg`,
@@ -51,6 +69,7 @@ object Ranking {
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
     var pr = nodes.withColumn("pr", lit(1000000L))
+    var prBack: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = pr.join(e2, pr("node") === e2("src"))
         .groupBy(col("dst").as("node2"))
@@ -59,7 +78,10 @@ object Ranking {
         .select(col("node"),
           (lit(150000L) + expr("(17 * coalesce(c, 0L)) div 20")).as("pr"))
         .localCheckpoint(true)
+      if (prBack != null) releaseRound(prBack)
+      prBack = pr
     }
+    releaseRound(nodes); releaseRound(e2)
     pr.select(col("node"), col("pr").as("pagerank_ppm"))
   }
 
@@ -85,6 +107,7 @@ object Ranking {
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     var k = nodes.withColumn("k", lit(1000000L))
+    var kBack: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = k.join(e, k("node") === e("src"))
         .groupBy(col("dst").as("node2"))
@@ -93,7 +116,10 @@ object Ranking {
         .select(col("node"),
           (lit(1000000L) + coalesce(col("c"), lit(0L))).as("k"))
         .localCheckpoint(true)
+      if (kBack != null) releaseRound(kBack)
+      kBack = k
     }
+    releaseRound(nodes)
     k.select(col("node"), col("k").as("katz_ppm"))
   }
 
@@ -130,6 +156,7 @@ object Ranking {
       .select(col("src"), col("dst"), col("w"), col("wout"))
       .localCheckpoint(true)
     var pr = nodes.withColumn("pr", lit(1000000L))
+    var prBack: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = pr.join(e2, pr("node") === e2("src"))
         .groupBy(col("dst").as("node2"))
@@ -139,7 +166,10 @@ object Ranking {
         .select(col("node"),
           (lit(150000L) + expr("(17 * coalesce(c, 0L)) div 20")).as("pr"))
         .localCheckpoint(true)
+      if (prBack != null) releaseRound(prBack)
+      prBack = pr
     }
+    releaseRound(nodes); releaseRound(e2)
     pr.select(col("node"), col("pr").as("wpagerank_ppm"))
   }
 
@@ -172,6 +202,7 @@ object Ranking {
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
     var pr = nodes.withColumn("pr", col("is_seed") * lit(1000000L))
+    var prBack: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = pr.filter(col("pr") > 0)
         .join(e2, pr("node") === e2("src"))
@@ -181,7 +212,10 @@ object Ranking {
         .select(col("node"), col("is_seed"),
           (col("is_seed") * lit(150000L) + expr("(17 * coalesce(c, 0L)) div 20")).as("pr"))
         .localCheckpoint(true)
+      if (prBack != null) releaseRound(prBack)
+      prBack = pr
     }
+    releaseRound(nodes); releaseRound(e2); releaseRound(s)
     pr.filter(col("pr") > 0).select(col("node"), col("pr").as("ppr_ppm"))
   }
 
@@ -255,14 +289,20 @@ object Ranking {
     var converged = false
     while (round < rounds && !converged) {
       val removed = deg.filter(col("deg") < k).select("u").localCheckpoint(true)
-      if (removed.isEmpty) converged = true
+      if (removed.isEmpty) { converged = true; releaseRound(removed) }
       else {
         val dec = symP.join(removed.select(col("u").as("r")), col("v") === col("r"))
           .groupBy("u").agg(count(lit(1)).as("d"))
+        val prevDeg = deg
         deg = deg.filter(col("deg") >= k)
           .join(dec, Seq("u"), "left")
           .select(col("u"), (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
           .localCheckpoint(true)
+        // the superseded wave frame is dead; deg0 is the CALLER'S
+        // (coreness chains each k off the previous survivor frame)
+        // and the final frame is the return value — neither released
+        if (prevDeg ne deg0) releaseRound(prevDeg)
+        releaseRound(removed)
       }
       round += 1
     }
@@ -543,6 +583,7 @@ object Ranking {
     // unlike a broadcast of the frontier this stays partition-local
     // at any graph size.
     for (t <- 1 to maxDepth) {
+      val prevState = state
       val active = state.filter(array_contains(col("dist"), t - 1))
       // one array row per (active node ⋈ out-edge); map-side
       // combine collapses to ≤ one row per dst per partition
@@ -564,6 +605,9 @@ object Ranking {
                 THEN element_at(m, j + 1)
               ELSE 0 END)""").as("sigma"))
       state = traced(s"bw:fwd$t")(state.localCheckpoint(true))
+      // round t−1's blocks have no remaining consumer once round t
+      // is materialized (t=1's prev is the LocalRelation seed — no-op)
+      releaseRound(prevState)
     }
     val depth = maxDepth
     // backward: the DAG-edge frame (both ends' static dist/σ) is
@@ -588,7 +632,9 @@ object Ranking {
     // not worth its own barrier/materialization
     var delta = state
       .select(col("v"), col("dist"), expr(s"transform($idx, j -> 0L)").as("delta"))
+    var firstBwd = true
     for (t <- depth - 1 to 0 by -1) {
+      val prevDelta = delta
       val contrib = esC
         .join(delta.select(col("v").as("_w"), col("delta").as("dlw"))
           .hint("shuffle_hash"),
@@ -605,7 +651,13 @@ object Ranking {
                 THEN IF(c IS NULL, 0, element_at(c, j + 1))
               ELSE element_at(delta, j + 1) END)""").as("delta"))
       delta = traced(s"bw:bwd$t")(delta.localCheckpoint(true))
+      if (firstBwd) {
+        // δ₀ was a lazy projection of `state`; with it and esC both
+        // materialized, the forward fixpoint's final frame is done
+        releaseRound(state); firstBwd = false
+      } else releaseRound(prevDelta)
     }
+    releaseRound(esC)
     delta
       // index i with dist 0 is v's own source row (s = v) — excluded
       .select(col("v").as("node"),

@@ -505,13 +505,17 @@ object Traversal {
         i => when(i === idx, rho).otherwise(lit(0))).as("regs"))
       .localCheckpoint(true)
     for (_ <- 1 to depth) {
-      val fromNbrs = e.join(regs, e("_dst") === regs("node"))
-        .select(e("_src").as("node"), col("regs"))
-      regs = regs.unionByName(fromNbrs)
+      val prevRegs = regs
+      regs = regs.unionByName(
+          e.join(regs, e("_dst") === regs("node"))
+            .select(e("_src").as("node"), col("regs")))
         .groupBy("node")
         .agg(graft.functions.RegisterAgg.registerMax(col("regs"), m).as("regs"))
         .localCheckpoint(true)
+      // superseded register bank — every consumer materialized above
+      Ranking.releaseRound(prevRegs)
     }
+    Ranking.releaseRound(e)
     // harmonic-mean HLL estimate per node; untouched registers are 0
     // and contribute 2⁻⁰ = 1 to Z, so one fold covers both branches.
     val alpha = if (m >= 128) 0.7213 / (1 + 1.079 / m)

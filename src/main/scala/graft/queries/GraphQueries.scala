@@ -199,6 +199,11 @@ object GraphQueries {
   def graphScc(s: SparkSession, d: String): DataFrame =
     Components.stronglyConnected(callEdges(s, d)).orderBy("node")
 
+  /** C40 bow-tie macro structure relative to the giant SCC
+    * (Components.bowTie): core / in / out / other node counts. */
+  def graphBowTie(s: SparkSession, d: String): DataFrame =
+    Components.bowTie(callEdges(s, d))
+
   /** C7 PageRank over the call graph: function importance ranking
     * (3 power iterations, scaled formulation — Ranking.pageRank). */
   def graphPageRank(s: SparkSession, d: String): DataFrame =

@@ -34,6 +34,19 @@ class SccSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("bowTie: core/in/out/other counts on a hand bow-tie") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // core cycle {1,2,3}; 0 -> 1 (IN); 3 -> 4 (OUT); isolated pair
+    // 10 -> 11 (OTHER). Larger cycle wins over the 10/11 singletons.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (0L, 1L), (3L, 4L),
+      (10L, 11L))
+      .toDF("src", "dst").withColumn("offset", lit(0L))
+    val r = Components.bowTie(e, maxDepth = 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("core" -> 3L, "in" -> 1L, "out" -> 1L, "other" -> 2L), s"$r")
+  }
+
   test("two cycles joined by a DAG bridge, plus a tail chain") {
     // cycle {1,2,3} -> bridge 4 -> cycle {5,6}, chain 7->8->1
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
