@@ -435,4 +435,68 @@ object Dedup {
         col("est_jaccard"))
       .orderBy("val_doc", "train_doc")
   }
+
+  /** Source-pair content similarity: one MinHash signature PER SOURCE
+    * over its distinct shingle set (the D2 permutation contract), then
+    * est_jaccard_ppm = 10⁶·matches/perms for every unordered source
+    * pair — the corpus-level "are these two crawls the same content"
+    * screen that runs before any document-level dedup is even
+    * planned. After the one shingle pass everything lives on the
+    * |sources|-row signature frame; |sources|²/2 pairs of `perms`
+    * longs is flat in the corpus size (the hllOverlap shape for
+    * Jaccard instead of cardinality). */
+  def sourceSimilarity(docs: DataFrame): DataFrame = {
+    val perms = graft.functions.TextOps.MinhashA.length
+    val ds = graft.functions.TextOps.shingles(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("sh")).distinct()
+    val sigCols = (0 until perms).map(i =>
+      min(graft.functions.TextOps.minhashPerm(col("sh"), i)).as(s"m$i"))
+    val sig = ds.groupBy("source")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint(true)
+    val a = sig.select(col("source").as("src_a") +:
+      (0 until perms).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sig.select(col("source").as("src_b") +:
+      (0 until perms).map(i => col(s"m$i").as(s"b$i")): _*)
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (0 until perms).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+          .as("n_match"))
+      .select(col("src_a"), col("src_b"), col("n_match"),
+        expr(s"(1000000 * n_match) div $perms").as("est_jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Corpus token inflation from near-duplication — "how many tokens
+    * does dedup buy": over the [[clusters]] partition with the min-id
+    * canonical (the D17 convention), the removable mass is every
+    * non-canonical member's token count (text_tokens BPE contract).
+    * The cluster frame is pair-graph-sized; the per-doc token frame
+    * is checkpointed once so the global total re-aggregates blocks,
+    * not the corpus scan; 10⁶·tokens rides DECIMAL(38,0)/HUGEINT.
+    * One (n_docs, tokens_total, n_removable, tokens_removable,
+    * removable_ppm) row. */
+  def dedupInflation(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("toks"))
+      .localCheckpoint(true)
+    val withT = clusters(docs, minEstJaccard).select("doc_id", "cluster_id")
+      .join(toks, "doc_id")
+    val keep = withT.groupBy("cluster_id").agg(min("doc_id").as("keep_id"))
+    val removable = withT.join(keep, "cluster_id")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .agg(count(lit(1)).as("n_removable"),
+        coalesce(sum("toks"), lit(0L)).as("tokens_removable"))
+    toks.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("toks"), lit(0L)).as("tokens_total"))
+      .crossJoin(broadcast(removable))
+      .select(col("n_docs"), col("tokens_total"), col("n_removable"),
+        col("tokens_removable"),
+        expr("""CAST(CASE WHEN tokens_total = 0 THEN 0 ELSE
+             (CAST(1000000 AS DECIMAL(38,0)) * tokens_removable) div tokens_total
+             END AS BIGINT)""").as("removable_ppm"))
+  }
 }

@@ -820,4 +820,34 @@ object TextAnalysis {
         expr(s"mk div ${Pack}L").as("fingerprint"))
       .orderBy("doc_id", "pos")
   }
+
+  /** Per-source corpus profile — the one-pager a mixture designer
+    * reads before weighting sources: doc count, char and token mass
+    * (the text_tokens BPE regex contract), floor-mean tokens/doc,
+    * language spread (distinct `lang` values) and the majority
+    * language (count desc, lang asc — the min-of-struct argmax, no
+    * per-source sort). ONE corpus scan collapses to the
+    * (source, lang)-sized frame; everything downstream re-aggregates
+    * those few rows, so the profile costs a single
+    * map-side-combinable shuffle at any corpus size. */
+  def sourceProfile(docs: DataFrame): DataFrame = {
+    val byLang = docs.select(col("source"), col("lang"),
+        col("n_chars").cast("long").as("nc"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), sum("nc").as("c"), sum("toks").as("t"))
+      .localCheckpoint(true)
+    val top = byLang.groupBy("source")
+      .agg(min(struct((lit(0L) - col("n")).as("nn"), col("lang").as("l"))).as("m"))
+      .select(col("source"), col("m.l").as("top_lang"))
+    byLang.groupBy("source")
+      .agg(sum("n").as("n_docs"), sum("c").as("n_chars"),
+        sum("t").as("n_tokens"), count(lit(1)).as("n_langs"))
+      .join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        expr("n_tokens div n_docs").as("mean_tokens"),
+        col("n_langs"), col("top_lang"))
+      .orderBy("source")
+  }
 }

@@ -130,6 +130,9 @@ object PipelineEntries {
     }),
     "chunk_docs" -> ((s, d) => Sampling.chunkDocs(Tables.documents(s, d))),
     "shard_plan" -> ((s, d) => Sampling.shardPlan(Tables.documents(s, d))),
+    "source_profile" -> ((s, d) => TextAnalysis.sourceProfile(Tables.documents(s, d))),
+    "source_similarity" -> ((s, d) => Dedup.sourceSimilarity(Tables.documents(s, d))),
+    "dedup_inflation" -> ((s, d) => Dedup.dedupInflation(Tables.documents(s, d))),
     "embed_knn_purity" -> ((s, d) =>
       Similarity.knnPurity(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "events_funnel" -> ((s, d) =>
@@ -627,6 +630,85 @@ object PipelineEntries {
         |SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
         |       least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS n_tok
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Per-source profile: one (source, lang) agg re-aggregated;
+    // majority language via the ranked argmax.
+    "source_profile" ->
+      """WITH b AS (
+        |  SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS c,
+        |         SUM(len(regexp_extract_all(lower(text),
+        |             '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS t
+        |  FROM documents GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, lang AS top_lang,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n DESC, lang) AS rn
+        |  FROM b),
+        |agg AS (
+        |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |         CAST(SUM(c) AS BIGINT) AS n_chars,
+        |         CAST(SUM(t) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(*) AS BIGINT) AS n_langs
+        |  FROM b GROUP BY 1)
+        |SELECT agg.source AS source, n_docs, n_chars, n_tokens,
+        |       n_tokens // n_docs AS mean_tokens, n_langs, top.top_lang
+        |FROM agg JOIN top ON agg.source = top.source AND top.rn = 1
+        |ORDER BY agg.source""".stripMargin,
+    // Source-pair MinHash similarity: per-source signatures over the
+    // distinct shingle sets, the D2 permutation family verbatim.
+    "source_similarity" -> {
+      val perms = TextOps.MinhashA.length
+      val mins = (0 until perms)
+        .map(i => s"MIN(${TextOps.minhashPermSql("sh", i)}) AS m$i")
+        .mkString(",\n         ")
+      val matches = (0 until perms)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $TOK,
+         |$SH,
+         |ds AS MATERIALIZED (
+         |  SELECT DISTINCT d.source, s.sh
+         |  FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+         |sig AS MATERIALIZED (
+         |  SELECT source,
+         |         $mins
+         |  FROM ds GROUP BY 1),
+         |pair AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST($matches AS BIGINT) AS n_match
+         |  FROM sig a JOIN sig b ON a.source < b.source)
+         |SELECT src_a, src_b, n_match,
+         |       (1000000 * n_match) // $perms AS est_jaccard_ppm
+         |FROM pair ORDER BY src_a, src_b""".stripMargin
+    },
+    // Token inflation of the near-dup partition: the 12-round cluster
+    // chain + min-id canonicals + one token-mass rollup.
+    "dedup_inflation" ->
+      s"""WITH $TOK,
+         |$SH,
+         |$clusterChain,
+         |tk AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(lower(text),
+         |             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
+         |  FROM documents),
+         |wt AS MATERIALIZED (
+         |  SELECT l.node AS doc_id, l.component AS cluster_id, tk.toks
+         |  FROM l12 l JOIN tk ON tk.doc_id = l.node),
+         |keep AS (SELECT cluster_id, MIN(doc_id) AS keep_id FROM wt GROUP BY 1),
+         |rem AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_removable,
+         |         CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS tokens_removable
+         |  FROM wt JOIN keep USING (cluster_id) WHERE doc_id <> keep_id),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS tokens_total
+         |  FROM tk)
+         |SELECT tot.n_docs, tot.tokens_total, rem.n_removable,
+         |       rem.tokens_removable,
+         |       CASE WHEN tot.tokens_total = 0 THEN 0
+         |            ELSE CAST((1000000::HUGEINT * rem.tokens_removable)
+         |                      // tot.tokens_total AS BIGINT) END AS removable_ppm
+         |FROM tot, rem""".stripMargin,
     // Shard layout plan: md5-hash shard assignment (the Sketches
     // keyHash contract), per-shard doc/token masses, HUGEINT share.
     "shard_plan" -> {

@@ -345,4 +345,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.values.forall(_ == 1.0))
   }
 
+  test("sourceProfile: per-source masses, majority language, floor mean") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c", "en", "web", 5L), (2L, "d e", "en", "web", 3L),
+      (3L, "f", "de", "web", 1L), (4L, "g h i j", "fr", "books", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.pipeline.TextAnalysis.sourceProfile(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getString(6)))).toMap
+    // web: 3 docs, 9 chars, 6 tokens, mean 2, 2 langs, majority en
+    assert(r("web") == ((3L, 9L, 6L, 2L, 2L, "en")), s"$r")
+    assert(r("books") == ((1L, 7L, 4L, 4L, 1L, "fr")), s"$r")
+  }
+
+  test("sourceSimilarity: identical content 10^6 ppm, disjoint content low") {
+    import spark.implicits._
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      (1L, same, "a"), (2L, same, "b"), (3L, other, "c"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.pipeline.Dedup.sourceSimilarity(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(3)).toMap
+    assert(r(("a", "b")) == 1000000L, s"$r")
+    assert(r(("a", "c")) < 1000000L && r(("b", "c")) < 1000000L, s"$r")
+  }
+
+  test("dedupInflation: twin docs surrender the duplicate's tokens") {
+    import spark.implicits._
+    // 1 and 2 are exact twins (near-dup cluster, min-id 1 kept);
+    // 3 is unrelated — removable = doc 2's 8 tokens of 25 total
+    val t = "the quick brown fox jumps over the lazy"
+    val d = Seq((1L, t), (2L, t),
+      (3L, "completely different content with no overlapping shingles at all"))
+      .toDF("doc_id", "text")
+    val r = graft.pipeline.Dedup.dedupInflation(d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 25L, 1L, 8L)), s"${r.toSeq}")
+    assert(r.getLong(4) == 1000000L * 8 / 25)
+  }
+
 }
