@@ -142,7 +142,8 @@ object SparkEntry {
     "graph_richclub" -> ((s, d) => GraphQueries.graphRichClub(s, d)),
     "graph_mixing" -> ((s, d) => GraphQueries.graphMixing(s, d)),
     "graph_lcc" -> ((s, d) => GraphQueries.graphLcc(s, d)),
-    "graph_bowtie" -> ((s, d) => GraphQueries.graphBowTie(s, d))
+    "graph_bowtie" -> ((s, d) => GraphQueries.graphBowTie(s, d)),
+    "graph_effdiam" -> ((s, d) => GraphQueries.graphEffDiameter(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -1303,6 +1304,43 @@ object SparkEntry {
         |       (1000000 * COUNT(*)) // CAST(SUM(depth) AS BIGINT)
         |         AS closeness_ppm
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Neighborhood-function ladder: the graph_closeness first-touch
+    // level chain collapsed to a per-depth histogram + cumulative.
+    "graph_effdiam" ->
+      s"""WITH $E,
+        |st AS (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 3),
+        |v0 AS MATERIALIZED (SELECT s, s AS node FROM st),
+        |p1 AS MATERIALIZED (
+        |  SELECT DISTINCT st.s, e.dst AS node
+        |  FROM st JOIN e ON e.src = st.s WHERE e.dst <> st.s),
+        |v1 AS MATERIALIZED (SELECT * FROM v0 UNION SELECT * FROM p1),
+        |p2 AS MATERIALIZED (
+        |  SELECT DISTINCT p1.s, e.dst AS node
+        |  FROM p1 JOIN e ON e.src = p1.node
+        |  LEFT JOIN v1 ON v1.s = p1.s AND v1.node = e.dst
+        |  WHERE v1.node IS NULL),
+        |v2 AS MATERIALIZED (SELECT * FROM v1 UNION SELECT * FROM p2),
+        |p3 AS MATERIALIZED (
+        |  SELECT DISTINCT p2.s, e.dst AS node
+        |  FROM p2 JOIN e ON e.src = p2.node
+        |  LEFT JOIN v2 ON v2.s = p2.s AND v2.node = e.dst
+        |  WHERE v2.node IS NULL),
+        |reach AS (
+        |  SELECT s, node, 1 AS depth FROM p1
+        |  UNION ALL SELECT s, node, 2 FROM p2
+        |  UNION ALL SELECT s, node, 3 FROM p3),
+        |byd AS (
+        |  SELECT CAST(depth AS BIGINT) AS depth,
+        |         CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM reach GROUP BY 1),
+        |tot AS (SELECT COALESCE(SUM(n_pairs), 0) AS t FROM byd)
+        |SELECT depth, n_pairs,
+        |       CAST(SUM(n_pairs) OVER (ORDER BY depth) AS BIGINT) AS cum_pairs,
+        |       CASE WHEN tot.t = 0 THEN 0
+        |            ELSE CAST((1000000::HUGEINT *
+        |                       SUM(n_pairs) OVER (ORDER BY depth)) // tot.t
+        |                 AS BIGINT) END AS cum_ppm
+        |FROM byd, tot ORDER BY depth""".stripMargin,
     // Bounded eccentricity over the 1-in-100 sample at slice 9: the
     // graph_closeness first-touch level chain with MAX(depth) + ball
     // size as the aggregate.

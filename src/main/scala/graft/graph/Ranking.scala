@@ -1039,6 +1039,35 @@ object Ranking {
           .as("assortativity_ppm"))
   }
 
+  /** Neighborhood-function ladder over a sampled source set (the
+    * Palmer/ANF curve the effective-diameter estimate reads off):
+    * per depth d ≤ maxDepth, the count of first-touch (start, node)
+    * pairs at exactly d, the running cumulative, and the cumulative
+    * share in exact ppm — the d where cum_ppm crosses 900000 is the
+    * sampled bounded effective diameter (iFUB discipline: the depth
+    * bound and 1-in-k source sample ARE the production form; exact
+    * all-pairs NF is Θ(n·m)). Rides [[Traversal.reachLevels]] (the
+    * shared prepared-edge memo, per-start visited anti-joins), then
+    * everything lives on the ≤maxDepth-row histogram — the
+    * unpartitioned window is over that frame, never the data. */
+  def neighborhoodLadder(edges: DataFrame, starts: DataFrame,
+      maxDepth: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byD = Traversal.reachLevels(edges, starts, maxDepth)
+      .groupBy("depth").agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(true)
+    val tot = byD.agg(coalesce(sum("n_pairs"), lit(0L)).as("t"))
+    byD.withColumn("cum_pairs",
+        sum("n_pairs").over(Window.orderBy("depth")))
+      .crossJoin(broadcast(tot))
+      .select(col("depth").cast("long").as("depth"), col("n_pairs"),
+        col("cum_pairs").cast("long").as("cum_pairs"),
+        expr("""CAST(CASE WHEN t = 0 THEN 0 ELSE
+             (CAST(1000000 AS DECIMAL(38,0)) * cum_pairs) div t
+             END AS BIGINT)""").as("cum_ppm"))
+      .orderBy("depth")
+  }
+
   /** Per-node local clustering coefficient (Watts–Strogatz 1998):
     * for every node with undirected degree d ≥ 2,
     * lcc_ppm = ⌊2·10⁶·t(v) / (d·(d−1))⌋ where t(v) counts the

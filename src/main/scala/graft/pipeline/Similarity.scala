@@ -109,6 +109,38 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Per-label mean-direction drift: the mean quantized vector per
+    * label (exact long sums + one floor-divide per dim — the Lloyd
+    * centroid contract, so means are integer-identical across
+    * engines), then the pairwise cosine between label means in the
+    * quantized-cosine contract — the embedding-space "are these two
+    * strata pointing the same way" read that catches encoder or
+    * domain drift before it poisons similarity search. Labels whose
+    * mean collapses to the zero vector have no direction and are
+    * excluded (both engines agree by the same n2 > 0 test). After
+    * the one corpus pass everything lives on the \|labels\|-row mean
+    * frame. */
+  def labelDrift(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("label").cast("long").as("label"),
+      quantize(asDouble(col("embedding"))).as("qv"))
+    val dim = q.select(size(col("qv"))).head().getInt(0)
+    val sums = (0 until dim).map(i => sum(col("qv")(i)).as(s"_s$i"))
+    val means = q.groupBy("label")
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .select(col("label"), array((0 until dim).map(i =>
+        floor(col(s"_s$i") / col("_n")).cast("long")): _*).as("mv"))
+      .withColumn("nrm", sqrt(VectorOps.dotLong(col("mv"), col("mv")).cast("double")))
+      .filter(col("nrm") > 0)
+      .localCheckpoint(true)
+    means.select(col("label").as("label_a"), col("mv").as("ma"), col("nrm").as("na"))
+      .join(means.select(col("label").as("label_b"), col("mv").as("mb"),
+        col("nrm").as("nb")), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        rnd(VectorOps.dotLong(col("ma"), col("mb")) / (col("na") * col("nb")), 4)
+          .as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane j,
     * dim i), identical formula in the DuckDB oracle: a centered
     * residue of a Knuth-style multiplicative hash over the SQUARED

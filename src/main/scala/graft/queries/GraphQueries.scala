@@ -396,6 +396,15 @@ object GraphQueries {
     Ranking.closeness(e, starts, maxDepth = 3).orderBy("node")
   }
 
+  /** C41 neighborhood-function ladder + effective-diameter read-off
+    * over the closeness source sample (Ranking.neighborhoodLadder). */
+  def graphEffDiameter(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val starts = e.select(col("src").as("node"))
+      .filter(col("node") % 100 === 3).distinct()
+    Ranking.neighborhoodLadder(e, starts, maxDepth = 3)
+  }
+
   /** C21 bounded harmonic centrality over a 1-in-100 start sample:
     * Σ ⌊10⁶/depth⌋ across the depth-≤3 out-ball (Ranking.harmonic) —
     * shares the reachLevels machinery with closeness but needs no

@@ -135,6 +135,7 @@ object PipelineEntries {
     "dedup_inflation" -> ((s, d) => Dedup.dedupInflation(Tables.documents(s, d))),
     "embed_knn_purity" -> ((s, d) =>
       Similarity.knnPurity(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
+    "embed_drift" -> ((s, d) => Similarity.labelDrift(Tables.embeddings(s, d))),
     "events_funnel" -> ((s, d) =>
       TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d))),
     "embed_project" -> ((s, d) =>
@@ -1047,6 +1048,31 @@ object PipelineEntries {
          |SELECT query_id, neighbor_id, floor(cos * 10000 + 0.5) / 10000 AS cosine, rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+    // Label-drift: per-(label, dim) floor-mean of the quantized
+    // coordinates (the Lloyd centroid contract), pairwise cosine of
+    // the label means, zero-direction labels excluded via n2 > 0.
+    "embed_drift" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |mv AS MATERIALIZED (
+         |  SELECT CAST(e.label AS BIGINT) AS label, q.i,
+         |         CAST(floor(SUM(q.qx) / COUNT(*)) AS BIGINT) AS m
+         |  FROM exq q JOIN embeddings e ON q.vec_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |nr AS (
+         |  SELECT label, sqrt(CAST(SUM(m * m) AS DOUBLE)) AS nrm
+         |  FROM mv GROUP BY 1 HAVING SUM(m * m) > 0),
+         |dots AS (
+         |  SELECT a.label AS label_a, b.label AS label_b,
+         |         CAST(SUM(a.m * b.m) AS BIGINT) AS dot
+         |  FROM mv a JOIN mv b ON a.i = b.i AND a.label < b.label
+         |  GROUP BY 1, 2)
+         |SELECT d.label_a, d.label_b,
+         |       floor(d.dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
+         |FROM dots d
+         |JOIN nr na ON d.label_a = na.label
+         |JOIN nr nb ON d.label_b = nb.label
+         |ORDER BY label_a, label_b""".stripMargin,
     // kNN label purity: the sim_topk ranking CTEs verbatim, then the
     // neighbors vote (count desc, label asc majority) against the
     // query's own label, aggregated per label.

@@ -280,6 +280,22 @@ class RankingSpec extends AnyFunSuite {
     assert(sq.getLong(0) == 0L && sq.getLong(2) == 0L)
   }
 
+  test("neighborhoodLadder: path graph cumulative pair counts and ppm") {
+    import spark.implicits._
+    // path 1->2->3->4, start at 1: depth 1 → {2}, depth 2 → {3},
+    // depth 3 → {4}; cum shares 1/3, 2/3, 3/3
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L))
+      .withColumn("offset", org.apache.spark.sql.functions.lit(0L))
+    val starts = Seq(1L).toDF("node")
+    val r = Ranking.neighborhoodLadder(g, starts, maxDepth = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r == Map(
+      1L -> ((1L, 1L, 333333L)),
+      2L -> ((1L, 2L, 666666L)),
+      3L -> ((1L, 3L, 1000000L))), s"$r")
+  }
+
   test("localClustering: triangle+pendant per-node ppm, degree-1 nodes excluded") {
     // triangle {1,2,3} + pendant 3—9: nodes 1,2 have d=2 t=1 →
     // 2·10⁶·1/(2·1) = 10⁶; node 3 has d=3 t=1 → 2·10⁶/(3·2) =

@@ -374,6 +374,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(1L) == ((1L, 0L, 4000000000000L, 4000000000000L, 4000000000000L)))
   }
 
+  test("labelDrift: orthogonal label means near 0, aligned near 1") {
+    import spark.implicits._
+    // label 0 = x-axis cluster, label 1 = y-axis, label 2 = x-axis
+    // again → cos(0,1) ≈ 0, cos(0,2) ≈ 1, cos(1,2) ≈ 0
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1),
+      (5L, Seq(1.0f, 0.05f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelDrift(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r((0L, 1L)) < 0.2, s"$r")
+    assert(r((0L, 2L)) > 0.98, s"$r")
+    assert(r((1L, 2L)) < 0.2, s"$r")
+    // a zero-vector-only label has no direction and is excluded
+    val z = d.unionByName(Seq((6L, Seq(0.0f, 0.0f), 3)).toDF("vec_id", "embedding", "label"))
+    val keys = Similarity.labelDrift(z).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
   test("knnPurity: coherent clusters score pure, a planted mislabel doesn't") {
     import spark.implicits._
     // two tight direction-clusters; label 0 = x-axis, label 1 =
