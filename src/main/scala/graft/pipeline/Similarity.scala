@@ -184,14 +184,38 @@ object Similarity {
     * top-k per query among same-bucket candidates. At scale the
     * bucket id is the shuffle key; bucket population is ~n/2^planes.
     */
-  def lshTopK(emb: DataFrame, k: Int = 3): DataFrame = {
+  def lshTopK(emb: DataFrame, k: Int = 3,
+      queryPred: Column = lit(true)): DataFrame = {
     val b = lshBucket(emb).filter(col("nrm") > 0)
-    val pairs = b.as("x").join(b.as("y"),
+    val pairs = b.filter(queryPred).as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("nb_id"),
         (VectorOps.dotLong(col("x.qv"), col("y.qv"))
           / (col("x.nrm") * col("y.nrm"))).as("cos"))
     rankTopK(pairs, "nb_id", k)
+  }
+
+  /** ANN recall audit — the acceptance test of the bucketed path run
+    * AS a query: for each sampled query, how many of its true
+    * brute-force top-k ([[topKCosine]], the D6 contract) the
+    * LSH-bucketed path ([[lshTopK]], same quantized-cosine ranking)
+    * recovers, per query and in exact ppm. Both sides are
+    * deterministic rankings, so the audit itself is bit-stable —
+    * recall numbers a capacity plan can be built on, not a sampled
+    * estimate. The truth side is the only n·|sample| pass; the
+    * comparison is two narrow query-keyed aggs. */
+  def annRecallAudit(emb: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
+    val truth = topKCosine(emb, queryPred, k)
+      .select("query_id", "neighbor_id").localCheckpoint(true)
+    val approx = lshTopK(emb, k, queryPred).select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("(1000000 * coalesce(n_hit, 0L)) div n_true").as("recall_ppm"))
+      .orderBy("query_id")
   }
 
   /** Exact integer squared-L2 distance of each quantized vector to

@@ -136,6 +136,8 @@ object PipelineEntries {
     "embed_knn_purity" -> ((s, d) =>
       Similarity.knnPurity(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "embed_drift" -> ((s, d) => Similarity.labelDrift(Tables.embeddings(s, d))),
+    "sim_recall_audit" -> ((s, d) =>
+      Similarity.annRecallAudit(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "events_funnel" -> ((s, d) =>
       TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d))),
     "embed_project" -> ((s, d) =>
@@ -1073,6 +1075,70 @@ object PipelineEntries {
          |JOIN nr na ON d.label_a = na.label
          |JOIN nr nb ON d.label_b = nb.label
          |ORDER BY label_a, label_b""".stripMargin,
+    // ANN recall audit: the sim_topk brute-force chain (k=3) as
+    // ground truth, the sim_lsh bucket chain (query side restricted
+    // to the same sample) as the candidate, then two narrow aggs.
+    "sim_recall_audit" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |$NRM,
+         |tdots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS nb_id,
+         |         CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot
+         |  FROM exq a JOIN exq b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 100 = 0
+         |  GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, nb_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5)
+         |               DESC, nb_id) AS rnk
+         |    FROM tdots
+         |    JOIN nrm na ON query_id = na.vec_id
+         |    JOIN nrm nb ON nb_id = nb.vec_id)
+         |  WHERE rnk <= 3),
+         |proj AS (
+         |  SELECT vec_id, j,
+         |         SUM(qx * (((((j * 64 + i) * (j * 64 + i)) % 10007) * 2654435761) % 97 - 48)) AS p
+         |  FROM exq CROSS JOIN (SELECT unnest(range(8)) AS j)
+         |  GROUP BY 1, 2),
+         |bkt AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         SUM((CASE WHEN p > 0 THEN 1 ELSE 0 END)
+         |             * CAST(power(2, j) AS BIGINT)) AS bucket
+         |  FROM proj GROUP BY 1),
+         |adots AS (
+         |  SELECT xa.vec_id AS query_id, xb.vec_id AS nb_id,
+         |         CAST(SUM(xa.qx * xb.qx) AS BIGINT) AS dot
+         |  FROM bkt a
+         |  JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  JOIN exq xa ON xa.vec_id = a.vec_id
+         |  JOIN exq xb ON xb.vec_id = b.vec_id AND xa.i = xb.i
+         |  JOIN nrm qn ON qn.vec_id = a.vec_id
+         |  JOIN nrm cn ON cn.vec_id = b.vec_id
+         |  WHERE a.vec_id % 100 = 0
+         |  GROUP BY 1, 2),
+         |approx AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, nb_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5)
+         |               DESC, nb_id) AS rnk
+         |    FROM adots
+         |    JOIN nrm na ON query_id = na.vec_id
+         |    JOIN nrm nb ON nb_id = nb.vec_id)
+         |  WHERE rnk <= 3),
+         |hits AS (
+         |  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY 1)
+         |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |       CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+         |       (1000000 * COALESCE(MAX(h.n_hit), 0)) // COUNT(*) AS recall_ppm
+         |FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // kNN label purity: the sim_topk ranking CTEs verbatim, then the
     // neighbors vote (count desc, label asc majority) against the
     // query's own label, aggregated per label.

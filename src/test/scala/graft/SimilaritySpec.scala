@@ -374,6 +374,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(1L) == ((1L, 0L, 4000000000000L, 4000000000000L, 4000000000000L)))
   }
 
+  test("annRecallAudit: per-query recall bounded, consistent, non-degenerate") {
+    val r = Similarity.annRecallAudit(emb, queryPred, k = 3).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (t, h, ppm) = (x.getLong(1), x.getLong(2), x.getLong(3))
+      assert(h >= 0 && h <= t, s"hits out of range: ${x.toSeq}")
+      assert(ppm == 1000000L * h / t, s"ppm formula: ${x.toSeq}")
+    }
+    // on the raw near-isotropic corpus the true top-3 sit at the
+    // noise floor, so zero recall is HONEST — the non-degeneracy
+    // check runs on the planted-twin corpus instead, where each
+    // query's true top-1 is its cosine≈0.96 twin and the 8-plane
+    // bucket keeps it with high probability
+    val twins = Similarity.withJitteredTwins(emb)
+    val r2 = Similarity.annRecallAudit(twins, queryPred, k = 1).collect()
+    assert(r2.map(_.getLong(2)).sum > 0,
+      "LSH recovered zero planted twins at cosine 0.96")
+  }
+
   test("labelDrift: orthogonal label means near 0, aligned near 1") {
     import spark.implicits._
     // label 0 = x-axis cluster, label 1 = y-axis, label 2 = x-axis
