@@ -143,7 +143,8 @@ object SparkEntry {
     "graph_mixing" -> ((s, d) => GraphQueries.graphMixing(s, d)),
     "graph_lcc" -> ((s, d) => GraphQueries.graphLcc(s, d)),
     "graph_bowtie" -> ((s, d) => GraphQueries.graphBowTie(s, d)),
-    "graph_effdiam" -> ((s, d) => GraphQueries.graphEffDiameter(s, d))
+    "graph_effdiam" -> ((s, d) => GraphQueries.graphEffDiameter(s, d)),
+    "graph_knn_degree" -> ((s, d) => GraphQueries.graphKnnDegree(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -1484,6 +1485,23 @@ object SparkEntry {
         |                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
         |                 / 1000000 END AS assortativity
         |FROM s""".stripMargin,
+    // Average-neighbor-degree curve: the assortativity end frame
+    // grouped by degree instead of folded into moments.
+    "graph_knn_degree" ->
+      s"""WITH $E,
+        |u0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |dg AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT a AS n FROM u0 UNION ALL SELECT b FROM u0) t GROUP BY 1),
+        |ends AS (
+        |  SELECT da.d AS x, db.d AS y FROM u0
+        |  JOIN dg da ON u0.a = da.n JOIN dg db ON u0.b = db.n),
+        |bo AS (SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends)
+        |SELECT x AS degree, CAST(COUNT(*) AS BIGINT) AS n_ends,
+        |       CAST((1000000::HUGEINT * SUM(y)) // COUNT(*) AS BIGINT)
+        |         AS knn_ppm
+        |FROM bo GROUP BY 1 ORDER BY 1""".stripMargin,
     // Directed triad census: the shared 2-path frame closed twice —
     // ordered feed-forward triples, min-node-anchored 3-cycles.
     "graph_motifs" ->

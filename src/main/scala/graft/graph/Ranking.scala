@@ -1068,6 +1068,30 @@ object Ranking {
       .orderBy("depth")
   }
 
+  /** Average-neighbor-degree curve k_nn(d) (Pastor-Satorras et al.
+    * 2001) — the FUNCTION the single assortativity scalar (C19)
+    * summarizes: per undirected degree d, the number of edge ends at
+    * that degree and the mean neighbor degree in exact floor ppm
+    * (10⁶·Σd_nbr div n_ends, DECIMAL(38,0)-widened). A falling curve
+    * = hubs wire to leaves (disassortative callgraph plumbing), flat
+    * = no degree correlation. Same both-orientations end frame as
+    * C19 — one edge scan + two degree joins + a d_max-row agg. */
+  def neighborDegreeCurve(edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    val deg = degreesOf(und).localCheckpoint(true)
+    val ends = und
+      .join(deg.select(col("n").as("na"), col("d").as("da")), col("a") === col("na"))
+      .join(deg.select(col("n").as("nb"), col("d").as("db")), col("b") === col("nb"))
+      .select(col("da").as("x"), col("db").as("y"))
+    val both = ends.unionByName(ends.select(col("y").as("x"), col("x").as("y")))
+    both.groupBy(col("x").as("degree"))
+      .agg(count(lit(1)).as("n_ends"), sum(col("y")).as("sum_nbr"))
+      .select(col("degree"), col("n_ends"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_nbr) div n_ends
+               AS BIGINT)""").as("knn_ppm"))
+      .orderBy("degree")
+  }
+
   /** Per-node local clustering coefficient (Watts–Strogatz 1998):
     * for every node with undirected degree d ≥ 2,
     * lcc_ppm = ⌊2·10⁶·t(v) / (d·(d−1))⌋ where t(v) counts the

@@ -821,6 +821,38 @@ object TextAnalysis {
       .orderBy("doc_id", "pos")
   }
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): docs split
+    * into head / middle / tail by the corpus TERCILES of their
+    * unigram cross-entropy — the classic "train on head+middle, drop
+    * tail" quality gate. The tercile cuts come from a centi-nat CE
+    * histogram cum-crossed at n/3 and 2n/3 (the RFM quartile
+    * discipline — no global ntile window ever sees the corpus; the
+    * histogram is ≤ a few thousand rows at any size since CE lives
+    * in [0, ~20] nats). ce2 = ⌊100·ce⌋ on the 4-dp CE contract
+    * double, identical on both engines. Returns (bucket, n_docs,
+    * n_tokens). */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val ced = unigramCrossEntropy(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("ce") * 100).cast("long").as("ce2"))
+      .localCheckpoint(true)
+    val hist = ced.groupBy("ce2").agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val n = hist.agg(coalesce(sum("c"), lit(0L)).as("n"))
+    val cum = hist.withColumn("cum",
+        sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("ce2")))
+      .crossJoin(broadcast(n))
+    val cut1 = cum.filter(col("cum") * 3 >= col("n")).agg(min("ce2").as("cut1"))
+    val cut2 = cum.filter(col("cum") * 3 >= col("n") * 2).agg(min("ce2").as("cut2"))
+    ced.crossJoin(broadcast(cut1)).crossJoin(broadcast(cut2))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("ce2") <= col("cut1"), "head")
+          .when(col("ce2") <= col("cut2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("bucket")
+  }
+
   /** Per-source corpus profile — the one-pager a mixture designer
     * reads before weighting sources: doc count, char and token mass
     * (the text_tokens BPE regex contract), floor-mean tokens/doc,

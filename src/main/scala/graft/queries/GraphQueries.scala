@@ -396,6 +396,12 @@ object GraphQueries {
     Ranking.closeness(e, starts, maxDepth = 3).orderBy("node")
   }
 
+  /** C42 average-neighbor-degree curve k_nn(d)
+    * (Ranking.neighborDegreeCurve) — the function behind C19's
+    * assortativity scalar. */
+  def graphKnnDegree(s: SparkSession, d: String): DataFrame =
+    Ranking.neighborDegreeCurve(callEdges(s, d))
+
   /** C41 neighborhood-function ladder + effective-diameter read-off
     * over the closeness source sample (Ranking.neighborhoodLadder). */
   def graphEffDiameter(s: SparkSession, d: String): DataFrame = {

@@ -131,6 +131,8 @@ object PipelineEntries {
     "chunk_docs" -> ((s, d) => Sampling.chunkDocs(Tables.documents(s, d))),
     "shard_plan" -> ((s, d) => Sampling.shardPlan(Tables.documents(s, d))),
     "source_profile" -> ((s, d) => TextAnalysis.sourceProfile(Tables.documents(s, d))),
+    "text_ppl_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
     "source_similarity" -> ((s, d) => Dedup.sourceSimilarity(Tables.documents(s, d))),
     "dedup_inflation" -> ((s, d) => Dedup.dedupInflation(Tables.documents(s, d))),
     "embed_knn_purity" -> ((s, d) =>
@@ -2015,6 +2017,34 @@ object PipelineEntries {
          |SELECT doc_id, n_tokens, ll_sum,
          |       floor(ll_sum / n_tokens * 10000 + 0.5) / 10000 AS ce
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // CCNet perplexity terciles: the unigram-CE chain, a centi-nat
+    // histogram cum-crossed at n/3 and 2n/3, bucket rollup.
+    "text_ppl_buckets" ->
+      s"""WITH $TOK,
+         |$TF,
+         |lm AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM lm),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |         round(SUM(tf * ln(CAST(t AS DOUBLE) / ctf)), 4) AS ll_sum
+         |  FROM tf JOIN lm USING (token), tt
+         |  GROUP BY 1),
+         |ced AS MATERIALIZED (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(floor((floor(ll_sum / n_tokens * 10000 + 0.5) / 10000)
+         |              * 100) AS BIGINT) AS ce2
+         |  FROM agg),
+         |hist AS (SELECT ce2, COUNT(*) AS c FROM ced GROUP BY 1),
+         |nn AS (SELECT SUM(c) AS n FROM hist),
+         |cum AS (SELECT ce2, SUM(c) OVER (ORDER BY ce2) AS cum FROM hist),
+         |c1 AS (SELECT MIN(ce2) AS cut1 FROM cum, nn WHERE cum * 3 >= n),
+         |c2 AS (SELECT MIN(ce2) AS cut2 FROM cum, nn WHERE cum * 3 >= 2 * n)
+         |SELECT CASE WHEN ce2 <= cut1 THEN 'head'
+         |            WHEN ce2 <= cut2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM ced, c1, c2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // Product quantization: two independent per-subspace Lloyd chains
     // (the kmeansCtes contract restricted to each dim range) + a final
     // assignment emitting (code, exact integer distance).

@@ -280,6 +280,16 @@ class RankingSpec extends AnyFunSuite {
     assert(sq.getLong(0) == 0L && sq.getLong(2) == 0L)
   }
 
+  test("neighborDegreeCurve: star graph hub sees leaves, leaves see hub") {
+    // star 1—{2,3,4}: hub degree 3 with three degree-1 neighbors →
+    // knn(3) = 10⁶; each leaf's single neighbor is the hub →
+    // knn(1) = 3·10⁶
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L))
+    val r = Ranking.neighborDegreeCurve(g).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(1L -> ((3L, 3000000L)), 3L -> ((3L, 1000000L))), s"$r")
+  }
+
   test("neighborhoodLadder: path graph cumulative pair counts and ppm") {
     import spark.implicits._
     // path 1->2->3->4, start at 1: depth 1 → {2}, depth 2 → {3},

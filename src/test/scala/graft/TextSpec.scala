@@ -399,6 +399,18 @@ class TextSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(r1.values.forall(_ == 0L), s"df=3 < n_docs=4 must not be common: $r1")
   }
+  test("perplexityBuckets: common-token docs head, rare-token docs tail") {
+    // CE ordering by construction: "a a a" (tf 6 of 14) ≈ 0.85 nat <
+    // "b c" ≈ 1.95 < unique-token docs ≈ 2.64 — terciles split the
+    // six docs 2/2/2 with token masses 6/4/4
+    val d = docs((1L, "a a a"), (2L, "a a a"), (3L, "b c"), (4L, "b c"),
+      (5L, "x y"), (6L, "z w"))
+    val r = graft.pipeline.TextAnalysis.perplexityBuckets(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      "head" -> ((2L, 6L)), "middle" -> ((2L, 4L)), "tail" -> ((2L, 4L))), s"$r")
+  }
+
   test("tokenizer fertility: regex tokens per whitespace word per lang") {
     import spark.implicits._
     // "a-b c": 2 whitespace words but 3 alnum-run tokens -> 1.5 fertility
