@@ -605,8 +605,14 @@ object Components {
     * The depth bound is the documented production compromise (the
     * closeness/ecc discipline); both engines replay the same bound.
     */
-  def bowTie(edges: DataFrame, maxDepth: Int = 8): DataFrame = {
-    val scc = stronglyConnected(edges).localCheckpoint(true)
+  def bowTie(edges: DataFrame, maxDepth: Int = 8): DataFrame =
+    bowTieFrom(stronglyConnected(edges).localCheckpoint(true), edges, maxDepth)
+
+  /** [[bowTie]] body over a PREPARED (node, scc_id) frame — an engine
+    * serving both the SCC query and its bow-tie rollup computes the
+    * SCC once and feeds it here (the modularityOf sharing
+    * discipline). */
+  def bowTieFrom(scc: DataFrame, edges: DataFrame, maxDepth: Int = 8): DataFrame = {
     val core1 = scc.groupBy("scc_id").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("scc_id")).limit(1).select("scc_id")
     val coreNodes = scc.join(broadcast(core1), Seq("scc_id"))

@@ -196,13 +196,24 @@ object GraphQueries {
     * graph (mutual recursion at ANY depth — the unbounded complement
     * of recursionGroups' bounded radius): FW-coloring + trim,
     * Components.stronglyConnected. scc_id = min member id. */
+  /** One materialized SCC labeling per (session, dir) — the C30
+    * result is consumed by both the SCC query and the C40 bow-tie
+    * rollup, so the FW-coloring fixpoint runs once (the commMemo
+    * pattern; same immutable-testdata-dir constraint). */
+  private val sccMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sccLabels(s: SparkSession, d: String): DataFrame =
+    sccMemo.getOrElseUpdate((s, d),
+      Components.stronglyConnected(callEdges(s, d)).localCheckpoint(true))
+
   def graphScc(s: SparkSession, d: String): DataFrame =
-    Components.stronglyConnected(callEdges(s, d)).orderBy("node")
+    sccLabels(s, d).orderBy("node")
 
   /** C40 bow-tie macro structure relative to the giant SCC
-    * (Components.bowTie): core / in / out / other node counts. */
+    * (Components.bowTieFrom over the shared SCC memo): core / in /
+    * out / other node counts. */
   def graphBowTie(s: SparkSession, d: String): DataFrame =
-    Components.bowTie(callEdges(s, d))
+    Components.bowTieFrom(sccLabels(s, d), callEdges(s, d))
 
   /** C7 PageRank over the call graph: function importance ranking
     * (3 power iterations, scaled formulation — Ranking.pageRank). */
