@@ -99,9 +99,14 @@ object Sketches {
       .withColumn("rho",
         when(col("w") === 0, lit(RhoCap))
           .otherwise(least(bit_count(expr("w & -w") - 1) + 1, lit(RhoCap))))
+    // the register maxes are the ONLY corpus-sized pass; the dense
+    // spine's group list comes from the aggregated frame (≤ 256 rows
+    // per group — every group has ≥ 1 bucket row), not a second
+    // corpus-wide distinct scan
     val maxes = withRho.groupBy(col(group), col("bucket"))
       .agg(max(col("rho")).as("m_rho"))
-    val spine = withRho.select(col(group)).distinct()
+      .localCheckpoint(true)
+    val spine = maxes.select(col(group)).distinct()
       .crossJoin(spark.range(HllM).select(col("id").cast("long").as("bucket")))
     spine.join(maxes, Seq(group, "bucket"), "left")
       .select(col(group), col("bucket"),

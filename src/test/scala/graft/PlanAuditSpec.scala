@@ -291,4 +291,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
       s"pair join re-derives the capped edges instead of reusing them:\n$p")
   }
+
+  test("shard_plan scans documents once: the total rides the checkpointed shard aggregate") {
+    val p = planOf("shard_plan")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1 &&
+      "Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"share denominator re-scans the corpus instead of the 64-row aggregate:\n$p")
+  }
+
+  test("source_profile scans documents once (the (source, lang) frame serves everything)") {
+    val p = planOf("source_profile")
+    assert(!p.contains("Scan parquet") &&
+      "Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"profile re-scans the corpus instead of the checkpointed (source, lang) agg:\n$p")
+  }
+
+  test("events_heavy verifies candidates through a broadcast semi join") {
+    val p = planOf("events_heavy")
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined ||
+      "BroadcastHashJoin LeftSemi".r.findFirstIn(p).isDefined,
+      s"candidate filter must be a broadcast semi join, never a shuffle:\n$p")
+  }
+
+  test("events_hll_overlap builds registers in ONE corpus pass (spine from the aggregate)") {
+    val p = planOf("events_hll_overlap")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
+      s"register algebra must not re-scan events:\n$p")
+  }
 }
