@@ -144,7 +144,8 @@ object SparkEntry {
     "graph_lcc" -> ((s, d) => GraphQueries.graphLcc(s, d)),
     "graph_bowtie" -> ((s, d) => GraphQueries.graphBowTie(s, d)),
     "graph_effdiam" -> ((s, d) => GraphQueries.graphEffDiameter(s, d)),
-    "graph_knn_degree" -> ((s, d) => GraphQueries.graphKnnDegree(s, d))
+    "graph_knn_degree" -> ((s, d) => GraphQueries.graphKnnDegree(s, d)),
+    "graph_sparsify" -> ((s, d) => GraphQueries.graphSparsify(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -1054,6 +1055,26 @@ object SparkEntry {
         |            // (dg.d::HUGEINT * (dg.d - 1)) AS BIGINT) AS lcc_ppm
         |FROM dg LEFT JOIN pn ON dg.n = pn.n
         |WHERE dg.d >= 2 ORDER BY node""".stripMargin,
+    // Top-k out-edge sparsifier: the window replay of the partial
+    // top-k aggregate (integer weights quantize monotonically, so the
+    // (weight desc, dst) orders agree exactly).
+    "graph_sparsify" ->
+      s"""WITH ew AS (
+        |  SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst,
+        |         CAST(COUNT(*) AS BIGINT) AS weight
+        |  FROM lineitem GROUP BY 1, 2),
+        |st AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |         CAST(SUM(weight) AS BIGINT) AS w_total
+        |  FROM ew GROUP BY 1),
+        |rk AS (
+        |  SELECT src, dst, weight,
+        |         CAST(row_number() OVER (PARTITION BY src
+        |           ORDER BY weight DESC, dst) AS BIGINT) AS rnk
+        |  FROM ew)
+        |SELECT rk.src, rk.dst, rk.weight, rk.rnk, st.n_edges, st.w_total
+        |FROM rk JOIN st USING (src) WHERE rk.rnk <= 4
+        |ORDER BY src, rnk""".stripMargin,
     // Call-frequency-weighted PageRank: the `ew` weights are the
     // per-(caller, callee) call-site counts from the same scan.
     "graph_pagerank_w" ->

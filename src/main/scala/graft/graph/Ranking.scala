@@ -1068,6 +1068,29 @@ object Ranking {
       .orderBy("depth")
   }
 
+  /** Top-k out-edge sparsifier — the volume reducer that runs BEFORE
+    * expensive graph analytics at 100 TB: keep each node's k heaviest
+    * out-edges (weight desc, dst asc — the rankTopK tie contract),
+    * annotated with the node's full out-degree and total out-weight
+    * so the consumer can see exactly what the cut discarded. The
+    * per-node cut is the PARTIAL top-k aggregate
+    * (graft.functions.TopKAgg): every map task combines down to k
+    * rows per node before the shuffle, where the window/row_number
+    * formulation (what the oracle replays) first shuffles every edge
+    * into one sorted partition per node. Integer weights quantize
+    * monotonically, so the two rankings cannot diverge. */
+  def sparsifyTopK(wEdges: DataFrame, k: Int = 4): DataFrame =
+    wEdges.groupBy("src")
+      .agg(graft.functions.TopKAgg.topK(
+          col("weight").cast("double"), col("dst"), k).as("top"),
+        count(lit(1)).as("n_edges"), sum("weight").as("w_total"))
+      .select(col("src"), col("n_edges"), col("w_total"), posexplode(col("top")))
+      .select(col("src"), col("col.id").as("dst"),
+        col("col.score").cast("long").as("weight"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("n_edges"), col("w_total"))
+      .orderBy("src", "rnk")
+
   /** Average-neighbor-degree curve k_nn(d) (Pastor-Satorras et al.
     * 2001) — the FUNCTION the single assortativity scalar (C19)
     * summarizes: per undirected degree d, the number of edge ends at

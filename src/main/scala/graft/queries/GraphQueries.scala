@@ -232,6 +232,16 @@ object GraphQueries {
     Ranking.pageRankWeighted(w).orderBy("node")
   }
 
+  /** C43 top-k out-edge sparsifier over the call-frequency weights
+    * (Ranking.sparsifyTopK): each function's 4 hottest callees +
+    * what the cut discarded. */
+  def graphSparsify(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+    Ranking.sparsifyTopK(w, k = 4)
+  }
+
   /** C8 triangle count: callgraph clustering structure via
     * degree-ordered wedge join (Ranking.triangleCount). */
   def graphTriangles(s: SparkSession, d: String): DataFrame =

@@ -280,6 +280,20 @@ class RankingSpec extends AnyFunSuite {
     assert(sq.getLong(0) == 0L && sq.getLong(2) == 0L)
   }
 
+  test("sparsifyTopK: keeps the k heaviest out-edges, reports the cut") {
+    import spark.implicits._
+    val w = Seq((1L, 10L, 5L), (1L, 11L, 3L), (1L, 12L, 1L), (2L, 10L, 7L))
+      .toDF("src", "dst", "weight")
+    val r = Ranking.sparsifyTopK(w, k = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(3)) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(4), x.getLong(5)))).toMap
+    // node 1: keeps (10, w5) then (11, w3); drops (12, w1); totals 3 edges / 9 weight
+    assert(r == Map(
+      (1L, 1L) -> ((10L, 5L, 3L, 9L)),
+      (1L, 2L) -> ((11L, 3L, 3L, 9L)),
+      (2L, 1L) -> ((10L, 7L, 1L, 7L))), s"$r")
+  }
+
   test("neighborDegreeCurve: star graph hub sees leaves, leaves see hub") {
     // star 1—{2,3,4}: hub degree 3 with three degree-1 neighbors →
     // knn(3) = 10⁶; each leaf's single neighbor is the hub →
