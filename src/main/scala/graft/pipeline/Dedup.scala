@@ -469,6 +469,26 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Cross-source near-duplication matrix: per unordered source
+    * pair, how many D2 near-dup pairs (est_jaccard ≥ τ) straddle
+    * them — WHERE the corpus's duplication lives (a heavy diagonal =
+    * within-crawl boilerplate; heavy off-diagonals = mirrored
+    * crawls, the thing [[sourceSimilarity]] screens for and this
+    * quantifies at document grain). The pair frame is near-dup-sized
+    * (tiny vs the corpus); two doc-keyed source joins + one
+    * |sources|²-row agg. */
+  def crossSourceDuplication(docs: DataFrame,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashLsh(docs).filter(col("est_jaccard") >= minEstJaccard)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Corpus token inflation from near-duplication — "how many tokens
     * does dedup buy": over the [[clusters]] partition with the min-id
     * canonical (the D17 convention), the removable mass is every

@@ -853,6 +853,18 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Language-ID evaluation: the confusion matrix of the D8 n-gram
+    * heuristic's prediction against the corpus's ground-truth `lang`
+    * column — the calibration read that decides whether the cheap
+    * classifier is good enough to stratify on. One langId pass + one
+    * doc-keyed join + a |langs|²-row agg; docs the tokenizer yields
+    * no tokens for are absent on BOTH engines (same tok frame). */
+  def langIdConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_pred")
+
   /** Per-source corpus profile — the one-pager a mixture designer
     * reads before weighting sources: doc count, char and token mass
     * (the text_tokens BPE regex contract), floor-mean tokens/doc,

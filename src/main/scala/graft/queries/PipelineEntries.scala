@@ -133,6 +133,12 @@ object PipelineEntries {
     "source_profile" -> ((s, d) => TextAnalysis.sourceProfile(Tables.documents(s, d))),
     "text_ppl_buckets" -> ((s, d) =>
       TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
+    "text_langid_confusion" -> ((s, d) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, d))),
+    "dedup_cross_source" -> ((s, d) =>
+      Dedup.crossSourceDuplication(Tables.documents(s, d))),
+    "events_tenure" -> ((s, d) =>
+      TemporalOps.userTenure(graft.streaming.EventStreams.events(s, d))),
     "source_similarity" -> ((s, d) => Dedup.sourceSimilarity(Tables.documents(s, d))),
     "dedup_inflation" -> ((s, d) => Dedup.dedupInflation(Tables.documents(s, d))),
     "embed_knn_purity" -> ((s, d) =>
@@ -2017,6 +2023,60 @@ object PipelineEntries {
          |SELECT doc_id, n_tokens, ll_sum,
          |       floor(ll_sum / n_tokens * 10000 + 0.5) / 10000 AS ce
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // Language-ID confusion matrix: the text_langid prediction CTE
+    // joined against the corpus's ground-truth lang column.
+    "text_langid_confusion" ->
+      s"""WITH $TOK,
+         |pred AS (
+         |  SELECT doc_id,
+         |         CASE WHEN stopword_ratio >= 0.05 THEN 'en'
+         |              ELSE 'unknown' END AS lang_pred
+         |  FROM (
+         |    SELECT doc_id,
+         |           round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |             THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |    FROM tok GROUP BY doc_id))
+         |SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Cross-source near-dup matrix: the dedup_minhash est chain with
+    // the 0.5 threshold, folded onto unordered source pairs.
+    "dedup_cross_source" ->
+      s"""WITH $TOK,
+         |$SH,
+         |mh AS (
+         |  $minhashUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM mh x JOIN mh y
+         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b,
+         |         round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+         |           / ${TextOps.MinhashA.length}.0, 4) AS est_jaccard
+         |  FROM cand
+         |  JOIN mh a ON doc_a = a.doc_id
+         |  JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+         |  GROUP BY 1, 2)
+         |SELECT least(da.source, db.source) AS src_a,
+         |       greatest(da.source, db.source) AS src_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM est
+         |JOIN documents da ON est.doc_a = da.doc_id
+         |JOIN documents db ON est.doc_b = db.doc_id
+         |WHERE est.est_jaccard >= 0.5
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Per-user tenure: one user-keyed agg, integer day floors.
+    "events_tenure" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MIN(epoch_ms(ts)) AS BIGINT) AS first_ms,
+        |       CAST(MAX(epoch_ms(ts)) AS BIGINT) AS last_ms,
+        |       (MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) // 86400000
+        |         AS tenure_days,
+        |       (1000000 * COUNT(*)) //
+        |         ((MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) // 86400000 + 1)
+        |         AS per_day_ppm
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     // CCNet perplexity terciles: the unigram-CE chain, a centi-nat
     // histogram cum-crossed at n/3 and 2n/3, bucket rollup.
     "text_ppl_buckets" ->

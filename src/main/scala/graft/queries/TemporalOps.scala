@@ -788,4 +788,22 @@ object TemporalOps {
                * 1000000 + 0.5) AS BIGINT)""")).as("acf_ppm"))
       .orderBy("lag")
   }
+
+  /** Per-user tenure profile: first/last activity (epoch ms), whole
+    * tenure days (floor), and activity density as exact ppm events
+    * per active-window day (+1 so single-event users divide by one
+    * day, not zero) — the retention-cohort denominator and churn
+    * screen in one pass. ONE map-side-combinable user-keyed agg; all
+    * integer arithmetic (unix_millis ≡ DuckDB epoch_ms). */
+  def userTenure(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ms").as("first_ms"), max("ms").as("last_ms"))
+      .select(col("user_id"), col("n_events"), col("first_ms"), col("last_ms"),
+        expr("(last_ms - first_ms) div 86400000").as("tenure_days"),
+        expr("""(1000000 * n_events) div
+             ((last_ms - first_ms) div 86400000 + 1)""").as("per_day_ppm"))
+      .orderBy("user_id")
 }

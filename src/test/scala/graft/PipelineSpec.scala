@@ -345,6 +345,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.values.forall(_ == 1.0))
   }
 
+  test("langIdConfusion: stopword-heavy docs predict en, others unknown") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the of and to in", "en"),
+      (2L, "qqq www zzz", "de"),
+      (3L, "the and or", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.pipeline.TextAnalysis.langIdConfusion(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("en", "en") -> 2L, ("de", "unknown") -> 1L), s"$r")
+  }
+
+  test("crossSourceDuplication: a twin straddling sources lands in the cross cell") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again"
+    val d = Seq((1L, t, "web"), (2L, t, "books"),
+      (3L, "totally different content here with many words", "web"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.pipeline.Dedup.crossSourceDuplication(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("books", "web") -> 1L), s"$r")
+  }
+
   test("sourceProfile: per-source masses, majority language, floor mean") {
     import spark.implicits._
     val d = Seq(

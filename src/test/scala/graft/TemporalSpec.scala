@@ -23,6 +23,21 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 5L, None)))         // nothing at or before 5
   }
 
+  test("userTenure: day floors and per-day density, single-event guard") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val d0 = 1700000000000L
+    // user 1: 3 events across 2.5 days → floor tenure 2, density
+    // 10⁶·3/(2+1) = 10⁶; user 2: one event → 0 days, 10⁶·1/1
+    val ev = Seq((1L, t(d0)), (1L, t(d0 + 86400000L)),
+      (1L, t(d0 + 216000000L)), (2L, t(d0))).toDF("user_id", "ts")
+    val r = TemporalOps.userTenure(ev).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(4), x.getLong(5))))
+      .toMap
+    assert(r == Map(1L -> ((3L, 2L, 1000000L)), 2L -> ((1L, 0L, 1000000L))),
+      s"$r")
+  }
+
   test("integer z-score anomalies: spike flagged, constant series silent") {
     import spark.implicits._
     // user 1: three 1.00s and one 100.00 — the spike's z ≈ 1.73·(spread)
