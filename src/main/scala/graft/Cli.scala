@@ -18,7 +18,7 @@ import graft.queries.GraphQueryEngine
   * graft.Cli --store /warehouse query callgraph main --max-depth 3
   * graft.Cli --store /warehouse query call-path main --show-paths|--show-sequences|--show-upward|--show-context
   * graft.Cli --store /warehouse query xrefs 0x401000
-  * graft.Cli --store /warehouse query analytics components|pagerank|kcore|triangles|communities|reach|betweenness|closeness|shape  (extension)
+  * graft.Cli --store /warehouse query analytics components|pagerank|kcore|triangles|communities|reach|betweenness|closeness|shape|modularity|walks|bowtie|lcc|sparsify  (extension)
   * graft.Cli --store /warehouse database init|stats|export <dir>|clear --confirm
   * }}}
   *
@@ -188,10 +188,19 @@ object Cli {
             emit(engine.walks(b,
               opt(args, "--max-depth").map(_.toInt).getOrElse(6),
               sampleOpt(args)).limit(limit))
+          case "bowtie" =>
+            emit(engine.bowTie(b,
+              opt(args, "--max-depth").map(_.toInt).getOrElse(8)))
+          case "lcc" => emit(engine.localClustering(b).limit(limit))
+          case "sparsify" =>
+            val k = opt(args, "--k").map(s =>
+              s.toIntOption.filter(_ >= 1).getOrElse(
+                sys.error(s"--k must be a positive integer, got '$s'"))).getOrElse(4)
+            emit(engine.sparsify(b, k).limit(limit))
           case other => sys.error(
             s"unknown analytics '$other' (expected components, pagerank, kcore, " +
               "triangles, communities, reach, betweenness, closeness, shape, " +
-              "modularity, or walks)")
+              "modularity, walks, bowtie, lcc, or sparsify)")
         }
       case Seq("database", "stats", _*) =>
         emit(engine.stats())

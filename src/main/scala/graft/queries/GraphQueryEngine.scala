@@ -382,6 +382,39 @@ class GraphQueryEngine(g: BinaryGraph) {
   def modularity(binary: Option[String] = None, rounds: Int = 4): DataFrame =
     graft.graph.Components.modularity(withIds(binary)._2, rounds)
 
+  /** Macro architecture: bow-tie decomposition relative to the giant
+    * SCC ([[graft.graph.Components.bowTie]]) — core = the
+    * mutually-recursive engine, in = drivers, out = leaf utilities,
+    * other = peripheral code. Four summary rows. */
+  def bowTie(binary: Option[String] = None, depth: Int = 8): DataFrame =
+    graft.graph.Components.bowTie(withIds(binary)._2, depth)
+
+  /** Per-function local clustering
+    * ([[graft.graph.Ranking.localClustering]]): how clique-like each
+    * function's call neighborhood is, most clustered first. */
+  def localClustering(binary: Option[String] = None): DataFrame = {
+    val (ids, e) = withIds(binary)
+    graft.graph.Ranking.localClustering(e)
+      .join(ids, col("node") === col("id"))
+      .select(col("uid"), col("degree"), col("n_tri"), col("lcc_ppm"))
+      .orderBy(col("lcc_ppm").desc, col("uid"))
+  }
+
+  /** Hot-callee sparsification
+    * ([[graft.graph.Ranking.sparsifyTopK]]): each function's `k`
+    * heaviest call edges by call-site count, with the full
+    * out-degree/out-weight so the cut's loss is visible. */
+  def sparsify(binary: Option[String] = None, k: Int = 4): DataFrame = {
+    val (ids, e) = withIds(binary)
+    val w = e.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+    graft.graph.Ranking.sparsifyTopK(w, k)
+      .join(ids.select(col("id").as("src"), col("uid").as("caller_uid")), "src")
+      .join(ids.select(col("id").as("dst"), col("uid").as("callee_uid")), "dst")
+      .select(col("caller_uid"), col("callee_uid"), col("weight"), col("rnk"),
+        col("n_edges"), col("w_total"))
+      .orderBy("caller_uid", "rnk")
+  }
+
   /** Deterministic walk corpus from every `samplePeriod`-th caller
     * ([[graft.graph.Traversal.randomWalks]]) — the graph-embedding
     * sampling pass, reproducible run-to-run; uids mapped back per

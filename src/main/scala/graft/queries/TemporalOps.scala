@@ -402,12 +402,21 @@ object TemporalOps {
     * the shuffle carries bins, not rows. Requires non-negative
     * values (integer `div` vs `//` disagree on negative floors).
     */
-  def quantileSketch(events: DataFrame, binCents: Long = 100L): DataFrame = {
-    val bins = events
-      .select(col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      .withColumn("bin", expr(s"cents div $binCents"))
-      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+  def quantileSketch(events: DataFrame, binCents: Long = 100L): DataFrame =
+    quantilesFromBins(
+      events
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("bin", expr(s"cents div $binCents"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c")),
+      binCents)
+
+  /** The quantile read-off over a prepared (event_type, bin, c)
+    * histogram — shared VERBATIM by the batch sketch and the
+    * streaming deployment (the burstFlags pattern: the streaming
+    * state IS the mergeable bin histogram; each micro-batch replays
+    * this tail over it, so parity cannot drift). */
+  def quantilesFromBins(bins: DataFrame, binCents: Long = 100L): DataFrame = {
     val cum = bins
       .withColumn("cum",
         sum(col("c")).over(Window.partitionBy("event_type").orderBy("bin")))

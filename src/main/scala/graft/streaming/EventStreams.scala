@@ -417,6 +417,30 @@ object EventStreams {
         col("close_cents"), col("n_events"))
   }
 
+  /** Streaming twin of [[graft.queries.TemporalOps.quantileSketch]]:
+    * the per-(type, cent-bin) counts are an ordinary complete-mode
+    * streaming aggregation, so the ENTIRE live state is the
+    * ≤ types·bins mergeable histogram — never raw values; each
+    * micro-batch replays the shared
+    * [[graft.queries.TemporalOps.quantilesFromBins]] read-off over
+    * it (the streamingBucketCounts/burstFlags deployment shape). */
+  def streamingQuantileBins(s: SparkSession, dir: String,
+      binCents: Long = 100L): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the windowed twins drop the base-dir glob's foreign-table rows
+    // implicitly (their window(ts) key nulls out); this GLOBAL
+    // grouping must drop them explicitly or a foreign row becomes a
+    // null state key (events.parquet is a single file, so the source
+    // must still point at the directory)
+    normalizeTs(s.readStream.schema(schema).parquet(dir))
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("bin", expr(s"cents div $binCents"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+  }
+
   /** The enrich+aggregate core shared VERBATIM by the batch entry and
     * the streaming deployment (the rankWindows pattern — one body, two
     * execution modes), so batch/stream parity can't drift apart. No

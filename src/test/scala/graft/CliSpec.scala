@@ -124,6 +124,13 @@ class CliSpec extends AnyFunSuite {
     val sh = capture("query", "analytics", "shape")
     assert(sh.contains("reciprocity_ppm") && sh.contains("clustering_ppm")
       && sh.contains("assortativity"))
+    val bw = capture("query", "analytics", "bowtie")
+    assert(bw.contains("component") && bw.contains("n_nodes"))
+    val lc = capture("query", "analytics", "lcc", "--limit", "5")
+    assert(lc.contains("lcc_ppm") && lc.linesIterator.next().startsWith("uid"))
+    val sp = capture("query", "analytics", "sparsify", "--k", "2",
+      "--limit", "5")
+    assert(sp.contains("caller_uid") && sp.contains("w_total"))
   }
 
   test("csv quoting escapes commas and quotes") {

@@ -72,6 +72,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch (foreachBatch over bin histogram) == batch sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.TemporalOps
+      .quantileSketch(EventStreams.events(spark, dir))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    var last: Map[String, (Long, Long, Long, Long)] = Map.empty
+    val q = EventStreams.streamingQuantileBins(spark, dir)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        last = graft.queries.TemporalOps.quantilesFromBins(df)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(last.nonEmpty && last == batch)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrich == batch enrich") {
     val dir = "/root/testdata/sf0.001"
     val batch = EventStreams.enrichByNation(
