@@ -188,6 +188,30 @@ object Multimodal {
       .orderBy("format")
   }
 
+  /** Rank-selected payload-size percentiles per format — the
+    * storage-planning profile of a multimodal ingest (row-group
+    * sizing, CDN cache tiers). Median = the ⌊(n+1)/2⌋-th and p90 =
+    * the ⌈9n/10⌉-th smallest byte_len, ties broken by doc_id (the
+    * events_mad selection discipline: never interpolation, so the
+    * engines' percentile contracts never meet). One decode pass +
+    * one per-format window over the meta frame. */
+  def sizeProfile(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("format").orderBy(col("byte_len"), col("doc_id"))
+    decodeMeta(spark, docs).toDF()
+      .select(col("format"), col("doc_id"), col("byte_len"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("format")))
+      .groupBy("format")
+      .agg(max("n").cast("long").as("n"),
+        min("byte_len").as("min_bytes"), max("byte_len").as("max_bytes"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("byte_len")))
+          .as("med_bytes"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("byte_len")))
+          .as("p90_bytes"))
+      .orderBy("format")
+  }
+
   /** BYTE-LEVEL exact dedup over the binary payload column — the
     * asset-dedup step a multimodal ingest runs before any decode
     * (identical files are the dominant duplicate class in crawled

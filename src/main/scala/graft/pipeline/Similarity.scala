@@ -109,6 +109,34 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Per-dimension coordinate profile of the quantized embedding
+    * space: floor-mean and exact integer variance per dimension —
+    * the flat-dimension screen run before trusting projections or
+    * PCA budgets (a dim whose variance ≈ 0 carries nothing). One
+    * corpus pass folds into 2·dim agg columns (long sum +
+    * DECIMAL(38,0) square sum — qx² sums wrap a long at corpus
+    * scale); the n·Σx²−S² variance is exact, divided once by n² into
+    * q² units. Output is dim rows. */
+  def dimProfile(emb: DataFrame): DataFrame = {
+    val q = emb.select(quantize(asDouble(col("embedding"))).as("qv"))
+    val dim = q.select(size(col("qv"))).head().getInt(0)
+    val aggs = (0 until dim).flatMap(i => Seq(
+      sum(col("qv")(i)).as(s"_s$i"),
+      sum(expr(s"CAST(element_at(qv, ${i + 1}) AS DECIMAL(38,0)) " +
+        s"* element_at(qv, ${i + 1})")).as(s"_q$i")))
+    val allAggs = count(lit(1)).as("_n") +: aggs
+    q.agg(allAggs.head, allAggs.tail: _*)
+      .select(explode(array((0 until dim).map(i =>
+        struct(lit(i.toLong).as("dim"),
+          floor(col(s"_s$i") / col("_n")).cast("long").as("mean_q"),
+          expr(s"""CAST((CAST(_n AS DECIMAL(38,0)) * _q$i -
+               CAST(_s$i AS DECIMAL(38,0)) * _s$i) div
+               (CAST(_n AS DECIMAL(38,0)) * _n) AS BIGINT)""").as("var_q"))): _*))
+        .as("d"))
+      .select(col("d.dim"), col("d.mean_q"), col("d.var_q"))
+      .orderBy("dim")
+  }
+
   /** Per-label mean-direction drift: the mean quantized vector per
     * label (exact long sums + one floor-divide per dim — the Lloyd
     * centroid contract, so means are integer-identical across

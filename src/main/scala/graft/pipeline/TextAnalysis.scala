@@ -853,6 +853,23 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Power-of-two document-length histogram — the sequence-packing
+    * planner's length profile (which context budget wastes least
+    * padding): bucket = index of n_bpe_tokens' highest set bit,
+    * computed as length(bin(n)) − 1 — a pure codegen integer on both
+    * engines, no float log2 anywhere; zero-token docs land in bucket
+    * −1. Map-only to a ≤ 64-row histogram. */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n"))
+      .select(when(col("n") === 0, lit(-1L))
+        .otherwise((length(bin(col("n"))) - 1).cast("long")).as("bucket_log2"),
+        col("n"))
+      .groupBy("bucket_log2")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .orderBy("bucket_log2")
+
   /** Language-ID evaluation: the confusion matrix of the D8 n-gram
     * heuristic's prediction against the corpus's ground-truth `lang`
     * column — the calibration read that decides whether the cheap

@@ -139,6 +139,10 @@ object PipelineEntries {
       Dedup.crossSourceDuplication(Tables.documents(s, d))),
     "events_tenure" -> ((s, d) =>
       TemporalOps.userTenure(graft.streaming.EventStreams.events(s, d))),
+    "multimodal_sizes" -> ((s, d) => Multimodal.sizeProfile(s, Tables.documents(s, d))),
+    "text_length_hist" -> ((s, d) =>
+      TextAnalysis.lengthHistogram(Tables.documents(s, d))),
+    "embed_dims" -> ((s, d) => Similarity.dimProfile(Tables.embeddings(s, d))),
     "source_similarity" -> ((s, d) => Dedup.sourceSimilarity(Tables.documents(s, d))),
     "dedup_inflation" -> ((s, d) => Dedup.dedupInflation(Tables.documents(s, d))),
     "embed_knn_purity" -> ((s, d) =>
@@ -1889,6 +1893,58 @@ object PipelineEntries {
         |       CAST(SUM(sample_rate) // COUNT(*) AS BIGINT) AS avg_rate,
         |       CAST(SUM(channels) // COUNT(*) AS BIGINT) AS avg_channels
         |FROM meta GROUP BY 1 ORDER BY format""".stripMargin,
+    // Rank-selected payload-size percentiles per format: the
+    // multimodal_stats byte_len replay + the events_mad selection.
+    "multimodal_sizes" ->
+      """WITH meta AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CASE CAST(doc_id % 3 AS INTEGER)
+        |           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |         CAST(CASE WHEN doc_id % 3 = 0 THEN 45
+        |                   WHEN doc_id % 3 = 1 THEN 23
+        |                   ELSE 44 + (doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2
+        |              END AS BIGINT) AS byte_len
+        |  FROM documents),
+        |r AS (
+        |  SELECT format, byte_len,
+        |         row_number() OVER (PARTITION BY format
+        |           ORDER BY byte_len, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY format) AS n
+        |  FROM meta)
+        |SELECT format, CAST(MAX(n) AS BIGINT) AS n,
+        |       CAST(MIN(byte_len) AS BIGINT) AS min_bytes,
+        |       CAST(MAX(byte_len) AS BIGINT) AS max_bytes,
+        |       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN byte_len END)
+        |            AS BIGINT) AS med_bytes,
+        |       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN byte_len END)
+        |            AS BIGINT) AS p90_bytes
+        |FROM r GROUP BY 1 ORDER BY format""".stripMargin,
+    // Power-of-two length histogram: highest set bit via bin-string
+    // length on both engines.
+    "text_length_hist" ->
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_extract_all(lower(text),
+        |             '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT CASE WHEN n = 0 THEN -1
+        |            ELSE CAST(length(bin(n)) - 1 AS BIGINT) END AS bucket_log2,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY 1 ORDER BY bucket_log2""".stripMargin,
+    // Per-dimension mean/variance of the quantized coordinates:
+    // HUGEINT square sums, variance floored once into q² units.
+    "embed_dims" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |st AS (
+         |  SELECT i, COUNT(*) AS n, SUM(qx) AS s,
+         |         SUM(qx::HUGEINT * qx) AS q
+         |  FROM exq GROUP BY 1)
+         |SELECT CAST(i - 1 AS BIGINT) AS dim,
+         |       CAST(floor(s / n) AS BIGINT) AS mean_q,
+         |       CAST((n::HUGEINT * q - s::HUGEINT * s)
+         |            // (n::HUGEINT * n) AS BIGINT) AS var_q
+         |FROM st ORDER BY dim""".stripMargin,
     // Byte-level payload dedup: Spark groups on md5 of the real
     // container bytes; the oracle replays the equivalence classes
     // arithmetically (byte-equal iff (format, header params) equal —

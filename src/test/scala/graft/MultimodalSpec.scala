@@ -91,6 +91,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r("png")._2 > 0L && r("jpeg")._2 > 0L)
   }
 
+  test("sizeProfile: rank-selected percentiles, fixed-size formats degenerate") {
+    import spark.implicits._
+    // ids 0..5: png {0,3} both 45 B; jpeg {1,4} both 23 B;
+    // wav {2,5} = 44+(id%1000+1)(id%2+1)·2 → 50 and 68 B.
+    // n=2 each: med rank (2+1) div 2 = 1 (smallest), p90 rank
+    // (9·2+9) div 10 = 2 (largest).
+    val docs = (0L until 6L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val r = Multimodal.sizeProfile(spark, docs).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+      .toMap
+    assert(r("png") == ((2L, 45L, 45L, 45L, 45L)), s"$r")
+    assert(r("jpeg") == ((2L, 23L, 23L, 23L, 23L)), s"$r")
+    assert(r("wav") == ((2L, 50L, 68L, 50L, 68L)), s"$r")
+  }
+
   test("payload dedup: byte-identical payloads collapse, distinct ones don't") {
     import spark.implicits._
     // ids 0 and 1527 build byte-identical PNGs (1527 = lcm(3, 509):

@@ -393,6 +393,18 @@ class SimilaritySpec extends AnyFunSuite {
       "LSH recovered zero planted twins at cosine 0.96")
   }
 
+  test("dimProfile: hand means and exact variance, flat dim reads zero") {
+    import spark.implicits._
+    // dim 0: qx {1e6, 3e6} → mean 2e6, var = ((2·(1e12+9e12) − 16e12)/4)
+    //   = (20e12−16e12)/4 = 1e12; dim 1: both 0.5 → qx 5e5 flat, var 0
+    val d = Seq((1L, Seq(1.0f, 0.5f)), (2L, Seq(3.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.dimProfile(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) == ((2000000L, 1000000000000L)), s"$r")
+    assert(r(1L) == ((500000L, 0L)), s"$r")
+  }
+
   test("labelDrift: orthogonal label means near 0, aligned near 1") {
     import spark.implicits._
     // label 0 = x-axis cluster, label 1 = y-axis, label 2 = x-axis

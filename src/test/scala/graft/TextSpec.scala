@@ -399,6 +399,17 @@ class TextSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(r1.values.forall(_ == 0L), s"df=3 < n_docs=4 must not be common: $r1")
   }
+  test("lengthHistogram: highest-set-bit buckets, empty doc sentinel") {
+    // token counts: 1 → bucket 0; 2,3 → bucket 1; 5 → bucket 2;
+    // "" → 0 tokens → bucket −1
+    val d = docs((1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d e"), (5L, ""))
+    val r = graft.pipeline.TextAnalysis.lengthHistogram(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(-1L -> ((1L, 0L)), 0L -> ((1L, 1L)),
+      1L -> ((2L, 5L)), 2L -> ((1L, 5L))), s"$r")
+  }
+
   test("perplexityBuckets: common-token docs head, rare-token docs tail") {
     // CE ordering by construction: "a a a" (tf 6 of 14) ≈ 0.85 nat <
     // "b c" ≈ 1.95 < unique-token docs ≈ 2.64 — terciles split the
