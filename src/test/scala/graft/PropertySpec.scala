@@ -168,4 +168,61 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  test("property: MG-gated heavy hitters equal the brute-force threshold filter") {
+    import spark.implicits._
+    // keys drawn from a small skewed domain so hitters actually occur;
+    // k small enough that the MG candidate stage does real eviction
+    val keysGen = Gen.choose(20, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.const(1L), 3 -> Gen.const(2L), 1 -> Gen.choose(10L, 40L))))
+    check("heavy hitters")(Prop.forAll(keysGen, Gen.choose(3, 8)) { (ks, k) =>
+      val expected = ks.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k >= ks.size }.toMap
+      val got = graft.functions.Sketches
+        .heavyHitters(ks.toDF("user_id").repartition(5), "user_id", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    })
+  }
+
+  test("property: sparsifyTopK keeps exactly the window top-k with exact tie order") {
+    import spark.implicits._
+    val wGen = Gen.choose(3, 30).flatMap(n =>
+      Gen.listOfN(n, for {
+        s <- Gen.choose(0L, 4L); d <- Gen.choose(10L, 20L)
+        w <- Gen.choose(1L, 5L)
+      } yield (s, d, w)))
+    check("sparsify topk")(Prop.forAll(wGen, Gen.choose(1, 3)) { (es0, k) =>
+      val es = es0.groupBy(e => (e._1, e._2)).map { case ((s, d), g) =>
+        (s, d, g.map(_._3).sum) }.toList   // unique (src, dst)
+      val expected = es.groupBy(_._1).flatMap { case (s, g) =>
+        g.sortBy(e => (-e._3, e._2)).take(k).zipWithIndex
+          .map { case ((_, d, w), i) => (s, i + 1L) -> ((d, w)) }
+      }
+      val got = Ranking.sparsifyTopK(es.toDF("src", "dst", "weight"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      got == expected
+    })
+  }
+
+  test("property: hllOverlap union/intersection obey set-algebra bounds") {
+    import spark.implicits._
+    val gen = for {
+      na <- Gen.choose(5, 200); nb <- Gen.choose(5, 200)
+      off <- Gen.choose(0, 150)
+    } yield (na, nb, off)
+    check("hll overlap bounds")(Prop.forAll(gen) { case (na, nb, off) =>
+      val df = ((1 to na).map(i => ("a", i.toLong)) ++
+        (1 to nb).map(i => ("b", (off + i).toLong))).toDF("grp", "k")
+      val r = graft.functions.Sketches.hllOverlap(df, "k", "grp").collect()(0)
+      val (ea, eb, eu, ei) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // the union register bank dominates both sides' banks, so its
+      // estimate can never fall below either single estimate; the
+      // clamped intersection is non-negative and ≤ min single est + slack
+      eu >= math.max(ea, eb) && ei >= 0 && ea + eb - eu <= math.min(ea, eb)
+    })
+  }
 }
