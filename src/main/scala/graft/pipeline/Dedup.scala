@@ -373,6 +373,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash estimator calibration audit: for every D2 candidate
+    * pair, the signed error between the 8-permutation estimate and
+    * the TRUE shingle Jaccard, histogrammed in eighths (the
+    * estimator's own resolution) — the "can I trust est ≥ τ cuts"
+    * read before committing a dedup threshold. est values k/8 are
+    * exact binary doubles and the exact ratio is one IEEE divide
+    * over identical integers, so the floor-form bucketing cannot
+    * drift across engines. Cost is the ngramJaccard shared-shingle
+    * verify (pair-bounded); in production this audit runs on a
+    * sampled corpus slice, not the full 100 TB. */
+  def minhashErrorAudit(docs: DataFrame): DataFrame = {
+    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    minhashLsh(docs).select("doc_a", "doc_b", "est_jaccard")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("est_jaccard"),
+        (coalesce(col("inter"), lit(0L)) /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))).as("exact"))
+      .select(expr("CAST(floor((est_jaccard - exact) * 8 + 0.5) AS BIGINT)")
+        .as("err_eighths"))
+      .groupBy("err_eighths").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("err_eighths")
+  }
+
   /** Near-dup cluster-size histogram — the one-page answer to "how
     * duplicated is this corpus": (cluster_size, n_clusters) over the
     * [[clusters]] partition. Two narrow aggs on the pair-graph-sized

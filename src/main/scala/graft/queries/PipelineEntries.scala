@@ -137,6 +137,8 @@ object PipelineEntries {
       TextAnalysis.langIdConfusion(Tables.documents(s, d))),
     "dedup_cross_source" -> ((s, d) =>
       Dedup.crossSourceDuplication(Tables.documents(s, d))),
+    "dedup_minhash_err" -> ((s, d) =>
+      Dedup.minhashErrorAudit(Tables.documents(s, d))),
     "events_tenure" -> ((s, d) =>
       TemporalOps.userTenure(graft.streaming.EventStreams.events(s, d))),
     "multimodal_sizes" -> ((s, d) => Multimodal.sizeProfile(s, Tables.documents(s, d))),
@@ -2122,6 +2124,41 @@ object PipelineEntries {
          |JOIN documents db ON est.doc_b = db.doc_id
          |WHERE est.est_jaccard >= 0.5
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // MinHash calibration: the dedup_minhash est chain + the exact
+    // shared-shingle Jaccard, bucketed in eighths (floor-form over
+    // identical doubles — k/8 is exact binary, the ratio one divide).
+    "dedup_minhash_err" ->
+      s"""WITH $TOK,
+         |$SH,
+         |shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh),
+         |mh AS (
+         |  $minhashUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM mh x JOIN mh y
+         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b,
+         |         round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+         |           / ${TextOps.MinhashA.length}.0, 4) AS est_jaccard
+         |  FROM cand
+         |  JOIN mh a ON doc_a = a.doc_id
+         |  JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY 1),
+         |inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT CAST(floor((e.est_jaccard - COALESCE(i.i, 0)
+         |         / (sa.n_sh + sb.n_sh - COALESCE(i.i, 0))) * 8 + 0.5)
+         |       AS BIGINT) AS err_eighths,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM est e
+         |LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+         |JOIN sizes sa ON e.doc_a = sa.doc_id
+         |JOIN sizes sb ON e.doc_b = sb.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Per-user tenure: one user-keyed agg, integer day floors.
     "events_tenure" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -345,6 +345,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.values.forall(_ == 1.0))
   }
 
+  test("minhashErrorAudit: exact twins land in the zero-error bucket") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again"
+    val d = Seq((1L, t), (2L, t),
+      (3L, "completely different content with no overlapping shingles at all"))
+      .toDF("doc_id", "text")
+    // twins: est 1.0, exact 1.0 → bucket 0, one candidate pair total
+    val r = graft.pipeline.Dedup.minhashErrorAudit(d).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 1L), s"$r")
+  }
+
   test("langIdConfusion: stopword-heavy docs predict en, others unknown") {
     import spark.implicits._
     val d = Seq(
