@@ -145,7 +145,8 @@ object SparkEntry {
     "graph_bowtie" -> ((s, d) => GraphQueries.graphBowTie(s, d)),
     "graph_effdiam" -> ((s, d) => GraphQueries.graphEffDiameter(s, d)),
     "graph_knn_degree" -> ((s, d) => GraphQueries.graphKnnDegree(s, d)),
-    "graph_sparsify" -> ((s, d) => GraphQueries.graphSparsify(s, d))
+    "graph_sparsify" -> ((s, d) => GraphQueries.graphSparsify(s, d)),
+    "graph_powerlaw" -> ((s, d) => GraphQueries.graphPowerLaw(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -868,6 +869,28 @@ object SparkEntry {
         |dg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src)
         |SELECT out_deg, COUNT(*) AS n_nodes FROM dg GROUP BY out_deg
         |ORDER BY out_deg""".stripMargin,
+    // Degree power-law fit: the zipf regression contract over the C2
+    // degree histogram (6dp sums, floor-form 4dp slope/intercept).
+    "graph_powerlaw" ->
+      s"""WITH $E,
+        |dg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+        |h AS (SELECT out_deg, COUNT(*) AS n_nodes FROM dg GROUP BY 1),
+        |p AS (SELECT ln(CAST(out_deg AS DOUBLE)) AS x,
+        |             ln(CAST(n_nodes AS DOUBLE)) AS y FROM h),
+        |s AS (SELECT COUNT(*) AS k,
+        |             round(SUM(x), 6) AS sx, round(SUM(y), 6) AS sy,
+        |             round(SUM(x * y), 6) AS sxy,
+        |             round(SUM(x * x), 6) AS sxx
+        |      FROM p),
+        |sl AS (
+        |  SELECT k, sx, sy,
+        |         CASE WHEN k * sxx - sx * sx = 0 THEN 0.0
+        |              ELSE floor((k * sxy - sx * sy) / (k * sxx - sx * sx)
+        |                   * 10000 + 0.5) / 10000 END AS slope
+        |  FROM s)
+        |SELECT CAST(k AS BIGINT) AS n_points, slope,
+        |       floor((sy - slope * sx) / k * 10000 + 0.5) / 10000 AS intercept
+        |FROM sl""".stripMargin,
     "graph_components" ->
       """SELECT CAST(c_custkey + 1000000 AS BIGINT) AS node,
         |       CAST(n_regionkey AS BIGINT) AS component

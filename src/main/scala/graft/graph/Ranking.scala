@@ -1068,6 +1068,34 @@ object Ranking {
       .orderBy("depth")
   }
 
+  /** Degree-distribution power-law fit: least-squares slope of
+    * ln(n_nodes) on ln(out_degree) over the full C2 degree histogram
+    * — the "is this callgraph scale-free" one-liner (organic
+    * callgraphs read slope ≈ −2…−3; a flat slope means synthetic or
+    * truncated data). The zipfFit regression contract verbatim:
+    * 6dp-rounded float sums, floor-form 4dp slope and intercept with
+    * the intercept reusing the ROUNDED slope; the regression runs on
+    * the ≤ d_max-row histogram, so nothing after the degree agg
+    * scales with the graph. Degenerate single-point histograms
+    * report slope 0 on both engines. */
+  def degreePowerLaw(edges: DataFrame): DataFrame = {
+    val pts = Traversal.outDegreeHistogram(edges)
+      .select(log(col("out_deg").cast("double")).as("x"),
+        log(col("n_nodes").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).as("k"),
+      round(sum(col("x")), 6).as("sx"), round(sum(col("y")), 6).as("sy"),
+      round(sum(col("x") * col("y")), 6).as("sxy"),
+      round(sum(col("x") * col("x")), 6).as("sxx"))
+    val rnd = graft.functions.Rounding.rnd _
+    s.withColumn("slope",
+        when(col("k") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))
+          .otherwise(rnd((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx")), 4)))
+      .select(col("k").cast("long").as("n_points"), col("slope"),
+        rnd((col("sy") - col("slope") * col("sx")) / col("k"), 4)
+          .as("intercept"))
+  }
+
   /** Top-k out-edge sparsifier — the volume reducer that runs BEFORE
     * expensive graph analytics at 100 TB: keep each node's k heaviest
     * out-edges (weight desc, dst asc — the rankTopK tie contract),

@@ -417,6 +417,11 @@ object GraphQueries {
     Ranking.closeness(e, starts, maxDepth = 3).orderBy("node")
   }
 
+  /** C44 degree-distribution power-law fit over the C2 histogram
+    * (Ranking.degreePowerLaw). */
+  def graphPowerLaw(s: SparkSession, d: String): DataFrame =
+    Ranking.degreePowerLaw(callEdges(s, d))
+
   /** C42 average-neighbor-degree curve k_nn(d)
     * (Ranking.neighborDegreeCurve) — the function behind C19's
     * assortativity scalar. */

@@ -280,6 +280,20 @@ class RankingSpec extends AnyFunSuite {
     assert(sq.getLong(0) == 0L && sq.getLong(2) == 0L)
   }
 
+  test("degreePowerLaw: exact fit through a constructed two-point histogram") {
+    // 1 node of out-degree 4 (hub 1→{2,3,4,5}); 4 nodes of out-degree
+    // 1 (2→6, 3→6, 4→6, 5→6): histogram {(1,4), (4,1)} → the exact
+    // line through (ln1, ln4) and (ln4, ln0⁺): slope = (0 − ln4)/(ln4
+    // − 0) = −1, intercept = ln4 ≈ 1.3863
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 6L), (3L, 6L), (4L, 6L), (5L, 6L))
+      .withColumn("offset", org.apache.spark.sql.functions.lit(0L))
+    val r = Ranking.degreePowerLaw(g).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-9, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 1.3863) < 1e-3, s"int ${r.getDouble(2)}")
+  }
+
   test("sparsifyTopK: keeps the k heaviest out-edges, reports the cut") {
     import spark.implicits._
     val w = Seq((1L, 10L, 5L), (1L, 11L, 3L), (1L, 12L, 1L), (2L, 10L, 7L))
