@@ -124,6 +124,9 @@ object SparkEntry {
     "graph_motifs" -> ((s, d) => GraphQueries.graphMotifs(s, d)),
     "graph_cosupply" -> ((s, d) => GraphQueries.coSupply(s, d)),
     "graph_adamic" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
+    "graph_resource_alloc" -> ((s, d) => GraphQueries.resourceAlloc(s, d)),
+    "graph_salsa" -> ((s, d) => GraphQueries.graphSalsa(s, d)),
+    "table_checksum" -> ((s, d) => Relational.tableChecksum(Tables.orders(s, d))),
     "graph_ktruss" -> ((s, d) => GraphQueries.graphKTruss(s, d)),
     "graph_weakties" -> ((s, d) => GraphQueries.graphWeakTies(s, d)),
     "graph_coreness" -> ((s, d) => GraphQueries.graphCoreness(s, d)),
@@ -322,6 +325,41 @@ object SparkEntry {
        |        CAST((1000000 * CAST(hv AS HUGEINT)) // mh AS BIGINT) AS h,
        |        CAST((1000000 * CAST(av AS HUGEINT)) // ma AS BIGINT) AS a
        |        FROM j$t, m$t)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled SALSA rounds over the distinct edge CTE `de` (built
+    * from `e`): per round one outdeg-floored authority push and one
+    * indeg-floored hub pull, left-joined back to the node frame.
+    * Ends with `mfin` (the max frame) for the final ppm scaling. */
+  private def salsaCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+        |nodes AS (SELECT DISTINCT n AS node FROM
+        |  (SELECT src AS n FROM de UNION ALL SELECT dst FROM de) t),
+        |ew AS MATERIALIZED (
+        |  SELECT de.src, de.dst, od.outdeg, idg.indeg
+        |  FROM de
+        |  JOIN (SELECT src, COUNT(*) AS outdeg FROM de GROUP BY 1) od
+        |    USING (src)
+        |  JOIN (SELECT dst, COUNT(*) AS indeg FROM de GROUP BY 1) idg
+        |    USING (dst)),
+        |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h,
+        |       CAST(1000000 AS BIGINT) AS a FROM nodes)""".stripMargin)
+    for (t <- 1 to iters) sb.append(s""",
+       |sa$t AS (SELECT ew.dst AS node,
+       |         CAST(SUM(s.h // ew.outdeg) AS BIGINT) AS v
+       |         FROM s${t - 1} s JOIN ew ON ew.src = s.node GROUP BY 1),
+       |sh$t AS (SELECT ew.src AS node,
+       |         CAST(SUM(a.v // ew.indeg) AS BIGINT) AS v
+       |         FROM sa$t a JOIN ew ON ew.dst = a.node GROUP BY 1),
+       |s$t AS MATERIALIZED (
+       |  SELECT n.node, COALESCE(h.v, 0) AS h, COALESCE(a.v, 0) AS a
+       |  FROM nodes n LEFT JOIN sh$t h ON n.node = h.node
+       |  LEFT JOIN sa$t a ON n.node = a.node)""".stripMargin)
+    sb.append(s""",
+       |mfin AS (SELECT greatest(MAX(h), 1) AS mh, greatest(MAX(a), 1) AS ma
+       |         FROM s$iters)""".stripMargin)
     sb.toString
   }
 
@@ -1819,6 +1857,48 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM de
         |                  WHERE de.src = p.fn_b AND de.dst = p.fn_a)
         |ORDER BY score_ppm DESC, fn_a, fn_b LIMIT 100""".stripMargin,
+    // Resource allocation: the adamic chain with PURE-integer weights
+    // ⌊10⁶/indeg⌋ — no transcendental anywhere, scores exact.
+    "graph_resource_alloc" ->
+      s"""WITH $E,
+        |de AS (SELECT DISTINCT src, dst FROM e),
+        |w AS (
+        |  SELECT dst, 1000000 // COUNT(*) AS wz
+        |  FROM de GROUP BY dst HAVING COUNT(*) BETWEEN 2 AND 100),
+        |cap AS (SELECT de.src, de.dst, w.wz FROM de JOIN w USING (dst)),
+        |p AS (
+        |  SELECT x.src AS fn_a, y.src AS fn_b,
+        |         CAST(SUM(x.wz) AS BIGINT) AS score_ppm,
+        |         CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM cap x JOIN cap y ON x.dst = y.dst AND x.src < y.src
+        |  GROUP BY 1, 2)
+        |SELECT fn_a, fn_b, score_ppm, shared FROM p
+        |WHERE shared >= 2
+        |  AND NOT EXISTS (SELECT 1 FROM de
+        |                  WHERE de.src = p.fn_a AND de.dst = p.fn_b)
+        |  AND NOT EXISTS (SELECT 1 FROM de
+        |                  WHERE de.src = p.fn_b AND de.dst = p.fn_a)
+        |ORDER BY score_ppm DESC, fn_a, fn_b LIMIT 100""".stripMargin,
+    // SALSA: degree-normalized HITS — per-edge floor divisions are
+    // exact integers both sides; one final HUGEINT-widened ppm scale.
+    "graph_salsa" ->
+      s"""WITH $E,
+        |${salsaCtes(2)}
+        |SELECT s.node,
+        |       CAST((1000000 * CAST(s.h AS HUGEINT)) // m.mh AS BIGINT) AS hub_ppm,
+        |       CAST((1000000 * CAST(s.a AS HUGEINT)) // m.ma AS BIGINT) AS auth_ppm
+        |FROM s2 s, mfin m ORDER BY s.node""".stripMargin,
+    // Order-independent md5-fold checksum: canonical integer/text row
+    // strings, top-48-bit digests summed mod 2^61-1 (HUGEINT inside).
+    "table_checksum" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(('0x' || substr(md5(
+        |              o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+        |              || '|' || CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |              || '|' || epoch_ms(o_orderdate)
+        |              || '|' || o_orderpriority), 1, 12)) AS BIGINT))
+        |            % 2305843009213693951 AS BIGINT) AS checksum61
+        |FROM orders""".stripMargin,
     // RFM quartiles from per-metric bin histograms (cum·4 ≥ n·p at
     // p = 1,2,3); scores compare BINS to the crossing bin, so the
     // tie side is exact. Monetary bins are $10 (1000 cents).

@@ -175,4 +175,37 @@ object Neighborhood {
       .orderBy(col("score_ppm").desc, col("fn_a"), col("fn_b"))
       .limit(topK)
   }
+
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
+    * [[adamicAdar]]'s harder-decaying sibling: each common callee z
+    * contributes 1/indeg(z) instead of 1/ln indeg(z), so hub-mediated
+    * coincidences are suppressed quadratically harder — empirically
+    * the strongest of the local similarity indices on dense graphs.
+    * Weights are ⌊10⁶/indeg⌋ — PURE integer floor division, no
+    * transcendental anywhere, so the score is exact (not merely
+    * tie-safe) on both engines. Identical scale shape to adamicAdar:
+    * hub cap before the z-keyed self-join, two anti joins for
+    * adjacency exclusion, fully tie-broken top-k. */
+  def resourceAllocation(edges: DataFrame, hubCap: Int = 100,
+      minShared: Int = 2, topK: Int = 100): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val w = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
+      .filter(col("indeg") >= 2 && col("indeg") <= hubCap)
+      .select(col("dst"), expr("1000000 div indeg").as("wz"))
+    val cap = e.join(w, "dst")
+    cap.as("x").join(cap.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("fn_a"), col("y.src").as("fn_b"))
+      .agg(sum(col("x.wz")).as("score_ppm"), count(lit(1)).as("shared"))
+      .join(e.select(col("src").as("fn_a"), col("dst").as("fn_b")),
+        Seq("fn_a", "fn_b"), "left_anti")
+      .join(e.select(col("dst").as("fn_a"), col("src").as("fn_b")),
+        Seq("fn_a", "fn_b"), "left_anti")
+      .filter(col("shared") >= minShared)
+      .orderBy(col("score_ppm").desc, col("fn_a"), col("fn_b"))
+      .limit(topK)
+  }
 }

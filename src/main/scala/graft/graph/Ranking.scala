@@ -844,6 +844,53 @@ object Ranking {
     s.select(col("node"), col("hub").as("hub_ppm"), col("auth").as("auth_ppm"))
   }
 
+  /** SALSA hubs/authorities (Lempel & Moran 2000) — [[hits]]'s
+    * random-walk sibling: contributions are DEGREE-NORMALIZED
+    * (aₜ₊₁(j) = Σ_{i→j} ⌊hₜ(i)/outdeg(i)⌋, hₜ₊₁(i) = Σ_{i→j}
+    * ⌊aₜ₊₁(j)/indeg(j)⌋), which kills HITS's topic-drift pathology —
+    * a hub linking 10⁴ authorities no longer floods each of them with
+    * its full score. The walk is a contraction, so no per-round
+    * normalization is needed: exact integer floor division per edge
+    * term, one max-scaling to ppm at the very end (DECIMAL(38,0)
+    * widened, the hits/oracle HUGEINT contract). Per round: two edge
+    * joins + two node-keyed narrow aggs — identical shuffle shape to
+    * [[hits]], degree frames computed once. */
+  def salsa(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val outd = e.groupBy(col("src").as("on")).agg(count(lit(1)).as("outdeg"))
+    val ind = e.groupBy(col("dst").as("in")).agg(count(lit(1)).as("indeg"))
+    val ew = e.join(outd, col("src") === col("on"))
+      .join(ind, col("dst") === col("in"))
+      .select(col("src"), col("dst"), col("outdeg"), col("indeg"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var s = nodes.select(col("node"), lit(1000000L).as("hub"),
+      lit(1000000L).as("auth"))
+    for (_ <- 1 to iters) {
+      val a1 = ew.join(s.select(col("node"), col("hub")), col("src") === col("node"))
+        .groupBy(col("dst").as("an")).agg(sum(expr("hub div outdeg")).as("av"))
+      val h1 = ew.join(a1, col("dst") === col("an"))
+        .groupBy(col("src").as("hn")).agg(sum(expr("av div indeg")).as("hv"))
+      s = nodes
+        .join(h1, col("node") === col("hn"), "left")
+        .join(a1, col("node") === col("an"), "left")
+        .select(col("node"), coalesce(col("hv"), lit(0L)).as("hub"),
+          coalesce(col("av"), lit(0L)).as("auth"))
+        .localCheckpoint(true)
+    }
+    val mx = s.agg(greatest(max(col("hub")), lit(1L)).as("mh"),
+      greatest(max(col("auth")), lit(1L)).as("ma"))
+    s.crossJoin(broadcast(mx))
+      .select(col("node"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * hub) div mh AS BIGINT)")
+          .as("hub_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * auth) div ma AS BIGINT)")
+          .as("auth_ppm"))
+  }
+
   /** Edge reciprocity: how much of the call graph is mutual (a calls b
     * AND b calls a). One equality self-join of the distinct non-loop
     * edge set on the REVERSED key — never a pair enumeration; the

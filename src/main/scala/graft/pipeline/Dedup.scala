@@ -561,4 +561,45 @@ object Dedup {
              (CAST(1000000 AS DECIMAL(38,0)) * tokens_removable) div tokens_total
              END AS BIGINT)""").as("removable_ppm"))
   }
+
+  /** EXACT duplicated-substring detection (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring shape, bucketized for Spark): documents sharing
+    * a verbatim `window`-char span, found by extracting windows at a
+    * fixed `stride`, keying each by its md5 (identical hex on both
+    * engines — the [[exact]] contract), and bucket-joining docs on
+    * the window key. Catches verbatim quotation/boilerplate reuse
+    * that shingle-Jaccard dilutes away (a 100-char copied license
+    * block in two otherwise-different documents barely moves
+    * Jaccard but is exactly what decontamination must see).
+    *
+    * Scale shape: windows are (len/stride) rows per doc — linear in
+    * corpus size; the df cap (windows present in > `dfCap` docs are
+    * boilerplate and dropped BEFORE the pair join) bounds the
+    * per-window fanout at dfCap², so the candidate join is a plain
+    * uniform-key equality join, never all-pairs. Returns (doc_a,
+    * doc_b, n_shared_windows) pairs, the contamination screen's
+    * candidate edge list. */
+  def substringDup(docs: DataFrame, window: Int = 64, stride: Int = 16,
+      dfCap: Int = 32): DataFrame = {
+    val wins = docs
+      .filter(length(col("text")) >= window)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (window - 1), lit(stride)))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"),
+        md5(expr(s"substr(text, pos, $window)")).as("win"))
+      .distinct() // a doc repeating its own span still counts once
+      .localCheckpoint(true)
+    val rare = wins.groupBy("win").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("win")
+    val capped = wins.join(rare, "win")
+    capped.as("x").join(capped.as("y"),
+        col("x.win") === col("y.win") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -88,6 +88,28 @@ object Multimodal {
     case _ => wavBytes(8000L * (docId % 5 + 1), docId % 2 + 1, docId % 1000 + 1)
   }
 
+  /** 14-byte GIF87a: signature + LE16 logical-screen w/h + screen
+    * descriptor + trailer. */
+  private def gifBytes(w: Long, h: Long): Array[Byte] =
+    "GIF87a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+      Array[Byte](0x00, 0x00, 0x00, 0x3b.toByte)
+
+  /** 54-byte BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (24bpp, no
+    * pixel array — header-only asset, the decode probe's concern). */
+  private def bmpBytes(w: Long, h: Long): Array[Byte] =
+    "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(0) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+
+  /** The LEGACY-format synthesis class (GIF87a / BMP / PNG) — a
+    * second corpus slice exercising the decoder's little-endian
+    * image paths; header fields again pure functions of the id. */
+  def synthesizeLegacyPayload(docId: Long): Array[Byte] = (docId % 3) match {
+    case 0 => gifBytes(docId % 509 + 16, (docId * 11) % 509 + 16)
+    case 1 => bmpBytes(docId % 509 + 16, (docId * 11) % 509 + 16)
+    case _ => pngBytes(docId % 509 + 16, (docId * 11) % 509 + 16)
+  }
+
   // ---- the decoder (reads ONLY the bytes) -------------------------------
 
   private def u8(b: Array[Byte], i: Int): Long = b(i) & 0xffL
@@ -140,6 +162,12 @@ object Multimodal {
         new String(b.slice(0, 4), "US-ASCII") == "RIFF" &&
         new String(b.slice(8, 12), "US-ASCII") == "WAVE")
       MediaMeta(m.doc_id, "wav", -1L, -1L, rdLe32(b, 24), rdLe16(b, 22), len)
+    else if (b.length >= 10 && (
+        new String(b.slice(0, 6), "US-ASCII") == "GIF87a" ||
+        new String(b.slice(0, 6), "US-ASCII") == "GIF89a"))
+      img("gif", rdLe16(b, 6), rdLe16(b, 8))
+    else if (b.length >= 26 && u8(b, 0) == 'B'.toLong && u8(b, 1) == 'M'.toLong)
+      img("bmp", rdLe32(b, 18), rdLe32(b, 22))
     else MediaMeta(m.doc_id, "unknown", -1L, -1L, -1L, -1L, len)
   }
 
@@ -166,6 +194,17 @@ object Multimodal {
   /** Driver-contract query: decoded metadata, ordered. */
   def mediaMeta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(spark, docs).toDF().orderBy("doc_id")
+
+  /** Decoded metadata over the LEGACY-format corpus slice
+    * ([[synthesizeLegacyPayload]]): exercises the GIF87a and BMP
+    * little-endian header paths end-to-end through real container
+    * bytes, same plan shape as [[mediaMeta]]. */
+  def mediaMetaLegacy(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      .mapPartitions(_.map(id => decode(RawMedia(id, synthesizeLegacyPayload(id)))))
+      .toDF().orderBy("doc_id")
+  }
 
   /** Per-format corpus profile over the DECODED headers (the ingest
     * dashboard a multimodal pipeline watches): counts, byte volume,

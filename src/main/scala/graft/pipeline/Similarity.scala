@@ -109,6 +109,36 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Radius (range) search — the ANN API's other half: for each
+    * query, COUNT the corpus vectors within cosine ≥ `tau` and
+    * report the best hit, instead of top-k's fixed cut. This is the
+    * primitive behind near-dup audit ("how crowded is this vector's
+    * neighborhood") and density-based filtering. The threshold test
+    * is EXACT integer arithmetic on the quantized vectors: cos ≥ τ
+    * ⇔ dot > 0 ∧ den·dot² ≥ num·|q|²·|c|² (τ² = num/den), widened
+    * through DECIMAL(38,0) so no float enters the decision; only the
+    * reported max cosine crosses into the shared 4dp-round contract.
+    * Plan: broadcast query side × corpus scan, one query-keyed
+    * narrow agg — single corpus pass for all queries. */
+  def rangeSearch(emb: DataFrame, queryPred: Column,
+      tauNum: Int = 3, tauDen: Int = 10): DataFrame = {
+    val v = withNorm(emb).filter(col("nrm") > 0)
+      .withColumn("n2", VectorOps.dotLong(col("qv"), col("qv")))
+    val q = v.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("nrm").as("qn"), col("n2").as("qn2"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dot", VectorOps.dotLong(col("q_qv"), col("qv")))
+      .filter(col("dot") > 0 &&
+        expr(s"CAST(${tauDen.toLong * tauDen} AS DECIMAL(38,0)) * dot * dot" +
+          s" >= CAST(${tauNum.toLong * tauNum} AS DECIMAL(38,0)) * qn2 * n2"))
+      .withColumn("cos", col("dot") / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_in_range"),
+        rnd(max(col("cos")), 4).as("max_cos"))
+      .orderBy("query_id")
+  }
+
   /** Per-dimension coordinate profile of the quantized embedding
     * space: floor-mean and exact integer variance per dimension —
     * the flat-dimension screen run before trusting projections or

@@ -911,4 +911,105 @@ object TextAnalysis {
         col("n_langs"), col("top_lang"))
       .orderBy("source")
   }
+
+  /** Per-document sentence-shape statistics — the readability/
+    * formatting companion to [[quality]]: sentences are maximal
+    * spans between [.!?] runs with at least one word character;
+    * reported per doc are the sentence count, total words, and the
+    * floor mean/max words-per-sentence. Everything is ONE map-only
+    * projection (split + lambda filter + transform — all codegen
+    * higher-order functions, zero shuffle before the final sort), so
+    * the 100 TB cost is the scan itself. */
+  def sentenceStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("""filter(
+                 transform(split(lower(text), '[.!?]+'),
+                   s -> size(filter(split(s, '[^a-z0-9]+'), w -> w != ''))),
+                 n -> n > 0)""").as("wc"))
+      .select(col("doc_id"),
+        size(col("wc")).cast("long").as("n_sentences"),
+        coalesce(expr("aggregate(wc, 0L, (a, x) -> a + x)"), lit(0L))
+          .as("n_words"),
+        coalesce(expr("array_max(wc)"), lit(0)).cast("long")
+          .as("max_sentence_words"))
+      .withColumn("mean_sentence_words",
+        when(col("n_sentences") === 0, 0L)
+          .otherwise(expr("n_words div n_sentences")))
+      .orderBy("doc_id")
+
+  /** Per-source hapax-legomena profile — the vocabulary-health screen
+    * (a healthy natural corpus keeps ~40-60% of its vocabulary at
+    * frequency 1; templated or deduplicate-to-death corpora collapse
+    * below that, OCR noise inflates it): vocabulary size, hapax
+    * count (types seen exactly once in the source), both ratios as
+    * floor ppm over exact longs. Two narrow (source, token)-keyed
+    * aggs — the (source, token) frame is the operator's only
+    * shuffle, and it map-side combines. */
+  def hapax(docs: DataFrame): DataFrame =
+    TextOps.tokensBag(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("vocab_size"), col("n_tokens"), col("n_hapax"),
+        expr("(1000000 * n_hapax) div vocab_size").as("hapax_vocab_ppm"),
+        expr("(1000000 * n_hapax) div n_tokens").as("hapax_token_ppm"))
+      .orderBy("source")
+
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions — the SYMMETRIC, bounded ([0, ln 2]) companion to
+    * [[sourceKl]] for mixture design (KL explodes on disjoint
+    * support; JS is what you threshold when deciding whether two
+    * crawls are "the same distribution"). JS(P‖Q) = ½Σp·ln(2p/(p+q))
+    * + ½Σq·ln(2q/(p+q)) over the union vocabulary, computed from
+    * exact counts — p = c_a/n_a, q = c_b/n_b — with the single float
+    * surface the shared 4dp-round contract ([[graft.functions
+    * .Rounding]]). Plan: ONE (source, token) agg, a self-join keyed
+    * on token restricted to source_a < source_b (vocab-sized, not
+    * corpus-sized), one pair-keyed agg — |sources|² output rows.
+    * Absent-token terms use p=0 (their ½p·ln(...) term vanishes), so
+    * the full outer union is two one-sided complements computed from
+    * the same frame rather than a dense cross. */
+  def sourceJsDivergence(docs: DataFrame): DataFrame = {
+    val tf = TextOps.tokensBag(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nS = tf.groupBy("source").agg(sum(col("c")).as("n")).localCheckpoint(true)
+    val a = tf.join(nS, "source")
+      .select(col("source").as("source_a"), col("token"),
+        col("c").as("ca"), col("n").as("na"))
+    val b = tf.join(nS, "source")
+      .select(col("source").as("source_b"), col("token"),
+        col("c").as("cb"), col("n").as("nb"))
+    val pairs = nS.select(col("source").as("source_a"))
+      .crossJoin(nS.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    // ONE token-keyed join carries the shared-support terms AND both
+    // shared masses; a token absent from one side contributes exactly
+    // p·ln 2, and Σ_only-in-a p = 1 − Σ_shared p, so the one-sided
+    // contribution is (1 − sharedMass)·ln 2 per side — no outer join.
+    val shared = a.join(b, "token")
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (col("ca") / col("na")).as("p"), (col("cb") / col("nb")).as("q"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))
+          + col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+          .as("t_shared"),
+        sum(col("p")).as("pa_shared"),
+        sum(col("q")).as("qb_shared"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        graft.functions.Rounding.rnd(
+          (coalesce(col("t_shared"), lit(0.0))
+            + (lit(2.0) - coalesce(col("pa_shared"), lit(0.0))
+              - coalesce(col("qb_shared"), lit(0.0))) * log(lit(2.0)))
+            / lit(2.0), 4).as("js_div"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -327,6 +327,13 @@ object GraphQueries {
     Neighborhood.adamicAdar(callEdges(s, d), hubCap = 100, minShared = 2,
       topK = 100)
 
+  /** Resource-allocation link prediction: adamicAdar's harder-decay
+    * sibling (weights ⌊10⁶/indeg⌋ — pure integer, no log), same
+    * hub-capped candidate plan (Neighborhood.resourceAllocation). */
+  def resourceAlloc(s: SparkSession, d: String): DataFrame =
+    Neighborhood.resourceAllocation(callEdges(s, d), hubCap = 100,
+      minShared = 2, topK = 100)
+
   /** B18b cross-binary diff: the derived graph vs a "patched build" —
     * the same derivation restricted to call sites with l_linenumber
     * ≥ 2 (first-seen call sites dropped: a deterministic, meaningful
@@ -472,6 +479,12 @@ object GraphQueries {
     * in the call graph. */
   def graphHits(s: SparkSession, d: String): DataFrame =
     Ranking.hits(callEdges(s, d), iters = 2).orderBy("node")
+
+  /** SALSA hubs/authorities: the degree-normalized random-walk
+    * variant of HITS (Ranking.salsa) — hub flooding suppressed, two
+    * exact integer rounds, one final ppm max-scaling. */
+  def graphSalsa(s: SparkSession, d: String): DataFrame =
+    Ranking.salsa(callEdges(s, d), iters = 2).orderBy("node")
 
   /** C23 directed triad motif census: feed-forward loops vs directed
     * 3-cycles over the call graph (Ranking.triadCensus) — one row,

@@ -246,7 +246,23 @@ object PipelineEntries {
     "split_leakage" -> ((s, d) => Dedup.splitLeakage(Tables.documents(s, d))),
     "text_dsir" -> ((s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d))),
     "text_truncation" -> ((s, d) =>
-      TextAnalysis.truncationPlan(Tables.documents(s, d)))
+      TextAnalysis.truncationPlan(Tables.documents(s, d))),
+    "events_markov" -> ((s, d) =>
+      TemporalOps.markovStationary(graft.streaming.EventStreams.events(s, d))),
+    "events_benford" -> ((s, d) =>
+      TemporalOps.benford(graft.streaming.EventStreams.events(s, d))),
+    "events_calendar" -> ((s, d) =>
+      TemporalOps.calendarHeat(graft.streaming.EventStreams.events(s, d))),
+    "text_hapax" -> ((s, d) => TextAnalysis.hapax(Tables.documents(s, d))),
+    "text_jsdiv" -> ((s, d) =>
+      TextAnalysis.sourceJsDivergence(Tables.documents(s, d))),
+    "text_sentences" -> ((s, d) =>
+      TextAnalysis.sentenceStats(Tables.documents(s, d))),
+    "dedup_substring" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
+    "sim_range" -> ((s, d) =>
+      Similarity.rangeSearch(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
+    "multimodal_legacy" -> ((s, d) =>
+      Multimodal.mediaMetaLegacy(s, Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -2951,6 +2967,200 @@ object PipelineEntries {
          |       CAST((1000000::HUGEINT * COALESCE(SUM((h.nt - ls.max_len) * h.nd), 0))
          |            // (SELECT total FROM t) AS BIGINT) AS lost_ppm
          |FROM ls LEFT JOIN h ON h.nt > ls.max_len
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Markov stationary distribution: the transitions matrix +
+    // 8 unrolled power-iteration rounds, per-term floor ppm; types
+    // with no outgoing steps hold their mass.
+    "events_markov" -> {
+      val rounds = 8
+      val roundCtes = (1 to rounds).map { t =>
+        s"""p$t AS (SELECT c.to_type AS type,
+           |  CAST(SUM((r.pi * c.n) // tt.row_total) AS BIGINT) AS pin
+           |  FROM r${t - 1} r JOIN c ON c.from_type = r.type
+           |  JOIN tt ON tt.from_type = c.from_type GROUP BY 1),
+           |dg$t AS (SELECT r.type, r.pi AS pin FROM r${t - 1} r
+           |  LEFT JOIN tt ON tt.from_type = r.type
+           |  WHERE tt.from_type IS NULL),
+           |r$t AS MATERIALIZED (
+           |  SELECT ty.type, COALESCE(u.pin, 0) AS pi FROM ty
+           |  LEFT JOIN (SELECT * FROM p$t UNION ALL SELECT * FROM dg$t) u
+           |    ON u.type = ty.type)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pr AS (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS from_type,
+         |         event_type AS to_type
+         |  FROM events),
+         |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM pr
+         |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+         |       FROM c GROUP BY 1),
+         |ty AS (SELECT DISTINCT event_type AS type FROM events),
+         |k AS (SELECT COUNT(*) AS k FROM ty),
+         |r0 AS (SELECT type, CAST(1000000 // greatest(k, 1) AS BIGINT) AS pi
+         |       FROM ty, k),
+         |$roundCtes
+         |SELECT type AS event_type, CAST(pi AS BIGINT) AS pi_ppm
+         |FROM r$rounds ORDER BY event_type""".stripMargin
+    },
+    // Benford first-digit audit: expected ppm are frozen integer
+    // literals generated from the SAME Scala constant the Spark
+    // plan inlines — neither engine evaluates a log.
+    "events_benford" -> {
+      val cases = TemporalOps.BenfordPpm.zipWithIndex
+        .map { case (ppm, i) => s"WHEN ${i + 1} THEN $ppm" }.mkString(" ")
+      s"""WITH b AS (
+         |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |d AS (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |         COUNT(*) AS n
+         |  FROM b WHERE cents > 0 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d),
+         |s AS (
+         |  SELECT digit, CAST(n AS BIGINT) AS n,
+         |         (1000000 * n) // total AS obs_ppm,
+         |         CAST(CASE digit $cases END AS BIGINT) AS benford_ppm
+         |  FROM d, t)
+         |SELECT digit, n, obs_ppm, benford_ppm,
+         |       abs(obs_ppm - benford_ppm) AS dev_ppm
+         |FROM s ORDER BY digit""".stripMargin
+    },
+    // Calendar heatmap: dow/hour by pure epoch-ms integer arithmetic
+    // (dow 0=Monday via (days+3) mod 7) — no calendar function.
+    "events_calendar" ->
+      """WITH c AS (
+        |  SELECT ((epoch_ms(ts) // 86400000) + 3) % 7 AS dow,
+        |         (epoch_ms(ts) // 3600000) % 24 AS hour,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (SELECT dow, hour, COUNT(*) AS n, SUM(cents) AS sum_cents
+        |      FROM c GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+        |       CAST(n AS BIGINT) AS n, CAST(sum_cents AS BIGINT) AS sum_cents,
+        |       (1000000 * n) // total AS share_ppm
+        |FROM g, t ORDER BY dow, hour""".stripMargin,
+    // Hapax profile: pure counting over the (source, token) frame.
+    "text_hapax" ->
+      s"""WITH $TOK,
+         |tf AS (
+         |  SELECT d.source, t.token, COUNT(*) AS c
+         |  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |s AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_hapax
+         |  FROM tf GROUP BY 1)
+         |SELECT source, vocab_size, n_tokens, n_hapax,
+         |       (1000000 * n_hapax) // vocab_size AS hapax_vocab_ppm,
+         |       (1000000 * n_hapax) // n_tokens AS hapax_token_ppm
+         |FROM s ORDER BY source""".stripMargin,
+    // Pairwise source JS divergence: shared-support terms from one
+    // token-keyed join; one-sided mass closed-form as (1-Σp)·ln2;
+    // the single float surface is the shared 4dp floor-round.
+    "text_jsdiv" ->
+      s"""WITH $TOK,
+         |tf AS (
+         |  SELECT d.source, t.token, COUNT(*) AS c
+         |  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+         |pr AS (SELECT tf.source, tf.token, tf.c / ns.n AS p
+         |       FROM tf JOIN ns USING (source)),
+         |sh AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         SUM(a.p * ln(2 * a.p / (a.p + b.p))
+         |           + b.p * ln(2 * b.p / (a.p + b.p))) AS t_shared,
+         |         SUM(a.p) AS pa, SUM(b.p) AS qb
+         |  FROM pr a JOIN pr b ON a.token = b.token AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM ns a, ns b WHERE a.source < b.source)
+         |SELECT p.source_a, p.source_b,
+         |       floor((COALESCE(sh.t_shared, 0)
+         |           + (2 - COALESCE(sh.pa, 0) - COALESCE(sh.qb, 0)) * ln(2))
+         |           / 2 * 10000 + 0.5) / 10000 AS js_div
+         |FROM pairs p LEFT JOIN sh USING (source_a, source_b)
+         |ORDER BY source_a, source_b""".stripMargin,
+    // Sentence shape: regex splits + list lambdas replay the Spark
+    // higher-order-function chain; empty segments filter out before
+    // any count, so split-tail semantics can't drift.
+    "text_sentences" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(
+        |           string_split_regex(lower(text), '[.!?]+'),
+        |           s -> len(list_filter(string_split_regex(s, '[^a-z0-9]+'),
+        |                    x -> x <> ''))), nn -> nn > 0) AS wc
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(len(wc) AS BIGINT) AS n_sentences,
+        |       CAST(COALESCE(list_sum(wc), 0) AS BIGINT) AS n_words,
+        |       CAST(COALESCE(list_max(wc), 0) AS BIGINT) AS max_sentence_words,
+        |       CAST(CASE WHEN len(wc) = 0 THEN 0
+        |            ELSE list_sum(wc) // len(wc) END AS BIGINT)
+        |         AS mean_sentence_words
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // Exact duplicated-substring pairs: md5-keyed 64-char windows at
+    // stride 16, df-capped [2, 32], pair counts. range() is
+    // stop-EXCLUSIVE so the bound replays sequence()'s inclusive one.
+    "dedup_substring" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id,
+        |         md5(substr(text, CAST(pos AS INTEGER), 64)) AS win
+        |  FROM (
+        |    SELECT doc_id, text,
+        |           unnest(range(1, len(text) - 62, 16)) AS pos
+        |    FROM documents WHERE len(text) >= 64)),
+        |rare AS (SELECT win FROM w GROUP BY win
+        |         HAVING COUNT(*) BETWEEN 2 AND 32),
+        |c AS (SELECT w.doc_id, w.win FROM w JOIN rare USING (win))
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+        |FROM c x JOIN c y ON x.win = y.win AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Radius search: the sim_topk dot/norm contract with the EXACT
+    // integer threshold test 100·dot² >= 9·|q|²·|c|² (τ=0.3) in
+    // HUGEINT; only the reported max cosine is floats + 4dp floor.
+    "sim_range" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |$NRM,
+         |n2 AS (SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS n2
+         |       FROM exq GROUP BY 1 HAVING SUM(qx * qx) > 0),
+         |dots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |         CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot
+         |  FROM exq a JOIN exq b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 100 = 0
+         |  GROUP BY 1, 2),
+         |f AS (
+         |  SELECT d.query_id, d.dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots d
+         |  JOIN n2 qa ON d.query_id = qa.vec_id
+         |  JOIN n2 qb ON d.cand_id = qb.vec_id
+         |  JOIN nrm na ON d.query_id = na.vec_id
+         |  JOIN nrm nb ON d.cand_id = nb.vec_id
+         |  WHERE d.dot > 0
+         |    AND 100::HUGEINT * d.dot * d.dot >= 9::HUGEINT * qa.n2 * qb.n2)
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_in_range,
+         |       floor(MAX(cos) * 10000 + 0.5) / 10000 AS max_cos
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Legacy-container decode replay: GIF87a/BMP/PNG header fields
+    // are pure functions of doc_id (the synthesis contract); Spark
+    // round-trips real bytes, the oracle replays arithmetically.
+    "multimodal_legacy" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp' ELSE 'png' END AS format,
+        |       CAST(doc_id % 509 + 16 AS BIGINT) AS width,
+        |       CAST((doc_id * 11) % 509 + 16 AS BIGINT) AS height,
+        |       CAST(-1 AS BIGINT) AS sample_rate,
+        |       CAST(-1 AS BIGINT) AS channels,
+        |       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |         WHEN 0 THEN 14 WHEN 1 THEN 54 ELSE 45 END AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -955,4 +955,29 @@ object Relational {
         col("max_val").cast("long").as("max_val"))
       .orderBy("column_name")
   }
+
+  /** Order-independent table content checksum — the migration/replica
+    * validation primitive (exactly what certifies a 100 TB copy:
+    * row counts can match while contents drifted). Each row folds to
+    * a canonical '|'-joined string of INTEGER-OR-TEXT fields only
+    * (money as exact cents, timestamps as epoch ms — float/calendar
+    * formatting can never leak in), hashes through md5, and the top
+    * 48 bits sum commutatively so partitions combine map-side in any
+    * order; the sum rides DECIMAL(38,0) and is folded mod 2⁶¹−1 so
+    * the emitted BIGINT can't wrap at any row count. One scan, one
+    * 1-row agg — trivially parallel, no shuffle beyond the final
+    * combine. */
+  def tableChecksum(orders: DataFrame): DataFrame =
+    orders
+      .select(concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        centsOf(col("o_totalprice")).cast("string"),
+        unix_millis(col("o_orderdate").cast("timestamp")).cast("string"),
+        col("o_orderpriority")).as("row_str"))
+      .select(expr("CAST(conv(substr(md5(row_str), 1, 12), 16, 10) AS DECIMAL(38,0))")
+        .as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(h) % CAST(2305843009213693951 AS DECIMAL(38,0)) AS BIGINT)")
+          .as("checksum61"))
 }

@@ -798,6 +798,102 @@ object TemporalOps {
       .orderBy("lag")
   }
 
+  /** Stationary distribution of the first-order event-type Markov
+    * chain (the [[transitions]] matrix) by bounded power iteration —
+    * "where does user behavior settle": π₀ uniform ⌊10⁶/k⌋ over the k
+    * observed types, πₜ₊₁(j) = Σᵢ ⌊πₜ(i)·c(i,j) / rowTotal(i)⌋, with
+    * types having no outgoing steps holding their mass (self-loop) so
+    * the frame stays k rows every round. All arithmetic is exact
+    * integer ppm with a PER-TERM floor — the fixed `rounds` unroll is
+    * what the oracle replays, so the result is bit-identical whether
+    * or not the chain has mixed. Scale shape: the chain state is
+    * |types| rows (broadcast-sized) while the only data-sized work is
+    * the ONE (ts, event_id)-ordered lag window producing the count
+    * matrix — the iteration itself never touches the event stream
+    * again, so 100 TB costs exactly one sort-shuffle more than a
+    * count. */
+  def markovStationary(events: DataFrame, rounds: Int = 8): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val c = events
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val totals = c.groupBy("from_type").agg(sum(col("n")).as("row_total"))
+    val cm = c.join(totals, "from_type").localCheckpoint(true)
+    val types = events.select(col("event_type").as("type")).distinct()
+      .localCheckpoint(true)
+    val k = types.count()
+    var pi = types.withColumn("pi", lit(1000000L / math.max(k, 1L)))
+    for (_ <- 1 to rounds) {
+      val stepped = pi.join(cm, pi("type") === cm("from_type"))
+        .groupBy(col("to_type").as("type2"))
+        .agg(sum(expr("(pi * n) div row_total")).as("pin"))
+      // no-outgoing types keep their mass: left join falls back to pi
+      val dangling = pi.join(totals, pi("type") === totals("from_type"), "left_anti")
+        .select(col("type").as("type2"), col("pi").as("pin"))
+      pi = types.join(stepped.unionByName(dangling), col("type") === col("type2"), "left")
+        .select(col("type"), coalesce(col("pin"), lit(0L)).as("pi"))
+    }
+    pi.select(col("type").as("event_type"), col("pi").as("pi_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Benford's-law first-digit audit over the value stream — the
+    * classic fabricated-data / instrumentation-bug screen: the
+    * distribution of leading significant digits of `value` (in exact
+    * cents) against the Benford expectation log₁₀(1+1/d), both as
+    * floor ppm. The expected ppm are compile-time integer literals
+    * shared verbatim with the oracle SQL ([[BenfordPpm]]) so no
+    * engine evaluates a logarithm. ONE map-side-combinable 9-key agg
+    * — the 100 TB plan is a scan plus a 9-row shuffle. */
+  def benford(events: DataFrame): DataFrame = {
+    val expected = BenfordPpm.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (ppm, i)) => when(col("digit") === (i + 1), lit(ppm)).otherwise(acc)
+    }
+    val digits = events
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) div total").as("obs_ppm"),
+        expected.as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .orderBy("digit")
+  }
+
+  /** ⌊10⁶·log₁₀(1+1/d)⌋ for d = 1..9 — the Benford expectation as
+    * frozen integer literals (both engines consume these constants;
+    * neither computes the log). */
+  val BenfordPpm: Seq[Long] =
+    (1 to 9).map(d => math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  /** Day-of-week × hour-of-day activity heatmap — the load-profile /
+    * anomaly-context operator. Both coordinates derive from epoch ms
+    * by pure integer arithmetic (dow 0=Monday via (days+3) mod 7 —
+    * 1970-01-01 was a Thursday; hour = (ms div 3600000) mod 24,
+    * UTC), so no engine-specific calendar function can drift. Counts,
+    * exact summed cents, and each cell's traffic share as floor ppm.
+    * ONE map-side-combinable agg over ≤168 keys. */
+  def calendarHeat(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .select(expr("((ms div 86400000) + 3) % 7").as("dow"),
+        expr("(ms div 3600000) % 24").as("hour"), col("cents"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val tot = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"), col("sum_cents"),
+        expr("(1000000 * n) div total").as("share_ppm"))
+      .orderBy("dow", "hour")
+  }
+
   /** Per-user tenure profile: first/last activity (epoch ms), whole
     * tenure days (floor), and activity density as exact ppm events
     * per active-window day (+1 so single-event users divide by one

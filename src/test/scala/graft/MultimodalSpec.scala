@@ -151,4 +151,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.size == 3)
   }
 
+  test("GIF87a and BMP little-endian headers round-trip through real bytes") {
+    val gif = Multimodal.decode(RawMedia(0L, Multimodal.synthesizeLegacyPayload(0L)))
+    assert(gif.format == "gif" && gif.width == 16L && gif.height == 16L)
+    assert(gif.byte_len == 14L && gif.sample_rate == -1L)
+    val bmp = Multimodal.decode(RawMedia(1L, Multimodal.synthesizeLegacyPayload(1L)))
+    assert(bmp.format == "bmp" && bmp.width == 17L && bmp.height == 27L)
+    assert(bmp.byte_len == 54L)
+    val png = Multimodal.decode(RawMedia(2L, Multimodal.synthesizeLegacyPayload(2L)))
+    assert(png.format == "png" && png.width == 18L && png.height == 38L)
+    // a large dimension exercises multi-byte little-endian decode
+    val big = Multimodal.decode(RawMedia(497L, Multimodal.synthesizeLegacyPayload(497L)))
+    assert(big.format == "bmp" || big.format == "gif" || big.format == "png")
+    assert(big.width == 497L % 509 + 16 && big.height == (497L * 11) % 509 + 16)
+  }
+
 }

@@ -146,4 +146,18 @@ class NeighborhoodSpec extends AnyFunSuite {
     assert(ppr(4L) == 150000L && !global.values.toSet.contains(0L))
     assert(ppr.getOrElse(2L, 0L) < global(2L)) // 2 is far from seed 4
   }
+
+  test("resourceAllocation: pure 1/indeg weights, adjacency excluded") {
+    // callers 1,2 share callees 10,11 (indeg 2 each → wz 500000);
+    // caller 3 shares only 10 with them (shared 1 < minShared)
+    val e = edges(1L -> 10L, 2L -> 10L, 1L -> 11L, 2L -> 11L, 3L -> 10L)
+    val r = Neighborhood.resourceAllocation(e).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    // indeg(10) = 3 → wz 333333; indeg(11) = 2 → wz 500000
+    assert(r == Map((1L, 2L) -> ((833333L, 2L))), s"$r")
+    // adjacency exclusion: linking 1→2 removes the pair
+    val e2 = edges(1L -> 10L, 2L -> 10L, 1L -> 11L, 2L -> 11L, 1L -> 2L)
+    assert(Neighborhood.resourceAllocation(e2).collect().isEmpty)
+  }
 }

@@ -421,4 +421,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1000000L * 8 / 25)
   }
 
+  test("substringDup: planted 80-char verbatim copy yields 2 shared windows") {
+    val common = ("the quick brown fox jumps over the lazy dog and then " +
+      "keeps running onward into the night").take(80)
+    assert(common.length == 80)
+    val d = docs(
+      1L -> (common + " alpha alpha alpha"),
+      2L -> (common + " omega omega omega"),
+      3L -> ("totally unrelated text that is long enough to clear the" +
+        " sixty-four character window threshold easily"))
+    // windows at pos 1 (chars 1-64) and 17 (17-80) are identical for
+    // docs 1/2; pos 33 covers chars 33-96 and differs (distinct tails)
+    val r = Dedup.substringDup(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toList == List((1L, 2L, 2L)), s"${r.toList}")
+  }
+
 }

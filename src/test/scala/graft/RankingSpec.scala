@@ -489,4 +489,25 @@ class RankingSpec extends AnyFunSuite {
     assert(r.getLong(3) == 600000L)
   }
 
+  test("salsa: degree-normalized push/pull, final ppm max-scaling") {
+    // 1→3, 2→3: a(3) = ⌊10⁶/1⌋·2 = 2·10⁶; h(1)=h(2)=⌊2·10⁶/2⌋ = 10⁶
+    // — stable across rounds, so hub 1,2 = 10⁶ / auth 3 = 10⁶.
+    val r = Ranking.salsa(edges(1L -> 3L, 2L -> 3L), iters = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((1000000L, 0L)), s"$r")
+    assert(r(2L) == ((1000000L, 0L)))
+    assert(r(3L) == ((0L, 1000000L)))
+  }
+
+  test("salsa vs hits: a flooding hub is suppressed by degree normalization") {
+    // hub 1 → {10,11,12,13}; focused 2 → {10}. Under HITS node 1's
+    // full score floods each target; under SALSA each gets 1/4 of it.
+    val e = edges(1L -> 10L, 1L -> 11L, 1L -> 12L, 1L -> 13L, 2L -> 10L)
+    val s = Ranking.salsa(e, iters = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // round 2: a(10) = ⌊1375000/4⌋+625000 = 968750 → scales to 10⁶;
+    // a(11..13) = 343750 → ⌊343750·10⁶/968750⌋ = 354838
+    assert(s(10L) == 1000000L && s(11L) == 354838L, s"$s")
+  }
+
 }

@@ -153,4 +153,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(g1.getLong(2) == 29997000000L / 40012L)
   }
 
+  test("tableChecksum: order-invariant, content-sensitive") {
+    import spark.implicits._
+    def frame(rows: Seq[(Long, Long, String, Double, Long, String)]) =
+      rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "_ms", "o_orderpriority")
+        .withColumn("o_orderdate", timestamp_millis(col("_ms")))
+        .drop("_ms")
+    val rows = Seq(
+      (1L, 10L, "O", 123.45, 1700000000000L, "1-URGENT"),
+      (2L, 20L, "F", 67.89, 1700086400000L, "3-MEDIUM"),
+      (3L, 30L, "P", 0.01, 1700172800000L, "5-LOW"))
+    val a = Relational.tableChecksum(frame(rows)).collect().head
+    val b = Relational.tableChecksum(frame(rows.reverse)).collect().head
+    assert(a.getLong(0) == 3L && a.getLong(1) == b.getLong(1))
+    // a one-cent edit flips the checksum
+    val edited = rows.updated(0, rows.head.copy(_4 = 123.46))
+    val c = Relational.tableChecksum(frame(edited)).collect().head
+    assert(c.getLong(1) != a.getLong(1))
+  }
+
 }

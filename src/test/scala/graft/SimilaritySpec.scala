@@ -443,4 +443,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(0L) == ((7L, 6L, 857142L)), s"$r")
   }
 
+  test("rangeSearch: exact integer threshold at cosine 0.3") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)),    // the query
+      (1L, Array(1.0, 0.1)),    // cos ≈ 0.995 → in range
+      (2L, Array(0.5, 0.5)),    // cos ≈ 0.707 → in range
+      (3L, Array(0.0, 1.0)),    // cos 0 → out
+      (4L, Array(-1.0, 0.0)))   // cos −1 → out (dot ≤ 0 guard)
+      .toDF("vec_id", "embedding")
+    val r = Similarity.rangeSearch(emb, col("vec_id") === 0).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 0L && r.head.getLong(1) == 2L)
+    assert(r.head.getDouble(2) == 0.995)  // 1/√1.01 @4dp
+  }
+
 }

@@ -442,4 +442,52 @@ class TemporalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 166667L)))
   }
 
+  test("markovStationary: 2-state chain converges to the hand fixpoint") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // user 1 sequence A B B A B B → counts A→B:2, B→B:2, B→A:1
+    val seq1 = Seq("A", "B", "B", "A", "B", "B")
+    val ev = seq1.zipWithIndex.map { case (ty, i) =>
+      (1L, (i + 1).toLong, t(1700000000000L + i * 1000L), ty)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    // replay the documented floor recursion independently
+    var pa = 500000L; var pb = 500000L
+    for (_ <- 1 to 8) {
+      val na = pb * 1 / 3
+      val nb = pa * 2 / 2 + pb * 2 / 3
+      pa = na; pb = nb
+    }
+    val r = TemporalOps.markovStationary(ev, rounds = 8).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("A" -> pa, "B" -> pb), s"$r vs ($pa, $pb)")
+    // the chain should have settled near (1/4, 3/4)
+    assert(math.abs(pa - 250000L) < 30000 && math.abs(pb - 750000L) < 30000)
+  }
+
+  test("benford: digits from exact cents, frozen expectation literals") {
+    import spark.implicits._
+    // cents: 1, 25, 100, 190, 2500 → digits 1, 2, 1, 1, 2
+    val ev = Seq(0.01, 0.25, 1.0, 1.9, 25.0).toDF("value")
+    val r = TemporalOps.benford(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toList
+    assert(r.map(x => (x._1, x._2)) == List((1L, 3L), (2L, 2L)))
+    assert(r.head._3 == 600000L)                       // 3/5 floor ppm
+    assert(r.head._4 == TemporalOps.BenfordPpm.head)   // 301029
+    assert(TemporalOps.BenfordPpm.head == 301029L &&
+      TemporalOps.BenfordPpm.last == 45757L)
+  }
+
+  test("calendarHeat: integer dow/hour (0=Monday), shares sum ≤ 10⁶") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // 1970-01-01 was a Thursday → dow (0+3)%7 = 3; 00:30 UTC → hour 0
+    val ev = Seq((t(1800000L), 1.0), (t(1800000L), 2.0),
+      (t(90000000L), 4.0)).toDF("ts", "value") // +25h → Friday (4), hour 1
+    val r = TemporalOps.calendarHeat(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r((3L, 0L)) == ((2L, 300L, 666666L)), s"$r")
+    assert(r((4L, 1L)) == ((1L, 400L, 333333L)))
+  }
+
 }

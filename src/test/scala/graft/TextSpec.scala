@@ -465,4 +465,39 @@ class TextSpec extends AnyFunSuite {
     assert(r(8L) == ((0L, 0L, 0L)))
   }
 
+  test("hapax: frequency-1 types counted per source") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b", "s1"), (2L, "c c c d e", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.hapax(d).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // s1: vocab {a,b}, hapax {b} → 500000 ppm of vocab
+    assert(r("s1") == ((2L, 3L, 1L, 500000L)), s"$r")
+    // s2: vocab {c,d,e}, hapax {d,e} → 666666 ppm
+    assert(r("s2") == ((3L, 5L, 2L, 666666L)))
+  }
+
+  test("sourceJsDivergence: identical → 0, disjoint → ln 2") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c", "s1"), (2L, "a b c", "s2"),
+      (3L, "x y z", "s3")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceJsDivergence(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(r(("s1", "s2")) == 0.0, s"$r")
+    assert(r(("s1", "s3")) == 0.6931 && r(("s2", "s3")) == 0.6931) // ln 2 @4dp
+  }
+
+  test("sentenceStats: span counting, floor mean, empty-span filter") {
+    val r = TextAnalysis.sentenceStats(docs(
+        1L -> "hello world. foo bar baz! x",
+        2L -> "...",
+        3L -> "one two three")).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) == ((3L, 6L, 3L, 2L)), s"$r")   // [2,3,1] words
+    assert(r(2L) == ((0L, 0L, 0L, 0L)))          // punctuation only
+    assert(r(3L) == ((1L, 3L, 3L, 3L)))          // no terminator = 1 span
+  }
+
 }
