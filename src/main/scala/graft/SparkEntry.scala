@@ -125,6 +125,7 @@ object SparkEntry {
     "graph_cosupply" -> ((s, d) => GraphQueries.coSupply(s, d)),
     "graph_adamic" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
     "graph_resource_alloc" -> ((s, d) => GraphQueries.resourceAlloc(s, d)),
+    "graph_msf" -> ((s, d) => GraphQueries.graphMsf(s, d)),
     "graph_salsa" -> ((s, d) => GraphQueries.graphSalsa(s, d)),
     "table_checksum" -> ((s, d) => Relational.tableChecksum(Tables.orders(s, d))),
     "graph_ktruss" -> ((s, d) => GraphQueries.graphKTruss(s, d)),
@@ -362,6 +363,52 @@ object SparkEntry {
        |         FROM s$iters)""".stripMargin)
     sb.toString
   }
+
+  /** Unrolled Borůvka rounds (Components.minSpanningForest twin):
+    * per outer round a cross-component edge filter, the per-component
+    * (w, a, b)-tie-broken min pick, the pick's component graph, and
+    * `inner` pointer-jumped min-label rounds collapsing the merge
+    * chains. Leaves pk1..pkN (the per-round picked edges) in scope;
+    * expects `und` (a, b, w) and `c0` (node, comp) upstream. */
+  private def msfCtes(outer: Int, inner: Int): String =
+    (1 to outer).map { t =>
+      val innerCtes = (1 to inner).map { j =>
+        s"""l${t}_$j AS MATERIALIZED (
+           |  SELECT p.c,
+           |    LEAST(p.l, COALESCE(nm.m, p.l), COALESCE(pj.l2, p.l)) AS l
+           |  FROM l${t}_${j - 1} p
+           |  LEFT JOIN (SELECT hs.hx AS c, MIN(q.l) AS m
+           |             FROM hs$t hs JOIN l${t}_${j - 1} q ON q.c = hs.hy
+           |             GROUP BY 1) nm ON nm.c = p.c
+           |  LEFT JOIN (SELECT r1.c, r2.l AS l2 FROM l${t}_${j - 1} r1
+           |             JOIN l${t}_${j - 1} r2 ON r2.c = r1.l) pj
+           |    ON pj.c = p.c)""".stripMargin
+      }.mkString(",\n")
+      s"""ce$t AS MATERIALIZED (
+         |  SELECT u.a, u.b, u.w, x.comp AS ca, y.comp AS cb
+         |  FROM und u
+         |  JOIN c${t - 1} x ON x.node = u.a
+         |  JOIN c${t - 1} y ON y.node = u.b
+         |  WHERE x.comp <> y.comp),
+         |pk$t AS MATERIALIZED (
+         |  SELECT DISTINCT a, b, w FROM (
+         |    SELECT comp, a, b, w,
+         |           row_number() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+         |    FROM (SELECT ca AS comp, a, b, w FROM ce$t
+         |          UNION ALL SELECT cb, a, b, w FROM ce$t) z) zz
+         |  WHERE rn = 1),
+         |h$t AS (
+         |  SELECT DISTINCT x.comp AS hx, y.comp AS hy
+         |  FROM pk$t p
+         |  JOIN c${t - 1} x ON x.node = p.a
+         |  JOIN c${t - 1} y ON y.node = p.b),
+         |hs$t AS (SELECT hx, hy FROM h$t UNION SELECT hy, hx FROM h$t),
+         |l${t}_0 AS (SELECT DISTINCT comp AS c, comp AS l FROM c${t - 1}),
+         |$innerCtes,
+         |c$t AS MATERIALIZED (
+         |  SELECT cc.node, ll.l AS comp FROM c${t - 1} cc
+         |  JOIN l${t}_$inner ll ON ll.c = cc.comp)""".stripMargin
+    }.mkString(",\n")
 
   /** 12 unrolled min-label rounds over the undirected pair CTE `und`
     * (the Dedup.clusters oracle contract: labels are fixpoint-stable,
@@ -1879,6 +1926,25 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM de
         |                  WHERE de.src = p.fn_b AND de.dst = p.fn_a)
         |ORDER BY score_ppm DESC, fn_a, fn_b LIMIT 100""".stripMargin,
+    // Borůvka MSF: 6 unrolled pick-and-merge rounds, 8 pointer-jumped
+    // inner label rounds each; the (w, a, b) struct-min pick is fully
+    // tie-broken so the forest is unique on both engines.
+    "graph_msf" ->
+      s"""WITH $E,
+        |und AS MATERIALIZED (
+        |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+        |         CAST(MIN(call_offset) AS BIGINT) AS w
+        |  FROM e WHERE src <> dst GROUP BY 1, 2),
+        |c0 AS MATERIALIZED (
+        |  SELECT node, node AS comp FROM (
+        |    SELECT DISTINCT a AS node FROM und
+        |    UNION SELECT b FROM und) t),
+        |${msfCtes(6, 8)},
+        |forest AS (SELECT DISTINCT a, b, w FROM (
+        |  ${(1 to 6).map(t => s"SELECT a, b, w FROM pk$t").mkString("\n        |  UNION ALL ")})
+        |  zf)
+        |SELECT a AS edge_a, b AS edge_b, w FROM forest
+        |ORDER BY edge_a, edge_b""".stripMargin,
     // SALSA: degree-normalized HITS — per-edge floor divisions are
     // exact integers both sides; one final HUGEINT-widened ppm scale.
     "graph_salsa" ->

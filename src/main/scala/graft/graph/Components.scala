@@ -633,4 +633,204 @@ object Components {
       .groupBy("component").agg(count(lit(1)).as("n_nodes"))
       .orderBy("component")
   }
+
+  /** Minimum spanning forest by BORŮVKA's algorithm — the canonical
+    * DISTRIBUTED MSF (Kruskal/Prim are inherently sequential; Borůvka
+    * rounds are pure groupBy/join): each surviving component picks
+    * its cheapest outgoing edge (min of struct(w, a, b) — fully
+    * tie-broken, so the forest is unique and deterministic even with
+    * duplicate weights), the picked edges join the forest, and the
+    * components they connect merge. Merging runs `innerRounds` of
+    * pointer-jumped min-label propagation over the COMPONENT graph
+    * (which has one edge per picked edge — at most one per component,
+    * so it is tiny relative to the data); pointer jumping doubles the
+    * collapsed chain length per round, so 8 rounds collapse 2⁸-long
+    * selection chains. Both budgets are FIXED and replayed verbatim
+    * by the oracle (converged rounds are no-ops: no cross-component
+    * edge ⇒ empty pick ⇒ stable labels), the kCore bounded-recursion
+    * contract.
+    *
+    * Scale shape per outer round: one edge⋈labels join (edge-keyed,
+    * the only data-sized shuffle), one comp-keyed min agg, and the
+    * inner loop touching only the component frame — at 100 TB the
+    * component frame shrinks geometrically (Borůvka at least halves
+    * components per effective round) while the edge frame is never
+    * rewritten, only re-filtered against the label frame.
+    *
+    * Returns the forest edges (edge_a, edge_b, w) sorted — n−k rows
+    * for n nodes in k components (when converged within budget).
+    */
+  /** Checkpoint + RESET PLAN STATISTICS. `localCheckpoint` alone
+    * intentionally carries the parent plan's estimated stats into the
+    * LogicalRDD leaf — correct for one-shot plans, catastrophic for a
+    * fixpoint whose round joins the state frame WITH ITSELF: the
+    * estimated sizeInBytes then compounds (product of children per
+    * join), its DIGIT COUNT multiplying every round, until Catalyst
+    * burns hours multiplying million-digit BigIntegers inside
+    * SizeInBytesOnlyStatsPlanVisitor (observed: graph_msf hung 20+
+    * minutes at sf0.01 purely in driver-side BigInteger.multiply).
+    * Re-anchoring through createDataFrame(rdd, schema) drops the
+    * inherited estimate so every round re-plans from the default
+    * leaf size. Costs one InternalRow→Row conversion on access —
+    * only used on the component/label frames, never the edge data. */
+  private def ckptPlain(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  private def ckptFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  def minSpanningForest(edges: DataFrame, weightCol: String = "offset",
+      outerRounds: Int = 6, innerRounds: Int = 8): DataFrame = {
+    // The working frame is the CONTRACTED multigraph: (u, v) are
+    // current component ids (u < v), (oa, ob, w) the cheapest ORIGINAL
+    // edge between them — after round 1 only component-pair minima
+    // survive, so every later round's joins run on a geometrically
+    // shrinking frame (classic Borůvka contraction); the full edge set
+    // is touched exactly once. Keeping (oa, ob) through contraction is
+    // what lets picks emit original forest edges. The per-pair min is
+    // lexicographic (w, oa, ob), so per-component minima over the
+    // contracted frame equal minima over ALL cross edges — the
+    // uncontracted oracle replay stays bit-identical.
+    // m carries the component endpoints (u, v) BEHIND the (w, oa, ob)
+    // sort key: (oa, ob) already uniquely identifies the edge, so the
+    // trailing fields never influence a min — but they ride along, so
+    // the pick phase needs no join back into g to learn which
+    // components an edge merges
+    var g = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"),
+        col(weightCol).cast("long").as("w0"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"), col("w0"))
+      .groupBy("a", "b").agg(min(col("w0")).as("w"))
+      .select(col("a").as("u"), col("b").as("v"),
+        struct(col("w"), col("a").as("oa"), col("b").as("ob"),
+          col("a").as("cu"), col("b").as("cv")).as("m"))
+      .localCheckpoint(true)
+    var forest: DataFrame = null
+    var round = 0
+    var done = false
+    val dbg = sys.env.contains("GRAFT_MSF_DEBUG")
+    var tDbg = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      val t = System.nanoTime()
+      println(f"[msf] $tag%-24s ${(t - tDbg) / 1e9}%7.2f s")
+      tDbg = t
+    }
+    lap("init g")
+    while (round < outerRounds && !done) {
+      if (g.isEmpty) done = true
+      else {
+        lap(s"r$round isEmpty")
+        // each component's cheapest outgoing edge, fully tie-broken
+        val pickedW = g
+          .select(col("u").as("comp"), col("m"))
+          .unionByName(g.select(col("v").as("comp"), col("m")))
+          .groupBy("comp").agg(min(col("m")).as("m"))
+          .select(col("m.oa").as("a"), col("m.ob").as("b"), col("m.w").as("w"),
+            col("m.cu").as("x"), col("m.cv").as("y"))
+          .distinct()
+          .localCheckpoint(true)
+        val picked = pickedW.select("a", "b", "w")
+        lap(s"r$round pick")
+        forest =
+          if (forest == null) picked.localCheckpoint(true)
+          else forest.unionByName(picked).distinct().localCheckpoint(true)
+        // merge picked components over the pick graph (one edge per
+        // component — comp-count-sized, already carried in m)
+        val h = pickedW.select("x", "y")
+        // Merge the picked components. The pick graph has AT MOST one
+        // edge per surviving component, so after round 0 it shrinks
+        // geometrically; when it fits the driver comfortably the merge
+        // is an exact min-root union-find collected once (2 jobs total
+        // vs 2 jobs PER pointer-jump round — the inner loop was half
+        // the operator's wall clock, all job latency on ≤5000-row
+        // frames). The distributed pointer-jump loop remains the
+        // billion-component scale path; both produce the min label per
+        // merged group (union-find exactly, the bounded loop whenever
+        // pick chains are shorter than 2^innerRounds — always in
+        // practice, and the regime the oracle's fixed unroll pins).
+        val hCnt = h.count()
+        val lab: DataFrame =
+          if (hCnt <= 4000000L) {
+            val parent = scala.collection.mutable.Map.empty[Long, Long]
+            def find(x: Long): Long = {
+              val px = parent.getOrElse(x, x)
+              if (px == x) x else { val r = find(px); parent(x) = r; r }
+            }
+            h.collect().foreach { r =>
+              val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+              if (ra != rb) { // min root wins so labels are canonical
+                if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              }
+            }
+            val spark = g.sparkSession
+            val rows = parent.keys.toSeq.map(c => (c, find(c)))
+            val sqlImplicits = spark.implicits
+            import sqlImplicits._
+            broadcast(spark.createDataset(rows).toDF("c", "l"))
+          } else {
+            val hs = ckptFresh(
+              h.unionByName(h.select(col("y").as("x"), col("x").as("y")))
+                .repartition(1))
+            var labD = ckptFresh(h.select(col("x").as("c"))
+              .unionByName(h.select(col("y").as("c"))).distinct()
+              .select(col("c"), col("c").as("l")).repartition(1))
+            var labStable = false
+            var inner = 0
+            // labels only decrease, so one unchanged round is a true
+            // inner fixpoint — further rounds are no-ops (what the
+            // oracle's fixed unroll replays)
+            while (inner < innerRounds && !labStable) {
+              val viaNbr = hs.join(labD.select(col("c").as("y"), col("l").as("ln")),
+                  Seq("y"))
+                .groupBy(col("x").as("c")).agg(min(col("ln")).as("nm"))
+              val viaJump = labD.as("p")
+                .join(labD.select(col("c").as("pl"), col("l").as("lj")),
+                  col("p.l") === col("pl"))
+                .select(col("p.c").as("c"), col("lj"))
+              val wide = ckptFresh(labD
+                .join(viaNbr, Seq("c"), "left")
+                .join(viaJump, Seq("c"), "left")
+                .select(col("c"), col("l").as("prev"),
+                  least(col("l"), coalesce(col("nm"), col("l")),
+                    coalesce(col("lj"), col("l"))).as("l"))
+                .repartition(1))
+              labStable = wide.filter(col("l") < col("prev")).limit(1).isEmpty
+              labD = wide.select("c", "l")
+              inner += 1
+              lap(s"r$round inner$inner")
+            }
+            labD
+          }
+        lap(s"r$round merge")
+        // contract: relabel endpoints (components without a pick keep
+        // their label — the left join's coalesce), drop intra-component
+        // edges, keep the cheapest original edge per new component pair
+        g = ckptPlain(g
+          .join(lab.select(col("c").as("u"), col("l").as("plu")), Seq("u"), "left")
+          .join(lab.select(col("c").as("v"), col("l").as("plv")), Seq("v"), "left")
+          .select(coalesce(col("plu"), col("u")).as("lu"),
+            coalesce(col("plv"), col("v")).as("lv"), col("m"))
+          .filter(col("lu") =!= col("lv"))
+          .select(least(col("lu"), col("lv")).as("u"),
+            greatest(col("lu"), col("lv")).as("v"), col("m"))
+          .groupBy("u", "v").agg(min(col("m")).as("m0"))
+          .select(col("u"), col("v"),
+            struct(col("m0.w").as("w"), col("m0.oa").as("oa"),
+              col("m0.ob").as("ob"), col("u").as("cu"), col("v").as("cv"))
+              .as("m")))
+        lap(s"r$round contract")
+      }
+      round += 1
+    }
+    forest match {
+      case null => edges.sparkSession.range(0)
+        .select(col("id").as("edge_a"), col("id").as("edge_b"), col("id").as("w"))
+        .filter(lit(false))
+      case f => f.select(col("a").as("edge_a"), col("b").as("edge_b"), col("w"))
+        .orderBy("edge_a", "edge_b")
+    }
+  }
 }

@@ -480,6 +480,13 @@ object GraphQueries {
   def graphHits(s: SparkSession, d: String): DataFrame =
     Ranking.hits(callEdges(s, d), iters = 2).orderBy("node")
 
+  /** Minimum spanning forest over the call graph, weighted by call
+    * offset (Components.minSpanningForest, Borůvka) — the cheapest
+    * backbone connecting every function reachable in the undirected
+    * call relation. */
+  def graphMsf(s: SparkSession, d: String): DataFrame =
+    Components.minSpanningForest(callEdges(s, d))
+
   /** SALSA hubs/authorities: the degree-normalized random-walk
     * variant of HITS (Ranking.salsa) — hub flooding suppressed, two
     * exact integer rounds, one final ppm max-scaling. */

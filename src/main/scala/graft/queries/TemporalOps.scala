@@ -833,8 +833,13 @@ object TemporalOps {
       // no-outgoing types keep their mass: left join falls back to pi
       val dangling = pi.join(totals, pi("type") === totals("from_type"), "left_anti")
         .select(col("type").as("type2"), col("pi").as("pin"))
+      // eager per-round materialization: the chain state is |types|
+      // rows, but left un-checkpointed Catalyst re-optimizes the whole
+      // 8-round join tree at the end (measured 12 s of pure planning
+      // at sf0.1 for 5 types)
       pi = types.join(stepped.unionByName(dangling), col("type") === col("type2"), "left")
         .select(col("type"), coalesce(col("pin"), lit(0L)).as("pi"))
+        .localCheckpoint(true)
     }
     pi.select(col("type").as("event_type"), col("pi").as("pi_ppm"))
       .orderBy("event_type")
@@ -852,11 +857,14 @@ object TemporalOps {
     val expected = BenfordPpm.zipWithIndex.foldLeft(lit(0L)) {
       case (acc, (ppm, i)) => when(col("digit") === (i + 1), lit(ppm)).otherwise(acc)
     }
+    // the 9-row histogram is checkpointed so the total rides it —
+    // ONE corpus scan, never two (PlanAuditSpec gates it)
     val digits = events
       .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       .filter(col("cents") > 0)
       .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val tot = digits.agg(sum(col("n")).as("total"))
     digits.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
@@ -887,6 +895,7 @@ object TemporalOps {
         expr("(ms div 3600000) % 24").as("hour"), col("cents"))
       .groupBy("dow", "hour")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .localCheckpoint(true) // ≤168 rows; the share total rides it
     val tot = cells.agg(sum(col("n")).as("total"))
     cells.crossJoin(broadcast(tot))
       .select(col("dow"), col("hour"), col("n"), col("sum_cents"),

@@ -318,4 +318,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
       s"register algebra must not re-scan events:\n$p")
   }
+
+  test("sim_range broadcasts the query side over one corpus pass") {
+    val p = planOf("sim_range")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries must broadcast against the corpus scan:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 2,
+      s"radius search must not multi-scan the embeddings:\n$p")
+  }
+
+  test("table_checksum folds in a single scan with no shuffle beyond the 1-row agg") {
+    val p = planOf("table_checksum")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"checksum must be one pass:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"checksum plans no joins:\n$p")
+  }
+
+  test("events_benford and events_calendar are one-scan map-combinable aggs") {
+    for (q <- Seq("events_benford", "events_calendar")) {
+      val p = planOf(q)
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 1,
+        s"$q must scan events once (share total rides the checkpointed histogram):\n$p")
+    }
+  }
 }

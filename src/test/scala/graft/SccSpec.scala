@@ -87,4 +87,60 @@ class SccSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(4L))
     assert(got == bruteScc(e))
   }
+
+  /** Ground truth MSF: Kruskal with (w, a, b) tie-break — union-find
+    * over the same undirected dedup the operator performs. */
+  private def bruteMsf(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map { case (s, t, w) => (math.min(s, t), math.max(s, t), w) }
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), g) => (a, b, g.map(_._3).min) }
+      .toSeq.sortBy(e => (e._3, e._1, e._2))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    und.flatMap { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSet
+  }
+
+  test("minSpanningForest: matches Kruskal on a weighted multigraph") {
+    import spark.implicits._
+    // two clusters bridged by one expensive edge + a parallel cheaper
+    // one; duplicate/reversed edges and a self-loop for normalization
+    val e = Seq(
+      (1L, 2L, 5L), (2L, 1L, 3L), (2L, 3L, 1L), (1L, 3L, 4L),
+      (10L, 11L, 2L), (11L, 12L, 2L), (10L, 12L, 7L),
+      (3L, 10L, 9L), (3L, 10L, 6L), (5L, 5L, 1L))
+    val got = Components.minSpanningForest(
+        e.toDF("src", "dst", "offset"), outerRounds = 4, innerRounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteMsf(e), s"$got vs ${bruteMsf(e)}")
+    assert(got.size == 5) // 6 nodes (self-loop node excluded), 1 comp
+  }
+
+  test("minSpanningForest: weight-tied edges resolve by (a, b) deterministically") {
+    import spark.implicits._
+    // a 4-cycle with ALL weights equal: the forest must be the
+    // 3 lexicographically-smallest edges, both engines and Kruskal
+    val e = Seq((1L, 2L, 4L), (2L, 3L, 4L), (3L, 4L, 4L), (4L, 1L, 4L))
+    val got = Components.minSpanningForest(
+        e.toDF("src", "dst", "offset"), outerRounds = 4, innerRounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteMsf(e))
+    assert(got == Set((1L, 2L, 4L), (1L, 4L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("minSpanningForest: a long chain merges within the pointer-jump budget") {
+    import spark.implicits._
+    // path graph 0-1-2-...-30 with increasing weights: MSF = all edges
+    val e = (0L until 30L).map(i => (i, i + 1, 100L + i))
+    val got = Components.minSpanningForest(
+        e.toDF("src", "dst", "offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteMsf(e))
+    assert(got.size == 30)
+  }
 }
