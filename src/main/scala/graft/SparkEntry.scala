@@ -128,6 +128,7 @@ object SparkEntry {
     "graph_msf" -> ((s, d) => GraphQueries.graphMsf(s, d)),
     "graph_salsa" -> ((s, d) => GraphQueries.graphSalsa(s, d)),
     "table_checksum" -> ((s, d) => Relational.tableChecksum(Tables.orders(s, d))),
+    "q_corr" -> ((s, d) => Relational.measureCorrelation(Tables.lineitem(s, d))),
     "graph_ktruss" -> ((s, d) => GraphQueries.graphKTruss(s, d)),
     "graph_weakties" -> ((s, d) => GraphQueries.graphWeakTies(s, d)),
     "graph_coreness" -> ((s, d) => GraphQueries.graphCoreness(s, d)),
@@ -1965,6 +1966,40 @@ object SparkEntry {
         |              || '|' || o_orderpriority), 1, 12)) AS BIGINT))
         |            % 2305843009213693951 AS BIGINT) AS checksum61
         |FROM orders""".stripMargin,
+    // Pearson matrix: exact HUGEINT moment sums, the r formula's
+    // double ops sequenced identically (conversion → product →
+    // difference → sqrt → divide → floor-ppm).
+    "q_corr" -> {
+      def c(x: String, y: String) =
+        s"""CAST(CASE WHEN (CAST(n AS DOUBLE) * s_$x$x - CAST(s_$x AS DOUBLE) * s_$x) *
+           |  (CAST(n AS DOUBLE) * s_$y$y - CAST(s_$y AS DOUBLE) * s_$y) <= 0 THEN 0
+           |ELSE floor((CAST(n AS DOUBLE) * s_$x$y - CAST(s_$x AS DOUBLE) * s_$y)
+           |  / sqrt((CAST(n AS DOUBLE) * s_$x$x - CAST(s_$x AS DOUBLE) * s_$x)
+           |       * (CAST(n AS DOUBLE) * s_$y$y - CAST(s_$y AS DOUBLE) * s_$y))
+           |  * 1000000 + 0.5) END AS BIGINT)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT COUNT(*) AS n,
+         |         SUM(q::HUGEINT) AS s_q, SUM(d::HUGEINT) AS s_d,
+         |         SUM(p::HUGEINT) AS s_p,
+         |         SUM(q::HUGEINT * q) AS s_qq, SUM(d::HUGEINT * d) AS s_dd,
+         |         SUM(p::HUGEINT * p) AS s_pp,
+         |         SUM(q::HUGEINT * d) AS s_qd, SUM(q::HUGEINT * p) AS s_qp,
+         |         SUM(d::HUGEINT * p) AS s_dp
+         |  FROM b)
+         |SELECT * FROM (
+         |  SELECT 'quantity_discount' AS pair, CAST(n AS BIGINT) AS n,
+         |         ${c("q", "d")} AS corr_ppm FROM m
+         |  UNION ALL
+         |  SELECT 'quantity_price', CAST(n AS BIGINT), ${c("q", "p")} FROM m
+         |  UNION ALL
+         |  SELECT 'discount_price', CAST(n AS BIGINT), ${c("d", "p")} FROM m)
+         |ORDER BY pair""".stripMargin
+    },
     // RFM quartiles from per-metric bin histograms (cum·4 ≥ n·p at
     // p = 1,2,3); scores compare BINS to the crossing bin, so the
     // tie side is exact. Monetary bins are $10 (1000 cents).

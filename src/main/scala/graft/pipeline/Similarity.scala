@@ -139,6 +139,52 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** k-center coreset selection by FARTHEST-FIRST traversal (the
+    * Gonzalez 2-approximation, the standard geometric data-pruning /
+    * diverse-subset primitive): seed = min vec_id, then k−1 rounds of
+    * "pick the vector farthest from the chosen set" with squared
+    * quantized-integer distances (d² = |x|²+|c|²−2⟨x,c⟩ — EXACT
+    * longs, ties broken by min vec_id, so the selection is unique on
+    * both engines). The reported d2 is the selection-time distance —
+    * the coverage radius ladder a pruning pipeline thresholds on.
+    * Plan: the min-distance frame carries (vec, d) and each round
+    * folds ONE broadcast center in with `least` — k−1 corpus passes
+    * total, each a map-only projection plus a 1-row argmax agg; no
+    * pairwise blowup anywhere. */
+  def coresetKCenter(emb: DataFrame, k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb
+      .select(col("vec_id").cast("long").as("vec_id"),
+        quantize(asDouble(col("embedding"))).as("qv"))
+      .withColumn("n2", VectorOps.dotLong(col("qv"), col("qv")))
+      .localCheckpoint(true)
+    val seed = q.agg(min(col("vec_id"))).head().getLong(0)
+    def centerOf(id: Long) =
+      broadcast(q.filter(col("vec_id") === id)
+        .select(col("qv").as("cqv"), col("n2").as("cn2")))
+    var dmin = q.crossJoin(centerOf(seed))
+      .select(col("vec_id"), col("qv"), col("n2"),
+        (col("n2") + col("cn2")
+          - lit(2L) * VectorOps.dotLong(col("qv"), col("cqv"))).as("d"))
+      .localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer((1L, seed, 0L))
+    for (j <- 2 to k) {
+      val top = dmin.orderBy(col("d").desc, col("vec_id")).limit(1)
+        .select("vec_id", "d").head()
+      picks += ((j.toLong, top.getLong(0), top.getLong(1)))
+      if (j < k)
+        dmin = dmin.crossJoin(centerOf(top.getLong(0)))
+          .select(col("vec_id"), col("qv"), col("n2"),
+            least(col("d"), col("n2") + col("cn2")
+              - lit(2L) * VectorOps.dotLong(col("qv"), col("cqv"))).as("d"))
+          .localCheckpoint(true)
+    }
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    spark.createDataset(picks.toSeq).toDF("rnk", "vec_id", "d2")
+      .orderBy("rnk")
+  }
+
   /** Per-dimension coordinate profile of the quantized embedding
     * space: floor-mean and exact integer variance per dimension —
     * the flat-dimension screen run before trusting projections or

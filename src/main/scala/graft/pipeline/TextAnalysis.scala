@@ -938,6 +938,32 @@ object TextAnalysis {
           .otherwise(expr("n_words div n_sentences")))
       .orderBy("doc_id")
 
+  /** Source-concentration profile (Herfindahl–Hirschman index over
+    * token mass) — the one-number "is this mixture dominated by one
+    * crawl" screen read next to [[mixtureWeights]]: hhi_ppm =
+    * Σ_s ⌊10⁶·t_s²/N²⌋ (per-term floor, DECIMAL(38,0)/HUGEINT
+    * products) ranges from 10⁶/n_sources (balanced) to 10⁶
+    * (monopoly); top_share_ppm names the dominant source's share.
+    * Token counts are the [[tokenCounts]] regex contract. ONE corpus
+    * scan collapsing to the |sources|-row frame; everything after is
+    * arithmetic on that frame. */
+  def sourceConcentration(docs: DataFrame): DataFrame = {
+    val bySrc = docs
+      .select(col("source"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("t"))
+      .localCheckpoint(true)
+    val tot = bySrc.agg(sum(col("t")).as("n"))
+    bySrc.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_sources"),
+        max(col("n")).as("n_tokens"),
+        sum(expr("""(CAST(1000000 AS DECIMAL(38,0)) * t * t) div
+          (CAST(n AS DECIMAL(38,0)) * n)""")).cast("long").as("hhi_ppm"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * MAX(t))
+          div MAX(CAST(n AS DECIMAL(38,0))) AS BIGINT)""").as("top_share_ppm"))
+  }
+
   /** Per-source hapax-legomena profile — the vocabulary-health screen
     * (a healthy natural corpus keeps ~40-60% of its vocabulary at
     * frequency 1; templated or deduplicate-to-death corpora collapse

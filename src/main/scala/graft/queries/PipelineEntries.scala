@@ -262,7 +262,13 @@ object PipelineEntries {
     "sim_range" -> ((s, d) =>
       Similarity.rangeSearch(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "multimodal_legacy" -> ((s, d) =>
-      Multimodal.mediaMetaLegacy(s, Tables.documents(s, d)))
+      Multimodal.mediaMetaLegacy(s, Tables.documents(s, d))),
+    "events_growth" -> ((s, d) =>
+      TemporalOps.growthAccounting(graft.streaming.EventStreams.events(s, d))),
+    "sample_coreset" -> ((s, d) =>
+      Similarity.coresetKCenter(Tables.embeddings(s, d))),
+    "mix_hhi" -> ((s, d) =>
+      TextAnalysis.sourceConcentration(Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -3148,6 +3154,98 @@ object PipelineEntries {
          |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_in_range,
          |       floor(MAX(cos) * 10000 + 0.5) / 10000 AS max_cos
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Growth accounting: distinct (user, integer-week) frame, the
+    // first-week classifier, week-shifted self-join; churn balances
+    // the ledger exactly (active(w-1) − retained(w)).
+    "events_growth" ->
+      """WITH uw AS MATERIALIZED (
+        |  SELECT DISTINCT user_id,
+        |         ((epoch_ms(ts) // 86400000) + 3) // 7 AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(wk) AS first_wk FROM uw GROUP BY 1),
+        |cl AS (
+        |  SELECT u.wk,
+        |         CASE WHEN f.first_wk = u.wk THEN 'new'
+        |              WHEN p.user_id IS NOT NULL THEN 'retained'
+        |              ELSE 'resurrected' END AS cls
+        |  FROM uw u JOIN fw f USING (user_id)
+        |  LEFT JOIN uw p ON p.user_id = u.user_id AND p.wk = u.wk - 1),
+        |ag AS (
+        |  SELECT wk, COUNT(*) AS n_active,
+        |         SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+        |         SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+        |         SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |           AS n_resurrected
+        |  FROM cl GROUP BY 1),
+        |pa AS (SELECT wk + 1 AS wk, COUNT(*) AS prev_active FROM uw GROUP BY 1)
+        |SELECT CAST(ag.wk AS BIGINT) AS wk, CAST(n_active AS BIGINT) AS n_active,
+        |       CAST(n_new AS BIGINT) AS n_new,
+        |       CAST(n_retained AS BIGINT) AS n_retained,
+        |       CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |       CAST(COALESCE(pa.prev_active, 0) - n_retained AS BIGINT)
+        |         AS n_churned
+        |FROM ag LEFT JOIN pa USING (wk) ORDER BY wk""".stripMargin,
+    // Farthest-first k-center: 8 unrolled selection rounds, exact
+    // integer d² = |x|²+|c|²−2⟨x,c⟩, (d desc, vec_id) tie-broken.
+    "sample_coreset" -> {
+      val k = 8
+      // dm{i} = min squared distance to centers 1..i; each round j
+      // adds center ch{j-1}'s dots and folds with LEAST
+      val rounds = (2 to k).map { j =>
+        val i = j - 1
+        val dist =
+          s"nn.n2 + (SELECT n2 FROM nn WHERE vec_id = (SELECT id FROM ch$i))" +
+            s" - 2 * dt$j.dot"
+        val dmBody =
+          if (i == 1)
+            s"""SELECT nn.vec_id, $dist AS d
+               |  FROM nn JOIN dt$j ON dt$j.vec_id = nn.vec_id""".stripMargin
+          else
+            s"""SELECT nn.vec_id, LEAST(m.d, $dist) AS d
+               |  FROM dm${i - 1} m JOIN nn ON nn.vec_id = m.vec_id
+               |  JOIN dt$j ON dt$j.vec_id = m.vec_id""".stripMargin
+        s"""dt$j AS (
+           |  SELECT a.vec_id, CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot
+           |  FROM exq a JOIN exq b ON a.i = b.i
+           |    AND b.vec_id = (SELECT id FROM ch$i)
+           |  GROUP BY 1),
+           |dm$i AS MATERIALIZED (
+           |  $dmBody),
+           |ch$j AS (SELECT vec_id AS id, d FROM dm$i
+           |         ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (2 to k)
+        .map(j => s"SELECT $j AS rnk, id AS vec_id, d AS d2 FROM ch$j")
+        .mkString("\n        UNION ALL ")
+      s"""WITH $EX,
+         |$EXQ,
+         |nn AS MATERIALIZED (
+         |  SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS n2
+         |  FROM exq GROUP BY 1),
+         |ch1 AS (SELECT MIN(vec_id) AS id FROM nn),
+         |$rounds
+         |SELECT CAST(rnk AS BIGINT) AS rnk, CAST(vec_id AS BIGINT) AS vec_id,
+         |       CAST(d2 AS BIGINT) AS d2 FROM (
+         |  SELECT 1 AS rnk, (SELECT id FROM ch1) AS vec_id, 0 AS d2
+         |  UNION ALL $out)
+         |ORDER BY rnk""".stripMargin
+    },
+    // Source HHI: per-term floored ppm share squares over exact
+    // HUGEINT token masses.
+    "mix_hhi" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT source,
+        |         CAST(SUM(len(regexp_extract_all(lower(text),
+        |           '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS t
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |       CAST(MAX(n.n) AS BIGINT) AS n_tokens,
+        |       CAST(SUM((1000000::HUGEINT * t * t) // (n.n::HUGEINT * n.n))
+        |            AS BIGINT) AS hhi_ppm,
+        |       CAST((1000000::HUGEINT * MAX(t)) // MAX(n.n) AS BIGINT)
+        |         AS top_share_ppm
+        |FROM t, n""".stripMargin,
     // Legacy-container decode replay: GIF87a/BMP/PNG header fields
     // are pure functions of doc_id (the synthesis contract); Spark
     // round-trips real bytes, the oracle replays arithmetically.

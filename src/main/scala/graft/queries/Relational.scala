@@ -956,6 +956,45 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** Pearson correlation matrix over the lineitem measures — the
+    * "what drives what" screen (quantity vs discount vs revenue) run
+    * before trusting any per-dimension aggregate as a driver metric.
+    * All five moment sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate as
+    * EXACT DECIMAL(38,0) integers over cents/centi-units in ONE
+    * map-combinable scan; only the final r = (nΣxy−ΣxΣy)/√(...)
+    * crosses into doubles (deterministic IEEE conversion of exact
+    * sums, the shared floor-ppm round). Three pairs = one 1-row agg
+    * with 12 columns, stacked. */
+  def measureCorrelation(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      col("l_quantity").cast("long").as("q"),
+      centsOf(col("l_discount")).as("d"),
+      centsOf(col("l_extendedprice")).as("p"))
+    def mom(x: String, y: String, tag: String) = Seq(
+      sum(col(x).cast("decimal(38,0)")).as(s"sx_$tag"),
+      sum(col(y).cast("decimal(38,0)")).as(s"sy_$tag"),
+      sum((col(x).cast("decimal(38,0)") * col(x))).as(s"sxx_$tag"),
+      sum((col(y).cast("decimal(38,0)") * col(y))).as(s"syy_$tag"),
+      sum((col(x).cast("decimal(38,0)") * col(y))).as(s"sxy_$tag"))
+    val aggs = count(lit(1)).as("n") +:
+      (mom("q", "d", "qd") ++ mom("q", "p", "qp") ++ mom("d", "p", "dp"))
+    val one = base.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    def corr(tag: String) = expr(
+      s"""CAST(CASE WHEN (CAST(n AS DOUBLE) * sxx_$tag - CAST(sx_$tag AS DOUBLE) * sx_$tag) *
+           (CAST(n AS DOUBLE) * syy_$tag - CAST(sy_$tag AS DOUBLE) * sy_$tag) <= 0 THEN 0
+         ELSE floor((CAST(n AS DOUBLE) * sxy_$tag - CAST(sx_$tag AS DOUBLE) * sy_$tag)
+           / sqrt((CAST(n AS DOUBLE) * sxx_$tag - CAST(sx_$tag AS DOUBLE) * sx_$tag)
+                * (CAST(n AS DOUBLE) * syy_$tag - CAST(sy_$tag AS DOUBLE) * sy_$tag))
+           * 1000000 + 0.5) END AS BIGINT)""")
+    one.select(col("n"), corr("qd").as("c_qd"), corr("qp").as("c_qp"),
+        corr("dp").as("c_dp"))
+      .select(expr("""stack(3, 'quantity_discount', c_qd,
+          'quantity_price', c_qp, 'discount_price', c_dp)
+          as (pair, corr_ppm)"""), col("n"))
+      .select(col("pair"), col("n"), col("corr_ppm"))
+      .orderBy("pair")
+  }
+
   /** Order-independent table content checksum — the migration/replica
     * validation primitive (exactly what certifies a 100 TB copy:
     * row counts can match while contents drifted). Each row folds to

@@ -903,6 +903,50 @@ object TemporalOps {
       .orderBy("dow", "hour")
   }
 
+  /** Weekly growth accounting — the standard active-user ledger
+    * (new / retained / resurrected / churned) every growth dashboard
+    * reconciles: for Monday-aligned integer weeks (wk =
+    * (epoch_days+3) div 7 — pure arithmetic, no calendar function),
+    * a user active in week w is NEW if it is their first-ever week,
+    * RETAINED if also active in w−1, RESURRECTED otherwise; CHURNED
+    * counts last week's actives who went silent (= active(w−1) −
+    * retained(w), computed exactly from the same frames so the
+    * ledger balances by construction). Plan: one distinct over
+    * (user, wk), one per-user min, ONE self-join shifted by a week —
+    * all user-keyed narrow shuffles; output is |weeks| rows. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        expr("((unix_millis(ts) div 86400000) + 3) div 7").as("wk"))
+      .distinct()
+      .localCheckpoint(true)
+    val firstWk = uw.groupBy("user_id").agg(min(col("wk")).as("first_wk"))
+    val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
+      lit(1L).as("was_active"))
+    val classed = uw
+      .join(firstWk, "user_id")
+      .join(prev, Seq("user_id", "wk"), "left")
+      .select(col("wk"),
+        when(col("first_wk") === col("wk"), lit("new"))
+          .when(col("was_active") === 1, lit("retained"))
+          .otherwise(lit("resurrected")).as("cls"))
+      .groupBy("wk")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+      .localCheckpoint(true)
+    val prevActive = uw.groupBy(col("wk")).agg(count(lit(1)).as("prev_active"))
+      .select((col("wk") + 1).as("wk"), col("prev_active"))
+    classed.join(prevActive, Seq("wk"), "left")
+      .select(col("wk"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+      .orderBy("wk")
+  }
+
   /** Per-user tenure profile: first/last activity (epoch ms), whole
     * tenure days (floor), and activity density as exact ppm events
     * per active-window day (+1 so single-event users divide by one

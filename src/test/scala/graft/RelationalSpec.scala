@@ -153,6 +153,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(g1.getLong(2) == 29997000000L / 40012L)
   }
 
+  test("measureCorrelation: perfect linear → 10⁶ ppm, inverse → −10⁶") {
+    import spark.implicits._
+    // price = 100·quantity (r=+1); discount = −quantity + 10 (r=−1)
+    val li = (1 to 8).map(i =>
+      (i.toLong, (10 - i) / 100.0, i.toDouble))
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+    val r = Relational.measureCorrelation(li).collect()
+      .map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r("quantity_price") == 1000000L, s"$r")
+    assert(r("quantity_discount") == -1000000L)
+    assert(r("discount_price") == -1000000L)
+  }
+
   test("tableChecksum: order-invariant, content-sensitive") {
     import spark.implicits._
     def frame(rows: Seq[(Long, Long, String, Double, Long, String)]) =

@@ -443,6 +443,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(0L) == ((7L, 6L, 857142L)), s"$r")
   }
 
+  test("coresetKCenter: farthest-first order on a 1-D line") {
+    import spark.implicits._
+    // points 0, 1, 10, 21 on a line (2nd dim 0): seed = min id (at 0),
+    // then farthest-first picks 21 (d²=441), 10 (min(100,121)=100), 1 (d²=1)
+    val emb = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.000001, 0.0)),
+      (3L, Array(0.00001, 0.0)), (4L, Array(0.000021, 0.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.coresetKCenter(emb, k = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toList == List((1L, 1L, 0L), (2L, 4L, 441L),
+      (3L, 3L, 100L), (4L, 2L, 1L)), s"${r.toList}")
+  }
+
   test("rangeSearch: exact integer threshold at cosine 0.3") {
     import spark.implicits._
     val emb = Seq(

@@ -477,6 +477,22 @@ class TemporalSpec extends AnyFunSuite {
       TemporalOps.BenfordPpm.last == 45757L)
   }
 
+  test("growthAccounting: the new/retained/resurrected/churned ledger balances") {
+    import spark.implicits._
+    def t(wk: Long) = new java.sql.Timestamp((wk * 7 - 3) * 86400000L + 1000L)
+    // user 1: weeks 1,2,4 (new, retained, resurrected; churned in 3)
+    // user 2: weeks 2,3   (new in 2, retained in 3, churned in 4)
+    val ev = Seq((1L, t(1)), (1L, t(2)), (1L, t(4)), (2L, t(2)), (2L, t(3)))
+      .toDF("user_id", "ts")
+    val r = TemporalOps.growthAccounting(ev).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))).toMap
+    assert(r(1L) == ((1L, 1L, 0L, 0L, 0L)), s"$r")      // u1 new
+    assert(r(2L) == ((2L, 1L, 1L, 0L, 0L)))             // u2 new, u1 retained
+    assert(r(3L) == ((1L, 0L, 1L, 0L, 1L)))             // u2 retained, u1 churned
+    assert(r(4L) == ((1L, 0L, 0L, 1L, 1L)))             // u1 resurrected, u2 churned
+  }
+
   test("calendarHeat: integer dow/hour (0=Monday), shares sum ≤ 10⁶") {
     import spark.implicits._
     def t(ms: Long) = new java.sql.Timestamp(ms)

@@ -488,6 +488,20 @@ class TextSpec extends AnyFunSuite {
     assert(r(("s1", "s3")) == 0.6931 && r(("s2", "s3")) == 0.6931) // ln 2 @4dp
   }
 
+  test("sourceConcentration: monopoly → 10⁶, balance → n·(10⁶/n²)") {
+    import spark.implicits._
+    val mono = Seq((1L, "a b c d", "s1"), (2L, "e f", "s1"))
+      .toDF("doc_id", "text", "source")
+    val m = TextAnalysis.sourceConcentration(mono).collect().head
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) ==
+      ((1L, 6L, 1000000L, 1000000L)))
+    val bal = Seq((1L, "a b c", "s1"), (2L, "d e f", "s2"))
+      .toDF("doc_id", "text", "source")
+    val b = TextAnalysis.sourceConcentration(bal).collect().head
+    assert((b.getLong(0), b.getLong(2), b.getLong(3)) ==
+      ((2L, 500000L, 500000L)), s"${b.toSeq}")
+  }
+
   test("sentenceStats: span counting, floor mean, empty-span filter") {
     val r = TextAnalysis.sentenceStats(docs(
         1L -> "hello world. foo bar baz! x",
