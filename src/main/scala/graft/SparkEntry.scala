@@ -126,6 +126,7 @@ object SparkEntry {
     "graph_adamic" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
     "graph_resource_alloc" -> ((s, d) => GraphQueries.resourceAlloc(s, d)),
     "graph_msf" -> ((s, d) => GraphQueries.graphMsf(s, d)),
+    "graph_diameter" -> ((s, d) => GraphQueries.graphDiameter(s, d)),
     "graph_salsa" -> ((s, d) => GraphQueries.graphSalsa(s, d)),
     "table_checksum" -> ((s, d) => Relational.tableChecksum(Tables.orders(s, d))),
     "q_corr" -> ((s, d) => Relational.measureCorrelation(Tables.lineitem(s, d))),
@@ -1946,6 +1947,46 @@ object SparkEntry {
         |  zf)
         |SELECT a AS edge_a, b AS edge_b, w FROM forest
         |ORDER BY edge_a, edge_b""".stripMargin,
+    // Double-sweep diameter bound: two unrolled frontier BFS chains
+    // over the undirected edge set; farthest picks fully tie-broken.
+    "graph_diameter" -> {
+      val depth = 12
+      def sweep(tag: String, startSql: String): String = {
+        val levels = (1 to depth).map { d =>
+          s"""${tag}p$d AS MATERIALIZED (
+             |  SELECT DISTINCT sym.dst AS node
+             |  FROM ${tag}p${d - 1} f JOIN sym ON sym.src = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM ${tag}v${d - 1} v
+             |                    WHERE v.node = sym.dst)),
+             |${tag}v$d AS MATERIALIZED (
+             |  SELECT node FROM ${tag}v${d - 1}
+             |  UNION SELECT node FROM ${tag}p$d)""".stripMargin
+        }.mkString(",\n")
+        val dist = (1 to depth)
+          .map(d => s"SELECT node, $d AS depth FROM ${tag}p$d")
+          .mkString("\n  UNION ALL ")
+        s"""${tag}p0 AS (SELECT $startSql AS node),
+           |${tag}v0 AS (SELECT $startSql AS node),
+           |$levels,
+           |${tag}far AS (
+           |  SELECT node, depth FROM ($dist) z
+           |  ORDER BY depth DESC, node LIMIT 1)""".stripMargin
+      }
+      s"""WITH $E,
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM e
+        |  UNION SELECT dst, src FROM e),
+        |sd AS (SELECT MIN(LEAST(src, dst)) AS s FROM sym),
+        |${sweep("a", "(SELECT s FROM sd)")},
+        |${sweep("b", "COALESCE((SELECT node FROM afar), (SELECT s FROM sd))")}
+        |SELECT (SELECT s FROM sd) AS seed,
+        |       CAST(COALESCE((SELECT depth FROM afar), 0) AS BIGINT) AS ecc_seed,
+        |       COALESCE((SELECT node FROM afar), (SELECT s FROM sd)) AS far_a,
+        |       COALESCE((SELECT node FROM bfar),
+        |         COALESCE((SELECT node FROM afar), (SELECT s FROM sd))) AS far_b,
+        |       CAST(COALESCE((SELECT depth FROM bfar), 0) AS BIGINT)
+        |         AS diameter_lb""".stripMargin
+    },
     // SALSA: degree-normalized HITS — per-edge floor divisions are
     // exact integers both sides; one final HUGEINT-widened ppm scale.
     "graph_salsa" ->

@@ -639,4 +639,37 @@ object Traversal {
       .select(col("walk_id"), col("step"), col("node"))
       .orderBy("walk_id", "step")
   }
+
+  /** Double-sweep diameter LOWER bound (Magnien/Latapy/Habib 2009 —
+    * the standard cheap certificate next to the ANF effective
+    * diameter's estimate): BFS from the min-id seed over the
+    * UNDIRECTED graph, re-BFS from the farthest node found (depth
+    * desc, id asc — fully tie-broken), and report that second
+    * eccentricity, which on real graphs is usually the exact
+    * diameter. Both sweeps are level-synchronous frontier joins
+    * bounded by `maxDepth` (the kCore bounded-budget contract: if
+    * the budget truncates a sweep, both engines truncate
+    * identically). Cost: exactly two BFS passes — 2·depth
+    * frontier-join rounds. Returns one
+    * (seed, ecc_seed, far_node, diameter_lb) row. */
+  def doubleSweepDiameter(edges: DataFrame, maxDepth: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("src"), col("dst"), col("offset"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("offset")))
+      .localCheckpoint(true)
+    val seed = sym.agg(min(least(col("src"), col("dst")))).head().getLong(0)
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    def far(from: Long): (Long, Int) = {
+      val d = bfs(sym, Seq(from).toDF("node"), maxDepth)
+        .orderBy(col("depth").desc, col("node")).limit(1)
+        .select("node", "depth").collect()
+      if (d.isEmpty) (from, 0) else (d.head.getLong(0), d.head.getInt(1))
+    }
+    val (a, eccSeed) = far(seed)
+    val (b, diamLb) = far(a)
+    Seq((seed, eccSeed.toLong, a, b, diamLb.toLong))
+      .toDF("seed", "ecc_seed", "far_a", "far_b", "diameter_lb")
+  }
 }

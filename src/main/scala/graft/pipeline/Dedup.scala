@@ -562,6 +562,22 @@ object Dedup {
              END AS BIGINT)""").as("removable_ppm"))
   }
 
+  /** LSH bucket-occupancy audit — the OPERATIONAL health check a
+    * 100 TB dedup runs before the pair join: the distribution of
+    * (perm, minhash) bucket sizes, with the candidate-pair volume
+    * s·(s−1)/2 each size class generates. A hot bucket here is
+    * exactly the skew that would stall the band join (the AQE
+    * skew-split defense's early-warning metric — you watch this,
+    * not the job timeline). One groupBy over the signature frame
+    * (8 rows/doc), then a histogram-sized rollup. */
+  def lshBucketStats(docs: DataFrame): DataFrame =
+    minhashLong(docs)
+      .groupBy("perm", "mh").agg(count(lit(1)).as("s"))
+      .groupBy(col("s").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("(s * (s - 1)) div 2")).as("pairs_generated"))
+      .orderBy("bucket_size")
+
   /** EXACT duplicated-substring detection (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better"
     * exact-substring shape, bucketized for Spark): documents sharing

@@ -139,6 +139,36 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Centroid-distance outlier shortlist — embedding-space QA (broken
+    * encoders, mis-ingested rows, and adversarial junk land far from
+    * the corpus mean): the corpus centroid is the per-dim truncating mean
+    * of quantized coordinates (the Lloyd contract D45/D68 share),
+    * each vector's d² to it is an exact long, and the top-`k` most
+    * distant (d² desc, vec_id asc — fully tie-broken) are returned
+    * with their distances. ONE pass for the centroid (2·dim agg
+    * columns), one map-only distance pass, a 20-row top-k agg. */
+  def centroidOutliers(emb: DataFrame, k: Int = 20): DataFrame = {
+    val q = emb
+      .select(col("vec_id").cast("long").as("vec_id"),
+        quantize(asDouble(col("embedding"))).as("qv"))
+      .localCheckpoint(true)
+    val dim = q.select(size(col("qv"))).head().getInt(0)
+    val sums = q.select(
+        (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i")) :+
+          count(lit(1)).as("n"): _*)
+      .head()
+    val n = math.max(sums.getLong(dim), 1L)
+    // TRUNCATING division (Scala `/` ≡ Spark `div` ≡ DuckDB `//`) —
+    // the cross-engine negative-mean contract events_holt pinned
+    val mean = array((0 until dim).map(i => lit(sums.getLong(i) / n)): _*)
+    q.withColumn("cv", mean)
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)), 0L, (a, v) -> a + v)")
+          .as("d2"))
+      .orderBy(col("d2").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** k-center coreset selection by FARTHEST-FIRST traversal (the
     * Gonzalez 2-approximation, the standard geometric data-pruning /
     * diverse-subset primitive): seed = min vec_id, then k−1 rounds of

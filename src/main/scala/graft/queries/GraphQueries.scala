@@ -487,6 +487,12 @@ object GraphQueries {
   def graphMsf(s: SparkSession, d: String): DataFrame =
     Components.minSpanningForest(callEdges(s, d))
 
+  /** Double-sweep diameter lower bound over the undirected call
+    * graph (Traversal.doubleSweepDiameter) — the cheap exact
+    * certificate next to graph_effdiam's ANF estimate. */
+  def graphDiameter(s: SparkSession, d: String): DataFrame =
+    Traversal.doubleSweepDiameter(callEdges(s, d))
+
   /** SALSA hubs/authorities: the degree-normalized random-walk
     * variant of HITS (Ranking.salsa) — hub flooding suppressed, two
     * exact integer rounds, one final ppm max-scaling. */

@@ -268,7 +268,13 @@ object PipelineEntries {
     "sample_coreset" -> ((s, d) =>
       Similarity.coresetKCenter(Tables.embeddings(s, d))),
     "mix_hhi" -> ((s, d) =>
-      TextAnalysis.sourceConcentration(Tables.documents(s, d)))
+      TextAnalysis.sourceConcentration(Tables.documents(s, d))),
+    "dedup_bucket_stats" -> ((s, d) =>
+      Dedup.lshBucketStats(Tables.documents(s, d))),
+    "embed_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d))),
+    "events_ltv" -> ((s, d) =>
+      TemporalOps.cohortLtv(graft.streaming.EventStreams.events(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -3230,6 +3236,57 @@ object PipelineEntries {
          |  UNION ALL $out)
          |ORDER BY rnk""".stripMargin
     },
+    // LSH bucket histogram: the mh signature CTE regrouped by bucket
+    // occupancy with the s·(s−1)/2 pair volume per size class.
+    "dedup_bucket_stats" ->
+      s"""WITH $TOK,
+         |$SH,
+         |mh AS (
+         |  $minhashUnion),
+         |bk AS (SELECT perm, mh, COUNT(*) AS s FROM mh GROUP BY 1, 2)
+         |SELECT CAST(s AS BIGINT) AS bucket_size,
+         |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |       CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS pairs_generated
+         |FROM bk GROUP BY 1 ORDER BY bucket_size""".stripMargin,
+    // Centroid outliers: truncating per-dim mean (// both engines),
+    // exact integer d², fully tie-broken top-20.
+    "embed_outliers" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |mn AS (SELECT i, SUM(qx) AS sm, COUNT(*) AS n FROM exq GROUP BY 1),
+         |cv AS (SELECT i, CAST(sm // n AS BIGINT) AS c FROM mn),
+         |d AS (
+         |  SELECT e.vec_id,
+         |         CAST(SUM((e.qx - cv.c) * (e.qx - cv.c)) AS BIGINT) AS d2
+         |  FROM exq e JOIN cv USING (i) GROUP BY 1)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, d2 FROM d
+         |ORDER BY d2 DESC, vec_id LIMIT 20""".stripMargin,
+    // Cohort LTV triangle: first-week cohorts, purchase cents per
+    // (cohort, offset), running cumulative over the triangle frame.
+    "events_ltv" ->
+      """WITH fw AS (
+        |  SELECT user_id,
+        |         MIN(((epoch_ms(ts) // 86400000) + 3) // 7) AS cohort_wk
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT e.user_id,
+        |         ((epoch_ms(e.ts) // 86400000) + 3) // 7 AS wk,
+        |         CASE WHEN e.event_type = 'purchase'
+        |              THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+        |              ELSE 0 END AS cents
+        |  FROM events e),
+        |t AS (
+        |  SELECT f.cohort_wk, b.wk - f.cohort_wk AS wk_offset,
+        |         COUNT(DISTINCT b.user_id) AS n_active,
+        |         SUM(b.cents) AS rev_cents
+        |  FROM b JOIN fw f USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+        |       CAST(wk_offset AS BIGINT) AS wk_offset,
+        |       CAST(n_active AS BIGINT) AS n_active,
+        |       CAST(rev_cents AS BIGINT) AS rev_cents,
+        |       CAST(SUM(rev_cents) OVER (PARTITION BY cohort_wk
+        |         ORDER BY wk_offset) AS BIGINT) AS cum_rev_cents
+        |FROM t ORDER BY cohort_wk, wk_offset""".stripMargin,
     // Source HHI: per-term floored ppm share squares over exact
     // HUGEINT token masses.
     "mix_hhi" ->

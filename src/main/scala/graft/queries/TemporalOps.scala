@@ -947,6 +947,33 @@ object TemporalOps {
       .orderBy("wk")
   }
 
+  /** Cohort LTV triangle — the revenue companion to the retention
+    * triangle (E21): users grouped by FIRST-active week, each later
+    * week's purchase revenue (exact cents) attributed to (cohort,
+    * offset), with the running cumulative — the payback-curve frame
+    * a growth model is calibrated on. One per-user min, one join
+    * back to events, one (cohort, offset) agg; the cumulative
+    * window runs on the triangle (weeks², tiny), never the events. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val wk = expr("((unix_millis(ts) div 86400000) + 3) div 7")
+    val firstWk = events
+      .select(col("user_id"), wk.as("wk"))
+      .groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val tri = events
+      .select(col("user_id"), wk.as("wk"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)
+          .as("cents"))
+      .join(firstWk, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+    tri.withColumn("cum_rev_cents",
+        sum(col("rev_cents")).over(Window.partitionBy("cohort_wk")
+          .orderBy("wk_offset")))
+      .orderBy("cohort_wk", "wk_offset")
+  }
+
   /** Per-user tenure profile: first/last activity (epoch ms), whole
     * tenure days (floor), and activity density as exact ppm events
     * per active-window day (+1 so single-event users divide by one

@@ -421,6 +421,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1000000L * 8 / 25)
   }
 
+  test("lshBucketStats: identical docs co-bucket in all 8 permutations") {
+    val d = docs(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "one two three four five six seven")
+    val r = Dedup.lshBucketStats(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // docs 1,2 share every minhash → 8 buckets of size 2 (1 pair
+    // each); doc 3 sits alone in its 8
+    assert(r(2L) == ((8L, 8L)), s"$r")
+    assert(r(1L) == ((8L, 0L)))
+  }
+
   test("substringDup: planted 80-char verbatim copy yields 2 shared windows") {
     val common = ("the quick brown fox jumps over the lazy dog and then " +
       "keeps running onward into the night").take(80)

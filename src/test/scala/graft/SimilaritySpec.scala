@@ -443,6 +443,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(0L) == ((7L, 6L, 857142L)), s"$r")
   }
 
+  test("centroidOutliers: farthest from the truncating mean, tie-broken") {
+    import spark.implicits._
+    // quantized coords 0, 0, 0, 8: centroid = 8/4 = 2 → d² = 4,4,4,36
+    val emb = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.0, 0.0)),
+      (3L, Array(0.0, 0.0)), (4L, Array(0.000008, 0.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.centroidOutliers(emb, k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toList == List((4L, 36L), (1L, 4L), (2L, 4L)), s"${r.toList}")
+  }
+
   test("coresetKCenter: farthest-first order on a 1-D line") {
     import spark.implicits._
     // points 0, 1, 10, 21 on a line (2nd dim 0): seed = min id (at 0),

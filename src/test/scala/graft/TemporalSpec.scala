@@ -493,6 +493,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(r(4L) == ((1L, 0L, 0L, 1L, 1L)))             // u1 resurrected, u2 churned
   }
 
+  test("cohortLtv: purchase cents per (cohort, offset), running cumulative") {
+    import spark.implicits._
+    def t(wk: Long) = new java.sql.Timestamp((wk * 7 - 3) * 86400000L + 1000L)
+    val ev = Seq(
+      (1L, t(1), "purchase", 1.00), (1L, t(2), "purchase", 2.00),
+      (1L, t(2), "view", 99.0), // non-purchase never counts
+      (2L, t(1), "signup", 0.0), (2L, t(2), "purchase", 5.00))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = TemporalOps.cohortLtv(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r((1L, 0L)) == ((2L, 100L, 100L)), s"$r")   // both users wk1
+    assert(r((1L, 1L)) == ((2L, 700L, 800L)))          // 200 + 500 cum
+  }
+
   test("calendarHeat: integer dow/hour (0=Monday), shares sum ≤ 10⁶") {
     import spark.implicits._
     def t(ms: Long) = new java.sql.Timestamp(ms)

@@ -331,4 +331,22 @@ class TraversalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(w.sorted.toSeq == w2.sorted.toSeq, "walks not deterministic")
   }
+
+  test("doubleSweepDiameter: exact diameter on a path graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5: seed 1, first sweep finds 5 at depth 4,
+    // second sweep from 5 finds 1 at depth 4 — the exact diameter
+    val path = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "offset")
+    val r = Traversal.doubleSweepDiameter(path).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 4L, 5L, 1L, 4L)), s"${r.toSeq}")
+    // star 10-{1,2,3,4}: seed 1, farthest = min-id leaf 2 at depth 2
+    // (depth desc, node asc tie-break), re-sweep certifies diameter 2
+    val star = Seq((10L, 1L, 1L), (10L, 2L, 1L), (10L, 3L, 1L), (10L, 4L, 1L))
+      .toDF("src", "dst", "offset")
+    val r2 = Traversal.doubleSweepDiameter(star).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getLong(4)) == ((1L, 2L, 2L, 1L, 2L)), s"${r2.toSeq}")
+  }
 }
