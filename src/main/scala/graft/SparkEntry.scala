@@ -127,6 +127,8 @@ object SparkEntry {
     "graph_resource_alloc" -> ((s, d) => GraphQueries.resourceAlloc(s, d)),
     "graph_msf" -> ((s, d) => GraphQueries.graphMsf(s, d)),
     "graph_diameter" -> ((s, d) => GraphQueries.graphDiameter(s, d)),
+    "graph_squares" -> ((s, d) =>
+      graft.graph.Ranking.squareCount(GraphQueries.callEdges(s, d))),
     "graph_salsa" -> ((s, d) => GraphQueries.graphSalsa(s, d)),
     "table_checksum" -> ((s, d) => Relational.tableChecksum(Tables.orders(s, d))),
     "q_corr" -> ((s, d) => Relational.measureCorrelation(Tables.lineitem(s, d))),
@@ -1947,6 +1949,25 @@ object SparkEntry {
         |  zf)
         |SELECT a AS edge_a, b AS edge_b, w FROM forest
         |ORDER BY edge_a, edge_b""".stripMargin,
+    // Square census: ½ΣC(codeg,2) over the hub-capped middle join.
+    "graph_squares" ->
+      s"""WITH $E,
+        |u0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e WHERE src <> dst),
+        |nb AS MATERIALIZED (
+        |  SELECT a AS node, b AS z FROM u0
+        |  UNION ALL SELECT b, a FROM u0),
+        |ok AS (SELECT z FROM nb GROUP BY z HAVING COUNT(*) <= 100),
+        |cp AS (SELECT nb.node, nb.z FROM nb JOIN ok USING (z)),
+        |pw AS (
+        |  SELECT x.node AS u, y.node AS v, COUNT(*) AS w
+        |  FROM cp x JOIN cp y ON x.z = y.z AND x.node < y.node
+        |  GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COALESCE(SUM((w * (w - 1)) // 2) // 2, 0) AS BIGINT)
+        |         AS n_squares
+        |FROM pw""".stripMargin,
     // Double-sweep diameter bound: two unrolled frontier BFS chains
     // over the undirected edge set; farthest picks fully tie-broken.
     "graph_diameter" -> {

@@ -891,6 +891,39 @@ object Ranking {
           .as("auth_ppm"))
   }
 
+  /** Square (4-cycle) census over the hub-capped undirected graph —
+    * the quadrangle companion to C8's triangles (bipartite-ish
+    * structure shows up as squares without triangles; the
+    * squares:triangles ratio separates mesh topologies from
+    * clique-ish ones). Count = ½·Σ_{a<c} C(codeg(a,c), 2) over
+    * common-neighbor counts — each 4-cycle is seen once from each of
+    * its two diagonals. Middle nodes with degree > `hubCap` are
+    * dropped BEFORE the pair join (both engines identically — the
+    * bounded-candidate contract shared with C26/C45; a hub middle
+    * would explode the codegree pair space quadratically at scale).
+    * One capped self-join on the middle key + one pair agg + a
+    * 1-row rollup. */
+  def squareCount(edges: DataFrame, hubCap: Int = 100): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("t"))
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"), greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val nb = und.select(col("a").as("node"), col("b").as("z"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("z")))
+      .localCheckpoint(true)
+    val okMid = nb.groupBy("z").agg(count(lit(1)).as("dz"))
+      .filter(col("dz") <= hubCap).select("z")
+    val capped = nb.join(okMid, "z")
+    capped.as("x").join(capped.as("y"),
+        col("x.z") === col("y.z") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("u"), col("y.node").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum((w * (w - 1)) div 2) div 2").as("n_squares"))
+      .select(col("n_pairs"), coalesce(col("n_squares"), lit(0L)).as("n_squares"))
+  }
+
   /** Edge reciprocity: how much of the call graph is mutual (a calls b
     * AND b calls a). One equality self-join of the distinct non-loop
     * edge set on the REVERSED key — never a pair enumeration; the

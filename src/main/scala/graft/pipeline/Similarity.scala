@@ -139,6 +139,25 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Cosine noise-floor histogram over the DETERMINISTIC adjacent-id
+    * pair sample (vec i vs i+1 — id assignment is ingest-order, so
+    * adjacent pairs are an unbiased similarity probe without any
+    * RNG): deci-bucket ⌊cos·10⌋ counts, the calibration chart that
+    * tells you where to set near-dup τ before running D5/D7 (τ must
+    * sit clear of this noise mass). Quantized-cosine contract, one
+    * self-join on the shifted key — corpus-linear, no pair blowup. */
+  def cosineHistogram(emb: DataFrame): DataFrame = {
+    val v = withNorm(emb).filter(col("nrm") > 0)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .localCheckpoint(true)
+    v.as("a").join(v.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select((VectorOps.dotLong(col("a.qv"), col("b.qv"))
+        / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .select(floor(col("cos") * 10).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
   /** Centroid-distance outlier shortlist — embedding-space QA (broken
     * encoders, mis-ingested rows, and adversarial junk land far from
     * the corpus mean): the corpus centroid is the per-dim truncating mean

@@ -964,6 +964,30 @@ object TextAnalysis {
           div MAX(CAST(n AS DECIMAL(38,0))) AS BIGINT)""").as("top_share_ppm"))
   }
 
+  /** Per-source token-length percentiles — the sequence-length budget
+    * read per source before packing/truncation decisions (D15/D61
+    * plan against these): rank-selected min/med/p90/max over the
+    * [[tokenCounts]] regex contract, ties broken by doc_id (the
+    * events_mad selection — never interpolation, so the engines'
+    * percentile functions never meet). One map-only count + one
+    * source-keyed window. */
+  def lengthProfile(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("toks"), col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("toks"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        min(col("toks")).as("min_toks"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("toks"))).as("med_toks"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("toks"))).as("p90_toks"),
+        max(col("toks")).as("max_toks"))
+      .orderBy("source")
+  }
+
   /** Per-source hapax-legomena profile — the vocabulary-health screen
     * (a healthy natural corpus keeps ~40-60% of its vocabulary at
     * frequency 1; templated or deduplicate-to-death corpora collapse

@@ -274,7 +274,13 @@ object PipelineEntries {
     "embed_outliers" -> ((s, d) =>
       Similarity.centroidOutliers(Tables.embeddings(s, d))),
     "events_ltv" -> ((s, d) =>
-      TemporalOps.cohortLtv(graft.streaming.EventStreams.events(s, d)))
+      TemporalOps.cohortLtv(graft.streaming.EventStreams.events(s, d))),
+    "events_hour_anomaly" -> ((s, d) =>
+      TemporalOps.hourAnomalies(graft.streaming.EventStreams.events(s, d))),
+    "text_len_profile" -> ((s, d) =>
+      TextAnalysis.lengthProfile(Tables.documents(s, d))),
+    "embed_cos_hist" -> ((s, d) =>
+      Similarity.cosineHistogram(Tables.embeddings(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -3287,6 +3293,64 @@ object PipelineEntries {
         |       CAST(SUM(rev_cents) OVER (PARTITION BY cohort_wk
         |         ORDER BY wk_offset) AS BIGINT) AS cum_rev_cents
         |FROM t ORDER BY cohort_wk, wk_offset""".stripMargin,
+    // Seasonal hour anomalies: concrete-hour counts vs the (dow, hod)
+    // cell mean, exact integer ratio, ≥2× flagged.
+    "events_hour_anomaly" ->
+      """WITH h AS (
+        |  SELECT epoch_ms(ts) // 3600000 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |hh AS (SELECT hr, n, ((hr // 24) + 3) % 7 AS dow, hr % 24 AS hod
+        |       FROM h),
+        |c AS (SELECT dow, hod, SUM(n) AS cell_total,
+        |             COUNT(*) AS occurrences
+        |      FROM hh GROUP BY 1, 2)
+        |SELECT CAST(hh.hr AS BIGINT) AS hr, CAST(hh.dow AS BIGINT) AS dow,
+        |       CAST(hh.hod AS BIGINT) AS hod, CAST(hh.n AS BIGINT) AS n,
+        |       CAST(c.cell_total // c.occurrences AS BIGINT) AS baseline,
+        |       CAST((1000000 * hh.n * c.occurrences) // c.cell_total AS BIGINT)
+        |         AS ratio_ppm
+        |FROM hh JOIN c USING (dow, hod)
+        |ORDER BY ratio_ppm DESC, hr LIMIT 20""".stripMargin,
+    // Per-source token-length percentiles: rank-selected, tie-broken
+    // by doc_id — the multimodal_sizes selection on text lengths.
+    "text_len_profile" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(regexp_extract_all(lower(text),
+        |           '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, toks,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY toks, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |       CAST(MIN(toks) AS BIGINT) AS min_toks,
+        |       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN toks END)
+        |            AS BIGINT) AS med_toks,
+        |       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN toks END)
+        |            AS BIGINT) AS p90_toks,
+        |       CAST(MAX(toks) AS BIGINT) AS max_toks
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+    // Adjacent-id cosine histogram: quantized-cosine contract over
+    // the deterministic (i, i+1) probe pairs, deci-buckets.
+    "embed_cos_hist" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |$NRM,
+         |dots AS (
+         |  SELECT a.vec_id, CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot
+         |  FROM exq a JOIN exq b ON a.i = b.i AND b.vec_id = a.vec_id + 1
+         |  GROUP BY 1),
+         |cs AS (
+         |  SELECT d.dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots d
+         |  JOIN nrm na ON d.vec_id = na.vec_id
+         |  JOIN nrm nb ON d.vec_id + 1 = nb.vec_id)
+         |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM cs GROUP BY 1 ORDER BY bucket""".stripMargin,
     // Source HHI: per-term floored ppm share squares over exact
     // HUGEINT token masses.
     "mix_hhi" ->

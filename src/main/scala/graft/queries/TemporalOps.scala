@@ -947,6 +947,37 @@ object TemporalOps {
       .orderBy("wk")
   }
 
+  /** Seasonality-adjusted hour anomalies — the operational twin of
+    * [[calendarHeat]]: each CONCRETE hour's event count is compared
+    * to the mean of its own (dow, hour-of-day) cell (the seasonal
+    * baseline), and hours at ≥ `ratioPpm` of baseline are flagged —
+    * "this Tuesday 14:00 is 3× a normal Tuesday 14:00", which a
+    * global z-score (E13) can't see through weekly rhythm. Exact
+    * integers end-to-end: ratio = ⌊10⁶·n·occurrences / cellTotal⌋;
+    * the TOP-`k` hours by (ratio desc, hr asc) are reported — a
+    * fixed threshold returns nothing on healthy traffic, while the
+    * worst-k ranking is always a meaningful watchlist. Two narrow
+    * aggs (concrete-hour, cell) + a broadcast-sized join — the cell
+    * frame is ≤168 rows. */
+  def hourAnomalies(events: DataFrame, k: Int = 20): DataFrame = {
+    val hours = events
+      .select(unix_millis(col("ts")).as("ms"))
+      .select(expr("ms div 3600000").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("n"))
+      .select(col("hr"), col("n"),
+        expr("((hr div 24) + 3) % 7").as("dow"),
+        expr("hr % 24").as("hod"))
+      .localCheckpoint(true)
+    val cells = hours.groupBy("dow", "hod")
+      .agg(sum(col("n")).as("cell_total"), count(lit(1)).as("occurrences"))
+    hours.join(broadcast(cells), Seq("dow", "hod"))
+      .select(col("hr"), col("dow"), col("hod"), col("n"),
+        expr("cell_total div occurrences").as("baseline"),
+        expr("(1000000 * n * occurrences) div cell_total").as("ratio_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("hr"))
+      .limit(k)
+  }
+
   /** Cohort LTV triangle — the revenue companion to the retention
     * triangle (E21): users grouped by FIRST-active week, each later
     * week's purchase revenue (exact cents) attributed to (cohort,

@@ -489,6 +489,17 @@ class RankingSpec extends AnyFunSuite {
     assert(r.getLong(3) == 600000L)
   }
 
+  test("squareCount: 4-cycle = 1, K4 = 3, triangle = 0") {
+    def squares(e: Seq[(Long, Long)]) = {
+      import spark.implicits._
+      Ranking.squareCount(e.toDF("src", "dst")).collect().head.getLong(1)
+    }
+    assert(squares(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)) == 1L)
+    assert(squares(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L)) == 3L)
+    assert(squares(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)) == 0L)
+  }
+
   test("salsa: degree-normalized push/pull, final ppm max-scaling") {
     // 1→3, 2→3: a(3) = ⌊10⁶/1⌋·2 = 2·10⁶; h(1)=h(2)=⌊2·10⁶/2⌋ = 10⁶
     // — stable across rounds, so hub 1,2 = 10⁶ / auth 3 = 10⁶.

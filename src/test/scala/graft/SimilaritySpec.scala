@@ -443,6 +443,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(0L) == ((7L, 6L, 857142L)), s"$r")
   }
 
+  test("cosineHistogram: adjacent-pair deci-buckets") {
+    import spark.implicits._
+    // pairs (1,2) cos=1 → bucket 10; (2,3) cos=0 → 0; (3,4) cos=−1 → −10
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(1.0, 0.0)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.0, -1.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.cosineHistogram(emb).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(-10L -> 1L, 0L -> 1L, 10L -> 1L), s"$r")
+  }
+
   test("centroidOutliers: farthest from the truncating mean, tie-broken") {
     import spark.implicits._
     // quantized coords 0, 0, 0, 8: centroid = 8/4 = 2 → d² = 4,4,4,36

@@ -493,6 +493,19 @@ class TemporalSpec extends AnyFunSuite {
     assert(r(4L) == ((1L, 0L, 0L, 1L, 1L)))             // u1 resurrected, u2 churned
   }
 
+  test("hourAnomalies: a hot hour tops the seasonal-ratio watchlist") {
+    import spark.implicits._
+    def t(hr: Long, i: Long) = new java.sql.Timestamp(hr * 3600000L + i)
+    // hour 0 and hour 168 share the (dow, hod) cell; 6 vs 2 events →
+    // cell mean 4 → ratios 1.5e6 and 0.5e6
+    val ev = ((1L to 6L).map(i => t(0, i)) ++ (1L to 2L).map(i => t(168, i)))
+      .toDF("ts")
+    val r = TemporalOps.hourAnomalies(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.head == ((0L, 6L, 4L, 1500000L)), s"${r.toList}")
+    assert(r.last == ((168L, 2L, 4L, 500000L)))
+  }
+
   test("cohortLtv: purchase cents per (cohort, offset), running cumulative") {
     import spark.implicits._
     def t(wk: Long) = new java.sql.Timestamp((wk * 7 - 3) * 86400000L + 1000L)

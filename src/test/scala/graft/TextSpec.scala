@@ -488,6 +488,17 @@ class TextSpec extends AnyFunSuite {
     assert(r(("s1", "s3")) == 0.6931 && r(("s2", "s3")) == 0.6931) // ln 2 @4dp
   }
 
+  test("lengthProfile: rank-selected percentiles per source") {
+    import spark.implicits._
+    // source s1: token counts 1..10 → med = rank 5 → 5, p90 = rank 9
+    val d = (1 to 10).map(i =>
+      (i.toLong, (1 to i).map(_ => "w").mkString(" "), "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lengthProfile(d).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((10L, 1L, 5L, 9L, 10L)), s"${r.toSeq}")
+  }
+
   test("sourceConcentration: monopoly → 10⁶, balance → n·(10⁶/n²)") {
     import spark.implicits._
     val mono = Seq((1L, "a b c d", "s1"), (2L, "e f", "s1"))
