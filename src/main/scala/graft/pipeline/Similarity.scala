@@ -139,6 +139,55 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Top principal direction by FIXED-POINT POWER ITERATION over the
+    * mean-centered quantized embeddings — distributed PCA's first
+    * component without any linalg library, and bit-identical across
+    * engines: center c_i = truncating per-dim mean; round t computes
+    * per-vector projections dotₓ = Σⱼ qcₓⱼ·vⱼ (exact longs), per-dim
+    * scores s_i = Σₓ qcₓᵢ·dotₓ (DECIMAL(38,0) — the product tops
+    * 2⁶³), and rescales v ← ⌊10⁶·s / max|s|⌋ with TRUNCATING
+    * division (Scala BigInt `/` ≡ DuckDB `//`, the negative-value
+    * contract). From the fixed v₀ = ⌊10⁶/√dim⌋·1 the whole
+    * trajectory is deterministic — no sign ambiguity to canonicalize.
+    * Per round: one map-only projection pass + ONE 1-row aggregate
+    * (dim² never materializes, no covariance matrix anywhere);
+    * `rounds`=8 is plenty for a dominant eigengap. Returns (dim,
+    * v_ppm) — the direction at ppm scale. */
+  def pcaTopComponent(emb: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val q0 = emb.select(quantize(asDouble(col("embedding"))).as("qv"))
+      .localCheckpoint(true)
+    val dim = q0.select(size(col("qv"))).head().getInt(0)
+    val sums = q0.select(
+        (0 until dim).map(i => sum(col("qv")(i)).as(s"s$i")) :+
+          count(lit(1)).as("n"): _*)
+      .head()
+    val n = math.max(sums.getLong(dim), 1L)
+    val center = array((0 until dim).map(i => lit(sums.getLong(i) / n)): _*)
+    val qc = q0.withColumn("cv", center)
+      .select(expr("zip_with(qv, cv, (x, c) -> x - c)").as("qc"))
+      .localCheckpoint(true)
+    var v: Array[BigInt] = Array.fill(dim)(
+      BigInt(math.floor(1e6 / math.sqrt(dim.toDouble)).toLong))
+    for (_ <- 1 to rounds) {
+      val vLit = array(v.map(x => lit(x.toLong)): _*)
+      val s = qc.withColumn("vv", vLit)
+        .withColumn("dot",
+          expr("aggregate(zip_with(qc, vv, (x, w) -> x * w), 0L, (a, b) -> a + b)"))
+        .select((0 until dim).map(i =>
+          sum(col("qc")(i).cast("decimal(38,0)") * col("dot")).as(s"s$i")): _*)
+        .head()
+      val sv = (0 until dim).map(i =>
+        BigInt(s.getDecimal(i).toBigInteger))
+      val m = sv.map(_.abs).max.max(BigInt(1))
+      v = sv.map(x => (BigInt(1000000) * x) / m).toArray
+    }
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    v.zipWithIndex.map { case (w, i) => (i.toLong, w.toLong) }.toSeq
+      .toDF("dim", "v_ppm").orderBy("dim")
+  }
+
   /** Cosine noise-floor histogram over the DETERMINISTIC adjacent-id
     * pair sample (vec i vs i+1 — id assignment is ingest-order, so
     * adjacent pairs are an unbiased similarity probe without any

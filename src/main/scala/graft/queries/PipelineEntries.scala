@@ -280,7 +280,9 @@ object PipelineEntries {
     "text_len_profile" -> ((s, d) =>
       TextAnalysis.lengthProfile(Tables.documents(s, d))),
     "embed_cos_hist" -> ((s, d) =>
-      Similarity.cosineHistogram(Tables.embeddings(s, d)))
+      Similarity.cosineHistogram(Tables.embeddings(s, d))),
+    "embed_pca" -> ((s, d) =>
+      Similarity.pcaTopComponent(Tables.embeddings(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -3351,6 +3353,36 @@ object PipelineEntries {
          |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
          |       CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM cs GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Power-iteration PCA: centered per-dim frame, 8 unrolled rounds
+    // of project → per-dim HUGEINT score → truncating max-|s| rescale.
+    "embed_pca" -> {
+      val rounds = 8
+      val dim = 64
+      val v0 = math.floor(1e6 / math.sqrt(dim.toDouble)).toLong
+      val roundCtes = (1 to rounds).map { t =>
+        s"""dt$t AS (
+           |  SELECT e.vec_id, CAST(SUM(e.qc * v.w) AS BIGINT) AS dot
+           |  FROM qc e JOIN v${t - 1} v USING (i) GROUP BY 1),
+           |s$t AS (
+           |  SELECT e.i, SUM(e.qc::HUGEINT * d.dot) AS s
+           |  FROM qc e JOIN dt$t d USING (vec_id) GROUP BY 1),
+           |m$t AS (SELECT greatest(MAX(abs(s)), 1) AS m FROM s$t),
+           |v$t AS MATERIALIZED (
+           |  SELECT i, CAST((1000000::HUGEINT * s) // m AS BIGINT) AS w
+           |  FROM s$t, m$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $EX,
+         |$EXQ,
+         |mn AS (SELECT i, SUM(qx) AS sm, COUNT(*) AS n FROM exq GROUP BY 1),
+         |cvv AS (SELECT i, CAST(sm // n AS BIGINT) AS c FROM mn),
+         |qc AS MATERIALIZED (
+         |  SELECT e.vec_id, e.i, e.qx - cvv.c AS qc
+         |  FROM exq e JOIN cvv USING (i)),
+         |v0 AS (SELECT unnest(range(1, $dim + 1)) AS i, $v0 AS w),
+         |$roundCtes
+         |SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(w AS BIGINT) AS v_ppm
+         |FROM v$rounds ORDER BY dim""".stripMargin
+    },
     // Source HHI: per-term floored ppm share squares over exact
     // HUGEINT token masses.
     "mix_hhi" ->

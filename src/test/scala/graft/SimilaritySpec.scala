@@ -443,6 +443,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(0L) == ((7L, 6L, 857142L)), s"$r")
   }
 
+  test("pcaTopComponent: recovers the dominant direction exactly") {
+    import spark.implicits._
+    // variance only along dim 0 → v = (10⁶, 0)
+    val axis = Seq(
+      (1L, Array(0.000001, 0.0)), (2L, Array(-0.000001, 0.0)),
+      (3L, Array(0.000002, 0.0)), (4L, Array(-0.000002, 0.0)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.pcaTopComponent(axis).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == Map(0L -> 1000000L, 1L -> 0L), s"$r1")
+    // diagonal y=x cloud → both coordinates saturate at 10⁶
+    val diag = Seq(
+      (1L, Array(0.000001, 0.000001)), (2L, Array(-0.000002, -0.000002)),
+      (3L, Array(0.000003, 0.000003)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.pcaTopComponent(diag).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == Map(0L -> 1000000L, 1L -> 1000000L), s"$r2")
+  }
+
   test("cosineHistogram: adjacent-pair deci-buckets") {
     import spark.implicits._
     // pairs (1,2) cos=1 → bucket 10; (2,3) cos=0 → 0; (3,4) cos=−1 → −10
