@@ -150,7 +150,22 @@ object Dedup {
     * banded join is exact (same result as the O(n²) scan), never a
     * cross join. Returns (doc_a, doc_b, hamming).
     */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    simhashPairs(docs, maxHamming).orderBy("doc_a", "doc_b")
+
+  /** Hamming-distance HISTOGRAM of the simhash near-dup pair space —
+    * the summary-only twin of [[simhashNearDup]] for scale probes and
+    * monitoring: identical candidate machinery (bit-bands, leftmost-
+    * matching-band dedup, pigeonhole-complete for ≤ maxHamming), but
+    * the output is |maxHamming|+1 rows instead of the pair list — at
+    * the 10× probe the pair list alone is ~12 M rows of output
+    * volume the histogram never materializes. */
+  def simhashStats(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    simhashPairs(docs, maxHamming)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+
+  private def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // 1 row/doc, read by both join sides — materialize once.
     val sig = simhashSignatures(docs).localCheckpoint(true)
     val bands = sig.select(col("doc_id"), col("sig"),
@@ -179,7 +194,6 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(xorSig).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** D4b prefix-filtered n-gram Jaccard join (similarity-join prefix

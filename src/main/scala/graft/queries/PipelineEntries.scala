@@ -282,7 +282,9 @@ object PipelineEntries {
     "embed_cos_hist" -> ((s, d) =>
       Similarity.cosineHistogram(Tables.embeddings(s, d))),
     "embed_pca" -> ((s, d) =>
-      Similarity.pcaTopComponent(Tables.embeddings(s, d)))
+      Similarity.pcaTopComponent(Tables.embeddings(s, d))),
+    "dedup_simhash_stats" -> ((s, d) =>
+      Dedup.simhashStats(Tables.documents(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -597,6 +599,21 @@ object PipelineEntries {
          |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.sig, y.sig)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Summary twin: the same brute signature space grouped by
+    // hamming — the band machinery's histogram without the pair list.
+    "dedup_simhash_stats" ->
+      s"""WITH $TOK,
+         |$TF,
+         |tfh AS (SELECT doc_id, tf, ${TextOps.tokenHashSql("token")} AS th FROM tf),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $simhashBits AS sig
+         |  FROM tfh GROUP BY doc_id)
+         |SELECT CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 6
+         |GROUP BY 1 ORDER BY hamming""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $TOK,
          |$SH,
