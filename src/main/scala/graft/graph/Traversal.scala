@@ -130,8 +130,16 @@ object Traversal {
   def bfs(edges: DataFrame, starts: DataFrame, maxDepth: Int,
       reverse: Boolean = false): DataFrame = {
     val e0 = edgeCols(edges)
-    val e = if (reverse) e0.select(col("_dst").as("_src"), col("_src").as("_dst"))
-            else e0.select("_src", "_dst")
+    // pin ONE hash-partition on the probe key and checkpoint: without
+    // this every level's frontier join re-derived AND re-exchanged the
+    // edge projection (maxDepth× the edge shuffle — the dominant cost
+    // of deep sweeps like graph_diameter); with it the per-level
+    // exchange is only the frontier
+    val e = (if (reverse) e0.select(col("_dst").as("_src"), col("_src").as("_dst"))
+             else e0.select("_src", "_dst"))
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions, col("_src"))
+      .localCheckpoint(true)
     // Each level is materialized (localCheckpoint) before the next:
     // without this, level d's plan re-derives levels 1..d-1 → O(d²)
     // recomputation and a hundred micro-stages. With it, every level
