@@ -36,6 +36,22 @@ object TextOps {
       s"CAST(ascii(substr(rpad($t, 8, ' '), $i, 1)) AS BIGINT) * ${pow31(8 - i)}"
     }.mkString("(", " + ", s" + length($t))")
 
+  /** 61-bit re-mix of the token hash for SimHash: the base-31 poly
+    * only fills ~43 meaningful bits (31⁷·255 ≈ 2^42.6), so wider
+    * signatures built on it directly would have degenerate top bands.
+    * A multiplicative residue mod the Mersenne prime 2⁶¹−1 spreads
+    * the entropy across all 61 bits; the product rides
+    * DECIMAL(38,0)/HUGEINT (th·C ≈ 2^104). Both engines share the
+    * constants, so signatures stay bit-identical. */
+  val SimMixC = 2862933555777941757L
+  val M61 = 2305843009213693951L
+  def simMixOf(c: Column): Column = {
+    import org.apache.spark.sql.functions.{lit => l}
+    (c.cast("decimal(38,0)") * l(SimMixC) % l(M61)).cast("long")
+  }
+  def simMixSql(th: String): String =
+    s"CAST(($th::HUGEINT * $SimMixC) % $M61 AS BIGINT)"
+
   /** Combine three token hashes into one 3-gram shingle hash < P. */
   def shingleHash(h1: Column, h2: Column, h3: Column): Column =
     ((((h1 % P) * 1000003L + h2) % P) * 10007L + h3) % P

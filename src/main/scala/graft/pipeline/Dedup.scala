@@ -132,17 +132,29 @@ object Dedup {
     * crossing the network are one partial-agg row per doc either
     * way) and cost a full extra exchange of the token-instance set. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    // 56-bit signature over the 61-bit re-mixed token hash
+    // (TextOps.simMix): the raw poly hash only fills ~43 bits, which
+    // capped the old signature at 40 bits / 5-bit bands — a 1/32
+    // band-collision rate whose candidate join, not the output pair
+    // list, dominated the 10x probe. 7-bit bands collide at 1/128:
+    // ~4x fewer candidates for the identical pigeonhole guarantee.
     val occ = TextOps.tokensBag(docs)
-      .withColumn("th", TextOps.tokenHash(col("token")))
-    val votes = (0 until 40).map { i =>
+      .withColumn("th", TextOps.simMixOf(TextOps.tokenHash(col("token"))))
+    val votes = (0 until SimBits).map { i =>
       sum(shiftright(col("th"), i).bitwiseAND(1L) * 2L - 1L).as(s"v$i")
     }
     occ.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 40).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))
+        (0 until SimBits).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))
           .reduce(_ + _).as("sig"))
   }
+
+  /** Signature width and band geometry: 8 bands × 7 bits. Pigeonhole:
+    * ≤ 6 flipped bits leave ≥ 2 of 8 bands intact, so the band join
+    * is exact for maxHamming ≤ 6. */
+  val SimBits = 56
+  val SimBandBits = 7
 
   /** D3 SimHash near-dup: pairs with Hamming distance ≤ 6 over the
     * 40-bit signature. Candidates via 8 × 5-bit bands — pigeonhole
@@ -171,7 +183,8 @@ object Dedup {
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), 5 * b).bitwiseAND(31L).as("bits"))): _*)).as("bb"))
+          shiftright(col("sig"), SimBandBits * b)
+            .bitwiseAND((1L << SimBandBits) - 1).as("bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bits"))
     // LEFTMOST-MATCHING-BAND dedup instead of a distinct shuffle: a
     // qualifying pair (≤ 6 flipped bits over 8 bands) shares ≥ 2
@@ -185,7 +198,8 @@ object Dedup {
     // the 10× probe) through an exchange this form never pays.
     val xorSig = col("x.sig").bitwiseXOR(col("y.sig"))
     val minBand = least((0 until 8).map(b =>
-      when(shiftright(xorSig, 5 * b).bitwiseAND(31L) === 0, lit(b))
+      when(shiftright(xorSig, SimBandBits * b)
+          .bitwiseAND((1L << SimBandBits) - 1) === 0, lit(b))
         .otherwise(lit(8))): _*)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&

@@ -427,7 +427,7 @@ object PipelineEntries {
     s"SELECT doc_id, $i AS perm, MIN(${TextOps.minhashPermSql("sh", i)}) AS mh FROM sh GROUP BY doc_id"
   }.mkString("\n  UNION ALL\n  ")
 
-  private val simhashBits = (0 until 40).map { i =>
+  private val simhashBits = (0 until Dedup.SimBits).map { i =>
     s"(CASE WHEN SUM(tf * (((th >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" +\n         ")
 
@@ -589,7 +589,7 @@ object PipelineEntries {
     "dedup_simhash" ->
       s"""WITH $TOK,
          |$TF,
-         |tfh AS (SELECT doc_id, tf, ${TextOps.tokenHashSql("token")} AS th FROM tf),
+         |tfh AS (SELECT doc_id, tf, ${TextOps.simMixSql(TextOps.tokenHashSql("token"))} AS th FROM tf),
          |sig AS (
          |  SELECT doc_id,
          |         $simhashBits AS sig
@@ -604,7 +604,7 @@ object PipelineEntries {
     "dedup_simhash_stats" ->
       s"""WITH $TOK,
          |$TF,
-         |tfh AS (SELECT doc_id, tf, ${TextOps.tokenHashSql("token")} AS th FROM tf),
+         |tfh AS (SELECT doc_id, tf, ${TextOps.simMixSql(TextOps.tokenHashSql("token"))} AS th FROM tf),
          |sig AS (
          |  SELECT doc_id,
          |         $simhashBits AS sig
