@@ -61,8 +61,15 @@ object PipelineEntries {
     "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
     "vocab_bpe" -> ((s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d))),
     "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(Tables.documents(s, d))),
+    // the fixed 24×5-banding BIT-PARITY anchor, gated on the even-id
+    // HALF of the corpus: the contract this gate pins is signature/
+    // candidate/rerank bit-parity, not scale (the cost-model twin
+    // dedup_embedding_auto carries the full-corpus load) — at the 10×
+    // probe the full-corpus anchor alone was 17% of the entire board
     "dedup_embedding" -> ((s, d) =>
-      Similarity.embeddingNearDup(Tables.embeddings(s, d), threshold = 0.4)),
+      Similarity.embeddingNearDup(
+        Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0),
+        threshold = 0.4)),
     "dedup_embedding_exact" -> ((s, d) =>
       Similarity.embeddingNearDupExact(Tables.embeddings(s, d), threshold = 0.4)),
     // the cost-model path: banding comes from bandingFor at the pinned
@@ -996,7 +1003,8 @@ object PipelineEntries {
     // so the sign test is order-independent across engines.
     "dedup_embedding" ->
       s"""WITH $EX,
-         |$EXQ,
+         |exq AS (SELECT vec_id, CAST(round(x * 1000000, 0) AS BIGINT) AS qx, i
+         |        FROM ex WHERE vec_id % 2 = 0),
          |$NRM,
          |proj AS (
          |  SELECT vec_id, j,
