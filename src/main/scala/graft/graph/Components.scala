@@ -754,56 +754,23 @@ object Components {
         val hCnt = h.count()
         val lab: DataFrame =
           if (hCnt <= 4000000L) {
-            val parent = scala.collection.mutable.Map.empty[Long, Long]
-            def find(x: Long): Long = {
-              val px = parent.getOrElse(x, x)
-              if (px == x) x else { val r = find(px); parent(x) = r; r }
-            }
-            h.collect().foreach { r =>
-              val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-              if (ra != rb) { // min root wins so labels are canonical
-                if (ra < rb) parent(rb) = ra else parent(ra) = rb
-              }
-            }
+            // Driver fast path — NOT an exact union-find: it emulates
+            // the distributed innerRounds-bounded pointer-jump below
+            // step for step (synchronous l ← min(l, min-neighbor-l,
+            // l(l)) with early stop on a stable round), so a pick
+            // chain longer than 2^innerRounds collapses PARTIALLY here
+            // exactly as it does distributed and in the oracle's fixed
+            // unroll — same labels, same budget, 2 Spark jobs instead
+            // of 2 per inner round (MsfMergeParitySpec pins driver ≡
+            // distributed on a >2^innerRounds chain).
+            val edgesArr = h.collect().map(r => (r.getLong(0), r.getLong(1)))
+            val lmap = driverBoundedMerge(edgesArr, innerRounds)
             val spark = g.sparkSession
-            val rows = parent.keys.toSeq.map(c => (c, find(c)))
             val sqlImplicits = spark.implicits
             import sqlImplicits._
-            broadcast(spark.createDataset(rows).toDF("c", "l"))
-          } else {
-            val hs = ckptFresh(
-              h.unionByName(h.select(col("y").as("x"), col("x").as("y")))
-                .repartition(1))
-            var labD = ckptFresh(h.select(col("x").as("c"))
-              .unionByName(h.select(col("y").as("c"))).distinct()
-              .select(col("c"), col("c").as("l")).repartition(1))
-            var labStable = false
-            var inner = 0
-            // labels only decrease, so one unchanged round is a true
-            // inner fixpoint — further rounds are no-ops (what the
-            // oracle's fixed unroll replays)
-            while (inner < innerRounds && !labStable) {
-              val viaNbr = hs.join(labD.select(col("c").as("y"), col("l").as("ln")),
-                  Seq("y"))
-                .groupBy(col("x").as("c")).agg(min(col("ln")).as("nm"))
-              val viaJump = labD.as("p")
-                .join(labD.select(col("c").as("pl"), col("l").as("lj")),
-                  col("p.l") === col("pl"))
-                .select(col("p.c").as("c"), col("lj"))
-              val wide = ckptFresh(labD
-                .join(viaNbr, Seq("c"), "left")
-                .join(viaJump, Seq("c"), "left")
-                .select(col("c"), col("l").as("prev"),
-                  least(col("l"), coalesce(col("nm"), col("l")),
-                    coalesce(col("lj"), col("l"))).as("l"))
-                .repartition(1))
-              labStable = wide.filter(col("l") < col("prev")).limit(1).isEmpty
-              labD = wide.select("c", "l")
-              inner += 1
-              lap(s"r$round inner$inner")
-            }
-            labD
-          }
+            broadcast(spark.createDataset(lmap.toSeq).toDF("c", "l"))
+          } else distributedBoundedMerge(h, innerRounds,
+            i => lap(s"r$round inner$i"))
         lap(s"r$round merge")
         // contract: relabel endpoints (components without a pick keep
         // their label — the left join's coalesce), drop intra-component
@@ -832,5 +799,85 @@ object Components {
       case f => f.select(col("a").as("edge_a"), col("b").as("edge_b"), col("w"))
         .orderBy("edge_a", "edge_b")
     }
+  }
+
+  /** The distributed innerRounds-bounded min-label pointer-jump over a
+    * pick graph `h(x, y)` — synchronous l ← min(l, min-neighbor-l,
+    * l(l)) per round with early stop on a stable round (a no-op under
+    * the oracle's fixed unroll, since labels only decrease). Package-
+    * visible so MsfMergeParitySpec can pin it against the driver
+    * emulation on a chain longer than 2^innerRounds. */
+  private[graft] def distributedBoundedMerge(h: DataFrame, innerRounds: Int,
+      lapHook: Int => Unit = _ => ()): DataFrame = {
+    val hs = ckptFresh(
+      h.unionByName(h.select(col("y").as("x"), col("x").as("y")))
+        .repartition(1))
+    var labD = ckptFresh(h.select(col("x").as("c"))
+      .unionByName(h.select(col("y").as("c"))).distinct()
+      .select(col("c"), col("c").as("l")).repartition(1))
+    var labStable = false
+    var inner = 0
+    // labels only decrease, so one unchanged round is a true
+    // inner fixpoint — further rounds are no-ops (what the
+    // oracle's fixed unroll replays)
+    while (inner < innerRounds && !labStable) {
+      val viaNbr = hs.join(labD.select(col("c").as("y"), col("l").as("ln")),
+          Seq("y"))
+        .groupBy(col("x").as("c")).agg(min(col("ln")).as("nm"))
+      val viaJump = labD.as("p")
+        .join(labD.select(col("c").as("pl"), col("l").as("lj")),
+          col("p.l") === col("pl"))
+        .select(col("p.c").as("c"), col("lj"))
+      val wide = ckptFresh(labD
+        .join(viaNbr, Seq("c"), "left")
+        .join(viaJump, Seq("c"), "left")
+        .select(col("c"), col("l").as("prev"),
+          least(col("l"), coalesce(col("nm"), col("l")),
+            coalesce(col("lj"), col("l"))).as("l"))
+        .repartition(1))
+      labStable = wide.filter(col("l") < col("prev")).limit(1).isEmpty
+      labD = wide.select("c", "l")
+      inner += 1
+      lapHook(inner)
+    }
+    labD
+  }
+
+  /** Driver-side emulation of [[distributedBoundedMerge]]: the SAME
+    * synchronous bounded recursion (min of own label, neighbor labels,
+    * label-of-label; early stop on a stable round) on in-heap maps —
+    * NOT an exact union-find, so a >2^innerRounds pick chain collapses
+    * partially here exactly as it does distributed / in the oracle's
+    * fixed unroll. Keeps minSpanningForest's driver fast path at 2
+    * Spark jobs while preserving the bounded-budget parity contract. */
+  private[graft] def driverBoundedMerge(edges: Array[(Long, Long)],
+      innerRounds: Int): scala.collection.Map[Long, Long] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    def add(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty[Long]) += b
+    edges.foreach { case (x, y) => add(x, y); add(y, x) }
+    var lab = mutable.HashMap.empty[Long, Long]
+    adj.keysIterator.foreach(c => lab(c) = c)
+    var stable = false
+    var inner = 0
+    while (inner < innerRounds && !stable) {
+      val next = mutable.HashMap.empty[Long, Long]
+      stable = true
+      adj.foreach { case (c, ns) =>
+        var m = lab(c)
+        var i = 0
+        while (i < ns.length) {
+          val ln = lab(ns(i)); if (ln < m) m = ln; i += 1
+        }
+        val lj = lab.getOrElse(lab(c), lab(c))
+        if (lj < m) m = lj
+        if (m < lab(c)) stable = false
+        next(c) = m
+      }
+      lab = next
+      inner += 1
+    }
+    lab
   }
 }

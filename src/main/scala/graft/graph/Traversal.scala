@@ -666,9 +666,17 @@ object Traversal {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("offset")))
       .localCheckpoint(true)
-    val seed = sym.agg(min(least(col("src"), col("dst")))).head().getLong(0)
+    val seedRow = sym.agg(min(least(col("src"), col("dst")))).head()
     val sqlImplicits = spark.implicits
     import sqlImplicits._
+    if (seedRow.isNullAt(0)) {
+      // empty graph: one all-null/zero row, the shape the oracle's
+      // COALESCE chain yields when every sweep CTE is empty
+      return Seq((Option.empty[Long], 0L, Option.empty[Long],
+          Option.empty[Long], 0L))
+        .toDF("seed", "ecc_seed", "far_a", "far_b", "diameter_lb")
+    }
+    val seed = seedRow.getLong(0)
     def far(from: Long): (Long, Int) = {
       val d = bfs(sym, Seq(from).toDF("node"), maxDepth)
         .orderBy(col("depth").desc, col("node")).limit(1)

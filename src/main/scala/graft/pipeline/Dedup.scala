@@ -157,7 +157,7 @@ object Dedup {
   val SimBandBits = 7
 
   /** D3 SimHash near-dup: pairs with Hamming distance ≤ 6 over the
-    * 40-bit signature. Candidates via 8 × 5-bit bands — pigeonhole
+    * 56-bit signature. Candidates via 8 × 7-bit bands — pigeonhole
     * guarantees every ≤6-distance pair shares ≥2 intact bands, so the
     * banded join is exact (same result as the O(n²) scan), never a
     * cross join. Returns (doc_a, doc_b, hamming).

@@ -3028,7 +3028,9 @@ object PipelineEntries {
            |  WHERE tt.from_type IS NULL),
            |r$t AS MATERIALIZED (
            |  SELECT ty.type, COALESCE(u.pin, 0) AS pi FROM ty
-           |  LEFT JOIN (SELECT * FROM p$t UNION ALL SELECT * FROM dg$t) u
+           |  LEFT JOIN (SELECT type, SUM(pin) AS pin
+           |             FROM (SELECT * FROM p$t UNION ALL SELECT * FROM dg$t)
+           |             GROUP BY 1) u
            |    ON u.type = ty.type)""".stripMargin
       }.mkString(",\n")
       s"""WITH pr AS (

@@ -833,11 +833,18 @@ object TemporalOps {
       // no-outgoing types keep their mass: left join falls back to pi
       val dangling = pi.join(totals, pi("type") === totals("from_type"), "left_anti")
         .select(col("type").as("type2"), col("pi").as("pin"))
+      // A SINK type (inflow but no outgoing steps) appears in BOTH
+      // stepped and dangling — its new mass is held + received, so the
+      // union is re-aggregated per type before the join (a bare union
+      // would carry two rows per sink type, one extra per round,
+      // breaking the one-row-per-type contract)
+      val merged = stepped.unionByName(dangling)
+        .groupBy("type2").agg(sum(col("pin")).as("pin"))
       // eager per-round materialization: the chain state is |types|
       // rows, but left un-checkpointed Catalyst re-optimizes the whole
       // 8-round join tree at the end (measured 12 s of pure planning
       // at sf0.1 for 5 types)
-      pi = types.join(stepped.unionByName(dangling), col("type") === col("type2"), "left")
+      pi = types.join(merged, col("type") === col("type2"), "left")
         .select(col("type"), coalesce(col("pin"), lit(0L)).as("pi"))
         .localCheckpoint(true)
     }

@@ -464,6 +464,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(math.abs(pa - 250000L) < 30000 && math.abs(pb - 750000L) < 30000)
   }
 
+  test("markovStationary: sink type keeps ONE row carrying held + received mass") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // A → B and B is terminal: B has inflow but no outgoing steps, so
+    // it is both a stepped target and a dangling (mass-holding) type —
+    // the round must merge those into one row (held + received), not
+    // union two rows per round
+    val ev = Seq((1L, 1L, t(0L), "A"), (1L, 2L, t(1000L), "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val rows = TemporalOps.markovStationary(ev, rounds = 8).collect()
+    assert(rows.length == 2, s"expected one row per type, got ${rows.toList}")
+    val m = rows.map(x => x.getString(0) -> x.getLong(1)).toMap
+    // round 1: B = held 500000 + received 500000·1/1; A drains to 0
+    assert(m == Map("A" -> 0L, "B" -> 1000000L), s"$m")
+  }
+
   test("benford: digits from exact cents, frozen expectation literals") {
     import spark.implicits._
     // cents: 1, 25, 100, 190, 2500 → digits 1, 2, 1, 1, 2

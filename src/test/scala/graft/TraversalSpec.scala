@@ -349,4 +349,15 @@ class TraversalSpec extends AnyFunSuite {
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
       r2.getLong(4)) == ((1L, 2L, 2L, 1L, 2L)), s"${r2.toSeq}")
   }
+
+  test("doubleSweepDiameter: empty edge frame yields the null/zero row, no NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "offset")
+    val r = Traversal.doubleSweepDiameter(empty).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // the shape the oracle's COALESCE chain yields on an empty graph
+    assert(row.isNullAt(0) && row.getLong(1) == 0L && row.isNullAt(2) &&
+      row.isNullAt(3) && row.getLong(4) == 0L, s"${row.toSeq}")
+  }
 }
