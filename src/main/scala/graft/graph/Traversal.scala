@@ -38,14 +38,19 @@ object Traversal {
     * reference. */
   private val prepMemo =
     scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
-  private[graph] def srcPrepared(edges: DataFrame): DataFrame =
-    prepMemo.getOrElseUpdate(edges, {
-      if (prepMemo.size > 64) {
-        // A localCheckpointed frame's blocks live behind the
-        // LogicalRDD leaf, not the CacheManager — unpersist that RDD
-        // directly (non-blocking) so eviction releases storage now
-        // instead of waiting for ContextCleaner GC.
-        prepMemo.values.foreach { f =>
+
+  /** getOrElseUpdate with the shared eviction discipline: past 64
+    * entries the map is cleared wholesale, and each dropped frame's
+    * localCheckpoint blocks are unpersisted directly — they live
+    * behind the LogicalRDD leaf, not the CacheManager, so this
+    * releases storage now instead of waiting for ContextCleaner GC
+    * (frames whose session already stopped are skipped). */
+  private def memoPrepared(
+      memo: scala.collection.concurrent.TrieMap[DataFrame, DataFrame],
+      edges: DataFrame)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(edges, {
+      if (memo.size > 64) {
+        memo.values.foreach { f =>
           try if (!f.sparkSession.sparkContext.isStopped)
             f.queryExecution.analyzed.collectFirst {
               case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -53,14 +58,35 @@ object Traversal {
             }
           catch { case _: Exception => () }
         }
-        prepMemo.clear()
+        memo.clear()
       }
+      build
+    })
+
+  private[graph] def srcPrepared(edges: DataFrame): DataFrame =
+    memoPrepared(prepMemo, edges) {
       edgeCols(edges).select("_src", "_dst")
         .repartition(
           edges.sparkSession.sessionState.conf.numShufflePartitions,
           col("_src"))
         .localCheckpoint(true)
-    })
+    }
+
+  /** [[srcPrepared]] in the REVERSED orientation (probe key = original
+    * dst) — the backward-sweep twin, memoized separately so a query
+    * that sweeps both directions (callgraph_bfs forward+reverse, the
+    * diameter double sweep riders) materializes each orientation at
+    * most once per cached edge frame rather than per bfs() call. */
+  private val revPrepMemo =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private[graph] def srcPreparedRev(edges: DataFrame): DataFrame =
+    memoPrepared(revPrepMemo, edges) {
+      edgeCols(edges).select(col("_dst").as("_src"), col("_src").as("_dst"))
+        .repartition(
+          edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("_src"))
+        .localCheckpoint(true)
+    }
 
   /** [[srcPrepared]] with an explicit DISTINCT — the variant for
     * path-COUNTING operators (betweenness σ) where a duplicate edge
@@ -71,25 +97,14 @@ object Traversal {
   private val prepDistinctMemo =
     scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
   private[graph] def srcPreparedDistinct(edges: DataFrame): DataFrame =
-    prepDistinctMemo.getOrElseUpdate(edges, {
-      if (prepDistinctMemo.size > 64) {
-        prepDistinctMemo.values.foreach { f =>
-          try if (!f.sparkSession.sparkContext.isStopped)
-            f.queryExecution.analyzed.collectFirst {
-              case lr: org.apache.spark.sql.execution.LogicalRDD =>
-                lr.rdd.unpersist(false)
-            }
-          catch { case _: Exception => () }
-        }
-        prepDistinctMemo.clear()
-      }
+    memoPrepared(prepDistinctMemo, edges) {
       edges.select(col("src").cast("long").as("_src"),
           col("dst").cast("long").as("_dst")).distinct()
         .repartition(
           edges.sparkSession.sessionState.conf.numShufflePartitions,
           col("_src"))
         .localCheckpoint(true)
-    })
+    }
 
   /** [[srcPreparedDistinct]] mirrored on the DESTINATION key — for
     * backward sweeps (SCC extraction) that probe edges on dst. Same
@@ -97,25 +112,14 @@ object Traversal {
   private val dstPrepDistinctMemo =
     scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
   private[graph] def dstPreparedDistinct(edges: DataFrame): DataFrame =
-    dstPrepDistinctMemo.getOrElseUpdate(edges, {
-      if (dstPrepDistinctMemo.size > 64) {
-        dstPrepDistinctMemo.values.foreach { f =>
-          try if (!f.sparkSession.sparkContext.isStopped)
-            f.queryExecution.analyzed.collectFirst {
-              case lr: org.apache.spark.sql.execution.LogicalRDD =>
-                lr.rdd.unpersist(false)
-            }
-          catch { case _: Exception => () }
-        }
-        dstPrepDistinctMemo.clear()
-      }
+    memoPrepared(dstPrepDistinctMemo, edges) {
       edges.select(col("src").cast("long").as("_src"),
           col("dst").cast("long").as("_dst")).distinct()
         .repartition(
           edges.sparkSession.sessionState.conf.numShufflePartitions,
           col("_dst"))
         .localCheckpoint(true)
-    })
+    }
 
   /** BFS minimum-depth reachability from `starts` (column `node`), up
     * to `maxDepth` hops. Returns (node, depth) where depth is the
@@ -129,17 +133,16 @@ object Traversal {
     */
   def bfs(edges: DataFrame, starts: DataFrame, maxDepth: Int,
       reverse: Boolean = false): DataFrame = {
-    val e0 = edgeCols(edges)
     // pin ONE hash-partition on the probe key and checkpoint: without
     // this every level's frontier join re-derived AND re-exchanged the
     // edge projection (maxDepth× the edge shuffle — the dominant cost
-    // of deep sweeps like graph_diameter); with it the per-level
-    // exchange is only the frontier
-    val e = (if (reverse) e0.select(col("_dst").as("_src"), col("_src").as("_dst"))
-             else e0.select("_src", "_dst"))
-      .repartition(
-        edges.sparkSession.sessionState.conf.numShufflePartitions, col("_src"))
-      .localCheckpoint(true)
+    // of deep sweeps like graph_diameter). The pin rides the identity
+    // memo per (edge frame, orientation), so forward+reverse sweeps of
+    // one query (callgraph_bfs) and every sibling BFS consumer of the
+    // same cached edge frame share ONE materialization instead of each
+    // bfs() call paying its own (the r7 regression: two full-edge
+    // pins dominated a depth-3 sweep).
+    val e = if (reverse) srcPreparedRev(edges) else srcPrepared(edges)
     // Each level is materialized (localCheckpoint) before the next:
     // without this, level d's plan re-derives levels 1..d-1 → O(d²)
     // recomputation and a hundred micro-stages. With it, every level
