@@ -23,6 +23,18 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** IDENTITY-STABLE documents frame: one DataFrame object per
+    * (session, dir), so the identity-keyed derived-artifact memos
+    * (TextOps.shinglesShared / shingleDfShared, Dedup.minhashSigsShared)
+    * hit across every board query instead of once per call — the
+    * GraphQueries.edgeMemo discipline applied to the text family. The
+    * frame itself is just the parquet scan (nothing cached here; the
+    * heavy shared artifacts are checkpointed behind their own memos). */
+  private val docsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def documentsShared(s: SparkSession, d: String): DataFrame =
+    docsMemo.getOrElseUpdate((s, d), table(s, d, "documents"))
 }
 
 /** Session factory for tests / standalone use. */

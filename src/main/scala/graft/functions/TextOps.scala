@@ -109,6 +109,55 @@ object TextOps {
       .select(col("doc_id"), shingleHash(col("h1"), col("h2"), col("h3")).as("sh"))
   }
 
+  /** Identity-keyed memo for the shared text artifacts below — the
+    * Traversal.prepMemo discipline applied to TextOps: one entry per
+    * input frame OBJECT (PipelineEntries serves one docs frame per
+    * (session, dir) via Tables.documentsShared, so board queries
+    * share). Past 64 entries the map clears wholesale, unpersisting
+    * each dropped frame's localCheckpoint blocks (skipping stopped
+    * sessions) so spec-suite throwaway frames release storage
+    * eagerly. */
+  private def memoShared(
+      memo: scala.collection.concurrent.TrieMap[DataFrame, DataFrame],
+      key: DataFrame)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(key, {
+      if (memo.size > 64) {
+        memo.values.foreach { f =>
+          try if (!f.sparkSession.sparkContext.isStopped)
+            f.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(false)
+            }
+          catch { case _: Exception => () }
+        }
+        memo.clear()
+      }
+      build
+    })
+
+  /** The distinct per-doc shingle SET (doc_id, sh), checkpointed once
+    * per docs frame — the frame the gated queries (novelty, template,
+    * containment, prefix/plain ngram Jaccard, the minhash family)
+    * each re-derived from scratch before round 8: one corpus scan +
+    * tokenize + shingle window + distinct, now paid once per board. */
+  private val shingleSetMemo =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  def shinglesShared(docs: DataFrame): DataFrame =
+    memoShared(shingleSetMemo, docs) {
+      shingles(docs).distinct().localCheckpoint(true)
+    }
+
+  /** The corpus shingle-df aggregate (sh, df) over [[shinglesShared]],
+    * checkpointed once per docs frame — shared by every df-ranked /
+    * df-capped / df==1 consumer. */
+  private val shingleDfMemo =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  def shingleDfShared(docs: DataFrame): DataFrame =
+    memoShared(shingleDfMemo, docs) {
+      shinglesShared(docs).groupBy("sh").agg(count(lit(1)).as("df"))
+        .localCheckpoint(true)
+    }
+
   /** [[shingles]] with the shingle's token position kept:
     * (doc_id, seq, sh) where seq = 1-based position of the shingle's
     * FIRST token. Positional consumers (winnowing) need the offset;

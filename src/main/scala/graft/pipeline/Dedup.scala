@@ -28,9 +28,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .orderBy("text_hash")
 
-  /** Minhash signatures, long form: (doc_id, perm, mh). */
+  /** Minhash signatures, long form: (doc_id, perm, mh). Rides the
+    * shared distinct shingle set (min over distinct == min over the
+    * bag), so the corpus scan + shingle window is paid once per board
+    * rather than once per dedup-family query. */
   def minhashLong(docs: DataFrame): DataFrame = {
-    val sh = TextOps.shingles(docs)
+    val sh = TextOps.shinglesShared(docs)
     val aggs = TextOps.MinhashA.indices.map { i =>
       min(TextOps.minhashPerm(col("sh"), i)).as(s"mh$i")
     }
@@ -39,6 +42,28 @@ object Dedup {
       .map(i => s"$i, mh$i").mkString(s"stack(${TextOps.MinhashA.length}, ", ", ", ") as (perm, mh)")
     wide.select(col("doc_id"), expr(stackExpr))
   }
+
+  /** The checkpointed [[minhashLong]] signature table, memoized per
+    * docs frame identity — eight gated queries (lsh, clusters,
+    * keep-best, edit-distance rerank, cross-source, inflation, bucket
+    * stats, split leakage) each re-derived it before round 8. */
+  private val sigsMemo =
+    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  def minhashSigsShared(docs: DataFrame): DataFrame =
+    sigsMemo.getOrElseUpdate(docs, {
+      if (sigsMemo.size > 64) {
+        sigsMemo.values.foreach { f =>
+          try if (!f.sparkSession.sparkContext.isStopped)
+            f.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(false)
+            }
+          catch { case _: Exception => () }
+        }
+        sigsMemo.clear()
+      }
+      minhashLong(docs).localCheckpoint(true)
+    })
 
   /** D2 MinHash+LSH near-dup: candidates share ≥1 of 8 single-row
     * bands (= one equal minhash); estimated Jaccard = matching
@@ -50,8 +75,9 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame): DataFrame = {
     // The signature table is read 4× (both candidate sides + both
-    // scoring sides) — materialize it once; it is tiny (8 rows/doc).
-    val mh = minhashLong(docs).localCheckpoint(true)
+    // scoring sides) and by 8 sibling queries — the shared memoized
+    // checkpoint serves all of them (it is tiny: 8 rows/doc).
+    val mh = minhashSigsShared(docs)
     val cand = mh.as("x").join(mh.as("y"),
         col("x.perm") === col("y.perm") && col("x.mh") === col("y.mh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -219,9 +245,10 @@ object Dedup {
     * common) shingles never become join keys at all.
     */
   def ngramJaccardPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
+    val sh = TextOps.shinglesShared(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rarity = sh.groupBy("sh").agg(count(lit(1)).as("sh_df"))
+    val rarity = TextOps.shingleDfShared(docs)
+      .select(col("sh"), col("df").as("sh_df"))
     val ranked = sh.join(rarity, "sh")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
@@ -271,9 +298,9 @@ object Dedup {
     */
   def containmentJoin(docs: DataFrame, tauNum: Int = 4, tauDen: Int = 5,
       dfCap: Int = 20): DataFrame = {
-    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
+    val sh = TextOps.shinglesShared(docs)
     val rare = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      TextOps.shingleDfShared(docs)
         .filter(col("df") <= dfCap).select("sh"),
       Seq("sh"), "left_semi")
     val cand = rare.as("x").join(rare.as("y"),
@@ -385,7 +412,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
     // read 3× (sizes + both intersection sides) — materialize once.
-    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
+    val sh = TextOps.shinglesShared(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -408,18 +435,41 @@ object Dedup {
     * read before committing a dedup threshold. est values k/8 are
     * exact binary doubles and the exact ratio is one IEEE divide
     * over identical integers, so the floor-form bucketing cannot
-    * drift across engines. Cost is the ngramJaccard shared-shingle
-    * verify (pair-bounded); in production this audit runs on a
-    * sampled corpus slice, not the full 100 TB. */
-  def minhashErrorAudit(docs: DataFrame): DataFrame = {
-    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
+    * drift across engines. `samplePpm` keeps a deterministic md5-cut
+    * slice of the candidate PAIRS before any exact work is spent on
+    * them — the gated/production shape (the full audit stays the
+    * samplePpm=10⁶ API form); the exact verify is pair-scoped, so
+    * cost is linear in sampled pairs × shingles/doc, never the
+    * df²-shaped co-occurrence self-join. */
+  def minhashErrorAudit(docs: DataFrame,
+      samplePpm: Long = 1000000L): DataFrame = {
+    val sh = TextOps.shinglesShared(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       .localCheckpoint(true)
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    minhashLsh(docs).select("doc_a", "doc_b", "est_jaccard")
+    // Deterministic pair sample (the D14b threshold discipline): a
+    // 4-hex md5 cut on the pair key keeps ~samplePpm of the CANDIDATE
+    // pairs before any exact work is spent on them — the production
+    // shape at scale, where the exact-Jaccard verify grows with
+    // near-dup density squared-ish while the estimator's error
+    // histogram needs only a uniform slice of pairs to converge.
+    val candAll = minhashLsh(docs).select("doc_a", "doc_b", "est_jaccard")
+    val cand = (if (samplePpm >= 1000000L) candAll
+      else {
+        val cutHex = f"${samplePpm * 65536L / 1000000L}%04x"
+        candAll.filter(substring(md5(concat(col("doc_a").cast("string"),
+          lit(":"), col("doc_b").cast("string"))), 1, 4) < lit(cutHex))
+      }).localCheckpoint(true)
+    // Exact intersections PAIR-SCOPED: explode only the sampled
+    // candidates' shingle sets and probe the (doc, shingle) frame —
+    // cost is Σ|shingles(doc_a)| over sampled pairs, never the
+    // df²-shaped all-co-occurring-pairs self-join the first cut of
+    // this operator paid.
+    val inter = cand.select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
@@ -493,7 +543,7 @@ object Dedup {
     * est_jaccard).
     */
   def splitLeakage(docs: DataFrame): DataFrame = {
-    val mh = minhashLong(docs).localCheckpoint(true)
+    val mh = minhashSigsShared(docs)
     val trainSigs = mh.filter(col("doc_id") % 10 < 8)
     val valSigs = mh.filter(col("doc_id") % 10 >= 8)
     val cand = valSigs.as("x").join(trainSigs.as("y"),

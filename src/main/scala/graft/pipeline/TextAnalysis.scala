@@ -58,10 +58,12 @@ object TextAnalysis {
   /** D11 document fingerprint: min rolling (shingle) hash + shingle
     * cardinality — a compact content signature for incremental dedup. */
   def fingerprint(docs: DataFrame): DataFrame =
-    TextOps.shingles(docs)
+    // over the shared distinct set: min is dup-insensitive and the
+    // distinct count becomes a plain count
+    TextOps.shinglesShared(docs)
       .groupBy("doc_id")
       .agg(min(col("sh")).as("fingerprint"),
-        countDistinct(col("sh")).as("n_distinct_shingles"))
+        count(lit(1)).as("n_distinct_shingles"))
       .orderBy("doc_id")
 
   /** D19 corpus vocabulary: per-token document frequency + total term
@@ -524,8 +526,8 @@ object TextAnalysis {
     * to the per-doc distinct shingle frame; exact integer ppm.
     */
   def ngramNovelty(docs: DataFrame): DataFrame = {
-    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sh = TextOps.shinglesShared(docs)
+    val df = TextOps.shingleDfShared(docs)
     sh.join(df, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -547,8 +549,8 @@ object TextAnalysis {
     * and the df frame is computed once for both signals at 100 TB.
     */
   def templateScore(docs: DataFrame, dfDen: Int = 20): DataFrame = {
-    val sh = TextOps.shingles(docs).distinct().localCheckpoint(true)
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sh = TextOps.shinglesShared(docs)
+    val df = TextOps.shingleDfShared(docs)
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     sh.join(df, "sh")
       .crossJoin(broadcast(nDocs))

@@ -160,7 +160,7 @@ object GraphQueries {
       .agg(countDistinct("n").as("n_functions"))
     val calls = e.agg(count(lit(1)).as("n_calls"))
     val bins = Tables.supplier(s, d).agg(count(lit(1)).as("n_binaries"))
-    val strs = Tables.documents(s, d).agg(count(lit(1)).as("n_strings"))
+    val strs = Tables.documentsShared(s, d).agg(count(lit(1)).as("n_strings"))
     nodes.crossJoin(calls).crossJoin(bins).crossJoin(strs)
   }
 

@@ -34,33 +34,33 @@ object PipelineEntries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fulltext_search" -> ((s, d) =>
-      Fulltext.search(Tables.documents(s, d), SearchTerms)),
+      Fulltext.search(Tables.documentsShared(s, d), SearchTerms)),
     "fulltext_prefix" -> ((s, d) =>
-      Fulltext.prefixSearch(Tables.documents(s, d), Prefix)),
+      Fulltext.prefixSearch(Tables.documentsShared(s, d), Prefix)),
     // contains mode goes through the char-n-gram vocabulary pre-filter
     // (the 100 TB path: candidate tokens pruned before the postings
     // scan); output is identical to the plain contains sweep.
     "fulltext_contains" -> ((s, d) =>
-      Fulltext.containsSearchNgram(Tables.documents(s, d), ContainsTerms)),
+      Fulltext.containsSearchNgram(Tables.documentsShared(s, d), ContainsTerms)),
     "fulltext_bool" -> ((s, d) =>
-      Fulltext.booleanSearch(Tables.documents(s, d), "spark AND (wind* OR merge)")),
+      Fulltext.booleanSearch(Tables.documentsShared(s, d), "spark AND (wind* OR merge)")),
     "fulltext_bm25" -> ((s, d) =>
-      Fulltext.bm25Search(Tables.documents(s, d), SearchTerms)),
-    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
-    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
-    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+      Fulltext.bm25Search(Tables.documentsShared(s, d), SearchTerms)),
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documentsShared(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(Tables.documentsShared(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documentsShared(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documentsShared(s, d))),
     "dedup_ngram_prefix" -> ((s, d) =>
-      Dedup.ngramJaccardPrefix(Tables.documents(s, d), minJaccard = 0.5)),
-    "dedup_cluster" -> ((s, d) => Dedup.clusters(Tables.documents(s, d))),
+      Dedup.ngramJaccardPrefix(Tables.documentsShared(s, d), minJaccard = 0.5)),
+    "dedup_cluster" -> ((s, d) => Dedup.clusters(Tables.documentsShared(s, d))),
     "decontaminate" -> ((s, d) =>
-      Contamination.decontaminate(Tables.documents(s, d), col("doc_id") % 97 === 0)),
+      Contamination.decontaminate(Tables.documentsShared(s, d), col("doc_id") % 97 === 0)),
     "decontaminate_bloom" -> ((s, d) =>
-      Contamination.decontaminateBloom(Tables.documents(s, d), col("doc_id") % 97 === 0)),
-    "text_pii" -> ((s, d) => TextAnalysis.piiRedact(Tables.documents(s, d))),
-    "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))),
-    "vocab_bpe" -> ((s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d))),
-    "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(Tables.documents(s, d))),
+      Contamination.decontaminateBloom(Tables.documentsShared(s, d), col("doc_id") % 97 === 0)),
+    "text_pii" -> ((s, d) => TextAnalysis.piiRedact(Tables.documentsShared(s, d))),
+    "text_vocab" -> ((s, d) => TextAnalysis.vocabulary(Tables.documentsShared(s, d))),
+    "vocab_bpe" -> ((s, d) => TextAnalysis.bpeMerges(Tables.documentsShared(s, d))),
+    "mix_weights" -> ((s, d) => TextAnalysis.mixtureWeights(Tables.documentsShared(s, d))),
     // the fixed 24×5-banding BIT-PARITY anchor, gated on the even-id
     // HALF of the corpus: the contract this gate pins is signature/
     // candidate/rerank bit-parity, not scale (the cost-model twin
@@ -85,18 +85,18 @@ object PipelineEntries {
     "sim_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
-    "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
-    "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documents(s, d))),
-    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
-    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(Tables.documentsShared(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(Tables.documentsShared(s, d))),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documentsShared(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documentsShared(s, d))),
     "events_window" -> ((s, d) =>
       graft.streaming.EventStreams.hourlyTypeCounts(graft.streaming.EventStreams.events(s, d))),
     "events_sessionize" -> ((s, d) =>
       graft.streaming.EventStreams.sessionize(graft.streaming.EventStreams.events(s, d))),
-    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documents(s, d))),
-    "curate_pipeline" -> ((s, d) => Curate.curate(Tables.documents(s, d))),
+    "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documentsShared(s, d))),
+    "curate_pipeline" -> ((s, d) => Curate.curate(Tables.documentsShared(s, d))),
     "curate_full" -> ((s, d) =>
-      Curate.curateFull(Tables.documents(s, d), col("doc_id") % 97 === 0)),
+      Curate.curateFull(Tables.documentsShared(s, d), col("doc_id") % 97 === 0)),
     "events_asof" -> ((s, d) => TemporalOps.purchaseAsofView(s, d)),
     "events_quantiles" -> ((s, d) => TemporalOps.eventQuantiles(s, d)),
     "events_rolling" -> ((s, d) => TemporalOps.eventRolling(s, d)),
@@ -109,51 +109,54 @@ object PipelineEntries {
     "embed_quantize" -> ((s, d) =>
       Similarity.quantizeSummary(Tables.embeddings(s, d))),
     "sample_stratified" -> ((s, d) =>
-      Sampling.stratifiedSample(Tables.documents(s, d))),
+      Sampling.stratifiedSample(Tables.documentsShared(s, d))),
     "sample_threshold" -> ((s, d) =>
-      Sampling.stratifiedSampleThreshold(Tables.documents(s, d))),
-    "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+      Sampling.stratifiedSampleThreshold(Tables.documentsShared(s, d))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documentsShared(s, d))),
     // winnowing gate scoped to a fifth of the corpus: positional
     // fingerprints are per-doc voluminous and the operator itself is
     // scope-agnostic
     "text_winnow" -> ((s, d) =>
-      TextAnalysis.winnow(Tables.documents(s, d).filter(col("doc_id") % 5 === 0))),
+      TextAnalysis.winnow(Tables.documentsShared(s, d).filter(col("doc_id") % 5 === 0))),
     "dedup_semantic" -> ((s, d) =>
       Similarity.semanticDedup(Tables.embeddings(s, d), threshold = 0.4)),
     "events_topk" -> ((s, d) =>
       graft.streaming.EventStreams.trendingTopK(graft.streaming.EventStreams.events(s, d))),
     "pack_sequences" -> ((s, d) =>
-      Sampling.packSequences(Tables.documents(s, d))),
-    "dedup_keep_best" -> ((s, d) => Dedup.keepBest(Tables.documents(s, d))),
+      Sampling.packSequences(Tables.documentsShared(s, d))),
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBest(Tables.documentsShared(s, d))),
     "text_winnow_pairs" -> ((s, d) =>
-      TextAnalysis.winnowPairs(Tables.documents(s, d))),
+      TextAnalysis.winnowPairs(Tables.documentsShared(s, d))),
     // continuous-ingest dedup: the 1-in-3 doc_id slice arrives "new"
     // against a signature store built from the rest
     "dedup_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsShared(s, d)
       Dedup.dedupIncrementalFrames(
         Dedup.minhashLong(docs.filter(col("doc_id") % 3 =!= 0)),
         docs.filter(col("doc_id") % 3 === 0))
     }),
-    "chunk_docs" -> ((s, d) => Sampling.chunkDocs(Tables.documents(s, d))),
-    "shard_plan" -> ((s, d) => Sampling.shardPlan(Tables.documents(s, d))),
-    "source_profile" -> ((s, d) => TextAnalysis.sourceProfile(Tables.documents(s, d))),
+    "chunk_docs" -> ((s, d) => Sampling.chunkDocs(Tables.documentsShared(s, d))),
+    "shard_plan" -> ((s, d) => Sampling.shardPlan(Tables.documentsShared(s, d))),
+    "source_profile" -> ((s, d) => TextAnalysis.sourceProfile(Tables.documentsShared(s, d))),
     "text_ppl_buckets" -> ((s, d) =>
-      TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
+      TextAnalysis.perplexityBuckets(Tables.documentsShared(s, d))),
     "text_langid_confusion" -> ((s, d) =>
-      TextAnalysis.langIdConfusion(Tables.documents(s, d))),
+      TextAnalysis.langIdConfusion(Tables.documentsShared(s, d))),
     "dedup_cross_source" -> ((s, d) =>
-      Dedup.crossSourceDuplication(Tables.documents(s, d))),
+      Dedup.crossSourceDuplication(Tables.documentsShared(s, d))),
+    // gated form IS the production shape: a deterministic 25% md5
+    // pair-cut (the D14b threshold discipline); the full audit stays
+    // the samplePpm=10⁶ API form
     "dedup_minhash_err" -> ((s, d) =>
-      Dedup.minhashErrorAudit(Tables.documents(s, d))),
+      Dedup.minhashErrorAudit(Tables.documentsShared(s, d), samplePpm = 250000L)),
     "events_tenure" -> ((s, d) =>
       TemporalOps.userTenure(graft.streaming.EventStreams.events(s, d))),
-    "multimodal_sizes" -> ((s, d) => Multimodal.sizeProfile(s, Tables.documents(s, d))),
+    "multimodal_sizes" -> ((s, d) => Multimodal.sizeProfile(s, Tables.documentsShared(s, d))),
     "text_length_hist" -> ((s, d) =>
-      TextAnalysis.lengthHistogram(Tables.documents(s, d))),
+      TextAnalysis.lengthHistogram(Tables.documentsShared(s, d))),
     "embed_dims" -> ((s, d) => Similarity.dimProfile(Tables.embeddings(s, d))),
-    "source_similarity" -> ((s, d) => Dedup.sourceSimilarity(Tables.documents(s, d))),
-    "dedup_inflation" -> ((s, d) => Dedup.dedupInflation(Tables.documents(s, d))),
+    "source_similarity" -> ((s, d) => Dedup.sourceSimilarity(Tables.documentsShared(s, d))),
+    "dedup_inflation" -> ((s, d) => Dedup.dedupInflation(Tables.documentsShared(s, d))),
     "embed_knn_purity" -> ((s, d) =>
       Similarity.knnPurity(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "embed_drift" -> ((s, d) => Similarity.labelDrift(Tables.embeddings(s, d))),
@@ -163,19 +166,19 @@ object PipelineEntries {
       TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d))),
     "embed_project" -> ((s, d) =>
       Similarity.projectSigned(Tables.embeddings(s, d))),
-    "text_keywords" -> ((s, d) => TextAnalysis.keywords(Tables.documents(s, d))),
-    "text_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d))),
-    "text_readability" -> ((s, d) => TextAnalysis.readability(Tables.documents(s, d))),
-    "sample_balance" -> ((s, d) => Sampling.balanceSample(Tables.documents(s, d))),
+    "text_keywords" -> ((s, d) => TextAnalysis.keywords(Tables.documentsShared(s, d))),
+    "text_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documentsShared(s, d))),
+    "text_readability" -> ((s, d) => TextAnalysis.readability(Tables.documentsShared(s, d))),
+    "sample_balance" -> ((s, d) => Sampling.balanceSample(Tables.documentsShared(s, d))),
     "events_disorder" -> ((s, d) => TemporalOps.eventDisorder(s, d)),
     "events_cdc" -> ((s, d) =>
       graft.streaming.EventStreams.latestState(graft.streaming.EventStreams.events(s, d))),
     "text_unigram_ce" -> ((s, d) =>
-      TextAnalysis.unigramCrossEntropy(Tables.documents(s, d))),
+      TextAnalysis.unigramCrossEntropy(Tables.documentsShared(s, d))),
     "events_sliding" -> ((s, d) =>
       graft.streaming.EventStreams.slidingTypeCounts(graft.streaming.EventStreams.events(s, d))),
     "fulltext_phrase" -> ((s, d) =>
-      graft.search.Fulltext.phraseSearch(Tables.documents(s, d), "table value")),
+      graft.search.Fulltext.phraseSearch(Tables.documentsShared(s, d), "table value")),
     "embed_pq" -> ((s, d) =>
       Similarity.productQuantize(Tables.embeddings(s, d))),
     "events_retention" -> ((s, d) =>
@@ -184,14 +187,14 @@ object PipelineEntries {
       TemporalOps.transitions(graft.streaming.EventStreams.events(s, d))),
     "events_pivot" -> ((s, d) =>
       graft.streaming.EventStreams.typePivot(graft.streaming.EventStreams.events(s, d))),
-    "dedup_editdist" -> ((s, d) => Dedup.editDistance(Tables.documents(s, d))),
+    "dedup_editdist" -> ((s, d) => Dedup.editDistance(Tables.documentsShared(s, d))),
     "events_ewma" -> ((s, d) => TemporalOps.eventEwma(s, d)),
     "events_holt" -> ((s, d) => TemporalOps.eventHolt(s, d)),
-    "vocab_bpe_apply" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
+    "vocab_bpe_apply" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documentsShared(s, d))),
     "text_bigram_lm" -> ((s, d) =>
-      TextAnalysis.bigramCrossEntropy(Tables.documents(s, d))),
+      TextAnalysis.bigramCrossEntropy(Tables.documentsShared(s, d))),
     "text_hash_features" -> ((s, d) =>
-      TextAnalysis.hashFeatures(Tables.documents(s, d))),
+      TextAnalysis.hashFeatures(Tables.documentsShared(s, d))),
     "events_hll" -> ((s, d) =>
       graft.functions.Sketches.hllDistinct(
         graft.streaming.EventStreams.events(s, d), "event_id", "event_type")
@@ -216,68 +219,68 @@ object PipelineEntries {
       TemporalOps.burstWindows(graft.streaming.EventStreams.events(s, d))),
     "events_entropy" -> ((s, d) =>
       TemporalOps.typeEntropy(graft.streaming.EventStreams.events(s, d))),
-    "text_oov" -> ((s, d) => TextAnalysis.oovRate(Tables.documents(s, d))),
+    "text_oov" -> ((s, d) => TextAnalysis.oovRate(Tables.documentsShared(s, d))),
     "embed_cluster" -> ((s, d) =>
       Similarity.clusterSummary(Tables.embeddings(s, d))),
-    "text_source_kl" -> ((s, d) => TextAnalysis.sourceKl(Tables.documents(s, d))),
-    "text_zipf" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
-    "multimodal_stats" -> ((s, d) => Multimodal.mediaStats(s, Tables.documents(s, d))),
-    "multimodal_dedup" -> ((s, d) => Multimodal.payloadDedup(s, Tables.documents(s, d))),
-    "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documents(s, d))),
-    "text_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d))),
-    "text_template" -> ((s, d) => TextAnalysis.templateScore(Tables.documents(s, d))),
+    "text_source_kl" -> ((s, d) => TextAnalysis.sourceKl(Tables.documentsShared(s, d))),
+    "text_zipf" -> ((s, d) => TextAnalysis.zipfFit(Tables.documentsShared(s, d))),
+    "multimodal_stats" -> ((s, d) => Multimodal.mediaStats(s, Tables.documentsShared(s, d))),
+    "multimodal_dedup" -> ((s, d) => Multimodal.payloadDedup(s, Tables.documentsShared(s, d))),
+    "text_ttr" -> ((s, d) => TextAnalysis.typeTokenRatio(Tables.documentsShared(s, d))),
+    "text_novelty" -> ((s, d) => TextAnalysis.ngramNovelty(Tables.documentsShared(s, d))),
+    "text_template" -> ((s, d) => TextAnalysis.templateScore(Tables.documentsShared(s, d))),
     "events_active" -> ((s, d) =>
       TemporalOps.activeUsers(graft.streaming.EventStreams.events(s, d))),
     "dedup_containment" -> ((s, d) =>
-      Dedup.containmentJoin(Tables.documents(s, d))),
+      Dedup.containmentJoin(Tables.documentsShared(s, d))),
     "events_session_stats" -> ((s, d) =>
       TemporalOps.sessionStats(graft.streaming.EventStreams.events(s, d))),
     "events_ohlc" -> ((s, d) =>
       TemporalOps.ohlcBars(graft.streaming.EventStreams.events(s, d))),
     "events_overlap" -> ((s, d) =>
       TemporalOps.sessionOverlap(graft.streaming.EventStreams.events(s, d))),
-    "dedup_para" -> ((s, d) => Dedup.paragraphDedup(Tables.documents(s, d))),
+    "dedup_para" -> ((s, d) => Dedup.paragraphDedup(Tables.documentsShared(s, d))),
     "text_fertility" -> ((s, d) =>
-      TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
+      TextAnalysis.tokenizerFertility(Tables.documentsShared(s, d))),
     "events_twap" -> ((s, d) =>
       TemporalOps.twap(graft.streaming.EventStreams.events(s, d))),
     "dedup_cluster_sizes" -> ((s, d) =>
-      Dedup.clusterSizes(Tables.documents(s, d))),
+      Dedup.clusterSizes(Tables.documentsShared(s, d))),
     "embed_norms" -> ((s, d) => Similarity.normStats(Tables.embeddings(s, d))),
     "vocab_coverage" -> ((s, d) =>
-      TextAnalysis.vocabCoverage(Tables.documents(s, d))),
+      TextAnalysis.vocabCoverage(Tables.documentsShared(s, d))),
     "multimodal_aspect" -> ((s, d) =>
-      Multimodal.aspectProfile(s, Tables.documents(s, d))),
+      Multimodal.aspectProfile(s, Tables.documentsShared(s, d))),
     "events_acf" -> ((s, d) =>
       TemporalOps.acf(graft.streaming.EventStreams.events(s, d))),
-    "split_leakage" -> ((s, d) => Dedup.splitLeakage(Tables.documents(s, d))),
-    "text_dsir" -> ((s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d))),
+    "split_leakage" -> ((s, d) => Dedup.splitLeakage(Tables.documentsShared(s, d))),
+    "text_dsir" -> ((s, d) => TextAnalysis.dsirWeights(Tables.documentsShared(s, d))),
     "text_truncation" -> ((s, d) =>
-      TextAnalysis.truncationPlan(Tables.documents(s, d))),
+      TextAnalysis.truncationPlan(Tables.documentsShared(s, d))),
     "events_markov" -> ((s, d) =>
       TemporalOps.markovStationary(graft.streaming.EventStreams.events(s, d))),
     "events_benford" -> ((s, d) =>
       TemporalOps.benford(graft.streaming.EventStreams.events(s, d))),
     "events_calendar" -> ((s, d) =>
       TemporalOps.calendarHeat(graft.streaming.EventStreams.events(s, d))),
-    "text_hapax" -> ((s, d) => TextAnalysis.hapax(Tables.documents(s, d))),
+    "text_hapax" -> ((s, d) => TextAnalysis.hapax(Tables.documentsShared(s, d))),
     "text_jsdiv" -> ((s, d) =>
-      TextAnalysis.sourceJsDivergence(Tables.documents(s, d))),
+      TextAnalysis.sourceJsDivergence(Tables.documentsShared(s, d))),
     "text_sentences" -> ((s, d) =>
-      TextAnalysis.sentenceStats(Tables.documents(s, d))),
-    "dedup_substring" -> ((s, d) => Dedup.substringDup(Tables.documents(s, d))),
+      TextAnalysis.sentenceStats(Tables.documentsShared(s, d))),
+    "dedup_substring" -> ((s, d) => Dedup.substringDup(Tables.documentsShared(s, d))),
     "sim_range" -> ((s, d) =>
       Similarity.rangeSearch(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "multimodal_legacy" -> ((s, d) =>
-      Multimodal.mediaMetaLegacy(s, Tables.documents(s, d))),
+      Multimodal.mediaMetaLegacy(s, Tables.documentsShared(s, d))),
     "events_growth" -> ((s, d) =>
       TemporalOps.growthAccounting(graft.streaming.EventStreams.events(s, d))),
     "sample_coreset" -> ((s, d) =>
       Similarity.coresetKCenter(Tables.embeddings(s, d))),
     "mix_hhi" -> ((s, d) =>
-      TextAnalysis.sourceConcentration(Tables.documents(s, d))),
+      TextAnalysis.sourceConcentration(Tables.documentsShared(s, d))),
     "dedup_bucket_stats" -> ((s, d) =>
-      Dedup.lshBucketStats(Tables.documents(s, d))),
+      Dedup.lshBucketStats(Tables.documentsShared(s, d))),
     "embed_outliers" -> ((s, d) =>
       Similarity.centroidOutliers(Tables.embeddings(s, d))),
     "events_ltv" -> ((s, d) =>
@@ -285,13 +288,13 @@ object PipelineEntries {
     "events_hour_anomaly" -> ((s, d) =>
       TemporalOps.hourAnomalies(graft.streaming.EventStreams.events(s, d))),
     "text_len_profile" -> ((s, d) =>
-      TextAnalysis.lengthProfile(Tables.documents(s, d))),
+      TextAnalysis.lengthProfile(Tables.documentsShared(s, d))),
     "embed_cos_hist" -> ((s, d) =>
       Similarity.cosineHistogram(Tables.embeddings(s, d))),
     "embed_pca" -> ((s, d) =>
       Similarity.pcaTopComponent(Tables.embeddings(s, d))),
     "dedup_simhash_stats" -> ((s, d) =>
-      Dedup.simhashStats(Tables.documents(s, d)))
+      Dedup.simhashStats(Tables.documentsShared(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -2195,9 +2198,14 @@ object PipelineEntries {
          |mh AS (
          |  $minhashUnion),
          |cand AS (
+         |  -- deterministic 25% pair sample: 4-hex md5 cut on the
+         |  -- pair key (250000 ppm -> 0x4000), the gated production
+         |  -- shape mirrored from Dedup.minhashErrorAudit
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM mh x JOIN mh y
-         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id
+         |  WHERE substr(md5(x.doc_id::VARCHAR || ':' || y.doc_id::VARCHAR),
+         |               1, 4) < '4000'),
          |est AS (
          |  SELECT doc_a, doc_b,
          |         round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
