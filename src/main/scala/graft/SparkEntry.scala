@@ -123,6 +123,7 @@ object SparkEntry {
     "graph_assortativity" -> ((s, d) => GraphQueries.graphAssortativity(s, d)),
     "graph_motifs" -> ((s, d) => GraphQueries.graphMotifs(s, d)),
     "graph_cosupply" -> ((s, d) => GraphQueries.coSupply(s, d)),
+    "graph_cosupply_stats" -> ((s, d) => GraphQueries.coSupplyStats(s, d)),
     "graph_adamic" -> ((s, d) => GraphQueries.adamicAdar(s, d)),
     "graph_resource_alloc" -> ((s, d) => GraphQueries.resourceAlloc(s, d)),
     "graph_msf" -> ((s, d) => GraphQueries.graphMsf(s, d)),
@@ -1677,6 +1678,19 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM k k1 JOIN k k2 ON k1.item = k2.item AND k1.entity < k2.entity
         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    // Summary twin: the (n_shared -> n_pairs) histogram of the same
+    // capped projection — no pair-list materialization in the output.
+    "graph_cosupply_stats" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT l_suppkey AS entity, l_partkey AS item FROM lineitem),
+        |keep AS (SELECT item FROM sp GROUP BY 1 HAVING COUNT(*) <= 30),
+        |k AS (SELECT sp.entity, sp.item FROM sp JOIN keep USING (item)),
+        |p AS (
+        |  SELECT k1.entity AS a, k2.entity AS b, COUNT(*) AS n_shared
+        |  FROM k k1 JOIN k k2 ON k1.item = k2.item AND k1.entity < k2.entity
+        |  GROUP BY 1, 2)
+        |SELECT n_shared, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY n_shared""".stripMargin,
     // 4-truss: 6 unrolled peel rounds (support = common-neighbor
     // count, edges below k−2=2 dropped), then the final supports over
     // the surviving set. Peeling is monotone, so fixpoint rounds are
