@@ -6,12 +6,54 @@ import org.apache.spark.sql.SparkSession
   * busy local[32] JVM swing up to 3× on untouched code (observed
   * r1→r2), so medians are the minimum honest methodology. One JSON
   * line on stdout.
+  *
+  * Full-board runs split into THREE JVM GENERATIONS (graph / docs /
+  * events+relational familes, one forked child JVM each): a single
+  * 234-query session accumulates JIT/code-cache/GC pressure that
+  * inflated late-query medians ~1.2× vs isolated runs (the r6→r7
+  * whole-board effect). The family split keeps each generation's
+  * shared-artifact memos (call edges, shingles, minhash signatures)
+  * hot within its own JVM while resetting in-JVM pressure between
+  * families. The parent merges the children's results and still
+  * prints the ONE JSON line the driver consumes, now carrying
+  * per-generation totals; targeted SPARK_GRAFT_BENCH_ONLY runs stay
+  * single-JVM in-process. Fork failure falls back to the in-process
+  * whole-board run (never fails the bench).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+
+  /** Family → generation assignment: keeps every consumer of a shared
+    * memoized artifact (call-graph edges; shingle/signature frames)
+    * in one JVM so the split never un-amortizes them. */
+  private[graft] def generationOf(name: String): Int = {
+    val docPrefixes = Seq("dedup", "text", "sim_", "embed", "vocab",
+      "fulltext", "multimodal", "decontaminate", "split_", "curate",
+      "sample", "pack", "chunk", "shard", "mix_", "source_")
+    val graphPrefixes = Seq("graph", "call", "recursion", "xrefs",
+      "lineage", "fn_", "binary_info")
+    if (graphPrefixes.exists(name.startsWith)) 0
+    else if (docPrefixes.exists(name.startsWith)) 1
+    else 2 // events_*, q*, customer_*, basket_*, table_*
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+
+  /** One query name → (median seconds, first error if any). */
+  type Results = Seq[(String, (Double, Option[String]))]
+
+  private def runInProcess(
+      names: Seq[String], sfDir: String, cpus: String, runs: Int): Results = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,17 +83,70 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    val out = names.map { name =>
+      val rs = (1 to runs).map(_ => time(SparkEntry.queries(name)))
+      name -> ((median(rs.map(_._1)), rs.flatMap(_._2).headOption))
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
+    spark.stop()
+    out
+  }
+
+  /** Fork one child JVM per generation (same java, JVM args and
+    * classpath as this process); each child runs its family subset
+    * in-process and reports back through a TSV side channel. Returns
+    * None if any fork/read step fails — caller falls back. */
+  private def runGenerations(
+      gens: Seq[(Int, Seq[String])], runs: Int): Option[Results] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cp = System.getProperty("java.class.path")
+      val all = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Option[String]))]
+      gens.foreach { case (g, names) =>
+        val tsv = java.io.File.createTempFile(s"bench_gen$g", ".tsv")
+        val log = java.io.File.createTempFile(s"bench_gen$g", ".log")
+        val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+        pb.environment().put("SPARK_GRAFT_BENCH_GEN", g.toString)
+        pb.environment().put("SPARK_GRAFT_BENCH_TSV", tsv.getAbsolutePath)
+        pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
+        pb.environment().remove("SPARK_GRAFT_BENCH_OUT")
+        // child stdout/stderr → log file: the parent's stdout must stay
+        // exactly one JSON line (the driver contract)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(log)
+        val p = pb.start()
+        val rc = p.waitFor()
+        if (rc != 0)
+          throw new RuntimeException(
+            s"generation $g exited $rc (log: ${log.getAbsolutePath})")
+        val lines = java.nio.file.Files.readAllLines(tsv.toPath).asScala
+        if (lines.size != names.size)
+          throw new RuntimeException(
+            s"generation $g reported ${lines.size}/${names.size} queries")
+        lines.foreach { ln =>
+          val parts = ln.split("\t", 3)
+          all += parts(0) -> ((parts(1).toDouble,
+            if (parts.length > 2 && parts(2).nonEmpty) Some(parts(2)) else None))
+        }
+        tsv.delete()
+      }
+      Some(all.toSeq)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] generation fork failed (${e.getMessage}); " +
+          "falling back to single-JVM run")
+        None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     // Optional comma-separated allowlist for targeted re-timing while
     // optimizing one operator (full runs stay the default contract).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -61,21 +156,45 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
+    val selectedNames = only match {
+      case Some(names) => SparkEntry.queries.keys.filter(names).toSeq
+      case None => SparkEntry.queries.keys.toSeq
     }
-    val results = selected.map { case (name, fn) =>
-      val rs = (1 to runs).map(_ => time(fn))
-      name -> ((median(rs.map(_._1)), rs.flatMap(_._2).headOption))
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_GEN")
+    val wantGens =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_GENERATIONS",
+        if (only.isEmpty && !isChild) "3" else "1").toInt)
+
+    val results: Results =
+      if (wantGens > 1) {
+        val gens = selectedNames.groupBy(generationOf).toSeq.sortBy(_._1)
+        runGenerations(gens, runs)
+          .getOrElse(runInProcess(selectedNames, sfDir, cpus, runs))
+      } else runInProcess(selectedNames, sfDir, cpus, runs)
+
+    // child mode: report through the TSV side channel and exit
+    if (sys.env.contains("SPARK_GRAFT_BENCH_TSV")) {
+      val f = sys.env("SPARK_GRAFT_BENCH_TSV")
+      val body = results.map { case (k, (v, e)) =>
+        s"$k\t$v\t${e.getOrElse("").replace("\t", " ").replace("\n", " ")}"
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f), body)
+      return
     }
+
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val nErr = results.count { case (_, (_, e)) => e.isDefined }
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir","runs":$runs,"note":"per-query median of $runs runs"}"""
+    val total = results.map(_._2._1).sum
+    val genTotals = results.groupBy { case (k, _) => generationOf(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (g, rs) =>
+        s"""{"gen":$g,"n_queries":${rs.size},"sec":${rs.map(_._2._1).sum}}"""
+      }.mkString("[", ",", "]")
+    val mode = if (wantGens > 1) s"$wantGens JVM generations" else "single JVM"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"generations":$genTotals,"sf":"$sfDir","runs":$runs,"note":"per-query median of $runs runs; $mode"}"""
     println(line)
     // The stdout line is the driver contract, but a log-buffer tail
     // capture can truncate it (BENCH_r05.json lost 101 of 166 query
@@ -95,6 +214,5 @@ object Bench {
         System.err.println(s"[bench] could not write $f: ${e.getMessage}")
       }
     }
-    spark.stop()
   }
 }

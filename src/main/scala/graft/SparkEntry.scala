@@ -488,24 +488,41 @@ object SparkEntry {
 
   private def baseOracles: Map[String, String] = Map(
     "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
+      """WITH r AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep,
+        |         100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+        |         100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tx,
+        |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+        |g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         SUM(CAST(q AS HUGEINT)) AS qty_u,
+        |         SUM(CAST(ep AS HUGEINT)) AS base_u,
+        |         SUM(CAST(ep * dc AS HUGEINT)) AS discprice_u,
+        |         SUM(CAST(ep * dc * tx AS HUGEINT)) AS charge_u,
+        |         SUM(CAST(d AS HUGEINT)) AS disc_u,
+        |         COUNT(*) AS n
+        |  FROM r GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(qty_u AS DOUBLE) AS sum_qty,
+        |  CAST(base_u AS BIGINT) / 100.0 AS sum_base_price,
+        |  CAST((discprice_u + 50) // 100 AS BIGINT) / 100.0 AS sum_disc_price,
+        |  CAST((charge_u + 5000) // 10000 AS BIGINT) / 100.0 AS sum_charge,
+        |  CAST((20000 * qty_u + n) // (2 * n) AS BIGINT) / 10000.0 AS avg_qty,
+        |  CAST((200 * base_u + n) // (2 * n) AS BIGINT) / 10000.0 AS avg_price,
+        |  CAST((200 * disc_u + n) // (2 * n) AS BIGINT) / 10000.0 AS avg_disc,
+        |  n AS count_order
+        |FROM g
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_topk" ->
       """SELECT l_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  o_orderpriority,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST((SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
+        |      + 50) // 100 AS BIGINT) / 100.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -550,7 +567,9 @@ object SparkEntry {
     "q10_returns" ->
       """WITH rev AS (
         |  SELECT o_custkey,
-        |         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |         CAST((SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
+        |           + 50) // 100 AS BIGINT) / 100.0 AS revenue
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  WHERE l_returnflag = 'R'
@@ -566,10 +585,14 @@ object SparkEntry {
     "q14_promo" ->
       """WITH s AS (
         |  SELECT
-        |    round(sum(CASE WHEN p_type = 'PROMO'
-        |              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+        |    CAST((SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+        |      ELSE 0 END AS HUGEINT)) + 50) // 100 AS BIGINT) / 100.0
         |      AS promo_revenue,
-        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |    CAST((SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
+        |      + 50) // 100 AS BIGINT) / 100.0 AS total_revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         |    AND l_shipdate < TIMESTAMP '1997-10-01')
@@ -578,8 +601,10 @@ object SparkEntry {
         |         AS promo_pct
         |FROM s""".stripMargin,
     "q19_brand" ->
-      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-        |       count(*) AS n_rows
+      """SELECT CAST((SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
+        |      + 50) // 100 AS BIGINT) / 100.0 AS revenue
+        |       , count(*) AS n_rows
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
         |        AND l_quantity BETWEEN 1.0 AND 11.0)
@@ -590,7 +615,9 @@ object SparkEntry {
     "q7_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |       CAST((SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
+        |      + 50) // 100 AS BIGINT) / 100.0 AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
@@ -783,7 +810,9 @@ object SparkEntry {
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q5_star" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST((SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT))
+        |      + 50) // 100 AS BIGINT) / 100.0 AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -805,7 +834,9 @@ object SparkEntry {
         |WHERE rn <= 5
         |ORDER BY l_suppkey, rn""".stripMargin,
     "q6_forecast" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT CAST((SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS HUGEINT))
+        |      + 50) // 100 AS BIGINT) / 100.0 AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -18,23 +18,35 @@ object Relational {
     * low-cardinality group keys, map-side partial agg does the heavy
     * lifting; scan reads only the 7 needed columns.
     */
-  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-09-02"): DataFrame =
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-09-02"): DataFrame = {
+    // every money measure aggregates as an EXACT integer-unit sum
+    // (cents × discount/tax percent points, DECIMAL(38,0)-widened)
+    // and is rounded once at the end — aggregation order can no
+    // longer move a cent at any scale (the u100 contract)
+    val ep = u100(col("l_extendedprice"))
+    val dc = lit(100L) - u100(col("l_discount"))
+    val tx = lit(100L) + u100(col("l_tax"))
     lineitem
       .filter(col("l_shipdate") <= to_timestamp(lit(cutoff)))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sumU(col("l_quantity").cast("long")).as("qty_u"),
+        sumU(ep).as("base_u"),
+        sumU(ep * dc).as("discprice_u"),
+        sumU(ep * dc * tx).as("charge_u"),
+        sumU(u100(col("l_discount"))).as("disc_u"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty_u").cast("double").as("sum_qty"),
+        money2(col("base_u"), 1L).as("sum_base_price"),
+        money2(col("discprice_u"), 100L).as("sum_disc_price"),
+        money2(col("charge_u"), 10000L).as("sum_charge"),
+        avg4(col("qty_u"), 1L, col("count_order")).as("avg_qty"),
+        avg4(col("base_u"), 100L, col("count_order")).as("avg_price"),
+        avg4(col("disc_u"), 100L, col("count_order")).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** TPC-H Q3-shaped top-k revenue: selective dim (filtered customer)
     * broadcast to the orders join; only the surviving orders shuffle
@@ -67,8 +79,8 @@ object Relational {
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(money2(sumU(u100(col("l_extendedprice")) *
+        (lit(100L) - u100(col("l_discount")))), 100L).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(k)
   }
@@ -91,8 +103,8 @@ object Relational {
       .select("l_suppkey", "l_extendedprice", "l_discount")
       .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(money2(sumU(u100(col("l_extendedprice")) *
+        (lit(100L) - u100(col("l_discount")))), 100L).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -106,7 +118,8 @@ object Relational {
         col("l_shipdate") < to_timestamp(lit(s"${year.toInt + 1}-01-01")) &&
         col("l_discount").between(discLo, discHi) &&
         col("l_quantity") < qtyMax)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(money2(sumU(u100(col("l_extendedprice")) * u100(col("l_discount"))),
+        100L).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** TPC-H Q4-shaped priority check: orders in a window having at
@@ -192,8 +205,8 @@ object Relational {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val rev = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(money2(sumU(u100(col("l_extendedprice")) *
+        (lit(100L) - u100(col("l_discount")))), 100L).as("revenue"))
     rev
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
@@ -215,13 +228,15 @@ object Relational {
       .filter(col("l_shipdate") >= to_timestamp(lit(lo)) &&
         col("l_shipdate") < to_timestamp(lit(hi)))
       .select("l_partkey", "l_extendedprice", "l_discount")
-    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val revU = u100(col("l_extendedprice")) * (lit(100L) - u100(col("l_discount")))
     l.join(broadcast(part.select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
-        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
-          .as("promo_revenue"),
-        round(sum(rev), 2).as("total_revenue"))
+        sumU(when(col("p_type") === "PROMO", revU).otherwise(lit(0L)))
+          .as("promo_u"),
+        sumU(revU).as("total_u"))
+      .select(money2(col("promo_u"), 100L).as("promo_revenue"),
+        money2(col("total_u"), 100L).as("total_revenue"))
       .select(col("promo_revenue"), col("total_revenue"),
         rnd(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4)
           .as("promo_pct"))
@@ -254,8 +269,9 @@ object Relational {
       .join(broadcast(part.select("p_partkey", "p_brand", "p_size").filter(pSide)),
         col("l_partkey") === col("p_partkey"))
       .filter(full)
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"), count(lit(1)).as("n_rows"))
+      .agg(money2(sumU(u100(col("l_extendedprice")) *
+        (lit(100L) - u100(col("l_discount")))), 100L).as("revenue"),
+        count(lit(1)).as("n_rows"))
   }
 
   /** TPC-H Q7-shaped volume shipping: revenue between two nations by
@@ -283,8 +299,8 @@ object Relational {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(money2(sumU(u100(col("l_extendedprice")) *
+        (lit(100L) - u100(col("l_discount")))), 100L).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -321,6 +337,39 @@ object Relational {
     * q8/q9/q11/q15/q17/q20). */
   private def centsOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + lit(0.5)).cast("long")
+
+  /** Exact hundredths of a ≤2dp column (cents of a price, percent
+    * points of a discount/tax) — per-row exact, so money products stay
+    * integral and their SUM (widened through DECIMAL(38,0), the 100 TB
+    * overflow guard) cannot be perturbed by aggregation order. The
+    * round(sum(double)) form this family replaced drifted one cent on
+    * an organic-data rounding half-boundary (r8). */
+  private def u100(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+  private def sumU(perRow: Column): Column = sum(perRow.cast("decimal(38,0)"))
+
+  /** Integral floor-div of a nonnegative DECIMAL(38,0) by `d` via the
+    * exact-multiple identity (x − x mod d)/d — decimal division only
+    * ever divides an exact multiple, so its result-scale rounding can
+    * never touch the quotient. */
+  private def divU(x: Column, d: Column): Column =
+    ((x - pmod(x, d)) / d).cast("decimal(38,0)")
+
+  /** round-half-up(units/10^(2+k), 2) → dollars as double, where
+    * unitsPerCent = 10^k: the engine-order-proof end-rounding that
+    * reproduces round(sum(...), 2) exactly away from ties and
+    * deterministically on them. */
+  private def money2(u: Column, unitsPerCent: Long): Column =
+    divU(u + lit(unitsPerCent / 2).cast("decimal(38,0)"),
+      lit(unitsPerCent).cast("decimal(38,0)")).cast("double") / 100.0
+
+  /** floor-form 4dp of sumInt/(scale·n) — the exact-ratio average:
+    * floor(a/b + 0.5) = (2a + b) div (2b). */
+  private def avg4(sumInt: Column, scale: Long, n: Column): Column = {
+    val num = sumInt.cast("decimal(38,0)") * lit(20000L) +
+      (n * lit(scale)).cast("decimal(38,0)")
+    val den = (n * lit(2L * scale)).cast("decimal(38,0)")
+    divU(num, den).cast("double") / 10000.0
+  }
 
   /** TPC-H Q8-shaped national market share: of the revenue shipped to
     * customers in `regionName`, what fraction came from suppliers in
