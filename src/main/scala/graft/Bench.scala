@@ -114,6 +114,11 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_BENCH_TSV", tsv.getAbsolutePath)
         pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
         pb.environment().remove("SPARK_GRAFT_BENCH_OUT")
+        // an inherited explicit SPARK_GRAFT_BENCH_GENERATIONS>1 would
+        // make the child re-enter runGenerations on its own subset and
+        // fork an identical grandchild, unboundedly — children always
+        // run in-process
+        pb.environment().remove("SPARK_GRAFT_BENCH_GENERATIONS")
         // child stdout/stderr → log file: the parent's stdout must stay
         // exactly one JSON line (the driver contract)
         pb.redirectErrorStream(true)
@@ -162,8 +167,12 @@ object Bench {
     }
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_GEN")
     val wantGens =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_GENERATIONS",
-        if (only.isEmpty && !isChild) "3" else "1").toInt)
+      // a generation child NEVER forks again (second guard behind the
+      // env-var scrub in runGenerations — belt and braces against the
+      // unbounded fork chain)
+      if (isChild) 1
+      else math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_GENERATIONS",
+        if (only.isEmpty) "3" else "1").toInt)
 
     val results: Results =
       if (wantGens > 1) {

@@ -113,35 +113,52 @@ object TextOps {
     * Traversal.prepMemo discipline applied to TextOps: one entry per
     * input frame OBJECT (PipelineEntries serves one docs frame per
     * (session, dir) via Tables.documentsShared, so board queries
-    * share). Past 64 entries the map clears wholesale, unpersisting
-    * each dropped frame's localCheckpoint blocks (skipping stopped
-    * sessions) so spec-suite throwaway frames release storage
-    * eagerly. */
-  private def memoShared(
-      memo: scala.collection.concurrent.TrieMap[DataFrame, DataFrame],
-      key: DataFrame)(build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(key, {
-      if (memo.size > 64) {
-        memo.values.foreach { f =>
-          try if (!f.sparkSession.sparkContext.isStopped)
-            f.queryExecution.analyzed.collectFirst {
-              case lr: org.apache.spark.sql.execution.LogicalRDD =>
-                lr.rdd.unpersist(false)
-            }
-          catch { case _: Exception => () }
+    * share). Eviction is LRU, never wholesale: past 64 entries the
+    * least-recently-fetched frames are dropped (their localCheckpoint
+    * blocks unpersisted — checkpointed RDDs cannot be recomputed, so
+    * an evicted frame must have no future consumer) down to the 16
+    * most recent. A frame referenced by an in-flight query was by
+    * definition fetched within the last handful of accesses (a single
+    * query touches at most ~3 memo frames), so spec-suite churn past
+    * 64 throwaway frames can no longer invalidate a handle taken
+    * earlier in the same plan. */
+  private[graft] final class FrameMemo {
+    private val frames =
+      scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+    private val stamps =
+      scala.collection.concurrent.TrieMap.empty[DataFrame, Long]
+    private val tick = new java.util.concurrent.atomic.AtomicLong()
+    private def release(f: DataFrame): Unit =
+      try if (!f.sparkSession.sparkContext.isStopped)
+        f.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
         }
-        memo.clear()
-      }
-      build
-    })
+      catch { case _: Exception => () }
+    def getOrBuild(key: DataFrame)(build: => DataFrame): DataFrame = {
+      val out = frames.getOrElseUpdate(key, {
+        if (frames.size > 64) {
+          val keep = stamps.toSeq.sortBy(-_._2).take(16).map(_._1).toSet
+          (frames.keySet.toSet -- keep - key).foreach { k =>
+            frames.remove(k).foreach(release)
+            stamps.remove(k)
+          }
+        }
+        build
+      })
+      stamps.put(key, tick.incrementAndGet())
+      out
+    }
+  }
+  private def memoShared(memo: FrameMemo, key: DataFrame)(
+      build: => DataFrame): DataFrame = memo.getOrBuild(key)(build)
 
   /** The distinct per-doc shingle SET (doc_id, sh), checkpointed once
     * per docs frame — the frame the gated queries (novelty, template,
     * containment, prefix/plain ngram Jaccard, the minhash family)
     * each re-derived from scratch before round 8: one corpus scan +
     * tokenize + shingle window + distinct, now paid once per board. */
-  private val shingleSetMemo =
-    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private val shingleSetMemo = new FrameMemo
   def shinglesShared(docs: DataFrame): DataFrame =
     memoShared(shingleSetMemo, docs) {
       shingles(docs).distinct().localCheckpoint(true)
@@ -150,8 +167,7 @@ object TextOps {
   /** The corpus shingle-df aggregate (sh, df) over [[shinglesShared]],
     * checkpointed once per docs frame — shared by every df-ranked /
     * df-capped / df==1 consumer. */
-  private val shingleDfMemo =
-    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private val shingleDfMemo = new FrameMemo
   def shingleDfShared(docs: DataFrame): DataFrame =
     memoShared(shingleDfMemo, docs) {
       shinglesShared(docs).groupBy("sh").agg(count(lit(1)).as("df"))

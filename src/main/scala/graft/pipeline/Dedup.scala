@@ -47,23 +47,9 @@ object Dedup {
     * docs frame identity — eight gated queries (lsh, clusters,
     * keep-best, edit-distance rerank, cross-source, inflation, bucket
     * stats, split leakage) each re-derived it before round 8. */
-  private val sigsMemo =
-    scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+  private val sigsMemo = new TextOps.FrameMemo
   def minhashSigsShared(docs: DataFrame): DataFrame =
-    sigsMemo.getOrElseUpdate(docs, {
-      if (sigsMemo.size > 64) {
-        sigsMemo.values.foreach { f =>
-          try if (!f.sparkSession.sparkContext.isStopped)
-            f.queryExecution.analyzed.collectFirst {
-              case lr: org.apache.spark.sql.execution.LogicalRDD =>
-                lr.rdd.unpersist(false)
-            }
-          catch { case _: Exception => () }
-        }
-        sigsMemo.clear()
-      }
-      minhashLong(docs).localCheckpoint(true)
-    })
+    sigsMemo.getOrBuild(docs) { minhashLong(docs).localCheckpoint(true) }
 
   /** D2 MinHash+LSH near-dup: candidates share ≥1 of 8 single-row
     * bands (= one equal minhash); estimated Jaccard = matching
@@ -455,7 +441,10 @@ object Dedup {
     val candAll = minhashLsh(docs).select("doc_a", "doc_b", "est_jaccard")
     val cand = (if (samplePpm >= 1000000L) candAll
       else {
-        val cutHex = f"${samplePpm * 65536L / 1000000L}%04x"
+        // clamp to >= 1: ppm < ~16 would floor to '0000' and silently
+        // keep NOTHING (filter < '0000') — a tiny-but-nonzero rate
+        // must keep some pairs, never degrade to an empty audit
+        val cutHex = f"${math.max(1L, samplePpm * 65536L / 1000000L)}%04x"
         candAll.filter(substring(md5(concat(col("doc_a").cast("string"),
           lit(":"), col("doc_b").cast("string"))), 1, 4) < lit(cutHex))
       }).localCheckpoint(true)

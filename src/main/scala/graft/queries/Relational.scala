@@ -30,7 +30,7 @@ object Relational {
       .filter(col("l_shipdate") <= to_timestamp(lit(cutoff)))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sumU(col("l_quantity").cast("long")).as("qty_u"),
+        sumU(qtyLong(col("l_quantity"))).as("qty_u"),
         sumU(ep).as("base_u"),
         sumU(ep * dc).as("discprice_u"),
         sumU(ep * dc * tx).as("charge_u"),
@@ -345,6 +345,15 @@ object Relational {
     * round(sum(double)) form this family replaced drifted one cent on
     * an organic-data rounding half-boundary (r8). */
   private def u100(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  /** Integral mapping for quantity-like doubles, mirrored by the
+    * oracle's CAST(x AS BIGINT): DuckDB rounds to nearest while Spark
+    * cast("long") truncates toward zero, so a naive cast diverges
+    * cross-engine the moment a value is non-integral. floor(x+0.5)
+    * ≡ round-half-away for the non-negative domain these columns
+    * carry (the u100 contract applied at unit scale). */
+  private[queries] def qtyLong(c: Column): Column =
+    floor(c + lit(0.5)).cast("long")
   private def sumU(perRow: Column): Column = sum(perRow.cast("decimal(38,0)"))
 
   /** Integral floor-div of a nonnegative DECIMAL(38,0) by `d` via the
@@ -978,7 +987,7 @@ object Relational {
       "l_partkey" -> col("l_partkey"),
       "l_suppkey" -> col("l_suppkey"),
       "l_linenumber" -> col("l_linenumber").cast("long"),
-      "l_quantity" -> col("l_quantity").cast("long"),
+      "l_quantity" -> qtyLong(col("l_quantity")),
       "l_extendedprice" -> centsOf(col("l_extendedprice")),
       "l_discount" -> centsOf(col("l_discount")),
       "l_shipdate" -> expr("unix_millis(cast(l_shipdate as timestamp)) div 86400000"))
@@ -1016,7 +1025,7 @@ object Relational {
     * with 12 columns, stacked. */
   def measureCorrelation(lineitem: DataFrame): DataFrame = {
     val base = lineitem.select(
-      col("l_quantity").cast("long").as("q"),
+      qtyLong(col("l_quantity")).as("q"),
       centsOf(col("l_discount")).as("d"),
       centsOf(col("l_extendedprice")).as("p"))
     def mom(x: String, y: String, tag: String) = Seq(
