@@ -32,7 +32,7 @@ object CrossoverBench {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       val tPlain = time(Dedup.ngramJaccard(docs, minJaccard = 0.5).count())
-      val tPrefix = time(Dedup.ngramJaccardPrefix(docs, minJaccard = 0.5).count())
+      val tPrefix = time(Dedup.ngramJaccardPrefixForced(docs, minJaccard = 0.5).count())
       println(f"docs=${k * n}%6d  plain=$tPlain%6.2fs  prefix=$tPrefix%6.2fs")
       docs.unpersist()
     }

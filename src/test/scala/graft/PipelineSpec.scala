@@ -56,8 +56,31 @@ class PipelineSpec extends AnyFunSuite {
       4L -> "one two three four five six seven eight")
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(key(Dedup.ngramJaccardPrefix(d, 0.5)) == key(Dedup.ngramJaccard(d, 0.5)))
-    assert(key(Dedup.ngramJaccardPrefix(d, 0.5)).nonEmpty)
+    val plain = key(Dedup.ngramJaccard(d, 0.5))
+    assert(key(Dedup.ngramJaccardPrefixForced(d, 0.5)) == plain)
+    assert(key(Dedup.ngramJaccardPrefix(d, 0.5)) == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("prefix jaccard dispatch: skew statistic separates flat and hot corpora") {
+    // flat: every doc draws from its own disjoint vocabulary — each
+    // shingle appears in exactly one doc (df = 1, multiplier = 1)
+    val flat = docs((1L to 8L).map(i =>
+      i -> (1 to 10).map(t => s"w${i}_$t").mkString(" ")): _*)
+    val mFlat = Dedup.prefixSkewMultiplier(flat)
+    assert(mFlat >= 1.0 && mFlat < Dedup.PrefixSkewCutover, s"flat m=$mFlat")
+    // hot: 80 docs over a 3-token shared vocabulary — every shingle
+    // lands in most docs, the plain self-join candidate multiplier is
+    // O(n_docs) and the dispatch must choose the prefix path
+    val hot = docs((1L to 80L).map(i =>
+      i -> Seq.tabulate(12)(j => Seq("aa", "bb", "cc")(j % 3)).mkString(" ")): _*)
+    val mHot = Dedup.prefixSkewMultiplier(hot)
+    assert(mHot > Dedup.PrefixSkewCutover, s"hot m=$mHot")
+    // and the adaptive form still matches plain on the hot corpus
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(Dedup.ngramJaccardPrefix(hot, 0.5)) ==
+      key(Dedup.ngramJaccard(hot, 0.5)))
   }
 
   test("clusters: transitive near-dup chain collapses to one cluster, min id canonical") {
