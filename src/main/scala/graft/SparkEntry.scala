@@ -118,6 +118,7 @@ object SparkEntry {
     "graph_closeness" -> ((s, d) => GraphQueries.graphCloseness(s, d)),
     "graph_harmonic" -> ((s, d) => GraphQueries.graphHarmonic(s, d)),
     "graph_hits" -> ((s, d) => GraphQueries.graphHits(s, d)),
+    "graph_eigen" -> ((s, d) => GraphQueries.graphEigen(s, d)),
     "graph_reciprocity" -> ((s, d) => GraphQueries.graphReciprocity(s, d)),
     "graph_clustering" -> ((s, d) => GraphQueries.graphClustering(s, d)),
     "graph_assortativity" -> ((s, d) => GraphQueries.graphAssortativity(s, d)),
@@ -331,6 +332,30 @@ object SparkEntry {
        |        CAST((1000000 * CAST(hv AS HUGEINT)) // mh AS BIGINT) AS h,
        |        CAST((1000000 * CAST(av AS HUGEINT)) // ma AS BIGINT) AS a
        |        FROM j$t, m$t)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled SHIFTED eigenvector-centrality power-iteration rounds
+    * over the distinct edge CTE `de`: per round v = own score +
+    * in-edge sum of the previous round's scores (the A + I shift),
+    * then one floor-normalization to max = 10⁶ (HUGEINT-widened) —
+    * replays [[graft.graph.Ranking.eigenCentrality]] bit-exactly. */
+  private def eigenCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """de AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+        |nodes AS (SELECT DISTINCT n AS node FROM
+        |  (SELECT src AS n FROM de UNION ALL SELECT dst FROM de) t),
+        |x0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes)""".stripMargin)
+    for (t <- 1 to iters) sb.append(s""",
+       |rv$t AS (SELECT de.dst AS node, CAST(SUM(s.x) AS BIGINT) AS v
+       |         FROM x${t - 1} s JOIN de ON de.src = s.node GROUP BY 1),
+       |jv$t AS MATERIALIZED (
+       |  SELECT s.node, s.x + COALESCE(rv.v, 0) AS v
+       |  FROM x${t - 1} s LEFT JOIN rv$t rv ON s.node = rv.node),
+       |mv$t AS (SELECT greatest(MAX(v), 1) AS mv FROM jv$t),
+       |x$t AS (SELECT node,
+       |        CAST((1000000 * CAST(v AS HUGEINT)) // mv AS BIGINT) AS x
+       |        FROM jv$t, mv$t)""".stripMargin)
     sb.toString
   }
 
@@ -1586,6 +1611,11 @@ object SparkEntry {
       s"""WITH $E,
         |${hitsCtes(2)}
         |SELECT node, h AS hub_ppm, a AS auth_ppm FROM s2
+        |ORDER BY node""".stripMargin,
+    "graph_eigen" ->
+      s"""WITH $E,
+        |${eigenCtes(3)}
+        |SELECT node, x AS eigen_ppm FROM x3
         |ORDER BY node""".stripMargin,
     "graph_reciprocity" ->
       s"""WITH $E,

@@ -844,6 +844,46 @@ object Ranking {
     s.select(col("node"), col("hub").as("hub_ppm"), col("auth").as("auth_ppm"))
   }
 
+  /** Eigenvector centrality — SHIFTED power iteration on the in-edge
+    * adjacency (A + I): x₊(j) = x(j) + Σ_{i→j} x(i), floor-normalized
+    * to max = 10⁶ each round (the [[hits]] fixed-point integer
+    * contract, single score instead of the alternating pair). The +I
+    * shift is the textbook spectral fix: A and A+I share eigenvectors
+    * (eigenvalues shifted by 1), but the shift keeps the iteration
+    * alive on DAG-shaped graphs — pure Aᵏx dies to the zero vector on
+    * a call graph once every length-k walk has left the sources —
+    * and damps period-2 oscillation on bipartite structure. Distinct
+    * from pagerank (no damping, no outdeg normalization — a node's
+    * full score flows to EVERY successor) and from HITS (power
+    * iteration on A, not AᵀA). Per round: one edge join + one
+    * node-keyed agg + one broadcast 1-row max — the same shuffle
+    * shape as one pagerank round, linear in edges at any scale. */
+  def eigenCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var s = nodes.select(col("node"), lit(1000000L).as("x"))
+    for (_ <- 1 to iters) {
+      val v1 = e.join(s.select(col("node"), col("x")), col("src") === col("node"))
+        .groupBy(col("dst").as("vn")).agg(sum(col("x")).as("v"))
+      val joined = s
+        .join(v1, col("node") === col("vn"), "left")
+        .select(col("node"),
+          (col("x") + coalesce(col("v"), lit(0L))).as("v"))
+        .localCheckpoint(true)
+      val mx = joined.agg(greatest(max(col("v")), lit(1L)).as("mv"))
+      // DECIMAL(38,0) widening: v ≤ indeg·10⁶ can top 2^63/10⁶ on a
+      // hub — the oracle mirrors through HUGEINT
+      s = joined.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * v) div mv AS BIGINT)")
+            .as("x"))
+    }
+    s.select(col("node"), col("x").as("eigen_ppm"))
+  }
+
   /** SALSA hubs/authorities (Lempel & Moran 2000) — [[hits]]'s
     * random-walk sibling: contributions are DEGREE-NORMALIZED
     * (aₜ₊₁(j) = Σ_{i→j} ⌊hₜ(i)/outdeg(i)⌋, hₜ₊₁(i) = Σ_{i→j}

@@ -60,6 +60,23 @@ object Sampling {
     kept.orderBy("stratum", "doc_id")
   }
 
+  /** Exact-k deterministic uniform sample — the fixed-SIZE companion
+    * to [[stratifiedSampleThreshold]]'s fixed-RATE hash cut: rank
+    * every doc by md5(doc_id) and keep the k smallest. A hash rank is
+    * a uniform random order, so this is sampling without replacement
+    * with an exact output cardinality (the "give me exactly 10k eval
+    * docs" primitive a rate cut can only approximate), deterministic
+    * and engine-replayable. Scale shape: orderBy+limit compiles to
+    * TakeOrderedAndProject — a per-partition top-k heap and one
+    * k·partitions-row reduce, no global sort, no window, no shuffle
+    * of the corpus. */
+  def fixedKSample(docs: DataFrame, k: Int = 200): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy("h")
+      .limit(k)
+  }
+
   /** Mixture-balancing sampler: downsample every source to the
     * SMALLEST source's token mass — the uniform-rebalance special case
     * of mixture realization (the general weights live in

@@ -474,6 +474,13 @@ object GraphQueries {
     Ranking.eccentricity(e, starts, maxDepth = 3).orderBy("node")
   }
 
+  /** C50 eigenvector centrality, 3 fixed-point integer power-iteration
+    * rounds (Ranking.eigenCentrality): raw influence flow over the
+    * call graph — the undamped sibling pagerank/Katz/HITS each
+    * modulate. */
+  def graphEigen(s: SparkSession, d: String): DataFrame =
+    Ranking.eigenCentrality(callEdges(s, d), iters = 3).orderBy("node")
+
   /** C22 HITS hubs/authorities, 2 fixed-point integer rounds
     * (Ranking.hits): dispatcher-vs-utility scores for every function
     * in the call graph. */

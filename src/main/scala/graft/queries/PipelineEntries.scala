@@ -112,6 +112,8 @@ object PipelineEntries {
       Sampling.stratifiedSample(Tables.documentsShared(s, d))),
     "sample_threshold" -> ((s, d) =>
       Sampling.stratifiedSampleThreshold(Tables.documentsShared(s, d))),
+    "sample_fixed_k" -> ((s, d) =>
+      Sampling.fixedKSample(Tables.documentsShared(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documentsShared(s, d))),
     // winnowing gate scoped to a fifth of the corpus: positional
     // fingerprints are per-doc voluminous and the operator itself is
@@ -1891,6 +1893,12 @@ object PipelineEntries {
          |SELECT doc_id, stratum, h FROM h
          |WHERE substr(h, 1, 4) < '4000'
          |ORDER BY stratum, doc_id""".stripMargin,
+    // exact-k form: k smallest md5 ranks, no window, no rate rounding
+    "sample_fixed_k" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents
+        |ORDER BY h
+        |LIMIT 200""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.{Contamination, Curate, Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, Curate, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Semantics checks for the dedup/similarity operators on crafted
   * inputs where the expected answer is hand-checkable.
@@ -83,6 +83,21 @@ class PipelineSpec extends AnyFunSuite {
       key(Dedup.ngramJaccard(hot, 0.5)))
   }
 
+  test("fixed-k sample: exact size, deterministic, rank-nested") {
+    val d = docs((1L to 40L).map(i => i -> s"doc number $i"): _*)
+    val s10 = Sampling.fixedKSample(d, 10).collect().map(_.getLong(0)).toSet
+    assert(s10.size == 10)
+    // deterministic: a second evaluation draws the identical set
+    assert(Sampling.fixedKSample(d, 10).collect()
+      .map(_.getLong(0)).toSet == s10)
+    // rank-based ⇒ nested: the k=5 sample is a subset of the k=10 one
+    val s5 = Sampling.fixedKSample(d, 5).collect().map(_.getLong(0)).toSet
+    assert(s5.subsetOf(s10), s"$s5 not in $s10")
+    // k past the corpus keeps everything, exactly once
+    assert(Sampling.fixedKSample(d, 100).collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 40L))
+  }
+
   test("clusters: transitive near-dup chain collapses to one cluster, min id canonical") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     // 5 ~ 6 and 6 ~ 7 (each one word changed from its neighbor) but
@@ -155,7 +170,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("chunkDocs: stride-advancing starts, overlap coverage, short-doc single chunk") {
-    import graft.pipeline.Sampling
+    // (Sampling imported at file top)
     def doc(id: Long, n: Int) = id -> Seq.fill(n)("a").mkString(" ")
     // 100 bpe tokens → chunks [0,64) and [48,100): every token covered,
     // 16-token overlap; 10 tokens → one short chunk; 64 → exactly one.

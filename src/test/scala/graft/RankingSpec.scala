@@ -208,6 +208,34 @@ class RankingSpec extends AnyFunSuite {
       s"authority ordering/floors wrong: $two")
   }
 
+  test("eigen: in-star concentrates on the hub, directed cycle stays uniform") {
+    // in-star {2,3,4}→1 under the A+I shift: hub pins at 10⁶ while
+    // spokes decay geometrically but never die (round 1: ⌊10⁶/4⌋ =
+    // 250000, round 2: ⌊250000·10⁶/1750000⌋ = 142857, round 3:
+    // ⌊142857·10⁶/1428571⌋ = 99999) — a DAG keeps a meaningful
+    // ranking instead of collapsing to the zero vector
+    val star = Ranking.eigenCentrality(
+      edges((2L, 1L), (3L, 1L), (4L, 1L)), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star(1L) == 1000000L && Seq(2L, 3L, 4L).forall(star(_) == 99999L),
+      s"in-star must concentrate: $star")
+    // directed 3-cycle: each node's shifted sum is its own score plus
+    // exactly its predecessor's — the uniform vector is the fixed
+    // point at every round
+    val cyc = Ranking.eigenCentrality(
+      edges((1L, 2L), (2L, 3L), (3L, 1L)), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(cyc(_) == 1000000L), s"cycle drifted: $cyc")
+    // two-in vs one-in: {1,2}→3, 1→4 after round 1: v(3)=3e6,
+    // v(4)=2e6, sources v=1e6 → 10⁶ / 666666 / 333333
+    val uneven = Ranking.eigenCentrality(
+      edges((1L, 3L), (2L, 3L), (1L, 4L)), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uneven(3L) == 1000000L && uneven(4L) == 666666L &&
+      uneven(1L) == 333333L && uneven(2L) == 333333L,
+      s"floor ratios wrong: $uneven")
+  }
+
   test("triad census: feedforward vs cycle separation, rotations counted once") {
     // 1→2→3 with shortcut 1→3: one FFL, no cycle
     val ffl = Ranking.triadCensus(edges((1L, 2L), (2L, 3L), (1L, 3L)))
