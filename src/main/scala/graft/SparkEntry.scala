@@ -114,6 +114,7 @@ object SparkEntry {
     "graph_walks_biased" -> ((s, d) => GraphQueries.graphWalksBiased(s, d)),
     "graph_diff" -> ((s, d) => GraphQueries.graphDiff(s, d)),
     "graph_communities" -> ((s, d) => GraphQueries.graphCommunities(s, d)),
+    "graph_labelspread" -> ((s, d) => GraphQueries.graphLabelSpread(s, d)),
     "graph_modularity" -> ((s, d) => GraphQueries.graphModularity(s, d)),
     "graph_closeness" -> ((s, d) => GraphQueries.graphCloseness(s, d)),
     "graph_harmonic" -> ((s, d) => GraphQueries.graphHarmonic(s, d)),
@@ -171,6 +172,27 @@ object SparkEntry {
          |  SELECT node, lab,
          |         row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
          |  FROM c$t) r WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unrolled seeded label-spreading rounds (see
+    * [[graft.graph.Components.labelSpread]]): per round the LPA
+    * plurality pick over LABELED neighbors only, seeds re-asserted
+    * (clamped) on top — a non-seed's vote wins only where it exists,
+    * and unlabeled nodes stay absent until the frontier reaches
+    * them. */
+  private def spreadCtes(rounds: Int): String =
+    (1 to rounds).map { t =>
+      s"""c$t AS (SELECT u.a AS node, l.lab, COUNT(*) AS c
+         |  FROM und u JOIN l${t - 1} l ON l.node = u.b GROUP BY 1, 2),
+         |p$t AS (SELECT node, lab FROM (
+         |  SELECT node, lab,
+         |         row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+         |  FROM c$t) r WHERE rn = 1),
+         |l$t AS MATERIALIZED (
+         |  SELECT node, lab FROM seeds
+         |  UNION ALL
+         |  SELECT node, lab FROM p$t
+         |  WHERE node NOT IN (SELECT node FROM seeds))""".stripMargin
     }.mkString(",\n")
 
   /** Unrolled fixed-point PageRank CTEs: ppm integers, floor-div
@@ -1434,6 +1456,24 @@ object SparkEntry {
         |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM und),
         |${lpaCtes(4)}
         |SELECT node, lab AS community FROM l4 ORDER BY node""".stripMargin,
+    // Seeded spread: seeds clamped each round, non-seeds take the
+    // plurality vote; labels are monotone so no carry branch exists.
+    "graph_labelspread" ->
+      s"""WITH $E,
+        |und AS MATERIALIZED (SELECT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e
+        |  UNION
+        |  SELECT dst AS a, src AS b FROM e) u WHERE a <> b),
+        |seeds AS MATERIALIZED (
+        |  -- seed universe = ALL graph nodes (incl. self-loop-only
+        |  -- ones und drops), mirroring the Spark entry's node frame
+        |  SELECT node, node % 5 AS lab FROM (
+        |    SELECT DISTINCT n AS node FROM
+        |      (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) t
+        |  ) n WHERE node % 50 = 0),
+        |l0 AS (SELECT node, lab FROM seeds),
+        |${spreadCtes(3)}
+        |SELECT node, lab AS label FROM l3 ORDER BY node""".stripMargin,
     // Modularity of the LPA partition: per-community floored ppm terms
     // (10^6*m_in)//m and (10^6*d_c^2)//(4m^2) summed — the Spark side
     // floors identically, so Q matches bit-for-bit.

@@ -289,4 +289,27 @@ object Sketches {
     probed.select(col(key),
       least((0 until CmsD).map(i => col(s"_n$i")): _*).as("est_count"))
   }
+
+  /** CMS calibration audit — the estimator-error discipline (D76)
+    * applied to [[countMin]]: per key the non-negative overcount
+    * est − true (CMS never undercounts), histogrammed in integer
+    * decade buckets. The "can I trust sketch counts at this width"
+    * read before replacing exact aggregation with the sketch at
+    * scale. Both sides are exact integers, so the bucketing cannot
+    * drift cross-engine; the join is key-aligned with the exact agg
+    * (same shuffle key), output is ≤ 4 rows. */
+  def countMinError(df: DataFrame, key: String): DataFrame = {
+    val est = countMin(df, key)
+    val exact = df.groupBy(col(key)).agg(count(lit(1)).as("n_true"))
+    est.join(exact, key)
+      .withColumn("over", col("est_count") - col("n_true"))
+      .withColumn("bucket",
+        when(col("over") === 0, lit("0_exact"))
+          .when(col("over") <= 9, lit("1_under10"))
+          .when(col("over") <= 99, lit("2_under100"))
+          .otherwise(lit("3_over100")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum(col("over")).as("total_overcount"))
+      .orderBy("bucket")
+  }
 }

@@ -202,6 +202,52 @@ object Components {
     lab.select(col("node"), col("lab").as("community"))
   }
 
+  /** Seeded label SPREADING — the semi-supervised sibling of
+    * [[communities]] (Zhu–Ghahramani with clamping, integer-vote
+    * form): seed nodes carry fixed labels that never change; each
+    * round every node with at least one labeled neighbor takes the
+    * plurality label among labeled neighbors (count desc, label asc
+    * tie-broken — the LPA argmin-struct contract), so the labeled
+    * frontier grows one hop per round and `rounds` bounds the
+    * propagation radius. Labels are monotone (a labeled node always
+    * keeps SOME label: seeds are clamped, and a voted node's labeled
+    * neighbor stays labeled), so no carry branch is needed. Per
+    * round: one edge probe of the ≤n-row label frame + two narrow
+    * aggs — the communities shuffle shape, linear in edges. Returns
+    * (node, label) for nodes reached within `rounds` hops of a seed.
+    */
+  def labelSpread(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    val und = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .unionByName(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions, col("b"))
+      .localCheckpoint(true)
+    val seedsC = seeds.select(col("node").cast("long"), col("lab").cast("long"))
+      .localCheckpoint(true)
+    var lab = seedsC
+    for (_ <- 1 to rounds) {
+      val prev = lab
+      val votes = und
+        .join(lab.select(col("node").as("nb"), col("lab")), col("b") === col("nb"))
+        .groupBy(col("a"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("a").as("node"))
+        .agg(min(struct((lit(0L) - col("c")).as("nc"), col("lab").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lab"))
+      lab = seedsC.unionByName(
+          votes.join(seedsC.select(col("node")), Seq("node"), "left_anti"))
+        .localCheckpoint(true)
+      // seeds are the round-0 state AND a live input to every union —
+      // never release them
+      if (prev ne seedsC) Ranking.releaseRound(prev)
+    }
+    Ranking.releaseRound(und)
+    lab.select(col("node"), col("lab").as("label"))
+  }
+
   /** Modularity Q of the [[communities]] partition over the simple
     * undirected graph — the single-number partition-quality metric
     * (Newman 2006): Q = Σ_c [ m_c/m − (d_c/2m)² ], where m_c counts

@@ -77,6 +77,34 @@ object Sampling {
       .limit(k)
   }
 
+  /** Weighted fixed-k sample (priority sampling, Ohlsson/Rosén
+    * shape in exact integers): every doc draws a 48-bit uniform rank
+    * from md5(doc_id) and its priority is ⌊rank / weight⌋ with
+    * weight = token count — a doc with twice the tokens halves its
+    * expected priority, so the k smallest priorities are a
+    * length-biased sample without replacement (the "sample eval docs
+    * proportional to length" primitive). 48 bits keep the rank
+    * inside a BIGINT on both engines (the md5-prefix discipline);
+    * floor-div is exact cross-engine; ties are (priority, doc_id)
+    * total-ordered. Same TakeOrderedAndProject scale shape as
+    * [[fixedKSample]]. */
+  def weightedKSample(docs: DataFrame, k: Int = 200): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // weight = the CANONICAL token count (TextOps.tokens' alphabet),
+    // computed map-side as a higher-order filter — no tokenize shuffle
+    val w = greatest(
+      size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => t =!= "")), lit(1)).cast("long")
+    docs.select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("rank48"),
+        w.as("weight"))
+      .select(col("doc_id"), col("weight"),
+        expr("rank48 div weight").as("priority"))
+      .orderBy("priority", "doc_id")
+      .limit(k)
+  }
+
   /** Mixture-balancing sampler: downsample every source to the
     * SMALLEST source's token mass — the uniform-rebalance special case
     * of mixture realization (the general weights live in

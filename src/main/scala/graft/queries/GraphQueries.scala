@@ -611,6 +611,20 @@ object GraphQueries {
   def graphCommunities(s: SparkSession, d: String): DataFrame =
     communityLabels(s, d).orderBy("node")
 
+  /** C51 seeded label spreading over the call graph
+    * (Components.labelSpread): every 50th function is a seed carrying
+    * one of 5 module labels; 3 plurality rounds classify the
+    * 3-hop-reachable remainder — the node-classification primitive
+    * next to C14's unsupervised partition. */
+  def graphLabelSpread(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val seeds = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .filter(col("node") % 50 === 0)
+      .select(col("node"), (col("node") % 5).as("lab"))
+    Components.labelSpread(e, seeds, rounds = 3).orderBy("node")
+  }
+
   /** C32 modularity of the C14 partition — the quality scalar for the
     * community structure (Components.modularityOf, exact integer ppm). */
   def graphModularity(s: SparkSession, d: String): DataFrame =

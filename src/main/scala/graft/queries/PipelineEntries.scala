@@ -114,6 +114,8 @@ object PipelineEntries {
       Sampling.stratifiedSampleThreshold(Tables.documentsShared(s, d))),
     "sample_fixed_k" -> ((s, d) =>
       Sampling.fixedKSample(Tables.documentsShared(s, d))),
+    "sample_weighted_k" -> ((s, d) =>
+      Sampling.weightedKSample(Tables.documentsShared(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documentsShared(s, d))),
     // winnowing gate scoped to a fifth of the corpus: positional
     // fingerprints are per-doc voluminous and the operator itself is
@@ -205,6 +207,9 @@ object PipelineEntries {
       graft.functions.Sketches.countMin(
         graft.streaming.EventStreams.events(s, d), "user_id")
         .orderBy("user_id")),
+    "events_cms_err" -> ((s, d) =>
+      graft.functions.Sketches.countMinError(
+        graft.streaming.EventStreams.events(s, d), "user_id")),
     "events_hll_overlap" -> ((s, d) =>
       graft.functions.Sketches.hllOverlap(
         graft.streaming.EventStreams.events(s, d), "user_id", "event_type")),
@@ -1899,6 +1904,21 @@ object PipelineEntries {
         |FROM documents
         |ORDER BY h
         |LIMIT 200""".stripMargin,
+    // priority sampling: 48-bit md5 rank floor-divided by the
+    // canonical token count; k smallest (priority, doc_id)
+    "sample_weighted_k" ->
+      s"""WITH $TOK,
+        |w AS (
+        |  SELECT d.doc_id, GREATEST(COALESCE(t.n, 0), 1) AS weight
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM tok GROUP BY 1) t ON d.doc_id = t.doc_id)
+        |SELECT doc_id, weight,
+        |       CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |            AS BIGINT) // weight AS priority
+        |FROM w
+        |ORDER BY priority, doc_id
+        |LIMIT 200""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2639,6 +2659,35 @@ object PipelineEntries {
          |FROM k
          |$joins
          |ORDER BY user_id""".stripMargin
+    },
+    // CMS calibration: replay the sketch rows + probe, join the exact
+    // per-key counts, decade-bucket the (always >= 0) overcount
+    "events_cms_err" -> {
+      import graft.functions.Sketches._
+      val rows = (0 until CmsD).map { i =>
+        s"""c$i AS (SELECT ${cmsColSql("user_id", i)} AS c,
+           |        CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until CmsD).map { i =>
+        s"JOIN c$i ON ${cmsColSql("k.user_id", i)} = c$i.c"
+      }.mkString("\n")
+      s"""WITH $rows,
+         |k AS (SELECT DISTINCT user_id FROM events),
+         |est AS (
+         |  SELECT k.user_id, least(c0.n, c1.n, c2.n) AS est_count
+         |  FROM k
+         |$joins),
+         |ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_true
+         |       FROM events GROUP BY 1),
+         |o AS (SELECT est.user_id, est.est_count - ex.n_true AS ov
+         |      FROM est JOIN ex ON est.user_id = ex.user_id)
+         |SELECT CASE WHEN ov = 0 THEN '0_exact'
+         |            WHEN ov <= 9 THEN '1_under10'
+         |            WHEN ov <= 99 THEN '2_under100'
+         |            ELSE '3_over100' END AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |       CAST(SUM(ov) AS BIGINT) AS total_overcount
+         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // Exact rank-selected inter-arrival quantiles: med = ⌊(n+1)/2⌋-th,
     // p90 = ⌈9n/10⌉-th smallest gap, (gap, event_id)-total-ordered.

@@ -98,6 +98,26 @@ class PipelineSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == (1L to 40L))
   }
 
+  test("weighted-k sample: length bias, determinism, exact size") {
+    // 30 docs: ids 1..15 one token, ids 16..30 sixty tokens — the
+    // heavy docs divide their 48-bit rank by 60 and should dominate
+    // any small-k draw
+    val d = docs((1L to 30L).map(i =>
+      i -> (if (i <= 15) "tok" else Seq.fill(60)("tok").mkString(" "))): _*)
+    val s = Sampling.weightedKSample(d, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s.length == 10)
+    // deterministic
+    assert(Sampling.weightedKSample(d, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == s.toSeq)
+    // the output is priority-sorted and heavily length-biased: at
+    // least 8 of the 10 winners are long docs (P[one-token doc beats
+    // a 60-token doc] ≈ 1/61 per pair)
+    assert(s.count(_._1 > 15L) >= 8, s"length bias missing: ${s.toSeq}")
+    assert(s.map(_._3).toSeq == s.map(_._3).toSeq.sorted,
+      s"not priority-ordered: ${s.toSeq}")
+  }
+
   test("clusters: transitive near-dup chain collapses to one cluster, min id canonical") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     // 5 ~ 6 and 6 ~ 7 (each one word changed from its neighbor) but

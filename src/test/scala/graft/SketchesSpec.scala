@@ -95,6 +95,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(est == truth, s"collision-free case must be exact: $est")
   }
 
+  test("cms error audit: collision-free corpus is all-exact; totals reconcile") {
+    import spark.implicits._
+    val df = (1 to 10).flatMap(k => Seq.fill(k)(("e", k.toLong))).toDF("t", "k")
+    val audit = Sketches.countMinError(df, "k")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(audit == Map("0_exact" -> ((10L, 0L))),
+      s"collision-free must land entirely in 0_exact: $audit")
+    // dense key space (>> 64 columns): collisions are structural —
+    // every key still appears in exactly one bucket and no overcount
+    // is negative (CMS cannot undercount)
+    val dense = (1 to 800).flatMap(k => Seq.fill(2)(("e", k.toLong))).toDF("t", "k")
+    val a2 = Sketches.countMinError(dense, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a2.map(_._2).sum == 800L, s"keys must partition: ${a2.toSeq}")
+    assert(a2.forall(_._3 >= 0L), s"negative overcount: ${a2.toSeq}")
+    assert(a2.exists(x => x._1 != "0_exact"),
+      s"800 keys on 64 columns must collide somewhere: ${a2.toSeq}")
+  }
+
   test("cms: heavy hitter estimate survives a skewed mix") {
     import spark.implicits._
     val rows = Seq.fill(5000)(("e", 42L)) ++

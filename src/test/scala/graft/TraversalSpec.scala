@@ -258,6 +258,29 @@ class TraversalSpec extends AnyFunSuite {
     assert(c1(5L) == 1L, s"tie not broken to min label: $c1")
   }
 
+  test("labelSpread: two seeds meet in the middle, tie breaks to min label, frontier bounded") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seeds 1↦10 and 5↦20
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "lab")
+    // rounds=1: only the adjacent nodes are reached — 3 stays absent
+    val r1 = Components.labelSpread(g, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 10L, 2L -> 10L, 4L -> 20L, 5L -> 20L),
+      s"one-hop frontier wrong: $r1")
+    // rounds=2: node 3 sees one 10-vote and one 20-vote — min wins
+    val r2 = Components.labelSpread(g, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L),
+      s"two-hop spread wrong: $r2")
+    // clamping: a seed surrounded by the other label keeps its own
+    val g2 = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val s2 = Seq((1L, 9L), (2L, 4L), (3L, 4L)).toDF("node", "lab")
+    val r3 = Components.labelSpread(g2, s2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(1L) == 9L, s"seed must stay clamped: $r3")
+  }
+
   test("modularity: two-clique bridge graph scores the hand value") {
     import spark.implicits._
     // two triangles joined by one bridge: communities settles on the
