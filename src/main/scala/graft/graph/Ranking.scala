@@ -43,6 +43,31 @@ object Ranking {
       }
     catch { case _: Exception => () }
 
+  /** Identity-keyed node-set memo over the INPUT edge frame — the
+    * prepMemo discipline for the score-propagation family: engine
+    * callers pass the per-(session, dir) cached callEdges OBJECT, so
+    * pagerank / weighted pagerank / ppr / katz / hits / salsa / eigen
+    * share ONE distinct-union node materialization per board instead
+    * of re-deriving (scan + shuffle + checkpoint) it each. Ownership
+    * moves to the memo: operators must NOT releaseRound a shared
+    * frame — the LRU eviction in FrameMemo is the release point. */
+  private val nodesMemo = new graft.functions.TextOps.FrameMemo
+  private[graph] def nodesOf(edges: DataFrame): DataFrame =
+    nodesMemo.getOrBuild(edges) {
+      edges.select(col("src").cast("long").as("node"))
+        .unionByName(edges.select(col("dst").cast("long").as("node")))
+        .distinct().localCheckpoint(true)
+    }
+
+  /** Identity-keyed (src, dst)-distinct edge memo — the hits / salsa /
+    * eigen trio each re-checkpointed this identical projection. */
+  private val simpleEdgesMemo = new graft.functions.TextOps.FrameMemo
+  private[graph] def simpleEdgesOf(edges: DataFrame): DataFrame =
+    simpleEdgesMemo.getOrBuild(edges) {
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .distinct().localCheckpoint(true)
+    }
+
   /** PageRank in FIXED-POINT integer arithmetic: ranks are
     * parts-per-million longs (sp₀ = 10⁶ ≙ the n-scaled rank 1.0), the
     * per-edge contribution is integer floor division `pr div outdeg`,
@@ -60,9 +85,7 @@ object Ranking {
     */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+    val nodes = nodesOf(edges)
     val e2 = e.join(
         e.groupBy(col("src").as("u")).agg(count(lit(1)).as("outdeg")),
         col("src") === col("u"))
@@ -81,7 +104,7 @@ object Ranking {
       if (prBack != null) releaseRound(prBack)
       prBack = pr
     }
-    releaseRound(nodes); releaseRound(e2)
+    releaseRound(e2) // nodes is memo-owned (nodesOf) — never released here
     pr.select(col("node"), col("pr").as("pagerank_ppm"))
   }
 
@@ -103,9 +126,7 @@ object Ranking {
   def katz(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+    val nodes = nodesOf(edges)
     var k = nodes.withColumn("k", lit(1000000L))
     var kBack: DataFrame = null
     for (_ <- 1 to iters) {
@@ -119,7 +140,6 @@ object Ranking {
       if (kBack != null) releaseRound(kBack)
       kBack = k
     }
-    releaseRound(nodes)
     k.select(col("node"), col("k").as("katz_ppm"))
   }
 
@@ -147,9 +167,7 @@ object Ranking {
   def pageRankWeighted(edges: DataFrame, iters: Int = 3): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("weight").cast("long").as("w"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+    val nodes = nodesOf(edges)
     val e2 = e.join(
         e.groupBy(col("src").as("u")).agg(sum(col("w")).as("wout")),
         col("src") === col("u"))
@@ -169,7 +187,7 @@ object Ranking {
       if (prBack != null) releaseRound(prBack)
       prBack = pr
     }
-    releaseRound(nodes); releaseRound(e2)
+    releaseRound(e2) // nodes is memo-owned (nodesOf)
     pr.select(col("node"), col("pr").as("wpagerank_ppm"))
   }
 
@@ -190,9 +208,9 @@ object Ranking {
     val s = seeds.select(col("node").cast("long").as("node")).distinct()
       .withColumn("is_seed", lit(1L))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
+    // ride the shared node memo; the seed-flagged frame stays private
+    // (and privately released) — only the raw node set is shared
+    val nodes = nodesOf(edges)
       .join(s, Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
       .localCheckpoint(true)
@@ -812,11 +830,8 @@ object Ranking {
     * graph, the utility-vs-dispatcher split.
     */
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val e = simpleEdgesOf(edges)
+    val nodes = nodesOf(edges)
     var s = nodes.select(col("node"), lit(1000000L).as("hub"),
       lit(1000000L).as("auth"))
     for (_ <- 1 to iters) {
@@ -859,11 +874,8 @@ object Ranking {
     * node-keyed agg + one broadcast 1-row max — the same shuffle
     * shape as one pagerank round, linear in edges at any scale. */
   def eigenCentrality(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val e = simpleEdgesOf(edges)
+    val nodes = nodesOf(edges)
     var s = nodes.select(col("node"), lit(1000000L).as("x"))
     for (_ <- 1 to iters) {
       val v1 = e.join(s.select(col("node"), col("x")), col("src") === col("node"))
@@ -896,17 +908,14 @@ object Ranking {
     * joins + two node-keyed narrow aggs — identical shuffle shape to
     * [[hits]], degree frames computed once. */
   def salsa(edges: DataFrame, iters: Int = 2): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(true)
+    val e = simpleEdgesOf(edges)
     val outd = e.groupBy(col("src").as("on")).agg(count(lit(1)).as("outdeg"))
     val ind = e.groupBy(col("dst").as("in")).agg(count(lit(1)).as("indeg"))
     val ew = e.join(outd, col("src") === col("on"))
       .join(ind, col("dst") === col("in"))
       .select(col("src"), col("dst"), col("outdeg"), col("indeg"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val nodes = nodesOf(edges)
     var s = nodes.select(col("node"), lit(1000000L).as("hub"),
       lit(1000000L).as("auth"))
     for (_ <- 1 to iters) {
