@@ -266,6 +266,26 @@ object Sketches {
   def cmsColSql(k: String, i: Int): String =
     s"(${hexToLongSql(s"md5(CAST($k AS VARCHAR))", 1 + 8 * i, 8)} % $CmsW)"
 
+  /** Plain-Scala twin of [[cmsCol]] for the streaming register path
+    * (the [[keyHashScala]] discipline): identical md5-window column
+    * index by construction. */
+  def cmsColScala(k: Long, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8"))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % CmsW).toInt
+  }
+
+  /** The raw (row, column, count) sketch cells of [[countMin]] — the
+    * mergeable representation (cells are additive across any data
+    * partition), shared by the batch probe and the streaming twin's
+    * parity check. */
+  def cmsRows(df: DataFrame, key: String): DataFrame =
+    (0 until CmsD).map { i =>
+      df.groupBy(cmsCol(col(key), i).as("c")).agg(count(lit(1)).as("n"))
+        .select(lit(i).as("r"), col("c"), col("n"))
+    }.reduce(_ unionByName _)
+
   /** Count-Min sketch of `key` occurrence counts: d×w = 192 counter
     * cells (three map-side-combinable groupBys over hashed columns),
     * then the estimate for each distinct key = min over rows of its
@@ -275,10 +295,7 @@ object Sketches {
     * pass. Returns (key, est_count).
     */
   def countMin(df: DataFrame, key: String): DataFrame = {
-    val sketch = (0 until CmsD).map { i =>
-      df.groupBy(cmsCol(col(key), i).as("c")).agg(count(lit(1)).as("n"))
-        .select(lit(i).as("r"), col("c"), col("n"))
-    }.reduce(_ unionByName _)
+    val sketch = cmsRows(df, key)
     val keys = df.select(col(key)).distinct()
     val probed = (0 until CmsD).foldLeft(keys) { (acc, i) =>
       val s = sketch.filter(col("r") === i)

@@ -534,6 +534,54 @@ object EventStreams {
     * sketch after the last batch. Update output mode; no timeout
     * (registers never expire — HLL forgets nothing and stays tiny).
     */
+  case class CmsIn(shard: Long, user_id: Long)
+  case class CmsState(ver: Long, cells: Array[Long])
+  case class CmsOut(shard: Long, ver: Long, cells: Array[Long])
+
+  /** Streaming count-min twin of [[graft.functions.Sketches.countMin]]
+    * (the E26 hllStreaming discipline applied to E25): the sketch
+    * lives as d×w = 192 additive counter cells, SHARDED by
+    * user_id % `shards` so state updates parallelize — CMS cells are
+    * elementwise-additive, so the full sketch is the sum of the shard
+    * outputs (the production merge shape; a single global group would
+    * serialize every update through one task). Each micro-batch folds
+    * its keys through [[graft.functions.Sketches.cmsColScala]] — ≡
+    * the batch Column path by construction — and emits the shard's
+    * current cells; StreamingSpec sums the shards after the last
+    * batch and asserts cell-for-cell parity with the batch sketch.
+    * Update output mode; no timeout (counters never expire). */
+  def cmsStreaming(spark: SparkSession, events: DataFrame,
+      shards: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import graft.functions.Sketches
+    val ds = events
+      .select((col("user_id").cast("long") % shards).as("shard"),
+        col("user_id").cast("long").as("user_id"))
+      .as[CmsIn]
+    def fold(shard: Long, evs: Iterator[CmsIn],
+        state: GroupState[CmsState]): CmsOut = {
+      val prior = state.getOption
+      val cells = prior.map(_.cells)
+        .getOrElse(Array.fill(Sketches.CmsD * Sketches.CmsW)(0L))
+      evs.foreach { e =>
+        var i = 0
+        while (i < Sketches.CmsD) {
+          cells(i * Sketches.CmsW + Sketches.cmsColScala(e.user_id, i)) += 1L
+          i += 1
+        }
+      }
+      // ver stamps each emission so an update-mode sink's accumulated
+      // rows resolve to the latest snapshot per shard
+      val ver = prior.map(_.ver).getOrElse(0L) + 1L
+      state.update(CmsState(ver, cells))
+      CmsOut(shard, ver, cells)
+    }
+    ds.groupByKey(_.shard)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fold)
+      .toDF()
+  }
+
   def hllStreaming(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}

@@ -325,6 +325,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS cells == batch sketch cells across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Sketches
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sdf = mem.toDF.toDF("user_id")
+    val q = graft.streaming.EventStreams.cmsStreaming(spark, sdf)
+      .writeStream.outputMode("update").format("memory").queryName("cms_out").start()
+    // latest (max ver) snapshot per shard, elementwise-summed = the
+    // full sketch (update-mode memory sinks accumulate rows)
+    def streamedCells(): Array[Long] = {
+      val acc = Array.fill(Sketches.CmsD * Sketches.CmsW)(0L)
+      spark.table("cms_out").collect()
+        .groupBy(_.getLong(0)).values
+        .map(_.maxBy(_.getLong(1)))
+        .foreach { r =>
+          r.getSeq[Long](2).zipWithIndex.foreach { case (v, i) => acc(i) += v }
+        }
+      acc
+    }
+    def batchCells(rows: Seq[Long]): Array[Long] = {
+      val acc = Array.fill(Sketches.CmsD * Sketches.CmsW)(0L)
+      Sketches.cmsRows(rows.toDF("user_id"), "user_id").collect()
+        .foreach(r => acc(r.getInt(0) * Sketches.CmsW + r.getLong(1).toInt) += r.getLong(2))
+      acc
+    }
+    val chunk1 = (1L to 400L) ++ Seq.fill(50)(42L)
+    val chunk2 = (300L to 700L) ++ Seq.fill(9)(42L)
+    try {
+      mem.addData(chunk1: _*)
+      q.processAllAvailable()
+      assert(streamedCells().toSeq == batchCells(chunk1).toSeq,
+        "batch-1 cell parity broke")
+      mem.addData(chunk2: _*)
+      q.processAllAvailable()
+      assert(streamedCells().toSeq == batchCells(chunk1 ++ chunk2).toSeq,
+        "cross-batch cell parity broke")
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert state == batch latestState compaction") {
     val dir = "/root/testdata/sf0.001"
     def toMap(rows: Array[org.apache.spark.sql.Row]) = rows
