@@ -37,6 +37,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan reads more than the 4 needed columns: $read")
   }
 
+  test("fixed-k samplers compile to TakeOrderedAndProject, not a global sort") {
+    // the scale contract of D91/D92: a per-partition top-k heap + one
+    // k·partitions-row reduce — a Sort+Limit pair instead would
+    // shuffle the whole corpus to order it
+    Seq("sample_fixed_k", "sample_weighted_k").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost the top-k shape:\n$p")
+    }
+  }
+
   test("q1_pricing prunes unused lineitem columns from the scan") {
     val p = planOf("q1_pricing")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
