@@ -148,14 +148,28 @@ object DataGen {
       format_string("{\"k\": %d}", hmod(31, 100, id)).as("props")),
       "events", 8)
 
-    // documents: 30-token domain vocabulary (fixed across sf — the
-    // organic property: df grows with the corpus), length 10..100,
-    // ~2% near-dups (previous doc + a rare marker token) and ~0.2%
-    // exact dups, mirroring the sf0.1 profile
-    val vocabToks = Seq("spark", "window", "merge", "table", "column",
+    // documents: 30-token domain vocabulary at the sf<=0.1 mirror
+    // points (bit-identical to the r8 generator there), growing as
+    // V = 30·(sf/0.1)^¼ beyond them — Heaps' law: a corpus 10× the
+    // size writes with a LARGER vocabulary, so shingle df densifies
+    // organically (m = Σdf²/Σdf rises ~11 → ~45 from sf0.1 to sf1)
+    // WITHOUT collapsing into an every-pair-shares-a-shingle corpus.
+    // The first cut of sf1 froze V at 30: 50k docs over 27k possible
+    // shingles made the plain shared-shingle join literally all-pairs
+    // (1.25B candidates — a generator artifact, not a scale lesson;
+    // real vocabularies grow). Exponent ¼ < ⅓ keeps density RISING
+    // with sf (V³ grows slower than n), so the df-skew regime still
+    // crosses the D4b prefix cutover by sf1. Length 10..100, ~2%
+    // near-dups (previous doc + a rare marker token) and ~0.2% exact
+    // dups, mirroring the sf0.1 profile.
+    val baseToks = Seq("spark", "window", "merge", "table", "column",
       "vector", "stream", "value", "data", "small", "join", "filter", "big",
       "group", "hash", "customer", "sort", "order", "slow", "line", "part",
       "fast", "the", "row", "agg", "key", "query", "a", "scan", "batch")
+    val vSize = math.max(baseToks.size,
+      math.ceil(baseToks.size * math.pow(sf / 0.1, 0.25)).toInt)
+    val vocabToks = baseToks ++
+      (baseToks.size until vSize).map(i => s"tok$i")
     val vocab = array(vocabToks.map(lit): _*)
     val docs0 = spark.range(nDoc).select(
       id.as("doc_id"),
@@ -167,7 +181,7 @@ object DataGen {
     val baseText = array_join(
       transform(sequence(lit(1), (hmod(32, 91, col("seed")) + 10).cast("int")),
         i => element_at(vocab,
-          (pmod(xxhash64(lit(33), col("seed"), i), lit(30)) + 1).cast("int"))),
+          (pmod(xxhash64(lit(33), col("seed"), i), lit(vSize)) + 1).cast("int"))),
       " ")
     val docs = docs0.select(
       col("doc_id"),

@@ -229,13 +229,15 @@ object Dedup {
     * Measured r9 (SkewProbe): the driver corpus reads m = 2.1 at
     * sf0.01 / 10.7 at sf0.1 and plain wins absolute time at both
     * (3.2 s vs 5.1 s at sf0.1 — the r7 verdict's complaint); the
-    * organic corpus (fixed vocabulary, df densifying ~linearly with
-    * n) reads m = 11.0 at sf0.1 and 99.5 at sf1, where hot join keys
-    * dominate the plain self-join. The cutover sits between the two
-    * regimes; at 100 TB the statistic is one 1-row aggregate over
-    * the memoized df frame — an AQE-style measured plan choice, not
-    * a guess. */
-  val PrefixSkewCutover: Double = 32.0
+    * organic corpus (Heaps-grown vocabulary, df densifying with n)
+    * reads m = 11.0 at sf0.1 where plain still wins (0.98 s vs
+    * 2.79 s) and m = 17.9 at sf1 where the ranking pays for itself
+    * (prefix 11.9 s vs plain 19.7 s, identical 1000-pair output) —
+    * the measured crossover brackets [11, 17.9], and the cutover
+    * sits at its geometric middle. At 100 TB the statistic is one
+    * 1-row aggregate over the memoized df frame — an AQE-style
+    * measured plan choice, not a guess. */
+  val PrefixSkewCutover: Double = 14.0
 
   /** D4b ADAPTIVE prefix-filtered n-gram Jaccard join: measures the
     * corpus's shingle-df skew (one bounded 1-row aggregate over the
