@@ -122,11 +122,11 @@ object TextOps {
     * query touches at most ~3 memo frames), so spec-suite churn past
     * 64 throwaway frames can no longer invalidate a handle taken
     * earlier in the same plan. */
-  private[graft] final class FrameMemo {
+  private[graft] class KeyedFrameMemo[K] {
     private val frames =
-      scala.collection.concurrent.TrieMap.empty[DataFrame, DataFrame]
+      scala.collection.concurrent.TrieMap.empty[K, DataFrame]
     private val stamps =
-      scala.collection.concurrent.TrieMap.empty[DataFrame, Long]
+      scala.collection.concurrent.TrieMap.empty[K, Long]
     private val tick = new java.util.concurrent.atomic.AtomicLong()
     private def release(f: DataFrame): Unit =
       try if (!f.sparkSession.sparkContext.isStopped)
@@ -135,7 +135,7 @@ object TextOps {
             lr.rdd.unpersist(false)
         }
       catch { case _: Exception => () }
-    def getOrBuild(key: DataFrame)(build: => DataFrame): DataFrame = {
+    def getOrBuild(key: K)(build: => DataFrame): DataFrame = {
       val out = frames.getOrElseUpdate(key, {
         if (frames.size > 64) {
           val keep = stamps.toSeq.sortBy(-_._2).take(16).map(_._1).toSet
@@ -150,6 +150,7 @@ object TextOps {
       out
     }
   }
+  private[graft] final class FrameMemo extends KeyedFrameMemo[DataFrame]
   private def memoShared(memo: FrameMemo, key: DataFrame)(
       build: => DataFrame): DataFrame = memo.getOrBuild(key)(build)
 

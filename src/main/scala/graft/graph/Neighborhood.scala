@@ -151,30 +151,48 @@ object Neighborhood {
     * Returns the top-k (score desc, fn_a, fn_b — fully tie-broken)
     * pairs with ≥ `minShared` common callees.
     */
+  /** The shared hub-capped common-neighbor pair frame behind
+    * [[adamicAdar]] and [[resourceAllocation]] — the two link
+    * predictors differ ONLY in the per-common-neighbor weight
+    * (⌊10⁶/ln indeg⌋ vs ⌊10⁶/indeg⌋), so the expensive machinery
+    * (the z-keyed self-join, the pair aggregation, both adjacency
+    * anti-joins) runs ONCE per (edges, hubCap) and carries BOTH
+    * weight sums; each predictor projects its column. Identity-keyed
+    * LRU memo (the sccMemo discipline), checkpointed. Returns
+    * (fn_a, fn_b, score_aa, score_ra, shared) for non-adjacent pairs
+    * with ≥ 1 common sub-cap neighbor. */
+  private val pairMemo = new graft.functions.TextOps.KeyedFrameMemo[(DataFrame, Int)]
+  private def commonNeighborPairs(edges: DataFrame, hubCap: Int): DataFrame =
+    pairMemo.getOrBuild((edges, hubCap)) {
+      val e = Ranking.simpleEdgesOf(edges)
+      val w = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
+        .filter(col("indeg") >= 2 && col("indeg") <= hubCap)
+        .select(col("dst"),
+          floor(lit(1e6) / log(col("indeg").cast("double")) + 0.5)
+            .cast("long").as("wz_aa"),
+          expr("1000000 div indeg").as("wz_ra"))
+      val cap = e.join(w, "dst")
+      cap.as("x").join(cap.as("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .groupBy(col("x.src").as("fn_a"), col("y.src").as("fn_b"))
+        .agg(sum(col("x.wz_aa")).as("score_aa"),
+          sum(col("x.wz_ra")).as("score_ra"),
+          count(lit(1)).as("shared"))
+        .join(e.select(col("src").as("fn_a"), col("dst").as("fn_b")),
+          Seq("fn_a", "fn_b"), "left_anti")
+        .join(e.select(col("dst").as("fn_a"), col("src").as("fn_b")),
+          Seq("fn_a", "fn_b"), "left_anti")
+        .localCheckpoint(true)
+    }
+
   def adamicAdar(edges: DataFrame, hubCap: Int = 100, minShared: Int = 2,
-      topK: Int = 100): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true) // read 4×: weights, twice in the pair join, adjacency
-    val w = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
-      .filter(col("indeg") >= 2 && col("indeg") <= hubCap)
-      .select(col("dst"),
-        floor(lit(1e6) / log(col("indeg").cast("double")) + 0.5)
-          .cast("long").as("wz"))
-    val cap = e.join(w, "dst")
-    cap.as("x").join(cap.as("y"),
-        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
-      .groupBy(col("x.src").as("fn_a"), col("y.src").as("fn_b"))
-      .agg(sum(col("x.wz")).as("score_ppm"), count(lit(1)).as("shared"))
-      .join(e.select(col("src").as("fn_a"), col("dst").as("fn_b")),
-        Seq("fn_a", "fn_b"), "left_anti")
-      .join(e.select(col("dst").as("fn_a"), col("src").as("fn_b")),
-        Seq("fn_a", "fn_b"), "left_anti")
+      topK: Int = 100): DataFrame =
+    commonNeighborPairs(edges, hubCap)
+      .select(col("fn_a"), col("fn_b"), col("score_aa").as("score_ppm"),
+        col("shared"))
       .filter(col("shared") >= minShared)
       .orderBy(col("score_ppm").desc, col("fn_a"), col("fn_b"))
       .limit(topK)
-  }
 
   /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
     * [[adamicAdar]]'s harder-decaying sibling: each common callee z
@@ -187,25 +205,11 @@ object Neighborhood {
     * hub cap before the z-keyed self-join, two anti joins for
     * adjacency exclusion, fully tie-broken top-k. */
   def resourceAllocation(edges: DataFrame, hubCap: Int = 100,
-      minShared: Int = 2, topK: Int = 100): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    val w = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
-      .filter(col("indeg") >= 2 && col("indeg") <= hubCap)
-      .select(col("dst"), expr("1000000 div indeg").as("wz"))
-    val cap = e.join(w, "dst")
-    cap.as("x").join(cap.as("y"),
-        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
-      .groupBy(col("x.src").as("fn_a"), col("y.src").as("fn_b"))
-      .agg(sum(col("x.wz")).as("score_ppm"), count(lit(1)).as("shared"))
-      .join(e.select(col("src").as("fn_a"), col("dst").as("fn_b")),
-        Seq("fn_a", "fn_b"), "left_anti")
-      .join(e.select(col("dst").as("fn_a"), col("src").as("fn_b")),
-        Seq("fn_a", "fn_b"), "left_anti")
+      minShared: Int = 2, topK: Int = 100): DataFrame =
+    commonNeighborPairs(edges, hubCap)
+      .select(col("fn_a"), col("fn_b"), col("score_ra").as("score_ppm"),
+        col("shared"))
       .filter(col("shared") >= minShared)
       .orderBy(col("score_ppm").desc, col("fn_a"), col("fn_b"))
       .limit(topK)
-  }
 }
