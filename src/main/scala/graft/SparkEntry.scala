@@ -106,6 +106,7 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => GraphQueries.graphKCore(s, d)),
     "graph_sssp" -> ((s, d) => GraphQueries.graphSssp(s, d)),
     "graph_ppr" -> ((s, d) => GraphQueries.graphPpr(s, d)),
+    "graph_ppr_batch" -> ((s, d) => GraphQueries.graphPprBatch(s, d)),
     "recursion_groups" -> ((s, d) => GraphQueries.recursionGroups(s, d)),
     "graph_neighbor_sim" -> ((s, d) => GraphQueries.neighborSim(s, d)),
     "graph_anf" -> ((s, d) => GraphQueries.graphAnf(s, d)),
@@ -289,6 +290,32 @@ object SparkEntry {
        |              + (17 * COALESCE(c.c, 0)) // 20 AS BIGINT) AS pr
        |  FROM nodes n LEFT JOIN c$t c ON n.node = c.node
        |  LEFT JOIN sd ON n.node = sd.node)""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled BATCH personalized-PageRank CTEs (see
+    * [[graft.graph.Ranking.personalizedPageRankBatch]]): the pprCtes
+    * recurrence with a seed column threaded through, state kept
+    * SPARSE (pr > 0 rows only — a zero-flow row is equivalent to an
+    * absent one under the recurrence). */
+  private def pprBatchCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |bseeds AS MATERIALIZED (
+        |  SELECT DISTINCT src AS s FROM e WHERE src % 1500 = 9),
+        |b0 AS (SELECT s, s AS node, CAST(1000000 AS BIGINT) AS pr FROM bseeds)""".stripMargin)
+    for (t <- 1 to iters) sb.append(s""",
+       |bc$t AS (
+       |  SELECT p.s, e.dst AS node, SUM(p.pr // o.outdeg) AS c
+       |  FROM b${t - 1} p JOIN od o ON p.node = o.node JOIN e ON e.src = p.node
+       |  GROUP BY 1, 2),
+       |b$t AS MATERIALIZED (
+       |  SELECT s, node, CAST(SUM(v) AS BIGINT) AS pr FROM (
+       |    SELECT s, s AS node, CAST(150000 AS BIGINT) AS v FROM bseeds
+       |    UNION ALL
+       |    SELECT s, node, CAST((17 * c) // 20 AS BIGINT) AS v FROM bc$t) u
+       |  GROUP BY 1, 2
+       |  HAVING SUM(v) > 0)""".stripMargin)
     sb.toString
   }
 
@@ -1352,6 +1379,11 @@ object SparkEntry {
         |${pprCtes(3)}
         |SELECT node, pr AS ppr_ppm FROM pr3 WHERE pr > 0
         |ORDER BY node""".stripMargin,
+    "graph_ppr_batch" ->
+      s"""WITH $E,
+        |${pprBatchCtes(3)}
+        |SELECT s AS seed, node, pr AS ppr_ppm FROM b3
+        |ORDER BY seed, node""".stripMargin,
     // Bounded mutual reachability (each reaches the other within ≤2
     // hops) is checked over DISTINCT walk states — pruned BFS and the
     // walk closure agree on the reachable SET because a shortest

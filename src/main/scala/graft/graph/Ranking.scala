@@ -237,6 +237,49 @@ object Ranking {
     pr.filter(col("pr") > 0).select(col("node"), col("pr").as("ppr_ppm"))
   }
 
+  /** BATCH personalized PageRank — [[personalizedPageRank]] vectorized
+    * over a seed column: k entry points get their k PPR cones in ONE
+    * edge join per round instead of k sequential runs (state rows are
+    * (seed, node, pr); the teleport lands on each seed's own node).
+    * The state is SPARSE — only pr > 0 rows exist, and a zero-flow
+    * row is equivalent to an absent one under the recurrence, so each
+    * seed's slice replays the single-seed operator exactly (RankingSpec
+    * proves slice ≡ single run). At scale the per-round shuffle keys
+    * on (seed, node) — k cones' frontiers shuffle together, one job,
+    * and the edge frame is read once per round regardless of k.
+    * Returns (seed, node, ppr_ppm) restricted to the cones. */
+  def personalizedPageRankBatch(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e2 = e.join(
+        e.groupBy(col("src").as("u")).agg(count(lit(1)).as("outdeg")),
+        col("src") === col("u"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true)
+    val tele = seeds.select(col("seed").cast("long").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"))
+      .localCheckpoint(true)
+    var pr = tele.withColumn("pr", lit(1000000L))
+    var back: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(e2, pr("node") === e2("src"))
+        .groupBy(col("seed"), col("dst").as("node2"))
+        .agg(sum(expr("pr div outdeg")).as("c"))
+        .select(col("seed"), col("node2").as("node"),
+          expr("(17 * c) div 20").as("v"))
+      pr = tele.withColumn("v", lit(150000L))
+        .unionByName(contrib)
+        .groupBy("seed", "node").agg(sum(col("v")).as("pr"))
+        .filter(col("pr") > 0)
+        .localCheckpoint(true)
+      if (back != null) releaseRound(back)
+      back = pr
+    }
+    releaseRound(e2); releaseRound(tele)
+    pr.select(col("seed"), col("node"), col("pr").as("ppr_ppm"))
+  }
+
   /** C9 k-core decomposition, bounded peeling: `rounds` iterations of
     * "drop every node whose degree in the surviving subgraph is < k",
     * over the undirected deduped edge set. Returns the surviving

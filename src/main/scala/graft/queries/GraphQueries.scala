@@ -299,6 +299,17 @@ object GraphQueries {
     Ranking.personalizedPageRank(e, downStarts(e)).orderBy("node")
   }
 
+  /** C52 batch personalized PageRank: every 1-in-1500 entry point
+    * gets its own 3-round PPR cone in one edge pass per round
+    * (Ranking.personalizedPageRankBatch) — the "rank from EACH of
+    * these k roots" form C10 answers one seed set at a time. */
+  def graphPprBatch(s: SparkSession, d: String): DataFrame = {
+    val e = callEdges(s, d)
+    val seeds = e.select(col("src").as("seed"))
+      .filter(col("seed") % 1500 === 9).distinct()
+    Ranking.personalizedPageRankBatch(e, seeds).orderBy("seed", "node")
+  }
+
   /** B15 mutual-recursion groups: components over the bounded
     * (depth ≤ 2) mutual-reachability pairs among the scoped functions
     * (Neighborhood.recursionGroups) — the multi-node generalization of

@@ -208,6 +208,21 @@ class RankingSpec extends AnyFunSuite {
       s"authority ordering/floors wrong: $two")
   }
 
+  test("ppr batch: each seed's slice equals the single-seed run") {
+    import spark.implicits._
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 6L), (6L, 1L))
+    val batch = Ranking.personalizedPageRankBatch(
+      g, Seq(1L, 5L).toDF("seed"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq(1L, 5L).foreach { s =>
+      val single = Ranking.personalizedPageRank(
+        g, Seq(s).toDF("node"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slice = batch.collect { case ((`s`, n), v) => n -> v }
+      assert(slice == single, s"seed $s: batch $slice vs single $single")
+    }
+  }
+
   test("eigen: in-star concentrates on the hub, directed cycle stays uniform") {
     // in-star {2,3,4}→1 under the A+I shift: hub pins at 10⁶ while
     // spokes decay geometrically but never die (round 1: ⌊10⁶/4⌋ =
