@@ -21,9 +21,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // per-query stderr timing: a long-board run must be observable
+      // from outside (which query is live, what each one cost) — the
+      // r9 organic-sf1 stall was diagnosable only via jstack
+      System.err.println(s"[verify] start $name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] done  $name (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
