@@ -548,10 +548,18 @@ object SparkEntry {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
 
+  /** The scale-stable node-space modulus, mirroring
+    * [[graft.queries.GraphQueries.modulus]]: GREATEST(5000,
+    * |lineitem| // 120) — exactly 5000 at every gate SF. Inlined as a
+    * scalar subquery wherever the derived graph keys are computed. */
+  private val MOD = "GREATEST(5000, (SELECT COUNT(*) FROM lineitem) // 120)"
+
   /** Shared oracle CTE: the derived CALLS edge table (SURVEY.md §4). */
   private val E =
-    """e AS (
-      |  SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst,
+    s"""nodemod AS (SELECT $MOD AS v),
+      |e AS (
+      |  SELECT l_orderkey % (SELECT v FROM nodemod) AS src,
+      |         l_partkey % (SELECT v FROM nodemod) AS dst,
       |         CAST(MIN(l_linenumber) AS BIGINT) AS call_offset
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
@@ -1029,10 +1037,12 @@ object SparkEntry {
         |FROM w WHERE last = start AND depth >= 2 GROUP BY 1, 2, 3
         |ORDER BY call_type, node, depth""".stripMargin,
     "call_freq" ->
-      """SELECT l_orderkey % 5000 AS caller, l_partkey % 5000 AS callee,
+      s"""WITH nodemod AS (SELECT $MOD AS v)
+        |SELECT l_orderkey % (SELECT v FROM nodemod) AS caller,
+        |       l_partkey % (SELECT v FROM nodemod) AS callee,
         |       COUNT(*) AS frequency
         |FROM lineitem
-        |WHERE (l_orderkey % 5000) % 1000 = 7
+        |WHERE (l_orderkey % (SELECT v FROM nodemod)) % 1000 = 7
         |GROUP BY 1, 2
         |ORDER BY caller, callee""".stripMargin,
     "xrefs" ->
@@ -1277,8 +1287,10 @@ object SparkEntry {
     // top-k aggregate (integer weights quantize monotonically, so the
     // (weight desc, dst) orders agree exactly).
     "graph_sparsify" ->
-      s"""WITH ew AS (
-        |  SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst,
+      s"""WITH nodemod AS (SELECT $MOD AS v),
+        |ew AS (
+        |  SELECT l_orderkey % (SELECT v FROM nodemod) AS src,
+        |         l_partkey % (SELECT v FROM nodemod) AS dst,
         |         CAST(COUNT(*) AS BIGINT) AS weight
         |  FROM lineitem GROUP BY 1, 2),
         |st AS (
@@ -1296,8 +1308,10 @@ object SparkEntry {
     // Call-frequency-weighted PageRank: the `ew` weights are the
     // per-(caller, callee) call-site counts from the same scan.
     "graph_pagerank_w" ->
-      s"""WITH ew AS (
-        |  SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst,
+      s"""WITH nodemod AS (SELECT $MOD AS v),
+        |ew AS (
+        |  SELECT l_orderkey % (SELECT v FROM nodemod) AS src,
+        |         l_partkey % (SELECT v FROM nodemod) AS dst,
         |         CAST(COUNT(*) AS BIGINT) AS w
         |  FROM lineitem GROUP BY 1, 2),
         |${pageRankWeightedCtes(3)}
@@ -1450,7 +1464,8 @@ object SparkEntry {
     "graph_diff" ->
       s"""WITH $E,
         |e2 AS (
-        |  SELECT DISTINCT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst
+        |  SELECT DISTINCT l_orderkey % (SELECT v FROM nodemod) AS src,
+        |                  l_partkey % (SELECT v FROM nodemod) AS dst
         |  FROM lineitem WHERE l_linenumber >= 2),
         |m AS (
         |  SELECT COALESCE(e.src, e2.src) AS src,

@@ -21,9 +21,28 @@ import graft.graph.{Components, Neighborhood, Ranking, Traversal}
   */
 object GraphQueries {
 
-  /** Node-space modulus: keeps mean out-degree ~12 at sf0.01 (walk
-    * enumeration stays bounded) while the graph still has cycles. */
+  /** Node-space modulus FLOOR: keeps mean out-degree ~12 at sf0.01
+    * (walk enumeration stays bounded) while the graph still has
+    * cycles. The effective modulus is [[modulus]]. */
   val M = 5000L
+
+  /** SCALE-STABLE node-space modulus: max(M, |lineitem| / 120).
+    * Exactly M for every sf ≤ 0.1 (600k/120 = 5000 — the gate-SF
+    * graphs are bit-identical to the fixed-M era), then growing
+    * linearly with the data so mean out-degree stays ~100 instead of
+    * densifying. A fixed modulus made the derived graph degenerate at
+    * organic sf1 (6M call sites over 5000 nodes ≈ complete graph:
+    * path enumeration is outdeg^depth — one r9 board task burned 36
+    * CPU-minutes concatenating path strings), which models nothing: a
+    * 10× corpus has ~10× the functions, not 10× the wiring density.
+    * The oracle computes the same value via
+    * GREATEST(5000, COUNT(*) // 120) over the same table. One
+    * metadata-fast count per (session, dir), memoized. */
+  private val modMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  def modulus(s: SparkSession, d: String): Long =
+    modMemo.getOrElseUpdate((s, d),
+      math.max(M, Tables.lineitem(s, d).count() / 120L))
 
   /** One cached edge DataFrame per (session, dir): repeated queries
     * in a session reuse the same object, so the CacheManager never
@@ -41,7 +60,8 @@ object GraphQueries {
   def callEdges(s: SparkSession, d: String): DataFrame =
     edgeMemo.getOrElseUpdate((s, d),
       Tables.lineitem(s, d)
-        .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"),
+        .select((col("l_orderkey") % modulus(s, d)).as("src"),
+          (col("l_partkey") % modulus(s, d)).as("dst"),
           col("l_linenumber").cast("long").as("off"))
         .groupBy("src", "dst")
         .agg(min("off").as("offset"))
@@ -116,7 +136,8 @@ object GraphQueries {
     * lineitem row), not the deduped edge (call_path_analyzer.rs:160-190). */
   def callFrequencies(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .select((col("l_orderkey") % M).as("caller"), (col("l_partkey") % M).as("callee"))
+      .select((col("l_orderkey") % modulus(s, d)).as("caller"),
+        (col("l_partkey") % modulus(s, d)).as("callee"))
       .filter(col("caller") % 1000 === 7)
       .groupBy("caller", "callee")
       .agg(count(lit(1)).as("frequency"))
@@ -227,7 +248,8 @@ object GraphQueries {
     * to counts instead of min-offset. */
   def graphPageRankWeighted(s: SparkSession, d: String): DataFrame = {
     val w = Tables.lineitem(s, d)
-      .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"))
+      .select((col("l_orderkey") % modulus(s, d)).as("src"),
+        (col("l_partkey") % modulus(s, d)).as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
     Ranking.pageRankWeighted(w).orderBy("node")
   }
@@ -237,7 +259,8 @@ object GraphQueries {
     * what the cut discarded. */
   def graphSparsify(s: SparkSession, d: String): DataFrame = {
     val w = Tables.lineitem(s, d)
-      .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"))
+      .select((col("l_orderkey") % modulus(s, d)).as("src"),
+        (col("l_partkey") % modulus(s, d)).as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
     Ranking.sparsifyTopK(w, k = 4)
   }
@@ -355,7 +378,8 @@ object GraphQueries {
     val before = callEdges(s, d)
     val after = Tables.lineitem(s, d)
       .filter(col("l_linenumber") >= 2)
-      .select((col("l_orderkey") % M).as("src"), (col("l_partkey") % M).as("dst"))
+      .select((col("l_orderkey") % modulus(s, d)).as("src"),
+        (col("l_partkey") % modulus(s, d)).as("dst"))
       .distinct()
     Neighborhood.graphDiff(before, after)
   }
