@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * engineered so each query's SEMANTICS scale honestly rather than
   * degenerating:
   *
-  *  - relational keys shift by r·10⁶ (a multiple of GraphQueries.M, so
-  *    the derived call graph keeps the identical node/edge set — graph
-  *    queries measure the 10× scan/aggregate, not an artificial
-  *    densification that would blow up walk enumeration);
+  *  - relational keys shift by r·10⁶. Since r9 GraphQueries.modulus
+  *    grows with row count (rep·5000 here), so the derived graph
+  *    gains nodes at constant density rather than densifying (the
+  *    organic-sf1 lesson, applied); at the rep = 10 construction the
+  *    shift is a multiple of the modulus (10⁶ = 20·50000), so every
+  *    replica maps onto the same node ids and the edge set is the
+  *    base graph re-keyed mod 50000 (for rep values that do not
+  *    divide 200 the replicas spread across ids instead — still
+  *    constant density, just not replica-identical);
   *  - document texts get per-token replica suffixes, so shingle/token
   *    similarity density stays constant (the r2 crossover-bench
   *    construction) while vocabulary and postings grow;
