@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextOps
+import graft.functions.{Rounding, TextOps}
 
 /** Text-analysis operators for training-data pipelines
   * (SURVEY.md §2 D8–D11). Everything is native-function Column code —
@@ -20,7 +20,7 @@ object TextAnalysis {
     TextOps.tokensBag(docs)
       .groupBy("doc_id")
       .agg(
-        round(avg(when(col("token").isInCollection(TextOps.Stopwords), 1.0)
+        Rounding.rnd(avg(when(col("token").isInCollection(TextOps.Stopwords), 1.0)
           .otherwise(0.0)), 4).as("stopword_ratio"))
       .withColumn("lang_pred",
         when(col("stopword_ratio") >= threshold, "en").otherwise("unknown"))
@@ -31,15 +31,15 @@ object TextAnalysis {
     val tok = TextOps.tokensBag(docs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(length(col("token"))), 4).as("avg_token_len"),
-        round(avg(when(col("token").isInCollection(TextOps.Stopwords), 1.0)
+        Rounding.rnd(avg(length(col("token"))), 4).as("avg_token_len"),
+        Rounding.rnd(avg(when(col("token").isInCollection(TextOps.Stopwords), 1.0)
           .otherwise(0.0)), 4).as("stopword_ratio"))
     docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        round(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+        Rounding.rnd(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
           / length(col("text")), 4).as("digit_ratio"))
       .join(tok, "doc_id")
       .withColumn("quality",
-        round(least(lit(1.0), col("n_tokens") / 100.0) * (lit(1.0) - col("digit_ratio")), 4))
+        Rounding.rnd(least(lit(1.0), col("n_tokens") / 100.0) * (lit(1.0) - col("digit_ratio")), 4))
       .select("doc_id", "n_chars", "n_tokens", "avg_token_len", "stopword_ratio",
         "digit_ratio", "quality")
       .orderBy("doc_id")

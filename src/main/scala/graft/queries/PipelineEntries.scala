@@ -852,20 +852,20 @@ object PipelineEntries {
          |  GROUP BY 1),
          |t AS (
          |  SELECT doc_id, COUNT(*) AS n_tokens,
-         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
-         |           THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |         floor(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |           THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio
          |  FROM tok GROUP BY 1),
          |dq AS (
          |  SELECT doc_id,
-         |         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |           / length(text), 4) AS digit_ratio
+         |         floor((CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |           / length(text)) * 10000 + 0.5) / 10000 AS digit_ratio
          |  FROM documents),
          |canon AS (SELECT MIN(doc_id) AS doc_id, TRUE AS is_canonical
          |          FROM documents GROUP BY md5(text)),
          |flags AS (
          |  SELECT dq.doc_id,
          |         (t.n_tokens >= 20 AND dq.digit_ratio <= 0.3
-         |          AND round(least(1.0, t.n_tokens / 100.0) * (1.0 - dq.digit_ratio), 4)
+         |          AND floor(least(1.0, t.n_tokens / 100.0) * (1.0 - dq.digit_ratio) * 10000 + 0.5) / 10000
          |              >= 0.2) AS pass_quality,
          |         COALESCE(c.is_canonical, FALSE) AS is_canonical,
          |         (t.stopword_ratio >= 0.05) AS pass_lang
@@ -1542,25 +1542,25 @@ object PipelineEntries {
          |       CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_pred
          |FROM (
          |  SELECT doc_id,
-         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
-         |           THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |         floor(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |           THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio
          |  FROM tok GROUP BY doc_id)
          |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH $TOK,
          |t AS (
          |  SELECT doc_id, COUNT(*) AS n_tokens,
-         |         round(AVG(length(token)), 4) AS avg_token_len,
-         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
-         |           THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |         floor(AVG(length(token)) * 10000 + 0.5) / 10000 AS avg_token_len,
+         |         floor(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |           THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio
          |  FROM tok GROUP BY 1),
          |d AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         |         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |           / length(text), 4) AS digit_ratio
+         |         floor((CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |           / length(text)) * 10000 + 0.5) / 10000 AS digit_ratio
          |  FROM documents)
          |SELECT d.doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, digit_ratio,
-         |       round(least(1.0, n_tokens / 100.0) * (1.0 - digit_ratio), 4) AS quality
+         |       floor(least(1.0, n_tokens / 100.0) * (1.0 - digit_ratio) * 10000 + 0.5) / 10000 AS quality
          |FROM d JOIN t ON d.doc_id = t.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "text_tokens" ->
@@ -1688,20 +1688,20 @@ object PipelineEntries {
       s"""WITH $TOK,
          |t AS (
          |  SELECT doc_id, COUNT(*) AS n_tokens,
-         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
-         |           THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |         floor(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |           THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio
          |  FROM tok GROUP BY 1),
          |d AS (
          |  SELECT doc_id,
-         |         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |           / length(text), 4) AS digit_ratio,
+         |         floor((CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |           / length(text)) * 10000 + 0.5) / 10000 AS digit_ratio,
          |         md5(text) AS h
          |  FROM documents),
          |canon AS (SELECT MIN(doc_id) AS doc_id, TRUE AS is_canonical
          |          FROM documents GROUP BY md5(text)),
          |j AS (
          |  SELECT d.doc_id, t.n_tokens,
-         |         round(least(1.0, t.n_tokens / 100.0) * (1.0 - d.digit_ratio), 4)
+         |         floor(least(1.0, t.n_tokens / 100.0) * (1.0 - d.digit_ratio) * 10000 + 0.5) / 10000
          |           AS quality,
          |         CASE WHEN t.stopword_ratio >= 0.05 THEN 'en' ELSE 'unknown' END
          |           AS lang_pred,
@@ -1872,8 +1872,8 @@ object PipelineEntries {
       s"""WITH $TOK,
          |lid AS (
          |  SELECT doc_id,
-         |         CASE WHEN round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
-         |                THEN 1.0 ELSE 0.0 END), 4) >= 0.05
+         |         CASE WHEN floor(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |                THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.05
          |              THEN 'en' ELSE 'unknown' END AS stratum
          |  FROM tok GROUP BY doc_id),
          |h AS (SELECT doc_id, stratum, md5(CAST(doc_id AS VARCHAR)) AS h FROM lid),
@@ -1890,8 +1890,8 @@ object PipelineEntries {
       s"""WITH $TOK,
          |lid AS (
          |  SELECT doc_id,
-         |         CASE WHEN round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
-         |                THEN 1.0 ELSE 0.0 END), 4) >= 0.05
+         |         CASE WHEN floor(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |                THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 >= 0.05
          |              THEN 'en' ELSE 'unknown' END AS stratum
          |  FROM tok GROUP BY doc_id),
          |h AS (SELECT doc_id, stratum, md5(CAST(doc_id AS VARCHAR)) AS h FROM lid)
@@ -2183,8 +2183,8 @@ object PipelineEntries {
          |              ELSE 'unknown' END AS lang_pred
          |  FROM (
          |    SELECT doc_id,
-         |           round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
-         |             THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+         |           floor(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |             THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio
          |    FROM tok GROUP BY doc_id))
          |SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
@@ -3037,8 +3037,8 @@ object PipelineEntries {
          |$TF,
          |lid AS (
          |  SELECT doc_id,
-         |         round(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
-         |                THEN 1.0 ELSE 0.0 END), 4) AS r
+         |         floor(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |                THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 AS r
          |  FROM tok GROUP BY 1),
          |en AS (SELECT doc_id FROM lid WHERE r >= 0.05),
          |src AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
