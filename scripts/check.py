@@ -28,6 +28,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # Cap DuckDB so a pair-heavy oracle SPILLS instead of OOM-killing
+    # the process (the organic-sf1 dedup_embedding replay reached
+    # 74 GB RSS before the kernel took it). Overridable for the
+    # driver's quieter machines.
+    mem = os.environ.get("GRAFT_DUCKDB_MEMLIMIT", "24GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written tables are directories of part files (the
