@@ -326,7 +326,8 @@ object SparkEntry {
     * replay ⌊σv·(10⁶+δw)/σw⌋ exactly. */
   private def betweennessCtes(depth: Int): String = {
     val sb = new StringBuilder(
-      """s0 AS (SELECT DISTINCT src AS s FROM e WHERE src % 200 = 7),
+      """s0 AS (SELECT s FROM (SELECT DISTINCT src AS s FROM e WHERE src % 200 = 7)
+        |      ORDER BY md5(CAST(s AS VARCHAR)) LIMIT 64),
         |l0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM s0),
         |vis0 AS MATERIALIZED (SELECT s, v FROM l0)""".stripMargin)
     for (t <- 1 to depth) sb.append(s""",

@@ -385,13 +385,21 @@ object GraphQueries {
   }
 
   /** C15 sampled bounded betweenness: which functions sit on the most
-    * shortest call paths from a 1-in-200 source sample, depth ≤ 3
+    * shortest call paths from a bounded source sample, depth ≤ 3
     * (Ranking.betweennessSampled — Brandes with exact integer path
-    * counts and ppm fixed-point dependency accumulation). */
+    * counts and ppm fixed-point dependency accumulation). The sample
+    * is the 1-in-200 pick CAPPED at a fixed budget of 64 sources by
+    * deterministic md5 rank (the D91 move): a pure rate made the
+    * source count — and with it the whole Brandes sweep — grow
+    * linearly with the graph, which at organic sf1 (250 sources ×
+    * 10× edges ⇒ 100× work) spilled the disk to death. At the gate
+    * SFs only 25 candidates exist, so the cap is a no-op and the
+    * oracle outputs are unchanged. */
   def graphBetweenness(s: SparkSession, d: String): DataFrame = {
     val e = callEdges(s, d)
     val sources = e.select(col("src").as("node"))
       .filter(col("node") % 200 === 7).distinct()
+      .orderBy(md5(col("node").cast("string"))).limit(64)
     Ranking.betweennessSampled(e, sources, maxDepth = 3)
   }
 
