@@ -1557,7 +1557,8 @@ object SparkEntry {
     // pair's level IS its min depth; closeness is exact integer ppm.
     "graph_closeness" ->
       s"""WITH $E,
-        |st AS (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 3),
+        |st AS (SELECT s FROM (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 3)
+        |      ORDER BY md5(CAST(s AS VARCHAR)) LIMIT 64),
         |v0 AS MATERIALIZED (SELECT s, s AS node FROM st),
         |p1 AS MATERIALIZED (
         |  SELECT DISTINCT st.s, e.dst AS node
@@ -1587,7 +1588,8 @@ object SparkEntry {
     // level chain collapsed to a per-depth histogram + cumulative.
     "graph_effdiam" ->
       s"""WITH $E,
-        |st AS (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 3),
+        |st AS (SELECT s FROM (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 3)
+        |      ORDER BY md5(CAST(s AS VARCHAR)) LIMIT 64),
         |v0 AS MATERIALIZED (SELECT s, s AS node FROM st),
         |p1 AS MATERIALIZED (
         |  SELECT DISTINCT st.s, e.dst AS node
@@ -1625,7 +1627,8 @@ object SparkEntry {
     // size as the aggregate.
     "graph_ecc" ->
       s"""WITH $E,
-        |st AS (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 9),
+        |st AS (SELECT s FROM (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 9)
+        |      ORDER BY md5(CAST(s AS VARCHAR)) LIMIT 64),
         |v0 AS MATERIALIZED (SELECT s, s AS node FROM st),
         |p1 AS MATERIALIZED (
         |  SELECT DISTINCT st.s, e.dst AS node
@@ -1671,7 +1674,8 @@ object SparkEntry {
     // with the final aggregate Σ ⌊10⁶/depth⌋ — exact integer terms.
     "graph_harmonic" ->
       s"""WITH $E,
-        |st AS (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 7),
+        |st AS (SELECT s FROM (SELECT DISTINCT src AS s FROM e WHERE src % 100 = 7)
+        |      ORDER BY md5(CAST(s AS VARCHAR)) LIMIT 64),
         |v0 AS MATERIALIZED (SELECT s, s AS node FROM st),
         |p1 AS MATERIALIZED (
         |  SELECT DISTINCT st.s, e.dst AS node

@@ -823,7 +823,15 @@ object Ranking {
     * production form at 100 TB (the Eppstein-Wang estimator).
     */
   def closeness(edges: DataFrame, starts: DataFrame, maxDepth: Int = 3): DataFrame =
-    Traversal.reachLevels(edges, starts, maxDepth)
+    closenessFrom(Traversal.reachLevels(edges, starts, maxDepth))
+
+  /** [[closeness]] over a precomputed [[Traversal.reachLevels]] frame
+    * (start, node, depth) — the engine-level sharing hook: the whole
+    * distance family (C16/C21/C35/C41) is a different aggregate over
+    * the SAME sweep, so query gates materialize the reach frame once
+    * and hand it to each `*From` reader. */
+  def closenessFrom(reach: DataFrame): DataFrame =
+    reach
       .groupBy(col("start").as("node"))
       .agg(count(lit(1)).as("n_reach"), sum(col("depth")).as("sum_dist"))
       .select(col("node"), col("n_reach"), col("sum_dist"),
@@ -840,7 +848,12 @@ object Ranking {
     * the closeness contract. */
   def eccentricity(edges: DataFrame, starts: DataFrame,
       maxDepth: Int = 3): DataFrame =
-    Traversal.reachLevels(edges, starts, maxDepth)
+    eccentricityFrom(Traversal.reachLevels(edges, starts, maxDepth))
+
+  /** [[eccentricity]] over a precomputed reach frame ([[closenessFrom]]
+    * discipline). */
+  def eccentricityFrom(reach: DataFrame): DataFrame =
+    reach
       .groupBy(col("start").as("node"))
       .agg(max(col("depth")).as("ecc_bounded"),
         count(lit(1)).as("n_reached"))
@@ -853,7 +866,12 @@ object Ranking {
     * integer floor makes every score an exact long both engines
     * replay (a float Σ1/d would be summation-order-sensitive). */
   def harmonic(edges: DataFrame, starts: DataFrame, maxDepth: Int = 3): DataFrame =
-    Traversal.reachLevels(edges, starts, maxDepth)
+    harmonicFrom(Traversal.reachLevels(edges, starts, maxDepth))
+
+  /** [[harmonic]] over a precomputed reach frame ([[closenessFrom]]
+    * discipline). */
+  def harmonicFrom(reach: DataFrame): DataFrame =
+    reach
       .groupBy(col("start").as("node"))
       .agg(count(lit(1)).as("n_reach"),
         sum(expr("1000000 div depth")).as("harmonic_ppm"))
@@ -1223,9 +1241,14 @@ object Ranking {
     * everything lives on the ≤maxDepth-row histogram — the
     * unpartitioned window is over that frame, never the data. */
   def neighborhoodLadder(edges: DataFrame, starts: DataFrame,
-      maxDepth: Int = 3): DataFrame = {
+      maxDepth: Int = 3): DataFrame =
+    neighborhoodLadderFrom(Traversal.reachLevels(edges, starts, maxDepth))
+
+  /** [[neighborhoodLadder]] over a precomputed reach frame
+    * ([[closenessFrom]] discipline). */
+  def neighborhoodLadderFrom(reach: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byD = Traversal.reachLevels(edges, starts, maxDepth)
+    val byD = reach
       .groupBy("depth").agg(count(lit(1)).as("n_pairs"))
       .localCheckpoint(true)
     val tot = byD.agg(coalesce(sum("n_pairs"), lit(0L)).as("t"))

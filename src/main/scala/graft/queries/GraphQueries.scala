@@ -456,16 +456,35 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** One materialized depth-≤3 reachLevels sweep per (session, dir,
+    * sample residue) — the sccMemo discipline applied to the distance
+    * family: closeness (C16) and the effective-diameter ladder (C41)
+    * read the SAME residue-3 sweep, so it runs once per board. The
+    * 1-in-100 pick is CAPPED at 64 sources by deterministic md5 rank
+    * (the betweenness lesson): a pure rate grows the source count —
+    * and with it the whole Θ(Σ|ball|) sweep — linearly with the
+    * graph; the Eppstein-Wang estimator needs O(log n) sources, not
+    * a share. At the gate SFs ≤ 50 candidates exist per residue, so
+    * the cap is a no-op and oracle outputs are unchanged; the oracle
+    * mirrors the cap as ORDER BY md5 LIMIT 64. */
+  private val reachMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  private def reachSlice(s: SparkSession, d: String, residue: Int): DataFrame =
+    reachMemo.getOrElseUpdate((s, d, residue), {
+      val e = callEdges(s, d)
+      val starts = e.select(col("src").as("node"))
+        .filter(col("node") % 100 === residue).distinct()
+        .orderBy(md5(col("node").cast("string"))).limit(64)
+      Traversal.reachLevels(e, starts, maxDepth = 3).localCheckpoint(true)
+    })
+
   /** C16 bounded closeness centrality (Eppstein-Wang-style sampled
-    * estimator): depth-≤3 out-ball sizes and distance sums for a
-    * 1-in-100 start sample, closeness as an exact integer ppm ratio
-    * (Ranking.closeness). */
-  def graphCloseness(s: SparkSession, d: String): DataFrame = {
-    val e = callEdges(s, d)
-    val starts = e.select(col("src").as("node"))
-      .filter(col("node") % 100 === 3).distinct()
-    Ranking.closeness(e, starts, maxDepth = 3).orderBy("node")
-  }
+    * estimator): depth-≤3 out-ball sizes and distance sums for the
+    * capped 1-in-100 start sample at residue 3, closeness as an exact
+    * integer ppm ratio (Ranking.closenessFrom over the shared
+    * [[reachSlice]] sweep). */
+  def graphCloseness(s: SparkSession, d: String): DataFrame =
+    Ranking.closenessFrom(reachSlice(s, d, 3)).orderBy("node")
 
   /** C44 degree-distribution power-law fit over the C2 histogram
     * (Ranking.degreePowerLaw). */
@@ -480,23 +499,15 @@ object GraphQueries {
 
   /** C41 neighborhood-function ladder + effective-diameter read-off
     * over the closeness source sample (Ranking.neighborhoodLadder). */
-  def graphEffDiameter(s: SparkSession, d: String): DataFrame = {
-    val e = callEdges(s, d)
-    val starts = e.select(col("src").as("node"))
-      .filter(col("node") % 100 === 3).distinct()
-    Ranking.neighborhoodLadder(e, starts, maxDepth = 3)
-  }
+  def graphEffDiameter(s: SparkSession, d: String): DataFrame =
+    Ranking.neighborhoodLadderFrom(reachSlice(s, d, 3))
 
   /** C21 bounded harmonic centrality over a 1-in-100 start sample:
     * Σ ⌊10⁶/depth⌋ across the depth-≤3 out-ball (Ranking.harmonic) —
     * shares the reachLevels machinery with closeness but needs no
     * reachability special-casing on sparse call graphs. */
-  def graphHarmonic(s: SparkSession, d: String): DataFrame = {
-    val e = callEdges(s, d)
-    val starts = e.select(col("src").as("node"))
-      .filter(col("node") % 100 === 7).distinct()
-    Ranking.harmonic(e, starts, maxDepth = 3).orderBy("node")
-  }
+  def graphHarmonic(s: SparkSession, d: String): DataFrame =
+    Ranking.harmonicFrom(reachSlice(s, d, 7)).orderBy("node")
 
   /** C36 Katz centrality, 3 bounded integer rounds (Ranking.katz):
     * in-walk counting with geometric α=1/8 decay — the importance
@@ -510,12 +521,8 @@ object GraphQueries {
     * sample max is the iFUB-style diameter lower bound
     * (Ranking.eccentricity — the reachLevels pass closeness and
     * harmonic already ride). */
-  def graphEccentricity(s: SparkSession, d: String): DataFrame = {
-    val e = callEdges(s, d)
-    val starts = e.select(col("src").as("node"))
-      .filter(col("node") % 100 === 9).distinct()
-    Ranking.eccentricity(e, starts, maxDepth = 3).orderBy("node")
-  }
+  def graphEccentricity(s: SparkSession, d: String): DataFrame =
+    Ranking.eccentricityFrom(reachSlice(s, d, 9)).orderBy("node")
 
   /** C50 eigenvector centrality, 3 fixed-point integer power-iteration
     * rounds (Ranking.eigenCentrality): raw influence flow over the
