@@ -189,9 +189,20 @@ object Dedup {
       .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
       .orderBy("hamming")
 
+  /** The checkpointed [[simhashSignatures]] table, memoized per docs
+    * frame identity (the minhashSigsShared discipline): the pair
+    * query (D3) and its histogram twin (D90) each re-derived the
+    * token-explosion + 56-vote aggregate before this memo — the
+    * signature pass, not the band join, dominates both. */
+  private val simSigsMemo = new TextOps.FrameMemo
+  def simhashSigsShared(docs: DataFrame): DataFrame =
+    simSigsMemo.getOrBuild(docs) {
+      simhashSignatures(docs).localCheckpoint(true)
+    }
+
   private def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // 1 row/doc, read by both join sides — materialize once.
-    val sig = simhashSignatures(docs).localCheckpoint(true)
+    val sig = simhashSigsShared(docs)
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
