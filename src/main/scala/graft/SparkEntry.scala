@@ -158,7 +158,8 @@ object SparkEntry {
     "graph_effdiam" -> ((s, d) => GraphQueries.graphEffDiameter(s, d)),
     "graph_knn_degree" -> ((s, d) => GraphQueries.graphKnnDegree(s, d)),
     "graph_sparsify" -> ((s, d) => GraphQueries.graphSparsify(s, d)),
-    "graph_powerlaw" -> ((s, d) => GraphQueries.graphPowerLaw(s, d))
+    "graph_powerlaw" -> ((s, d) => GraphQueries.graphPowerLaw(s, d)),
+    "graph_centralization" -> ((s, d) => GraphQueries.graphCentralization(s, d))
   )
 
   /** Unrolled synchronous-LPA rounds over the undirected neighbor CTE
@@ -1097,6 +1098,22 @@ object SparkEntry {
         |SELECT CAST(k AS BIGINT) AS n_points, slope,
         |       floor((sy - slope * sx) / k * 10000 + 0.5) / 10000 AS intercept
         |FROM sl""".stripMargin,
+    // Freeman out-degree centralization: exact integer gap sum over
+    // the shared node set, HUGEINT-widened ppm over (n-1)^2.
+    "graph_centralization" ->
+      s"""WITH $E,
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |odeg AS (SELECT src AS u, CAST(COUNT(*) AS BIGINT) AS dd
+        |         FROM e GROUP BY 1),
+        |deg AS (SELECT n.node, COALESCE(o.dd, 0) AS d
+        |        FROM nodes n LEFT JOIN odeg o ON n.node = o.u),
+        |mx AS (SELECT MAX(d) AS dmax, CAST(COUNT(*) AS BIGINT) AS n FROM deg)
+        |SELECT n AS n_nodes, dmax AS max_out_deg,
+        |       CASE WHEN n < 2 THEN 0
+        |            ELSE CAST((1000000::HUGEINT * SUM(dmax - d))
+        |                 // ((n - 1) * (n - 1)) AS BIGINT) END
+        |         AS centralization_ppm
+        |FROM deg, mx GROUP BY n, dmax""".stripMargin,
     "graph_components" ->
       """SELECT CAST(c_custkey + 1000000 AS BIGINT) AS node,
         |       CAST(n_regionkey AS BIGINT) AS component

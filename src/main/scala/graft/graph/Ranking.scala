@@ -1273,6 +1273,33 @@ object Ranking {
     * the ≤ d_max-row histogram, so nothing after the degree agg
     * scales with the graph. Degenerate single-point histograms
     * report slope 0 on both engines. */
+  /** Freeman degree centralization over OUT-degrees: how
+    * hub-dominated the graph is, as the single scalar
+    * ⌊10⁶·Σ_v(dmax−d_v) / (n−1)²⌋ — 0 for an out-regular graph,
+    * exactly 10⁶ for the perfect out-star (the (n−1)² denominator is
+    * the star's attainable maximum: n−1 spokes each dmax−0 = n−1
+    * below the hub). The distribution-shape companion to the C44
+    * power-law fit and C19's assortativity. Every sum is an exact
+    * long widened through DECIMAL(38,0) for the ppm scale (Σgap ≤
+    * n·dmax can top 2⁶³/10⁶ on hub graphs); rides the shared node
+    * memo + ONE edge-keyed degree agg; output is 1 row. */
+  def degreeCentralization(edges: DataFrame): DataFrame = {
+    val deg = nodesOf(edges)
+      .join(edges.groupBy(col("src").cast("long").as("u"))
+          .agg(count(lit(1)).as("dd")),
+        col("node") === col("u"), "left")
+      .select(col("node"), coalesce(col("dd"), lit(0L)).as("d"))
+    val mx = deg.agg(max(col("d")).as("dmax"), count(lit(1)).as("n"))
+    deg.crossJoin(broadcast(mx))
+      .agg(max(col("n")).as("n_nodes"), max(col("dmax")).as("dm"),
+        sum(col("dmax") - col("d")).as("gap"))
+      .select(col("n_nodes"), col("dm").as("max_out_deg"),
+        when(col("n_nodes") < 2, lit(0L)).otherwise(expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * gap)
+             div ((n_nodes - 1) * (n_nodes - 1)) AS BIGINT)"""))
+          .as("centralization_ppm"))
+  }
+
   def degreePowerLaw(edges: DataFrame): DataFrame = {
     val pts = Traversal.outDegreeHistogram(edges)
       .select(log(col("out_deg").cast("double")).as("x"),

@@ -718,6 +718,28 @@ object Dedup {
     * uniform-key equality join, never all-pairs. Returns (doc_a,
     * doc_b, n_shared_windows) pairs, the contamination screen's
     * candidate edge list. */
+  /** D93 identical-head duplicate groups: documents sharing the EXACT
+    * leading `headLen`-token head — the truncated-crawl / re-scrape
+    * duplicate class (same page fetched twice, tails diverging at the
+    * cut point or under later edits) that similarity dedup handles
+    * badly from both sides: shingle-Jaccard DILUTES the match away as
+    * tails grow, while D1 exact-hash misses it entirely. Head = the
+    * first `headLen` canonical tokens re-joined; groups keyed by its
+    * md5. Corpus-linear: one map-only head projection + one
+    * md5-keyed aggregate, map-side combinable, no joins — the 100 TB
+    * shape is a single shuffle of 1 narrow row per doc. Returns the
+    * ≥2-member groups: (head_md5, n_docs, first_doc, last_doc). */
+  def headDupGroups(docs: DataFrame, headLen: Int = 16): DataFrame =
+    docs.select(col("doc_id"),
+        md5(array_join(slice(
+          expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"),
+          1, headLen), " ")).as("head_md5"))
+      .groupBy("head_md5")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("head_md5")
+
   def substringDup(docs: DataFrame, window: Int = 64, stride: Int = 16,
       dfCap: Int = 32): DataFrame = {
     val wins = docs

@@ -118,6 +118,34 @@ object Sampling {
     * filter itself is a broadcast join + pure filter — embarrassingly
     * parallel. Returns per source: n_docs, n_tokens, rate_ppm, n_kept.
     */
+  /** D94 deterministic train/valid/test assignment + the split
+    * manifest: every doc's split is decided by the first 4 hex chars
+    * of md5(doc_id) — train below 0xCCCC (⌊0.80·65536⌋ exactly),
+    * valid below 0xE666 (⌊0.90·65536⌋ exactly), else test. The
+    * stratifiedSampleThreshold discipline end-to-end: no RNG, no
+    * window, engine-replayable, fully map-parallel, and STABLE under
+    * corpus growth — a doc's split never changes as neighbors arrive,
+    * which is what makes incremental ingest safe next to D18/D60's
+    * leakage screens. Output: per split, doc count, canonical token
+    * mass, and the exact doc-share ppm (3 rows). */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val per = docs.select(
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_tok"),
+        substring(md5(col("doc_id").cast("string")), 1, 4).as("h"))
+      .select(col("n_tok"),
+        when(col("h") < "cccc", "train")
+          .when(col("h") < "e666", "valid").otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .localCheckpoint(true) // ≤ 3 rows; the totals row below reuses it
+    val tot = per.agg(sum(col("n_docs")).as("td"))
+    per.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_docs) div td").as("share_ppm"))
+      .orderBy("split")
+  }
+
   def balanceSample(docs: DataFrame): DataFrame = {
     val per = docs.select(col("source"),
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))

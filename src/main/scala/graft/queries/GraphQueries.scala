@@ -491,6 +491,12 @@ object GraphQueries {
   def graphPowerLaw(s: SparkSession, d: String): DataFrame =
     Ranking.degreePowerLaw(callEdges(s, d))
 
+  /** C53 Freeman out-degree centralization scalar
+    * (Ranking.degreeCentralization) — the hub-dominance one-liner
+    * next to C44's power-law fit and C19's assortativity. */
+  def graphCentralization(s: SparkSession, d: String): DataFrame =
+    Ranking.degreeCentralization(callEdges(s, d))
+
   /** C42 average-neighbor-degree curve k_nn(d)
     * (Ranking.neighborDegreeCurve) — the function behind C19's
     * assortativity scalar. */

@@ -174,6 +174,7 @@ object PipelineEntries {
     "text_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(Tables.documentsShared(s, d))),
     "text_readability" -> ((s, d) => TextAnalysis.readability(Tables.documentsShared(s, d))),
     "sample_balance" -> ((s, d) => Sampling.balanceSample(Tables.documentsShared(s, d))),
+    "split_assign" -> ((s, d) => Sampling.splitAssign(Tables.documentsShared(s, d))),
     "events_disorder" -> ((s, d) => TemporalOps.eventDisorder(s, d)),
     "events_cdc" -> ((s, d) =>
       graft.streaming.EventStreams.latestState(graft.streaming.EventStreams.events(s, d))),
@@ -218,6 +219,8 @@ object PipelineEntries {
         graft.streaming.EventStreams.events(s, d), "user_id")),
     "events_interarrival" -> ((s, d) =>
       TemporalOps.interArrival(graft.streaming.EventStreams.events(s, d))),
+    "events_lag_features" -> ((s, d) =>
+      TemporalOps.lagFeatures(graft.streaming.EventStreams.events(s, d))),
     "events_qsketch" -> ((s, d) =>
       TemporalOps.quantileSketch(graft.streaming.EventStreams.events(s, d))),
     "events_attribution" -> ((s, d) =>
@@ -276,6 +279,7 @@ object PipelineEntries {
     "text_sentences" -> ((s, d) =>
       TextAnalysis.sentenceStats(Tables.documentsShared(s, d))),
     "dedup_substring" -> ((s, d) => Dedup.substringDup(Tables.documentsShared(s, d))),
+    "dedup_head" -> ((s, d) => Dedup.headDupGroups(Tables.documentsShared(s, d))),
     "sim_range" -> ((s, d) =>
       Similarity.rangeSearch(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
     "multimodal_legacy" -> ((s, d) =>
@@ -2123,6 +2127,60 @@ object PipelineEntries {
         |       COALESCE(k.n_kept, 0) AS n_kept
         |FROM rates r LEFT JOIN kept k USING (source)
         |ORDER BY r.source""".stripMargin,
+    // Deterministic 80/10/10 split manifest: 4-hex md5(doc_id) prefix
+    // cut at 0xCCCC/0xE666 (exact ⌊0.8·65536⌋/⌊0.9·65536⌋), canonical
+    // token mass, exact doc-share ppm.
+    "split_assign" ->
+      """WITH a AS (
+        |  SELECT CAST(len(regexp_extract_all(lower(text),
+        |           '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |  FROM documents),
+        |per AS (
+        |  SELECT CASE WHEN h < 'cccc' THEN 'train'
+        |              WHEN h < 'e666' THEN 'valid'
+        |              ELSE 'test' END AS split,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM a GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td FROM per)
+        |SELECT split, n_docs, n_tokens,
+        |       (1000000 * n_docs) // td AS share_ppm
+        |FROM per, tot ORDER BY split""".stripMargin,
+    // Identical leading-16-token head groups: canonical tokens,
+    // md5-keyed aggregate, >= 2 members.
+    "dedup_head" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_slice(regexp_extract_all(lower(text),
+        |           '[a-z]+|[0-9]+|[^a-z0-9 ]'), 1, 16), ' ')) AS head_md5
+        |  FROM documents)
+        |SELECT head_md5, COUNT(*) AS n_docs,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM h GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY head_md5""".stripMargin,
+    // Leakage-safe lag/rolling feature frame on the 1-in-25 user
+    // slice: lag1/lag2 cents with -1 sentinels, trailing-3 floor
+    // mean, (ts, event_id) total order.
+    "events_lag_features" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE user_id % 25 = 3),
+        |f AS (
+        |  SELECT user_id, event_id, ms, cents,
+        |         COALESCE(lag(cents, 1) OVER w, -1) AS lag1_cents,
+        |         COALESCE(lag(cents, 2) OVER w, -1) AS lag2_cents,
+        |         COUNT(cents) OVER wp AS p_n,
+        |         COALESCE(SUM(cents) OVER wp, 0) AS p_s
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id),
+        |         wp AS (PARTITION BY user_id ORDER BY ms, event_id
+        |                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, ms, cents, lag1_cents, lag2_cents,
+        |       CAST(CASE WHEN p_n = 0 THEN -1 ELSE p_s // p_n END AS BIGINT)
+        |         AS prev3_mean_cents
+        |FROM f ORDER BY user_id, ms, event_id""".stripMargin,
     // Watermark-sizing disorder histogram: exact epoch-ms integers,
     // arrival order = event_id, per-user running max.
     "events_disorder" ->

@@ -368,6 +368,36 @@ object TemporalOps {
       .orderBy("user_id")
   }
 
+  /** E65 leakage-safe training-feature frame: per event (on a gated
+    * 1-in-`mod` user slice) the previous-value lags and the
+    * trailing-3 mean — the supervised-learning feature shape where
+    * every feature strictly PRECEDES its label row in the user's
+    * total (ts, event_id) order, so no target leakage by
+    * construction. Missing history is the explicit −1 sentinel
+    * (cents ≥ 1 by data contract), never null — null-vs-null hash
+    * semantics stay out of the gate. Trailing mean =
+    * ⌊Σprev3 / count⌋ exact integers. ONE user-keyed window sort
+    * (both frame shapes share it), map-side after; at 100 TB the
+    * user is the natural partition key and the slice filter is
+    * pushed to the scan. */
+  def lagFeatures(events: DataFrame, mod: Long = 25,
+      residue: Long = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val wPrev3 = w.rowsBetween(-3, -1)
+    events.filter(col("user_id") % mod === residue)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("lag1_cents", coalesce(lag(col("cents"), 1).over(w), lit(-1L)))
+      .withColumn("lag2_cents", coalesce(lag(col("cents"), 2).over(w), lit(-1L)))
+      .withColumn("p_n", count(col("cents")).over(wPrev3))
+      .withColumn("p_s", coalesce(sum(col("cents")).over(wPrev3), lit(0L)))
+      .select(col("user_id"), col("event_id"), col("ms"), col("cents"),
+        col("lag1_cents"), col("lag2_cents"),
+        when(col("p_n") === 0, lit(-1L)).otherwise(expr("p_s div p_n"))
+          .as("prev3_mean_cents"))
+      .orderBy("user_id", "ms", "event_id")
+  }
+
   /** First-order event-type transition matrix (the Markov chain over
     * each user's event sequence): counts of consecutive (from_type →
     * to_type) steps ordered by (ts, event_id) — the deterministic

@@ -507,4 +507,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.toList == List((1L, 2L, 2L)), s"${r.toList}")
   }
 
+  test("head dup: shared 16-token head groups, divergent tails still match") {
+    val head = (1 to 16).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> (head + " tail one continues here"),
+      2L -> (head + " a completely different ending altogether"),
+      3L -> ("other start " + head))
+    val g = Dedup.headDupGroups(d).collect()
+    assert(g.length == 1, s"expected one group: ${g.toList}")
+    assert(g(0).getLong(1) == 2L && g(0).getLong(2) == 1L &&
+      g(0).getLong(3) == 2L, s"${g(0)}")
+  }
+
+  test("split assign: exact partition, floor shares, growth-stable assignment") {
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = md.take(2).map("%02x".format(_)).mkString
+      if (h < "cccc") "train" else if (h < "e666") "valid" else "test"
+    }
+    val ids = (0L until 40L).toSeq
+    val d = docs(ids.map(i => i -> "a b c"): _*)
+    val out = Sampling.splitAssign(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val expect = ids.groupBy(splitOf).view.mapValues(_.size.toLong).toMap
+    assert(out.keySet == expect.keySet, s"$out vs $expect")
+    for ((k, (nd, nt, ppm)) <- out) {
+      assert(nd == expect(k), s"$k: $nd vs ${expect(k)}")
+      assert(nt == nd * 3L)                       // "a b c" = 3 tokens
+      assert(ppm == 1000000L * nd / 40L)          // floor share
+    }
+    // growth stability: every id keeps its split in the doubled corpus
+    val ids2 = (0L until 80L).toSeq
+    val out2 = Sampling.splitAssign(docs(ids2.map(i => i -> "a b c"): _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect2 = ids2.groupBy(splitOf).view.mapValues(_.size.toLong).toMap
+    assert(out2 == expect2, s"$out2 vs $expect2")
+  }
+
 }

@@ -223,6 +223,24 @@ class RankingSpec extends AnyFunSuite {
     }
   }
 
+  test("degree centralization: out-star 10^6, cycle 0, path floor ppm") {
+    // out-star 1→{2,3,4}: dmax = 3, gaps 0+3+3+3 = 9 over (n−1)² = 9
+    val star = Ranking.degreeCentralization(
+      edges((1L, 2L), (1L, 3L), (1L, 4L))).collect()
+    assert(star.length == 1)
+    assert(star(0).getLong(0) == 4L && star(0).getLong(1) == 3L &&
+      star(0).getLong(2) == 1000000L, s"star: ${star(0)}")
+    // directed 3-cycle is out-regular: every gap is 0
+    val cyc = Ranking.degreeCentralization(
+      edges((1L, 2L), (2L, 3L), (3L, 1L))).collect()(0)
+    assert(cyc.getLong(2) == 0L, s"cycle: $cyc")
+    // path 1→2→3: only the sink gaps (1), ⌊10⁶·1/4⌋ = 250000
+    val path = Ranking.degreeCentralization(
+      edges((1L, 2L), (2L, 3L))).collect()(0)
+    assert(path.getLong(0) == 3L && path.getLong(1) == 1L &&
+      path.getLong(2) == 250000L, s"path: $path")
+  }
+
   test("eigen: in-star concentrates on the hub, directed cycle stays uniform") {
     // in-star {2,3,4}→1 under the A+I shift: hub pins at 10⁶ while
     // spokes decay geometrically but never die (round 1: ⌊10⁶/4⌋ =

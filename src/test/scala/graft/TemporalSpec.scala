@@ -550,4 +550,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(r((4L, 1L)) == ((1L, 400L, 333333L)))
   }
 
+  test("lag features: sentinels, trailing-3 floor mean, slice filter") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // user 3 (3 % 25 = 3, in slice): values double each event
+    val u3 = Seq((1L, t(0L), 3L, "x", 1.0), (2L, t(1000L), 3L, "x", 2.0),
+      (3L, t(2000L), 3L, "x", 4.0), (4L, t(3000L), 3L, "x", 8.0),
+      (5L, t(4000L), 3L, "x", 16.0))
+    // user 4 is outside the 1-in-25 slice and must not appear
+    val u4 = Seq((6L, t(0L), 4L, "x", 9.0))
+    val ev = (u3 ++ u4).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = TemporalOps.lagFeatures(ev).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.size == 5, s"slice filter leaked: $out")
+    assert(out(1L) == ((-1L, -1L, -1L)))          // no history
+    assert(out(2L) == ((100L, -1L, 100L)))        // 100/1
+    assert(out(3L) == ((200L, 100L, 150L)))       // (100+200)/2
+    assert(out(4L) == ((400L, 200L, 233L)))       // floor(700/3)
+    assert(out(5L) == ((800L, 400L, 466L)))       // floor(1400/3)
+  }
+
 }
