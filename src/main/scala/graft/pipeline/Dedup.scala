@@ -200,7 +200,22 @@ object Dedup {
       simhashSignatures(docs).localCheckpoint(true)
     }
 
-  private def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** The ≤maxHamming pair frame at the gated default, memoized per
+    * docs frame: its row count is the corpus's near-dup density
+    * (146k rows at organic sf1 — output-small even when the band
+    * join that PRODUCES it dominates), so once the pair query has
+    * paid the join, the histogram twin rides the checkpoint instead
+    * of re-running the candidate machinery. Non-default thresholds
+    * bypass the memo. */
+  private val simPairsMemo = new TextOps.FrameMemo
+  private def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    if (maxHamming == 6)
+      simPairsMemo.getOrBuild(docs) {
+        simhashPairsBuild(docs, maxHamming).localCheckpoint(true)
+      }
+    else simhashPairsBuild(docs, maxHamming)
+
+  private def simhashPairsBuild(docs: DataFrame, maxHamming: Int): DataFrame = {
     // 1 row/doc, read by both join sides — materialize once.
     val sig = simhashSigsShared(docs)
     val bands = sig.select(col("doc_id"), col("sig"),
