@@ -214,8 +214,13 @@ object Bench {
     // A targeted SPARK_GRAFT_BENCH_ONLY run must not clobber the
     // committed full-board record with a partial one — it writes a
     // file only when SPARK_GRAFT_BENCH_OUT is explicitly set.
+    // ... and a full-board run at a NON-default scale factor must not
+    // clobber it either (an organic-sf1 run once overwrote the
+    // committed sf0.1 record through this default sink) — the default
+    // applies only to the board the file documents.
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (only.isEmpty) Some("/root/repo/BENCH_LOCAL.json") else None)
+      .orElse(if (only.isEmpty && sfDir == "/root/testdata/sf0.1")
+        Some("/root/repo/BENCH_LOCAL.json") else None)
     outFile.foreach { f =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
         line + "\n")
