@@ -276,7 +276,8 @@ object SparkEntry {
       """nodes AS (SELECT DISTINCT n AS node FROM
         |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e) t),
         |od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
-        |sd AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),
+        |sd AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7)
+        |   ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 64),
         |pr0 AS (SELECT n.node,
         |          CAST(CASE WHEN sd.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS pr
         |        FROM nodes n LEFT JOIN sd ON n.node = sd.node)""".stripMargin)
@@ -941,7 +942,8 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
     "callgraph_bfs" ->
       s"""WITH RECURSIVE $E,
-        |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),
+        |s AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7)
+        |   ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 64),
         |down AS (
         |  SELECT node, 0 AS depth FROM s
         |  UNION ALL
@@ -963,7 +965,8 @@ object SparkEntry {
     // refuses to reuse an edge — same construction as Traversal.walks.
     "call_paths_down" ->
       s"""WITH RECURSIVE $E,
-        |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),
+        |s AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7)
+        |   ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 64),
         |w AS (
         |  SELECT node AS start, node AS last, CAST(node AS VARCHAR) AS path,
         |         '' AS offsets, '|' AS eseen, 0 AS depth
@@ -982,7 +985,8 @@ object SparkEntry {
         |ORDER BY start, depth, path""".stripMargin,
     "call_chain_up" ->
       s"""WITH RECURSIVE $E,
-        |s AS (SELECT DISTINCT dst AS node FROM e WHERE dst % 1000 = 3),
+        |s AS (SELECT node FROM (SELECT DISTINCT dst AS node FROM e WHERE dst % 1000 = 3)
+        |   ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 64),
         |w AS (
         |  SELECT node AS start, node AS last, CAST(node AS VARCHAR) AS path,
         |         '' AS offsets, '|' AS eseen, 0 AS depth
@@ -1001,14 +1005,16 @@ object SparkEntry {
         |ORDER BY start, depth, path""".stripMargin,
     "call_sequences" ->
       s"""WITH $E,
-        |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7)
+        |s AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7)
+        |   ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 64)
         |SELECT src AS caller, dst AS callee, call_offset,
         |       CAST(row_number() OVER (PARTITION BY src ORDER BY call_offset, dst) AS INTEGER) AS ord
         |FROM e JOIN s ON e.src = s.node
         |ORDER BY caller, ord""".stripMargin,
     "caller_sequences" ->
       s"""WITH $E,
-        |s AS (SELECT DISTINCT dst AS node FROM e WHERE dst % 1000 = 3)
+        |s AS (SELECT node FROM (SELECT DISTINCT dst AS node FROM e WHERE dst % 1000 = 3)
+        |   ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 64)
         |SELECT dst AS callee, src AS caller, call_offset,
         |       CAST(row_number() OVER (PARTITION BY dst ORDER BY call_offset, src) AS INTEGER) AS ord
         |FROM e JOIN s ON e.dst = s.node
@@ -1019,7 +1025,8 @@ object SparkEntry {
     // (Traversal.recursionDp).
     "recursion_detect" ->
       s"""WITH RECURSIVE $E,
-        |rs AS (SELECT DISTINCT src AS node FROM e WHERE src % 500 = 7),
+        |rs AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e WHERE src % 500 = 7)
+        |   ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 64),
         |w AS (
         |  SELECT node AS start, node AS last, '|' AS eseen, 0 AS depth FROM rs
         |  UNION ALL
@@ -1376,7 +1383,8 @@ object SparkEntry {
     },
     "graph_sssp" ->
       s"""WITH $E,
-        |s AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7),
+        |s AS (SELECT node FROM (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 7)
+        |   ORDER BY md5(CAST(node AS VARCHAR)) LIMIT 64),
         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM s),
         |${ssspCtes(4)}
         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,

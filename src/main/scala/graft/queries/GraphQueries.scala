@@ -67,12 +67,25 @@ object GraphQueries {
         .agg(min("off").as("offset"))
         .cache())
 
+  /** Gated start sets for the traversal/path family, rate-picked then
+    * CAPPED at 64 sources by deterministic md5 rank (the betweenness
+    * discipline, uniformly applied): a pure rate grows every
+    * per-start sweep — BFS cones, path enumeration, the recursion DP
+    * whose state is |starts|×|V| — linearly with the graph on top of
+    * the graph's own growth. At the gate SFs ≤ 10 candidates exist
+    * per pick, so the cap is a no-op and all outputs are unchanged;
+    * the oracles mirror it as ORDER BY md5 LIMIT 64. */
+  private def capStarts(starts: DataFrame): DataFrame =
+    starts.orderBy(md5(col("node").cast("string"))).limit(64)
   private def downStarts(e: DataFrame): DataFrame =
-    e.select(col("src").as("node")).filter(col("node") % 1000 === 7).distinct()
+    capStarts(e.select(col("src").as("node"))
+      .filter(col("node") % 1000 === 7).distinct())
   private def upStarts(e: DataFrame): DataFrame =
-    e.select(col("dst").as("node")).filter(col("node") % 1000 === 3).distinct()
+    capStarts(e.select(col("dst").as("node"))
+      .filter(col("node") % 1000 === 3).distinct())
   private def recStarts(e: DataFrame): DataFrame =
-    e.select(col("src").as("node")).filter(col("node") % 500 === 7).distinct()
+    capStarts(e.select(col("src").as("node"))
+      .filter(col("node") % 500 === 7).distinct())
 
   /** B3 callgraph: DISTINCT callees and callers within maxDepth of
     * the start set (reference importer.rs:471-550). */
