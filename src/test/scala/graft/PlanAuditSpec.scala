@@ -353,4 +353,31 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q must scan events once (share total rides the checkpointed histogram):\n$p")
     }
   }
+  test("dedup_head is a single-scan map-side aggregate (no joins)") {
+    val plan = planOf("dedup_head")
+    assert(!plan.contains("Join"), s"dedup_head grew a join:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"dedup_head lost its aggregate:\n$plan")
+  }
+
+  test("split_assign's only join is the 1-row totals broadcast") {
+    // D94 scale contract: one corpus scan into a combinable agg; the
+    // share denominator rides a broadcast 1-row cross join, never a
+    // shuffled join
+    val plan = planOf("split_assign")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"split_assign shuffles a join:\n$plan")
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(plan).size == 1,
+      s"expected exactly the totals cross broadcast:\n$plan")
+  }
+
+  test("events_lag_features pays ONE user_id exchange: all window frames share it") {
+    // E65 scale contract: lag1/lag2 and the trailing-3 frame are over
+    // the same (user_id | ms, event_id) partitioning, so exactly one
+    // hash exchange on user_id may appear
+    val plan = planOf("events_lag_features")
+    val n = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 user_id hash exchange, got $n:\n$plan")
+  }
+
 }
