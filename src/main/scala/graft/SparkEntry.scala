@@ -99,6 +99,7 @@ object SparkEntry {
     "graph_stats" -> ((s, d) => GraphQueries.graphStats(s, d)),
     "graph_degrees" -> ((s, d) => GraphQueries.graphDegrees(s, d)),
     "graph_components" -> ((s, d) => GraphQueries.graphComponents(s, d)),
+    "graph_component_sizes" -> ((s, d) => GraphQueries.graphComponentSizes(s, d)),
     "graph_scc" -> ((s, d) => GraphQueries.graphScc(s, d)),
     "graph_pagerank" -> ((s, d) => GraphQueries.graphPageRank(s, d)),
     "graph_pagerank_w" -> ((s, d) => GraphQueries.graphPageRankWeighted(s, d)),
@@ -1136,6 +1137,23 @@ object SparkEntry {
         |SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT)
         |FROM region
         |ORDER BY node""".stripMargin,
+    // Component-size distribution: sizes over the same ground-truth
+    // component mapping, then a histogram of sizes.
+    "graph_component_sizes" ->
+      """WITH m AS (
+        |  SELECT CAST(n_regionkey AS BIGINT) AS component
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT CAST(n_regionkey AS BIGINT)
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT CAST(n_regionkey AS BIGINT) FROM nation
+        |  UNION ALL
+        |  SELECT CAST(r_regionkey AS BIGINT) FROM region),
+        |per AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+        |        FROM m GROUP BY 1)
+        |SELECT sz AS component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     // SCC ground truth is algorithm-independent (scc_id = min
     // mutually-reachable id, self included via cycle membership), so
     // the oracle replays it from a recursive-CTE transitive closure —

@@ -207,6 +207,35 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** D95 truncated-dimension fidelity audit (the Matryoshka-
+    * representation read): over the D88 deterministic adjacent-id
+    * pair probe, the (⌊cos_full·10⌋, ⌊cos_half·10⌋) cross-tab where
+    * cos_half uses only the first ⌊dim/2⌋ coordinates — diagonal
+    * mass says half-dim storage/search preserves this corpus's
+    * similarity structure; off-diagonal mass is the ranking drift
+    * you would buy by truncating stored vectors 2×, measured BEFORE
+    * re-encoding a 100 TB corpus. Same quantized-cosine contract and
+    * shifted-key self-join as [[cosineHistogram]] — corpus-linear,
+    * no pair blowup; bucket decisions are single IEEE ops over exact
+    * integer dots, so both engines agree. */
+  def truncateFidelity(emb: DataFrame): DataFrame = {
+    val v = withNorm(emb).filter(col("nrm") > 0)
+      .withColumn("qh", expr("slice(qv, 1, size(qv) div 2)"))
+      .withColumn("nrmh",
+        sqrt(VectorOps.dotLong(col("qh"), col("qh")).cast("double")))
+      .filter(col("nrmh") > 0)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("qh"), col("nrmh"))
+      .localCheckpoint(true)
+    v.as("a").join(v.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(
+        floor(VectorOps.dotLong(col("a.qv"), col("b.qv"))
+          / (col("a.nrm") * col("b.nrm")) * 10).cast("long").as("bucket_full"),
+        floor(VectorOps.dotLong(col("a.qh"), col("b.qh"))
+          / (col("a.nrmh") * col("b.nrmh")) * 10).cast("long").as("bucket_half"))
+      .groupBy("bucket_full", "bucket_half").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket_full", "bucket_half")
+  }
+
   /** Centroid-distance outlier shortlist — embedding-space QA (broken
     * encoders, mis-ingested rows, and adversarial junk land far from
     * the corpus mean): the corpus centroid is the per-dim truncating mean

@@ -223,8 +223,30 @@ object GraphQueries {
     * converges inside the label-prop budget; a high-diameter graph
     * would restart on the O(log n) alternating-star path. */
   def graphComponents(s: SparkSession, d: String): DataFrame =
-    Components.auto(hierarchyEdges(s, d))
-      .orderBy("node")
+    hierLabels(s, d).orderBy("node")
+
+  /** One materialized C1 labeling per (session, dir) — served to the
+    * node-level query and its size-distribution twin (the sccMemo
+    * discipline; same immutable-testdata-dir constraint). */
+  private val hierMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def hierLabels(s: SparkSession, d: String): DataFrame =
+    hierMemo.getOrElseUpdate((s, d),
+      Components.auto(hierarchyEdges(s, d)).localCheckpoint(true))
+
+  /** C54 component-size distribution — the D90 summary-twin
+    * discipline applied to C1: (component size → how many components
+    * have it), the connectivity-health read whose output is
+    * O(distinct sizes) rows no matter the graph — at 100 TB the
+    * node-level labeling is a join input, THIS is the monitoring
+    * frame. Rides the shared [[hierLabels]] memo; two narrow
+    * map-combinable aggs. */
+  def graphComponentSizes(s: SparkSession, d: String): DataFrame =
+    hierLabels(s, d)
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy("component_size")
 
   /** C30 full-depth strongly connected components over the call
     * graph (mutual recursion at ANY depth — the unbounded complement

@@ -302,6 +302,8 @@ object PipelineEntries {
       TextAnalysis.lengthProfile(Tables.documentsShared(s, d))),
     "embed_cos_hist" -> ((s, d) =>
       Similarity.cosineHistogram(Tables.embeddings(s, d))),
+    "embed_truncate" -> ((s, d) =>
+      Similarity.truncateFidelity(Tables.embeddings(s, d))),
     "embed_pca" -> ((s, d) =>
       Similarity.pcaTopComponent(Tables.embeddings(s, d))),
     "dedup_simhash_stats" -> ((s, d) =>
@@ -3503,6 +3505,38 @@ object PipelineEntries {
          |SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
          |       CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM cs GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Matryoshka truncation fidelity: full-vs-half-dim cosine bucket
+    // cross-tab over the adjacent-id probe; half dim = MAX(i)//2
+    // (uniform-dim corpus — Spark's per-row size(qv) div 2 matches).
+    "embed_truncate" ->
+      s"""WITH $EX,
+         |$EXQ,
+         |hd AS (SELECT MAX(i) // 2 AS h FROM exq),
+         |ag AS (
+         |  SELECT vec_id,
+         |         sqrt(CAST(SUM(qx * qx) AS DOUBLE)) AS nrm,
+         |         sqrt(CAST(SUM(CASE WHEN i <= (SELECT h FROM hd)
+         |           THEN qx * qx ELSE 0 END) AS DOUBLE)) AS nrmh
+         |  FROM exq GROUP BY 1
+         |  HAVING SUM(qx * qx) > 0
+         |     AND SUM(CASE WHEN i <= (SELECT h FROM hd)
+         |           THEN qx * qx ELSE 0 END) > 0),
+         |dots AS (
+         |  SELECT a.vec_id,
+         |         CAST(SUM(a.qx * b.qx) AS BIGINT) AS dot_full,
+         |         CAST(SUM(CASE WHEN a.i <= (SELECT h FROM hd)
+         |           THEN a.qx * b.qx ELSE 0 END) AS BIGINT) AS dot_half
+         |  FROM exq a JOIN exq b ON a.i = b.i AND b.vec_id = a.vec_id + 1
+         |  GROUP BY 1)
+         |SELECT CAST(floor(d.dot_full / (na.nrm * nb.nrm) * 10) AS BIGINT)
+         |         AS bucket_full,
+         |       CAST(floor(d.dot_half / (na.nrmh * nb.nrmh) * 10) AS BIGINT)
+         |         AS bucket_half,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM dots d
+         |JOIN ag na ON d.vec_id = na.vec_id
+         |JOIN ag nb ON d.vec_id + 1 = nb.vec_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Power-iteration PCA: centered per-dim frame, 8 unrolled rounds
     // of project → per-dim HUGEINT score → truncating max-|s| rescale.
     "embed_pca" -> {

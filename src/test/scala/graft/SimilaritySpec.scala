@@ -516,4 +516,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.head.getDouble(2) == 0.995)  // 1/√1.01 @4dp
   }
 
+  test("truncate fidelity: identical-half pairs sit on the diagonal, divergent halves off it") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // (0,1): full cos 1.0 -> (10, 10)
+      (1L, Array(1f, 0f, 0f, 0f)),   // (1,2): full 0.707 -> (7, 10)
+      (2L, Array(1f, 0f, 1f, 0f)),   // (2,3): full 0.0, half 1.0 -> (0, 10)
+      (3L, Array(1f, 0f, -1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.truncateFidelity(df).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toList
+    assert(r == List((0L, 10L, 1L), (7L, 10L, 1L), (10L, 10L, 1L)), s"$r")
+  }
+
 }
