@@ -329,4 +329,27 @@ object Sketches {
       .agg(count(lit(1)).as("n_keys"), sum(col("over")).as("total_overcount"))
       .orderBy("bucket")
   }
+  /** One space-saving update (Metwally et al. 2005) over the
+    * (key → count / key → err) summary held as parallel maps: a
+    * present key increments; with room left the key inserts at
+    * (1, 0); at capacity the (count asc, key desc)-minimal entry m is
+    * evicted and the newcomer adopts (m.count + 1, m.count) — the
+    * classic bound true_count ∈ [count − err, count]. Eviction is
+    * TOTAL-ordered, so a replayed sequence folds identically. Pure
+    * state mutation shared verbatim by the streaming fold
+    * (EventStreams.heavyStreaming) and the sequential unit test. */
+  def ssUpdate(counts: scala.collection.mutable.LongMap[Long],
+      errs: scala.collection.mutable.LongMap[Long],
+      key: Long, capacity: Int): Unit = {
+    if (counts.contains(key)) counts(key) += 1L
+    else if (counts.size < capacity) { counts(key) = 1L; errs(key) = 0L }
+    else {
+      var mk = Long.MinValue; var mc = Long.MaxValue
+      counts.foreachEntry { (k, c) =>
+        if (c < mc || (c == mc && k > mk)) { mc = c; mk = k }
+      }
+      counts.remove(mk); errs.remove(mk)
+      counts(key) = mc + 1L; errs(key) = mc
+    }
+  }
 }

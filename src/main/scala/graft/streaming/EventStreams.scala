@@ -601,4 +601,59 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fold)
       .toDF()
   }
+  case class HhIn(shard: Long, key: Long)
+  case class HhState(ver: Long, keys: Array[Long], counts: Array[Long],
+    errs: Array[Long])
+  case class HhOut(shard: Long, ver: Long, keys: Array[Long],
+    counts: Array[Long], errs: Array[Long])
+
+  /** Streaming space-saving top-k twin of [[graft.functions.Sketches
+    * .heavyHitters]] — the E63 sharded-sketch discipline applied to
+    * E52, completing the sketch-as-state trio (HLL distinct, CMS
+    * frequency, space-saving top-k). Per shard the state is a
+    * CAPACITY-bounded (key, count, err) summary folded through
+    * [[graft.functions.Sketches.ssUpdate]]; keys shard by
+    * key % `shards`, so each key's entire truth lives in exactly ONE
+    * shard — the union of shard summaries is a valid space-saving
+    * summary of the whole stream (no per-key splitting, updates
+    * parallel across shards), and state is ≤ shards·capacity entries
+    * forever, the property that makes unbounded-stream top-k viable.
+    * Whenever per-shard distinct keys ≤ capacity no eviction ever
+    * fires and counts are EXACT — StreamingSpec pins batch parity in
+    * that regime and carries state across micro-batches; the
+    * eviction path's determinism is pinned sequentially on
+    * ssUpdate's total-ordered evictee. Emissions are ver-stamped,
+    * keys sorted ascending, update output mode, no timeout. */
+  def heavyStreaming(spark: SparkSession, events: DataFrame,
+      shards: Int = 8, capacity: Int = 16): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import graft.functions.Sketches
+    val ds = events
+      .select((col("user_id").cast("long") % shards).as("shard"),
+        col("user_id").cast("long").as("key"))
+      .as[HhIn]
+    def fold(shard: Long, evs: Iterator[HhIn],
+        state: GroupState[HhState]): HhOut = {
+      val counts = scala.collection.mutable.LongMap.empty[Long]
+      val errs = scala.collection.mutable.LongMap.empty[Long]
+      state.getOption.foreach { st =>
+        var i = 0
+        while (i < st.keys.length) {
+          counts(st.keys(i)) = st.counts(i); errs(st.keys(i)) = st.errs(i)
+          i += 1
+        }
+      }
+      evs.foreach(e => Sketches.ssUpdate(counts, errs, e.key, capacity))
+      val ks = counts.keysIterator.toArray.sorted
+      val cs = ks.map(counts(_))
+      val es = ks.map(errs(_))
+      val ver = state.getOption.map(_.ver).getOrElse(0L) + 1L
+      state.update(HhState(ver, ks, cs, es))
+      HhOut(shard, ver, ks, cs, es)
+    }
+    ds.groupByKey(_.shard)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fold)
+      .toDF()
+  }
 }

@@ -400,4 +400,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming space-saving top-k: exact batch parity below capacity, state carries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sdf = mem.toDF.toDF("user_id")
+    val q = graft.streaming.EventStreams.heavyStreaming(spark, sdf)
+      .writeStream.outputMode("update").format("memory").queryName("hh_out").start()
+    // latest (max ver) snapshot per shard, flattened to key -> (cnt, err)
+    def streamed(): Map[Long, (Long, Long)] =
+      spark.table("hh_out").collect()
+        .groupBy(_.getLong(0)).values
+        .map(_.maxBy(_.getLong(1)))
+        .flatMap { r =>
+          val ks = r.getSeq[Long](2); val cs = r.getSeq[Long](3)
+          val es = r.getSeq[Long](4)
+          ks.indices.map(i => ks(i) -> ((cs(i), es(i))))
+        }.toMap
+    def batchCounts(rows: Seq[Long]): Map[Long, (Long, Long)] =
+      rows.groupBy(identity).map { case (k, v) => k -> ((v.size.toLong, 0L)) }
+    // 40 distinct keys over 8 shards = 5 per shard << capacity 16:
+    // no eviction fires, so streamed counts are EXACT
+    val chunk1 = (1L to 40L) ++ Seq.fill(25)(7L) ++ Seq.fill(10)(13L)
+    val chunk2 = (21L to 40L) ++ Seq.fill(5)(7L)
+    try {
+      mem.addData(chunk1: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchCounts(chunk1), "batch-1 parity broke")
+      mem.addData(chunk2: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchCounts(chunk1 ++ chunk2),
+        "cross-batch parity broke")
+    } finally q.stop()
+  }
+
+  test("space-saving fold: total-ordered eviction, overcount bound holds") {
+    import graft.functions.Sketches
+    val counts = scala.collection.mutable.LongMap.empty[Long]
+    val errs = scala.collection.mutable.LongMap.empty[Long]
+    // capacity 2: fill with a,a,b — then c evicts the (count asc,
+    // key desc)-min entry b and adopts (2, 1)
+    Seq(1L, 1L, 2L).foreach(k => Sketches.ssUpdate(counts, errs, k, 2))
+    Sketches.ssUpdate(counts, errs, 3L, 2)
+    assert(counts.toMap == Map(1L -> 2L, 3L -> 2L), s"${counts.toMap}")
+    assert(errs(3L) == 1L && errs(1L) == 0L, s"${errs.toMap}")
+    // tie on count=2: evictee is the LARGER key (3), not the heavy 1
+    Sketches.ssUpdate(counts, errs, 4L, 2)
+    assert(counts.contains(1L) && counts(4L) == 3L && errs(4L) == 2L,
+      s"${counts.toMap} ${errs.toMap}")
+  }
+
 }
