@@ -398,7 +398,21 @@ object Dedup {
     * production path.
     */
   def clusters(docs: DataFrame, minEstJaccard: Double = 0.5,
-      rounds: Int = 12): DataFrame = {
+      rounds: Int = 12): DataFrame =
+    if (minEstJaccard == 0.5 && rounds == 12)
+      clustersMemo.getOrBuild(docs) {
+        clustersBuild(docs, minEstJaccard, rounds).localCheckpoint(true)
+      }
+    else clustersBuild(docs, minEstJaccard, rounds)
+
+  /** The default-threshold cluster frame, memoized per docs identity:
+    * pair-graph-sized (near-dups only), consumed by the cluster
+    * query, keep-best, the cluster cap, and cluster-size stats —
+    * each re-ran the 12-round label fixpoint before this memo. */
+  private val clustersMemo = new TextOps.FrameMemo
+
+  private def clustersBuild(docs: DataFrame, minEstJaccard: Double,
+      rounds: Int): DataFrame = {
     val pairs = minhashLsh(docs).filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = graft.graph.Components.labelPropagation(pairs, maxIter = rounds)
@@ -406,6 +420,29 @@ object Dedup {
     labels.join(sizes, "component")
       .select(col("node").as("doc_id"), col("component").as("cluster_id"),
         col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** D96 cluster-capped sampling — the soft form of [[keepBest]] (the
+    * RefinedWeb-style "keep at most `cap` copies of any near-dup
+    * family": cap = 1 degenerates to a canonical pick, no cap keeps
+    * natural duplication that upweights boilerplate): within each
+    * [[clusters]] family the kept docs are the `cap` smallest by
+    * md5(doc_id) rank — deterministic, engine-replayable, and
+    * unbiased by content length or id assignment, unlike a naive
+    * min-id cut. Hash/integer-only decisions; the rank rides one
+    * cluster-keyed window over the pair-graph-sized cluster frame,
+    * never the corpus. Returns one decision row per clustered doc:
+    * (doc_id, cluster_id, cluster_size, rnk, kept). */
+  def clusterCap(docs: DataFrame, cap: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    clusters(docs, minEstJaccard)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("rnk"), (col("rnk") <= cap).as("kept"))
       .orderBy("doc_id")
   }
 

@@ -53,6 +53,7 @@ object PipelineEntries {
     "dedup_ngram_prefix" -> ((s, d) =>
       Dedup.ngramJaccardPrefix(Tables.documentsShared(s, d), minJaccard = 0.5)),
     "dedup_cluster" -> ((s, d) => Dedup.clusters(Tables.documentsShared(s, d))),
+    "sample_cluster_cap" -> ((s, d) => Dedup.clusterCap(Tables.documentsShared(s, d))),
     "decontaminate" -> ((s, d) =>
       Contamination.decontaminate(Tables.documentsShared(s, d), col("doc_id") % 97 === 0)),
     "decontaminate_bloom" -> ((s, d) =>
@@ -685,6 +686,20 @@ object PipelineEntries {
          |SELECT node AS doc_id, component AS cluster_id, cluster_size
          |FROM l12 JOIN sz USING (component)
          |ORDER BY doc_id""".stripMargin,
+    // Cluster-capped sampling: the cluster chain + an md5-ranked
+    // row_number per cluster, kept = rank <= 4.
+    "sample_cluster_cap" ->
+      s"""WITH $TOK,
+         |$SH,
+         |$clusterChain,
+         |sz AS (SELECT component, COUNT(*) AS cluster_size FROM l12 GROUP BY 1),
+         |ranked AS (
+         |  SELECT node AS doc_id, component AS cluster_id, sz.cluster_size,
+         |         CAST(row_number() OVER (PARTITION BY component
+         |           ORDER BY md5(CAST(node AS VARCHAR)), node) AS BIGINT) AS rnk
+         |  FROM l12 JOIN sz USING (component))
+         |SELECT doc_id, cluster_id, cluster_size, rnk, rnk <= 4 AS kept
+         |FROM ranked ORDER BY doc_id""".stripMargin,
     // Keep-best canonical: the cluster chain above + the integer-only
     // (n_chars desc, doc_id asc) argmax per cluster.
     "dedup_keep_best" ->

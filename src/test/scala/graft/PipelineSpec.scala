@@ -546,4 +546,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2 == expect2, s"$out2 vs $expect2")
   }
 
+  test("cluster cap: a 6-member family keeps exactly 4 by md5 rank") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val fam = (0L until 6L).map(i => i -> (base + s" v$i"))
+    val other = Seq(100L -> "totally unrelated content about databases and engines entirely")
+    val d = docs((fam ++ other): _*)
+    val r = Dedup.clusterCap(d, cap = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3), x.getBoolean(4))))
+      .toMap
+    assert(r.size == 6 && !r.contains(100L), s"cluster domain wrong: $r")
+    assert(r.values.forall(_._1 == 6L))
+    assert(r.values.count(_._3) == 4, s"cap not enforced: $r")
+    // determinism: the kept set is the 4 smallest md5(doc_id) ranks
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectKept = (0L until 6L).sortBy(id => (h(id), id)).take(4).toSet
+    assert(r.filter(_._2._3).keySet == expectKept, s"$r vs $expectKept")
+  }
+
 }
