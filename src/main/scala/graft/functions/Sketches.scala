@@ -269,11 +269,18 @@ object Sketches {
   /** Plain-Scala twin of [[cmsCol]] for the streaming register path
     * (the [[keyHashScala]] discipline): identical md5-window column
     * index by construction. */
-  def cmsColScala(k: Long, i: Int): Int = {
+  def cmsColScala(k: Long, i: Int): Int = cmsColsScala(k)(i)
+
+  /** All CmsD column indices for one key from a SINGLE digest+hex —
+    * the streaming fold calls this once per event instead of
+    * re-hashing per sketch row. */
+  def cmsColsScala(k: Long): Array[Int] = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(k.toString.getBytes("UTF-8"))
     val hex = d.map(b => f"${b & 0xff}%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % CmsW).toInt
+    Array.tabulate(CmsD) { i =>
+      (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % CmsW).toInt
+    }
   }
 
   /** The raw (row, column, count) sketch cells of [[countMin]] — the

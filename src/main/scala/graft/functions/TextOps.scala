@@ -128,6 +128,15 @@ object TextOps {
     private val stamps =
       scala.collection.concurrent.TrieMap.empty[K, Long]
     private val tick = new java.util.concurrent.atomic.AtomicLong()
+    // eviction graveyard: (frame, eviction tick). A checkpointed RDD
+    // cannot be recomputed, so an evicted frame's blocks are only
+    // unpersisted once GraceTicks further accesses have passed —
+    // any plan composed from a handle fetched within the last
+    // GraceTicks memo accesses is guaranteed executable, replacing
+    // the old "top-16 most recent" recency bet.
+    private val GraceTicks = 256L
+    private val graveyard =
+      new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, Long)]()
     private def release(f: DataFrame): Unit =
       try if (!f.sparkSession.sparkContext.isStopped)
         f.queryExecution.analyzed.collectFirst {
@@ -135,18 +144,28 @@ object TextOps {
             lr.rdd.unpersist(false)
         }
       catch { case _: Exception => () }
+    private def reap(now: Long): Unit = {
+      var head = graveyard.peek()
+      while (head != null && now - head._2 > GraceTicks) {
+        val h = graveyard.poll()
+        if (h != null) release(h._1)
+        head = graveyard.peek()
+      }
+    }
     def getOrBuild(key: K)(build: => DataFrame): DataFrame = {
       val out = frames.getOrElseUpdate(key, {
         if (frames.size > 64) {
           val keep = stamps.toSeq.sortBy(-_._2).take(16).map(_._1).toSet
+          val now = tick.get()
           (frames.keySet.toSet -- keep - key).foreach { k =>
-            frames.remove(k).foreach(release)
+            frames.remove(k).foreach(f => graveyard.add((f, now)))
             stamps.remove(k)
           }
         }
         build
       })
       stamps.put(key, tick.incrementAndGet())
+      reap(tick.get())
       out
     }
   }

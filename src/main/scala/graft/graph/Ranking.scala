@@ -1298,6 +1298,9 @@ object Ranking {
           """CAST((CAST(1000000 AS DECIMAL(38,0)) * gap)
              div ((n_nodes - 1) * (n_nodes - 1)) AS BIGINT)"""))
           .as("centralization_ppm"))
+      // empty graph: Spark's global agg emits one all-null row where
+      // the oracle's GROUP BY emits zero — drop it so both agree
+      .where(col("n_nodes").isNotNull)
   }
 
   def degreePowerLaw(edges: DataFrame): DataFrame = {

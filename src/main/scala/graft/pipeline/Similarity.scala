@@ -219,8 +219,13 @@ object Similarity {
     * no pair blowup; bucket decisions are single IEEE ops over exact
     * integer dots, so both engines agree. */
   def truncateFidelity(emb: DataFrame): DataFrame = {
-    val v = withNorm(emb).filter(col("nrm") > 0)
-      .withColumn("qh", expr("slice(qv, 1, size(qv) div 2)"))
+    // half-dim from the GLOBAL max dimension (oracle: MAX(i)//2) so a
+    // mixed-dimension corpus buckets the same half-vectors on both
+    // engines; on the uniform-dim corpora this equals the per-row form
+    val base = withNorm(emb).filter(col("nrm") > 0)
+    val hd = base.agg((max(size(col("qv"))) / 2).cast("int").as("hdim"))
+    val v = base.crossJoin(broadcast(hd))
+      .withColumn("qh", expr("slice(qv, 1, hdim)"))
       .withColumn("nrmh",
         sqrt(VectorOps.dotLong(col("qh"), col("qh")).cast("double")))
       .filter(col("nrmh") > 0)

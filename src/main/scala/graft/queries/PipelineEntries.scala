@@ -2728,9 +2728,10 @@ object PipelineEntries {
       val joins = (0 until CmsD).map { i =>
         s"JOIN c$i ON ${cmsColSql("k.user_id", i)} = c$i.c"
       }.mkString("\n")
+      val cells = (0 until CmsD).map(i => s"c$i.n").mkString(", ")
       s"""WITH $rows,
          |k AS (SELECT DISTINCT user_id FROM events)
-         |SELECT k.user_id, least(c0.n, c1.n, c2.n) AS est_count
+         |SELECT k.user_id, least($cells) AS est_count
          |FROM k
          |$joins
          |ORDER BY user_id""".stripMargin
@@ -2746,10 +2747,11 @@ object PipelineEntries {
       val joins = (0 until CmsD).map { i =>
         s"JOIN c$i ON ${cmsColSql("k.user_id", i)} = c$i.c"
       }.mkString("\n")
+      val cells = (0 until CmsD).map(i => s"c$i.n").mkString(", ")
       s"""WITH $rows,
          |k AS (SELECT DISTINCT user_id FROM events),
          |est AS (
-         |  SELECT k.user_id, least(c0.n, c1.n, c2.n) AS est_count
+         |  SELECT k.user_id, least($cells) AS est_count
          |  FROM k
          |$joins),
          |ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_true

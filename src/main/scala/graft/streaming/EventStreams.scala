@@ -565,9 +565,10 @@ object EventStreams {
       val cells = prior.map(_.cells)
         .getOrElse(Array.fill(Sketches.CmsD * Sketches.CmsW)(0L))
       evs.foreach { e =>
+        val cols = Sketches.cmsColsScala(e.user_id)
         var i = 0
         while (i < Sketches.CmsD) {
-          cells(i * Sketches.CmsW + Sketches.cmsColScala(e.user_id, i)) += 1L
+          cells(i * Sketches.CmsW + cols(i)) += 1L
           i += 1
         }
       }
