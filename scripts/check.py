@@ -43,6 +43,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Scale-oracle digest protocol (GRAFT_SCALE_ORACLES=1): for the
+    # queries whose full-output oracles exceed DuckDB's caps at large
+    # SF, compare digest(base tables) vs digest(dumped output) — both
+    # SQLs shipped by graft.Verify in scale_oracle_sql.json.
+    scale = {}
+    scale_path = os.path.join(out_dir, "scale_oracle_sql.json")
+    if os.environ.get("GRAFT_SCALE_ORACLES") and os.path.exists(scale_path):
+        scale = json.load(open(scale_path))
     fails = 0
     result_dirs = sorted(
         d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
@@ -58,7 +66,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
             continue
         try:
-            exp = con.execute(oracle[name]).df()
+            if name in scale:
+                con.execute("DROP VIEW IF EXISTS out")
+                con.execute(
+                    "CREATE VIEW out AS SELECT * FROM "
+                    f"'{os.path.join(out_dir, name)}/*.parquet'")
+                got = con.execute(scale[name]["output"]).df()
+                exp = con.execute(scale[name]["oracle"]).df()
+                name = f"{name} [scale-digest]"
+            else:
+                exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             fails += 1

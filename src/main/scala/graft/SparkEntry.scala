@@ -559,7 +559,7 @@ object SparkEntry {
   private val MOD = "GREATEST(5000, (SELECT COUNT(*) FROM lineitem) // 120)"
 
   /** Shared oracle CTE: the derived CALLS edge table (SURVEY.md §4). */
-  private val E =
+  private[graft] val E =
     s"""nodemod AS (SELECT $MOD AS v),
       |e AS (
       |  SELECT l_orderkey % (SELECT v FROM nodemod) AS src,

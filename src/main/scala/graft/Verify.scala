@@ -50,6 +50,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Scale-replayable digest forms for the oracle-environment-heavy
+    // queries (queries.ScaleOracles): {name: {oracle, output}} — the
+    // sf1 replay compares digest(base tables) vs digest(dumped
+    // output) for these instead of the full-output oracle.
+    val scaleJson = graft.queries.ScaleOracles.sql
+      .map { case (k, (o, u)) =>
+        s"${q(k)}: {${q("oracle")}: ${q(o)}, ${q("output")}: ${q(u)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/scale_oracle_sql.json"), scaleJson)
     spark.stop()
   }
 }
