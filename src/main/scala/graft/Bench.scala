@@ -49,8 +49,16 @@ object Bench {
       case c => c.toString
     } + "\""
 
-  /** One query name → (median seconds, first error if any). */
-  type Results = Seq[(String, (Double, Option[String]))]
+  /** Per-query record: median seconds, first error if any, plus
+    * memo ATTRIBUTION from the query's FIRST timed run — memos this
+    * query BUILT (it is the payer: its number includes shared-
+    * artifact materialization later queries ride) and memos it RODE.
+    * first_s is that first run's wall time, where the build cost
+    * actually lands (the median mostly reflects the ridden shape). */
+  final case class QStat(median: Double, err: Option[String],
+    built: Long, ridden: Long, firstS: Double)
+
+  type Results = Seq[(String, QStat)]
 
   private def runInProcess(
       names: Seq[String], sfDir: String, cpus: String, runs: Int): Results = {
@@ -66,6 +74,23 @@ object Bench {
     Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
       "region", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
+    // Exercise the execution machinery itself — whole-stage codegen
+    // compilation, shuffle write/read, hash agg, sort-merge join,
+    // window — on synthetic data before the first timed query. Each
+    // forked generation starts a cold JVM; without this, generation 0
+    // charged its first queries ~2.5× for JIT/codegen warm-up that
+    // generations were meant to equalize (BENCH_LOCAL r9: gen 0 ran
+    // 64 queries in 96.2 s vs gen 2's 78 in 37.9 s).
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.range(0, 1L << 18)
+        .select((col("id") % 997).as("k"), col("id").as("v"))
+      val agg = w.groupBy("k").agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      agg.join(w, Seq("k")).count()
+      w.select(col("k"), row_number().over(
+        Window.partitionBy("k").orderBy("v")).as("rn")).count()
     }
     // A thrown query must not masquerade as a fast run: its timing is
     // still reported (the regression is visible) but the error rides
@@ -84,8 +109,12 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
     val out = names.map { name =>
-      val rs = (1 to runs).map(_ => time(SparkEntry.queries(name)))
-      name -> ((median(rs.map(_._1)), rs.flatMap(_._2).headOption))
+      val (b0, h0) = graft.functions.MemoStats.snapshot
+      val first = time(SparkEntry.queries(name))
+      val (b1, h1) = graft.functions.MemoStats.snapshot
+      val rs = first +: (2 to runs).map(_ => time(SparkEntry.queries(name)))
+      name -> QStat(median(rs.map(_._1)), rs.flatMap(_._2).headOption,
+        b1 - b0, h1 - h0, first._1)
     }
     spark.stop()
     out
@@ -103,7 +132,7 @@ object Bench {
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
       val cp = System.getProperty("java.class.path")
-      val all = scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Option[String]))]
+      val all = scala.collection.mutable.ArrayBuffer.empty[(String, QStat)]
       gens.foreach { case (g, names) =>
         val tsv = java.io.File.createTempFile(s"bench_gen$g", ".tsv")
         val log = java.io.File.createTempFile(s"bench_gen$g", ".log")
@@ -133,9 +162,10 @@ object Bench {
           throw new RuntimeException(
             s"generation $g reported ${lines.size}/${names.size} queries")
         lines.foreach { ln =>
-          val parts = ln.split("\t", 3)
-          all += parts(0) -> ((parts(1).toDouble,
-            if (parts.length > 2 && parts(2).nonEmpty) Some(parts(2)) else None))
+          val parts = ln.split("\t", 6)
+          all += parts(0) -> QStat(parts(1).toDouble,
+            if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5)) else None,
+            parts(2).toLong, parts(3).toLong, parts(4).toDouble)
         }
         tsv.delete()
       }
@@ -184,26 +214,35 @@ object Bench {
     // child mode: report through the TSV side channel and exit
     if (sys.env.contains("SPARK_GRAFT_BENCH_TSV")) {
       val f = sys.env("SPARK_GRAFT_BENCH_TSV")
-      val body = results.map { case (k, (v, e)) =>
-        s"$k\t$v\t${e.getOrElse("").replace("\t", " ").replace("\n", " ")}"
+      val body = results.map { case (k, q) =>
+        s"$k\t${q.median}\t${q.built}\t${q.ridden}\t${q.firstS}\t" +
+          q.err.getOrElse("").replace("\t", " ").replace("\n", " ")
       }.mkString("", "\n", "\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f), body)
       return
     }
 
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, q) => s"\"" + k + "\":" + q.median }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(e))) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, q) if q.err.isDefined =>
+      jstr(k) + ":" + jstr(q.err.get) }
       .mkString("{", ",", "}")
-    val nErr = results.count { case (_, (_, e)) => e.isDefined }
-    val total = results.map(_._2._1).sum
+    val nErr = results.count(_._2.err.isDefined)
+    val total = results.map(_._2.median).sum
+    // Memo attribution (r9 verdict ask): which queries PAID a shared
+    // materialization vs RODE one, plus the first-run wall time where
+    // the payment lands — a per-query round-over-round delta is now
+    // interpretable without knowing board order.
+    val memo = results.collect { case (k, q) if q.built > 0 || q.ridden > 0 =>
+      s"""${jstr(k)}:{"built":${q.built},"ridden":${q.ridden},"first_s":${q.firstS}}"""
+    }.mkString("{", ",", "}")
     val genTotals = results.groupBy { case (k, _) => generationOf(k) }
       .toSeq.sortBy(_._1)
       .map { case (g, rs) =>
-        s"""{"gen":$g,"n_queries":${rs.size},"sec":${rs.map(_._2._1).sum}}"""
+        s"""{"gen":$g,"n_queries":${rs.size},"sec":${rs.map(_._2.median).sum}}"""
       }.mkString("[", ",", "]")
     val mode = if (wantGens > 1) s"$wantGens JVM generations" else "single JVM"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"generations":$genTotals,"sf":"$sfDir","runs":$runs,"note":"per-query median of $runs runs; $mode"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"memo":$memo,"generations":$genTotals,"sf":"$sfDir","runs":$runs,"note":"per-query median of $runs runs; $mode; memo=first-run build/ride attribution"}"""
     println(line)
     // The stdout line is the driver contract, but a log-buffer tail
     // capture can truncate it (BENCH_r05.json lost 101 of 166 query

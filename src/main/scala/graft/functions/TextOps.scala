@@ -153,6 +153,8 @@ object TextOps {
       }
     }
     def getOrBuild(key: K)(build: => DataFrame): DataFrame = {
+      if (frames.contains(key)) MemoStats.recordHit()
+      else MemoStats.recordBuild()
       val out = frames.getOrElseUpdate(key, {
         if (frames.size > 64) {
           val keep = stamps.toSeq.sortBy(-_._2).take(16).map(_._1).toSet

@@ -47,7 +47,9 @@ object Traversal {
     * (frames whose session already stopped are skipped). */
   private def memoPrepared(
       memo: scala.collection.concurrent.TrieMap[DataFrame, DataFrame],
-      edges: DataFrame)(build: => DataFrame): DataFrame =
+      edges: DataFrame)(build: => DataFrame): DataFrame = {
+    if (memo.contains(edges)) graft.functions.MemoStats.recordHit()
+    else graft.functions.MemoStats.recordBuild()
     memo.getOrElseUpdate(edges, {
       if (memo.size > 64) {
         memo.values.foreach { f =>
@@ -62,6 +64,7 @@ object Traversal {
       }
       build
     })
+  }
 
   private[graph] def srcPrepared(edges: DataFrame): DataFrame =
     memoPrepared(prepMemo, edges) {

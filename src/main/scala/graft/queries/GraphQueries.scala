@@ -38,10 +38,20 @@ object GraphQueries {
     * The oracle computes the same value via
     * GREATEST(5000, COUNT(*) // 120) over the same table. One
     * metadata-fast count per (session, dir), memoized. */
+  /** getOrElseUpdate with MemoStats accounting — every (session,
+    * dir)-keyed shared artifact below reports build-vs-ride so the
+    * bench can attribute per-query cost under sharing. */
+  private def memoCounted[K, V](
+      m: scala.collection.concurrent.TrieMap[K, V], k: K)(build: => V): V = {
+    if (m.contains(k)) graft.functions.MemoStats.recordHit()
+    else graft.functions.MemoStats.recordBuild()
+    m.getOrElseUpdate(k, build)
+  }
+
   private val modMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
   def modulus(s: SparkSession, d: String): Long =
-    modMemo.getOrElseUpdate((s, d),
+    memoCounted(modMemo, (s, d))(
       math.max(M, Tables.lineitem(s, d).count() / 120L))
 
   /** One cached edge DataFrame per (session, dir): repeated queries
@@ -58,7 +68,7 @@ object GraphQueries {
     * lineitem at every BFS/walk level.
     */
   def callEdges(s: SparkSession, d: String): DataFrame =
-    edgeMemo.getOrElseUpdate((s, d),
+    memoCounted(edgeMemo, (s, d))(
       Tables.lineitem(s, d)
         .select((col("l_orderkey") % modulus(s, d)).as("src"),
           (col("l_partkey") % modulus(s, d)).as("dst"),
@@ -231,7 +241,7 @@ object GraphQueries {
   private val hierMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def hierLabels(s: SparkSession, d: String): DataFrame =
-    hierMemo.getOrElseUpdate((s, d),
+    memoCounted(hierMemo, (s, d))(
       Components.auto(hierarchyEdges(s, d)).localCheckpoint(true))
 
   /** C54 component-size distribution — the D90 summary-twin
@@ -259,7 +269,7 @@ object GraphQueries {
   private val sccMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sccLabels(s: SparkSession, d: String): DataFrame =
-    sccMemo.getOrElseUpdate((s, d),
+    memoCounted(sccMemo, (s, d))(
       Components.stronglyConnected(callEdges(s, d)).localCheckpoint(true))
 
   def graphScc(s: SparkSession, d: String): DataFrame =
@@ -323,7 +333,7 @@ object GraphQueries {
   private val supMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def supportIndex(s: SparkSession, d: String): DataFrame =
-    supMemo.getOrElseUpdate((s, d),
+    memoCounted(supMemo, (s, d))(
       Ranking.edgeSupportIndex(callEdges(s, d)).localCheckpoint(true))
 
   def graphKTruss(s: SparkSession, d: String): DataFrame =
@@ -505,13 +515,13 @@ object GraphQueries {
   private val reachMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
   private def reachSlice(s: SparkSession, d: String, residue: Int): DataFrame =
-    reachMemo.getOrElseUpdate((s, d, residue), {
+    memoCounted(reachMemo, (s, d, residue)) {
       val e = callEdges(s, d)
       val starts = e.select(col("src").as("node"))
         .filter(col("node") % 100 === residue).distinct()
         .orderBy(md5(col("node").cast("string"))).limit(64)
       Traversal.reachLevels(e, starts, maxDepth = 3).localCheckpoint(true)
-    })
+    }
 
   /** C16 bounded closeness centrality (Eppstein-Wang-style sampled
     * estimator): depth-≤3 out-ball sizes and distance sums for the
@@ -617,7 +627,7 @@ object GraphQueries {
   private val coSupplyMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def coSupplyPairs(s: SparkSession, d: String): DataFrame =
-    coSupplyMemo.getOrElseUpdate((s, d),
+    memoCounted(coSupplyMemo, (s, d))(
       Ranking.cooccurrence(
         Tables.lineitem(s, d).select(col("l_suppkey"), col("l_partkey")),
         maxItemDeg = 30)
@@ -696,7 +706,7 @@ object GraphQueries {
   private val commMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def communityLabels(s: SparkSession, d: String): DataFrame =
-    commMemo.getOrElseUpdate((s, d),
+    memoCounted(commMemo, (s, d))(
       Components.communities(callEdges(s, d), rounds = 4).localCheckpoint(true))
 
   def graphCommunities(s: SparkSession, d: String): DataFrame =
