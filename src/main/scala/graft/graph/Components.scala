@@ -799,7 +799,7 @@ object Components {
         // practice, and the regime the oracle's fixed unroll pins).
         val hCnt = h.count()
         val lab: DataFrame =
-          if (hCnt <= 4000000L) {
+          if (hCnt <= driverMergeCap) {
             // Driver fast path — NOT an exact union-find: it emulates
             // the distributed innerRounds-bounded pointer-jump below
             // step for step (synchronous l ← min(l, min-neighbor-l,
@@ -896,6 +896,18 @@ object Components {
     * partially here exactly as it does distributed / in the oracle's
     * fixed unroll. Keeps minSpanningForest's driver fast path at 2
     * Spark jobs while preserving the bounded-budget parity contract. */
+  /** Admission cap for the driver-side merge fast path, DERIVED from
+    * the driver heap instead of a fixed row count (r9 verdict #7): a
+    * collected pick edge costs ~128 bytes on the driver (boxed
+    * (Long, Long) tuple array plus the LongMap label table entries),
+    * and the fast path may claim at most 1/8 of max heap — an 8 GiB
+    * driver admits ~8M edges, a 1 GiB test JVM ~1M; anything larger
+    * takes the distributed pointer-jump path (identical labels,
+    * MsfMergeParitySpec). Floor of 64k keeps tiny-heap test runs on
+    * the fast path for the trivial graphs they use. */
+  private[graph] def driverMergeCap: Long =
+    math.max(65536L, Runtime.getRuntime.maxMemory / 8L / 128L)
+
   private[graft] def driverBoundedMerge(edges: Array[(Long, Long)],
       innerRounds: Int): scala.collection.Map[Long, Long] = {
     import scala.collection.mutable

@@ -255,6 +255,35 @@ object JsonImporter {
   def importAnalysis(spark: SparkSession, path: String): BinaryGraph =
     buildGraph(readAnalysis(spark, path))
 
+  /** Incremental re-import INTO an existing persisted store — the
+    * reference's cross-session MERGE semantics (api/session.rs:19-258:
+    * a second `import json` on a live database upserts, it does not
+    * rebuild): load the store, import only the NEW files, upsert via
+    * [[GraphStore.merge]] (new rows win per key; CALLS keeps one edge
+    * per (from,to) with last-write-wins properties), persist, return
+    * the merged graph. The merged plan still SCANS the store being
+    * replaced, so the save lands in a sibling staging directory and
+    * swaps in atomically at the end — an increment never overwrites
+    * an input it is reading, and a crash mid-save leaves the original
+    * store intact. Work is one import + one keyed dedup per table —
+    * linear in |store| + |increment|, a normal batch job at any
+    * scale. */
+  def mergeAnalysis(spark: SparkSession, storeDir: String, path: String,
+      pattern: Option[String] = None, partitions: Int = 32): BinaryGraph = {
+    val existing = GraphStore.load(spark, storeDir)
+    val incoming = buildGraph(readAnalysis(spark, path, pattern))
+    val merged = GraphStore.merge(existing, incoming)
+    val staging = s"$storeDir.staging"
+    GraphStore.clear(spark, staging)
+    GraphStore.save(merged, staging, partitions)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraphStore.clear(spark, storeDir)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(storeDir))
+    GraphStore.load(spark, storeDir)
+  }
+
   /** Pre-import validation (api/client.rs:42-81): one row per input
     * file with its error list — distributed, so a million-file
     * directory validates as one scan. */

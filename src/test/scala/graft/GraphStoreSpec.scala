@@ -82,6 +82,95 @@ class GraphStoreSpec extends AnyFunSuite {
       .collect()(0).getAs[Long]("size") == 999L)
   }
 
+  test("mergeAnalysis into a persisted store ≡ full rebuild on overlapping imports") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // Batch A = the two resource fixtures; batch B = an OVERLAPPING
+    // re-analysis of aaa111 (same helper function, same import, but
+    // the helper→CreateFileA call carries a NEW offset) plus a brand
+    // new binary ccc333. File names are chosen so lexical order =
+    // import order (buildGraph's last-write-wins orders by file name,
+    // the sequential reference's visit order).
+    val dirA = Files.createTempDirectory("graft_mrg_a").toString
+    val dirB = Files.createTempDirectory("graft_mrg_b").toString
+    val dirAll = Files.createTempDirectory("graft_mrg_all").toString
+    val res = getClass.getResource("/analysis").getPath
+    Seq("bin1.json" -> "a1_bin1.json", "bin2.json" -> "a2_bin2.json")
+      .foreach { case (src, dst) =>
+        Files.copy(Paths.get(res, src), Paths.get(dirA, dst),
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(Paths.get(res, src), Paths.get(dirAll, dst),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    val update =
+      """{
+        |  "binary_info": {
+        |    "hashes": {"sha256": "aaa111"},
+        |    "name": "sample.exe",
+        |    "file_path": "/tmp/sample.exe",
+        |    "file_size": 2048,
+        |    "file_type": {"type": "PE32", "architecture": "x86_64"}
+        |  },
+        |  "functions": [ {"name": "helper", "address": "0x401200", "size": 64} ],
+        |  "imports": [
+        |    {"name": "CreateFileA", "library": "KERNEL32.dll", "address": "0x403000"}
+        |  ],
+        |  "calls": [
+        |    {"from_address": "0x401200", "to_address": "0x403000",
+        |     "offset": "0x401299", "type": "indirect"}
+        |  ]
+        |}""".stripMargin
+    val fresh =
+      """{
+        |  "binary_info": {
+        |    "hashes": {"sha256": "ccc333"},
+        |    "name": "third.exe",
+        |    "file_path": "/tmp/third.exe",
+        |    "file_size": 512,
+        |    "file_type": {"type": "PE32", "architecture": "x86_64"}
+        |  },
+        |  "functions": [ {"name": "entry", "address": "0x500000", "size": 16} ],
+        |  "strings": [ {"value": "hello world", "address": "0x5100"} ],
+        |  "calls": [
+        |    {"from_address": "0x500000", "to_address": "0x500000",
+        |     "offset": "0x500004", "type": "direct"}
+        |  ]
+        |}""".stripMargin
+    Seq(dirB, dirAll).foreach { d =>
+      Files.writeString(Paths.get(d, "b1_update.json"), update)
+      Files.writeString(Paths.get(d, "b2_new.json"), fresh)
+    }
+    val store = Files.createTempDirectory("graft_mrg_store").toString + "/db"
+    GraphStore.save(JsonImporter.importAnalysis(spark, dirA), store, 2)
+    val merged = JsonImporter.mergeAnalysis(spark, store, dirB, partitions = 2)
+    val rebuilt = JsonImporter.importAnalysis(spark, dirAll)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted
+      df.selectExpr(cols: _*).collect().map(_.mkString("|")).toSet
+    }
+    val tables = Seq[(String, graft.importer.BinaryGraph => org.apache.spark.sql.DataFrame)](
+      "binaries" -> (_.binaries), "functions" -> (_.functions),
+      "strings" -> (_.strings), "libraries" -> (_.libraries),
+      "contains" -> (_.contains), "importsFn" -> (_.importsFn),
+      "importsLib" -> (_.importsLib), "belongsTo" -> (_.belongsTo),
+      "containsString" -> (_.containsString), "calls" -> (_.calls),
+      "callSites" -> (_.callSites))
+    tables.foreach { case (name, f) =>
+      assert(rows(f(merged)) == rows(f(rebuilt)), s"table $name diverged")
+    }
+    // CALLS last-write-wins across imports: the overlapping edge
+    // carries batch B's offset; the old site row survives in callSites
+    val edge = merged.calls
+      .filter("from_uid = 'aaa111:0x401200' and to_uid = 'imp:kernel32.dll:CreateFileA'")
+      .collect()
+    assert(edge.length == 1 && edge(0).getAs[String]("call_offset") == "0x401299")
+    assert(merged.callSites
+      .filter("from_uid = 'aaa111:0x401200' and to_uid = 'imp:kernel32.dll:CreateFileA'")
+      .count() == 2)
+    // the new binary landed
+    assert(merged.binaries.filter("hash = 'ccc333'").count() == 1)
+    GraphStore.clear(spark, store)
+  }
+
   test("stateful sessionize matches window-based sessionize") {
     val dir = "/root/testdata/sf0.001"
     val ev = EventStreams.events(spark, dir)
