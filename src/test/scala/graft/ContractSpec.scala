@@ -17,6 +17,24 @@ class ContractSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"orphan oracles: ${(o -- q).toSeq.sorted}")
   }
 
+  test("scale oracles target gated queries and carry both SQL sides") {
+    // ScaleOracles is the sf1 replay path for the oracle-environment-
+    // heavy queries: each entry must shadow a REAL gated query (its
+    // primary oracle still gates at the gate SFs) and ship both the
+    // base-table digest and the output digest.
+    val s = graft.queries.ScaleOracles.sql
+    val orphans = s.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"scale oracles without a gated query: $orphans")
+    val unoracled = s.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty,
+      s"scale oracles must shadow a primary oracle, not replace it: $unoracled")
+    s.foreach { case (name, (oracle, output)) =>
+      assert(oracle.trim.nonEmpty && output.trim.nonEmpty,
+        s"$name: empty scale-oracle side")
+      assert(output.contains("out"), s"$name: output SQL must read view `out`")
+    }
+  }
+
   test("every gated query has a SURVEY §2 inventory row") {
     // §2 is the coverage contract the per-round audit runs against —
     // a gated query with no inventory row is exactly how a future
