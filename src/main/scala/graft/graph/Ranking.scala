@@ -444,14 +444,45 @@ object Ranking {
     * one adjacency-array build, one edge⋈adjacency join, a codegen
     * array_intersect per edge. Shared by [[kTrussBounded]] and
     * [[weakTies]]. */
-  private[graph] def edgeSupports(u: DataFrame): DataFrame = {
+  /** Per-edge shuffle volume of the adjacency⋈edges join is
+    * Σ(deg_a+deg_b) longs — ~11 GB on the 6M-edge organic sf1 graph,
+    * the dominant cost of the whole support pass. Below this cap
+    * (bytes ≈ 16·2·|edges| for the adjacency table, ≤ ~512 MB) the
+    * adjacency side is BROADCAST instead: two map-side hash joins,
+    * zero array shuffle, same rows. Above it — billion-edge cluster
+    * graphs — the shuffle join is the correct plan and the hint is
+    * skipped. */
+  private val BroadcastAdjMaxEdges = 16000000L
+  /** Below this the adjacency table is small enough that the plain
+    * shuffle join (or Spark's own auto-broadcast from its size
+    * estimate) is already fast — forcing a driver-built broadcast
+    * would ADD ~1-2 s of collect/build per tail wave. */
+  private val BroadcastAdjMinEdges = 1000000L
+
+  private def withAdj(rows: DataFrame, adj0: DataFrame,
+      nEdges: Long): DataFrame = {
+    val adj =
+      if (nEdges <= BroadcastAdjMaxEdges && nEdges >= BroadcastAdjMinEdges)
+        broadcast(adj0)
+      else adj0
+    rows.join(adj.select(col("u").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.VectorOps.sortedIntersectCount(col("na"), col("nb"))
+          .as("support"))
+  }
+
+  /** knownCount: pass the edge count when the caller already holds a
+    * materialized frame (the peel's checkpointed waves) — skips this
+    * function's own checkpoint+count of the input. */
+  private[graph] def edgeSupports(u0: DataFrame,
+      knownCount: Option[Long] = None): DataFrame = {
+    val u = if (knownCount.isDefined) u0 else u0.localCheckpoint(true)
+    val n = knownCount.getOrElse(u.count())
     val sym = u.select(col("a").as("u"), col("b").as("v"))
       .unionByName(u.select(col("b").as("u"), col("a").as("v")))
     val adj = sym.groupBy("u").agg(sort_array(collect_set(col("v"))).as("nbrs"))
-    u.join(adj.select(col("u").as("a"), col("nbrs").as("na")), Seq("a"))
-      .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), Seq("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
+    withAdj(u, adj, n)
   }
 
   /** Granovetter weak-tie profile: per node, how many of its edges are
@@ -491,17 +522,20 @@ object Ranking {
     * codegen array_intersect as [[edgeSupports]]. The incremental
     * peel's workhorse — a wave that removes e edges re-measures
     * O(e·deg) edges, not all of them. */
+  private[graft] def probeSupportsFor(und: DataFrame, sub: DataFrame): DataFrame =
+    supportsFor(und, sub)
+
   private def supportsFor(und: DataFrame, sub: DataFrame): DataFrame = {
+    // callers pass a checkpointed `und` (the peel checkpoints `kept`
+    // each wave), so this count is metadata-cheap
+    val n = und.count()
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
     val need = sub.select(col("a").as("u"))
       .unionByName(sub.select(col("b").as("u"))).distinct()
     val adj = sym.join(need, Seq("u"), "left_semi")
       .groupBy("u").agg(sort_array(collect_set(col("v"))).as("nbrs"))
-    sub.join(adj.select(col("u").as("a"), col("nbrs").as("na")), Seq("a"))
-      .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), Seq("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
+    withAdj(sub, adj, n)
   }
 
   /** Bounded k-truss peel with INCREMENTAL support maintenance:
@@ -526,23 +560,50 @@ object Ranking {
     var und = sup.select("a", "b")
     var round = 0
     var converged = false
+    // Callers pass a checkpointed index, so this count is one cheap
+    // scan; every later wave's removed-count is ARITHMETIC
+    // (prev − kept) — the removed set itself is never materialized
+    // (the r9 peel checkpointed 4M removed rows in wave 0 just to
+    // count them and list endpoints).
+    var prevCount = sup.count()
     while (round < rounds && !converged) {
-      val removed = sup.filter(col("support") < k - 2).localCheckpoint(true)
-      if (removed.isEmpty) converged = true
+      val kept = sup.filter(col("support") >= k - 2).localCheckpoint(true)
+      val keptCount = kept.count()
+      val removedCount = prevCount - keptCount
+      if (removedCount == 0L) converged = true
       else {
-        val kept = sup.filter(col("support") >= k - 2).localCheckpoint(true)
+        val prev = sup
         und = kept.select("a", "b")
-        val touched = removed.select(col("a").as("t"))
-          .unionByName(removed.select(col("b").as("t"))).distinct()
-        val aff = und.join(touched, col("a") === col("t"), "left_semi")
-          .unionByName(und.join(touched, col("b") === col("t"), "left_semi"))
-          .distinct()
-        val fresh = supportsFor(und, aff)
-        sup = kept.join(fresh.withColumnRenamed("support", "s2"),
-            Seq("a", "b"), "left")
-          .select(col("a"), col("b"),
-            coalesce(col("s2"), col("support")).as("support"))
-          .localCheckpoint(true)
+        // Dense-vs-sparse wave dispatch: when a wave removes more
+        // edges than it keeps, "incident to a removal" is essentially
+        // every surviving edge — the incremental path would compute
+        // the touched/affected sets and a merge join only to
+        // re-measure everything anyway. Full recompute on the kept
+        // graph skips all three. The incremental path remains the
+        // tail-wave (and 100 TB trickle-wave) shape, where
+        // re-measuring only the O(removed·deg) incident edges is the
+        // whole point.
+        sup =
+          if (removedCount >= keptCount)
+            edgeSupports(und, knownCount = Some(keptCount))
+              .localCheckpoint(true)
+          else {
+            // one scan over the (checkpointed) previous index — no
+            // checkpoint of the removed rows themselves
+            val removed = prev.filter(col("support") < k - 2)
+            val touched = removed.select(col("a").as("t"))
+              .unionByName(removed.select(col("b").as("t"))).distinct()
+            val aff = und.join(touched, col("a") === col("t"), "left_semi")
+              .unionByName(und.join(touched, col("b") === col("t"), "left_semi"))
+              .distinct()
+            val fresh = supportsFor(und, aff)
+            kept.join(fresh.withColumnRenamed("support", "s2"),
+                Seq("a", "b"), "left")
+              .select(col("a"), col("b"),
+                coalesce(col("s2"), col("support")).as("support"))
+              .localCheckpoint(true)
+          }
+        prevCount = keptCount
       }
       round += 1
     }
