@@ -114,60 +114,43 @@ object TextOps {
     * input frame OBJECT (PipelineEntries serves one docs frame per
     * (session, dir) via Tables.documentsShared, so board queries
     * share). Eviction is LRU, never wholesale: past 64 entries the
-    * least-recently-fetched frames are dropped (their localCheckpoint
-    * blocks unpersisted — checkpointed RDDs cannot be recomputed, so
-    * an evicted frame must have no future consumer) down to the 16
-    * most recent. A frame referenced by an in-flight query was by
-    * definition fetched within the last handful of accesses (a single
-    * query touches at most ~3 memo frames), so spec-suite churn past
-    * 64 throwaway frames can no longer invalidate a handle taken
-    * earlier in the same plan. */
+    * least-recently-fetched frames are dropped down to the 16 most
+    * recent — but eviction only DROPS the memo's own reference, it
+    * never unpersists. A checkpointed RDD cannot be recomputed, so
+    * the release of its blocks is delegated to Spark's ContextCleaner
+    * (`spark.cleaner.referenceTracking`, on by default): every
+    * persisted RDD is weak-ref-registered at persist time, and its
+    * blocks are unpersisted exactly when the RDD object itself is
+    * garbage-collected. A plan composed from a memo handle holds the
+    * LogicalRDD — and therefore the RDD — strongly, so no amount of
+    * memo churn between composing a plan and executing it can
+    * invalidate the handle: the lifetime IS the reachability of the
+    * consumer plan (MemoChurnSpec pins 300 evictions + System.gc
+    * between handle fetch and execution). This replaces the r10
+    * grace-tick heuristic, whose 256-access window was a bet a
+    * sufficiently slow consumer could still lose, and whose graveyard
+    * pinned up to 256 ticks of dead frames the cleaner now reaps at
+    * the first GC after their last consumer dies. */
   private[graft] class KeyedFrameMemo[K] {
     private val frames =
       scala.collection.concurrent.TrieMap.empty[K, DataFrame]
     private val stamps =
       scala.collection.concurrent.TrieMap.empty[K, Long]
     private val tick = new java.util.concurrent.atomic.AtomicLong()
-    // eviction graveyard: (frame, eviction tick). A checkpointed RDD
-    // cannot be recomputed, so an evicted frame's blocks are only
-    // unpersisted once GraceTicks further accesses have passed —
-    // any plan composed from a handle fetched within the last
-    // GraceTicks memo accesses is guaranteed executable, replacing
-    // the old "top-16 most recent" recency bet.
-    private val GraceTicks = 256L
-    private val graveyard =
-      new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, Long)]()
-    private def release(f: DataFrame): Unit =
-      try if (!f.sparkSession.sparkContext.isStopped)
-        f.queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(false)
-        }
-      catch { case _: Exception => () }
-    private def reap(now: Long): Unit = {
-      var head = graveyard.peek()
-      while (head != null && now - head._2 > GraceTicks) {
-        val h = graveyard.poll()
-        if (h != null) release(h._1)
-        head = graveyard.peek()
-      }
-    }
     def getOrBuild(key: K)(build: => DataFrame): DataFrame = {
       if (frames.contains(key)) MemoStats.recordHit()
       else MemoStats.recordBuild()
       val out = frames.getOrElseUpdate(key, {
         if (frames.size > 64) {
           val keep = stamps.toSeq.sortBy(-_._2).take(16).map(_._1).toSet
-          val now = tick.get()
           (frames.keySet.toSet -- keep - key).foreach { k =>
-            frames.remove(k).foreach(f => graveyard.add((f, now)))
+            frames.remove(k)
             stamps.remove(k)
           }
         }
         build
       })
       stamps.put(key, tick.incrementAndGet())
-      reap(tick.get())
       out
     }
   }

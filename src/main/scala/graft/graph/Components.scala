@@ -897,16 +897,19 @@ object Components {
     * fixed unroll. Keeps minSpanningForest's driver fast path at 2
     * Spark jobs while preserving the bounded-budget parity contract. */
   /** Admission cap for the driver-side merge fast path, DERIVED from
-    * the driver heap instead of a fixed row count (r9 verdict #7): a
-    * collected pick edge costs ~128 bytes on the driver (boxed
-    * (Long, Long) tuple array plus the LongMap label table entries),
-    * and the fast path may claim at most 1/8 of max heap — an 8 GiB
-    * driver admits ~8M edges, a 1 GiB test JVM ~1M; anything larger
-    * takes the distributed pointer-jump path (identical labels,
-    * MsfMergeParitySpec). Floor of 64k keeps tiny-heap test runs on
-    * the fast path for the trivial graphs they use. */
+    * the driver heap instead of a fixed row count (r9 verdict #7).
+    * The steady-state cost is ~128 B/edge (boxed (Long, Long) tuple
+    * array plus the label-table entries), but the PEAK is ~3× that:
+    * `collect()` materializes the Array[Row] (boxed fields), the
+    * mapped tuple array coexists with it, and the fetched task-result
+    * buffers are still live — so the budget models 384 B/edge against
+    * 1/8 of max heap (equivalently 128 B against 1/24): an 8 GiB
+    * driver admits ~2.7M edges, a 1 GiB test JVM ~350k; anything
+    * larger takes the distributed pointer-jump path (identical
+    * labels, MsfMergeParitySpec). Floor of 64k keeps tiny-heap test
+    * runs on the fast path for the trivial graphs they use. */
   private[graph] def driverMergeCap: Long =
-    math.max(65536L, Runtime.getRuntime.maxMemory / 8L / 128L)
+    math.max(65536L, Runtime.getRuntime.maxMemory / 8L / 384L)
 
   private[graft] def driverBoundedMerge(edges: Array[(Long, Long)],
       innerRounds: Int): scala.collection.Map[Long, Long] = {

@@ -458,19 +458,34 @@ object Ranking {
     * estimate) is already fast — forcing a driver-built broadcast
     * would ADD ~1-2 s of collect/build per tail wave. */
   private val BroadcastAdjMinEdges = 1000000L
+  /** Heap-tied cap on FORCED adjacency broadcasts, in adjacency
+    * ENTRIES (one neighbor id): the driver-side HashedRelation costs
+    * ~32 B/entry built, and a forced broadcast may claim at most 1/8
+    * of driver heap — an 8 GiB driver admits the full 32M-entry
+    * (16M-edge) payload the constant cap allows, a 1 GiB test JVM
+    * ~4M entries. Guards the [[supportsFor]] exact-size path AND
+    * tightens [[withAdj]]'s edge-count heuristic on small-heap
+    * drivers (r10 advice: near the 16M-edge cap the broadcast is
+    * ~0.5 GB+, a driver-OOM risk the fixed constant ignored). */
+  private def broadcastAdjMaxEntries: Long =
+    math.min(2L * BroadcastAdjMaxEdges, Runtime.getRuntime.maxMemory / 8L / 32L)
 
   private def withAdj(rows: DataFrame, adj0: DataFrame,
       nEdges: Long): DataFrame = {
     val adj =
-      if (nEdges <= BroadcastAdjMaxEdges && nEdges >= BroadcastAdjMinEdges)
+      if (nEdges <= BroadcastAdjMaxEdges && nEdges >= BroadcastAdjMinEdges
+          && 2L * nEdges <= broadcastAdjMaxEntries)
         broadcast(adj0)
       else adj0
+    joinAdj(rows, adj)
+  }
+
+  private def joinAdj(rows: DataFrame, adj: DataFrame): DataFrame =
     rows.join(adj.select(col("u").as("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("u").as("b"), col("nbrs").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.VectorOps.sortedIntersectCount(col("na"), col("nb"))
           .as("support"))
-  }
 
   /** knownCount: pass the edge count when the caller already holds a
     * materialized frame (the peel's checkpointed waves) — skips this
@@ -526,16 +541,25 @@ object Ranking {
     supportsFor(und, sub)
 
   private def supportsFor(und: DataFrame, sub: DataFrame): DataFrame = {
-    // callers pass a checkpointed `und` (the peel checkpoints `kept`
-    // each wave), so this count is metadata-cheap
-    val n = und.count()
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
     val need = sub.select(col("a").as("u"))
       .unionByName(sub.select(col("b").as("u"))).distinct()
-    val adj = sym.join(need, Seq("u"), "left_semi")
+    // The adjacency is checkpointed: it feeds BOTH sides of the
+    // support join (a-side and b-side), so one materialization
+    // replaces a ReuseExchange bet, and its EXACT entry count — the
+    // size of what would actually be broadcast — drives the hint.
+    // The r10 form keyed the hint on the FULL graph's edge count, so
+    // tail waves on >16M-edge graphs never got the broadcast this
+    // path exists for, while a near-cap full count could force a
+    // ~0.5 GB driver build of an adjacency nobody measured.
+    val adjC = sym.join(need, Seq("u"), "left_semi")
       .groupBy("u").agg(sort_array(collect_set(col("v"))).as("nbrs"))
-    withAdj(sub, adj, n)
+      .localCheckpoint(true)
+    val entries = adjC.agg(coalesce(sum(size(col("nbrs"))), lit(0L)))
+      .first().getLong(0)
+    val adj = if (entries <= broadcastAdjMaxEntries) broadcast(adjC) else adjC
+    joinAdj(sub, adj)
   }
 
   /** Bounded k-truss peel with INCREMENTAL support maintenance:

@@ -276,12 +276,32 @@ object JsonImporter {
     val staging = s"$storeDir.staging"
     GraphStore.clear(spark, staging)
     GraphStore.save(merged, staging, partitions)
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    GraphStore.clear(spark, storeDir)
-    fs.rename(new org.apache.hadoop.fs.Path(staging),
-      new org.apache.hadoop.fs.Path(storeDir))
-    GraphStore.load(spark, storeDir)
+    // Promotion protocol: the ORIGINAL is renamed aside first, so at
+    // every instant a complete store exists on disk under either
+    // storeDir or storeDir.old — a crash between the two renames
+    // loses nothing (recovery: move .old back), and a filesystem
+    // whose rename returns false (cross-volume moves on some Hadoop
+    // FS impls) aborts with the original restored instead of
+    // silently leaving no store at storeDir.
+    val hPath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hStaging = new org.apache.hadoop.fs.Path(staging)
+    val hOld = new org.apache.hadoop.fs.Path(s"$storeDir.old")
+    fs.delete(hOld, true)
+    if (fs.exists(hPath) && !fs.rename(hPath, hOld))
+      throw new java.io.IOException(
+        s"mergeAnalysis: cannot move live store aside ($storeDir -> $hOld); " +
+          "store left untouched")
+    if (!fs.rename(hStaging, hPath)) {
+      fs.rename(hOld, hPath) // restore; best-effort, original data intact
+      throw new java.io.IOException(
+        s"mergeAnalysis: cannot promote staging ($staging -> $storeDir); " +
+          "original store restored")
+    }
+    val out = GraphStore.load(spark, storeDir)
+    // drop the saved-aside copy only once the new store proves loadable
+    fs.delete(hOld, true)
+    out
   }
 
   /** Pre-import validation (api/client.rs:42-81): one row per input

@@ -221,9 +221,13 @@ object Similarity {
   def truncateFidelity(emb: DataFrame): DataFrame = {
     // half-dim from the GLOBAL max dimension (oracle: MAX(i)//2) so a
     // mixed-dimension corpus buckets the same half-vectors on both
-    // engines; on the uniform-dim corpora this equals the per-row form
-    val base = withNorm(emb).filter(col("nrm") > 0)
-    val hd = base.agg((max(size(col("qv"))) / 2).cast("int").as("hdim"))
+    // engines; on the uniform-dim corpora this equals the per-row
+    // form. The max runs over ALL embeddings — the oracle's MAX(i)
+    // has no norm filter, so a corpus whose unique longest vector
+    // quantizes to all zeros must still contribute its dimension.
+    val all = withNorm(emb)
+    val base = all.filter(col("nrm") > 0)
+    val hd = all.agg((max(size(col("qv"))) / 2).cast("int").as("hdim"))
     val v = base.crossJoin(broadcast(hd))
       .withColumn("qh", expr("slice(qv, 1, hdim)"))
       .withColumn("nrmh",

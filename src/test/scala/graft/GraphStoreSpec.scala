@@ -168,6 +168,12 @@ class GraphStoreSpec extends AnyFunSuite {
       .count() == 2)
     // the new binary landed
     assert(merged.binaries.filter("hash = 'ccc333'").count() == 1)
+    // promotion protocol left no residue: neither the staging dir nor
+    // the saved-aside original survives a successful merge
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store.staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store.old")))
     GraphStore.clear(spark, store)
   }
 
