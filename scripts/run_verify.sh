@@ -17,3 +17,12 @@ java $ADD_OPENS -Xmx8g \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SF_DIR" "$OUT"
 python3 scripts/check.py "$SF_DIR" "$OUT"
+# Second pass: replay the scale-digest oracle forms for the queries
+# that carry them (GRAFT_SCALE_ORACLES_ONLY restricts the compare to
+# those), so the digest logic is proven against fully-verified output
+# at every gate SF — a digest-form edit that drifts from its primary
+# oracle fails HERE, not on the next sf1 board.
+if [ -f "$OUT/scale_oracle_sql.json" ]; then
+  echo "---- scale-digest pass ----"
+  GRAFT_SCALE_ORACLES_ONLY=1 python3 scripts/check.py "$SF_DIR" "$OUT"
+fi
