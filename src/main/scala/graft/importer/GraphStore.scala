@@ -143,4 +143,38 @@ object GraphStore {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) { fs.delete(path, true); () }
   }
+
+  /** Staged-swap directory promotion — the shared crash-safety
+    * protocol for every persisted store (graph tables, fulltext
+    * index, dedup signatures): the live dir is renamed aside to
+    * `live.old` BEFORE staging is promoted, so at every instant a
+    * complete store exists under either `live` or `live.old` (crash
+    * recovery: move `.old` back). Each rename's boolean result is
+    * checked — a filesystem whose rename returns false (cross-volume
+    * moves on some Hadoop FS impls) aborts with the original
+    * restored instead of silently leaving no store. The `.old` copy
+    * is retained; callers drop it via [[dropAside]] only after the
+    * promoted store proves loadable. */
+  def promote(spark: SparkSession, staging: String, live: String): Unit = {
+    val hLive = new org.apache.hadoop.fs.Path(live)
+    val fs = hLive.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hStaging = new org.apache.hadoop.fs.Path(staging)
+    val hOld = new org.apache.hadoop.fs.Path(s"$live.old")
+    fs.delete(hOld, true)
+    if (fs.exists(hLive) && !fs.rename(hLive, hOld))
+      throw new java.io.IOException(
+        s"promote: cannot move live store aside ($live -> $hOld); " +
+          "store left untouched")
+    if (!fs.rename(hStaging, hLive)) {
+      fs.rename(hOld, hLive) // restore; best-effort, original data intact
+      throw new java.io.IOException(
+        s"promote: cannot promote staging ($staging -> $live); " +
+          "original store restored")
+    }
+  }
+
+  /** Drop the [[promote]]-saved `.old` copy once the promoted store
+    * has proven loadable. */
+  def dropAside(spark: SparkSession, live: String): Unit =
+    clear(spark, s"$live.old")
 }

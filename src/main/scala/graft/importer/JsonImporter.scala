@@ -269,38 +269,26 @@ object JsonImporter {
     * linear in |store| + |increment|, a normal batch job at any
     * scale. */
   def mergeAnalysis(spark: SparkSession, storeDir: String, path: String,
-      pattern: Option[String] = None, partitions: Int = 32): BinaryGraph = {
+      pattern: Option[String] = None, partitions: Int = 32): BinaryGraph =
+    mergeGraph(spark, storeDir, buildGraph(readAnalysis(spark, path, pattern)),
+      partitions)
+
+  /** [[mergeAnalysis]] body over a prebuilt increment — lets a caller
+    * that already holds the delta graph (the composed [[Refresh]])
+    * upsert without re-reading the input. Crash safety rides
+    * [[GraphStore.promote]]: the live store is renamed aside before
+    * staging swaps in, both renames are checked, and the `.old` copy
+    * is dropped only after the merged store proves loadable. */
+  def mergeGraph(spark: SparkSession, storeDir: String,
+      incoming: BinaryGraph, partitions: Int = 32): BinaryGraph = {
     val existing = GraphStore.load(spark, storeDir)
-    val incoming = buildGraph(readAnalysis(spark, path, pattern))
     val merged = GraphStore.merge(existing, incoming)
     val staging = s"$storeDir.staging"
     GraphStore.clear(spark, staging)
     GraphStore.save(merged, staging, partitions)
-    // Promotion protocol: the ORIGINAL is renamed aside first, so at
-    // every instant a complete store exists on disk under either
-    // storeDir or storeDir.old — a crash between the two renames
-    // loses nothing (recovery: move .old back), and a filesystem
-    // whose rename returns false (cross-volume moves on some Hadoop
-    // FS impls) aborts with the original restored instead of
-    // silently leaving no store at storeDir.
-    val hPath = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hStaging = new org.apache.hadoop.fs.Path(staging)
-    val hOld = new org.apache.hadoop.fs.Path(s"$storeDir.old")
-    fs.delete(hOld, true)
-    if (fs.exists(hPath) && !fs.rename(hPath, hOld))
-      throw new java.io.IOException(
-        s"mergeAnalysis: cannot move live store aside ($storeDir -> $hOld); " +
-          "store left untouched")
-    if (!fs.rename(hStaging, hPath)) {
-      fs.rename(hOld, hPath) // restore; best-effort, original data intact
-      throw new java.io.IOException(
-        s"mergeAnalysis: cannot promote staging ($staging -> $storeDir); " +
-          "original store restored")
-    }
+    GraphStore.promote(spark, staging, storeDir)
     val out = GraphStore.load(spark, storeDir)
-    // drop the saved-aside copy only once the new store proves loadable
-    fs.delete(hOld, true)
+    GraphStore.dropAside(spark, storeDir)
     out
   }
 

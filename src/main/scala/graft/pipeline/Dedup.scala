@@ -111,7 +111,17 @@ object Dedup {
 
   /** [[dedupIncremental]] core over an in-memory signature frame —
     * the gated/oracle-replayable form (no file I/O in the plan). */
-  def dedupIncrementalFrames(stored: DataFrame, newDocs: DataFrame): DataFrame = {
+  def dedupIncrementalFrames(stored: DataFrame, newDocs: DataFrame): DataFrame =
+    dedupIncrementalWithState(stored, newDocs)._2
+
+  /** [[dedupIncrementalFrames]] exposing the UPDATED signature table
+    * alongside the near-dup report: the `all` frame the scoring
+    * already builds (stored minus superseded ids, union fresh) IS the
+    * store's next state, so the composed refresh ([[graft.importer.Refresh]])
+    * persists it instead of re-signing anything. Returns
+    * (mergedSignatures, report). */
+  def dedupIncrementalWithState(stored: DataFrame,
+      newDocs: DataFrame): (DataFrame, DataFrame) = {
     val fresh = minhashLong(newDocs).localCheckpoint(true)
     val newIds = fresh.select("doc_id").distinct()
     // a re-imported doc_id supersedes its stored signatures
@@ -127,12 +137,13 @@ object Dedup {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    scorePairs(cand, all)
+    val report = scorePairs(cand, all)
       .join(newIds.select(col("doc_id").as("na")), col("doc_a") === col("na"), "left")
       .join(newIds.select(col("doc_id").as("nb")), col("doc_b") === col("nb"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         (col("na").isNotNull && col("nb").isNotNull).as("both_new"))
       .orderBy("doc_a", "doc_b")
+    (all, report)
   }
 
   /** 40-bit SimHash signature per doc: token-frequency-weighted bit

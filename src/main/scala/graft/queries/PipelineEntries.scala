@@ -308,7 +308,12 @@ object PipelineEntries {
     "embed_pca" -> ((s, d) =>
       Similarity.pcaTopComponent(Tables.embeddings(s, d))),
     "dedup_simhash_stats" -> ((s, d) =>
-      Dedup.simhashStats(Tables.documentsShared(s, d)))
+      Dedup.simhashStats(Tables.documentsShared(s, d))),
+    // composed incremental refresh (A8): the 1-in-3 delta slice read
+    // THROUGH the merged fulltext index + upserted signature store;
+    // oracle = the full rebuild, so a pass is merge≡rebuild row-wise
+    "refresh_compose" -> ((s, d) =>
+      graft.importer.Refresh.refreshCompose(Tables.documentsShared(s, d)))
   )
 
   // ---- shared oracle CTE fragments -------------------------------------
@@ -610,6 +615,57 @@ object PipelineEntries {
          |JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
          |GROUP BY 1, 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the composed refresh replayed as a FULL REBUILD: the merged
+    // index ≡ postings over the whole corpus and the upserted
+    // signature store ≡ signatures over the whole corpus (old ∪ delta
+    // disjoint), so every output row checks merge≡rebuild directly
+    "refresh_compose" ->
+      s"""WITH $TOK,
+         |$TF,
+         |$SH,
+         |mh AS (
+         |  $minhashUnion),
+         |mhn AS (SELECT * FROM mh WHERE doc_id % 3 = 0),
+         |cand AS (
+         |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         |         greatest(x.doc_id, y.doc_id) AS doc_b
+         |  FROM mhn x JOIN mh y
+         |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id <> y.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b,
+         |         round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
+         |           AS est
+         |  FROM cand
+         |  JOIN mh a ON doc_a = a.doc_id
+         |  JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+         |  GROUP BY 1, 2),
+         |dup_ends AS (
+         |  SELECT doc_a AS doc_id FROM pairs WHERE est >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b FROM pairs WHERE est >= 0.5),
+         |dups AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+         |  FROM dup_ends WHERE doc_id % 3 = 0 GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |matched AS (SELECT doc_id, token, tf FROM tf WHERE token IN $termsIn),
+         |mdf AS (SELECT token, COUNT(*) AS df FROM matched GROUP BY 1),
+         |score AS (
+         |  SELECT m.doc_id,
+         |         CAST(SUM(CAST(floor(m.tf * ln((n + 1.0::DOUBLE) / (df + 1.0::DOUBLE))
+         |           * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS BIGINT) AS score_ppm
+         |  FROM matched m JOIN mdf USING (token), n
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(dl, 0) AS dl,
+         |       COALESCE(score_ppm, 0) AS score_ppm,
+         |       COALESCE(n_dups, 0) AS n_dups
+         |FROM documents d
+         |LEFT JOIN dl USING (doc_id)
+         |LEFT JOIN score USING (doc_id)
+         |LEFT JOIN dups USING (doc_id)
+         |WHERE d.doc_id % 3 = 0
+         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $TOK,
          |$TF,
