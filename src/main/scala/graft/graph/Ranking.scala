@@ -540,6 +540,10 @@ object Ranking {
   private[graft] def probeSupportsFor(und: DataFrame, sub: DataFrame): DataFrame =
     supportsFor(und, sub)
 
+  /** Probe bridge for the full-recompute form (KtrussCompareProbe). */
+  private[graft] def probeEdgeSupports(und: DataFrame,
+      knownCount: Option[Long]): DataFrame = edgeSupports(und, knownCount)
+
   private def supportsFor(und: DataFrame, sub: DataFrame): DataFrame = {
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
