@@ -452,7 +452,6 @@ object Ranking {
     * zero array shuffle, same rows. Above it — billion-edge cluster
     * graphs — the shuffle join is the correct plan and the hint is
     * skipped. */
-  private val BroadcastAdjMaxEdges = 16000000L
   /** Below this the adjacency table is small enough that the plain
     * shuffle join (or Spark's own auto-broadcast from its size
     * estimate) is already fast — forcing a driver-built broadcast
@@ -461,19 +460,23 @@ object Ranking {
   /** Heap-tied cap on FORCED adjacency broadcasts, in adjacency
     * ENTRIES (one neighbor id): the driver-side HashedRelation costs
     * ~32 B/entry built, and a forced broadcast may claim at most 1/8
-    * of driver heap — an 8 GiB driver admits the full 32M-entry
-    * (16M-edge) payload the constant cap allows, a 1 GiB test JVM
-    * ~4M entries. Guards the [[supportsFor]] exact-size path AND
-    * tightens [[withAdj]]'s edge-count heuristic on small-heap
-    * drivers (r10 advice: near the 16M-edge cap the broadcast is
-    * ~0.5 GB+, a driver-OOM risk the fixed constant ignored). */
+    * of driver heap — an 8 GiB driver admits ~33M entries (the
+    * ~16M-edge payload r9's fixed constant allowed), a 1 GiB test JVM
+    * ~4M, a 64 GiB bench/cluster driver ~268M. The cap is the ONLY
+    * ceiling (r10's separate 16M-edge constant is gone): the
+    * alternative to broadcasting is shipping Σ(deg_a+deg_b) array
+    * copies through the support join — ~230 GB of shuffle on the
+    * 60M-edge sf10 callgraph, which simply dies on a bench machine's
+    * disk — so when the driver CAN hold the adjacency, broadcasting
+    * is the correct plan at any edge count (SupportMaintainProbe
+    * demonstrates both sides at sf10). */
   private def broadcastAdjMaxEntries: Long =
-    math.min(2L * BroadcastAdjMaxEdges, Runtime.getRuntime.maxMemory / 8L / 32L)
+    Runtime.getRuntime.maxMemory / 8L / 32L
 
   private def withAdj(rows: DataFrame, adj0: DataFrame,
       nEdges: Long): DataFrame = {
     val adj =
-      if (nEdges <= BroadcastAdjMaxEdges && nEdges >= BroadcastAdjMinEdges
+      if (nEdges >= BroadcastAdjMinEdges
           && 2L * nEdges <= broadcastAdjMaxEntries)
         broadcast(adj0)
       else adj0
@@ -566,19 +569,75 @@ object Ranking {
     joinAdj(sub, adj)
   }
 
-  /** Bounded k-truss peel with INCREMENTAL support maintenance:
-    * supports are measured in full once, then each wave re-measures
-    * only edges incident to a removed endpoint — removing (a,b) can
-    * only destroy triangles (a,b,z), whose other two edges touch a or
-    * b, so untouched edges keep their exact support. Wave semantics
-    * (and therefore the surviving edge sequence and the DuckDB
-    * oracle's bounded-recursion replay) are identical to the full
-    * recompute; only the work per wave shrinks — on the dense sf0.1
-    * callgraph the first wave removes a thin tail and every later
-    * wave was a full O(Σdeg²) intersect pass spent discovering
-    * almost nothing changed. */
+  /** Bounded k-truss peel: measure supports once, then each wave
+    * drops below-threshold edges and re-measures the kept graph. The
+    * peel is avalanche-shaped on real callgraphs (each wave removes
+    * most of what remains), so the kept graph shrinks geometrically
+    * and the full per-wave recompute is the measured-fastest plan at
+    * every scale factor (see kTrussFromSupports' dispatch note).
+    * Incremental incident-only re-measure exists as
+    * [[maintainSupports]] for the regime it wins: small edge deltas
+    * against a large STABLE graph. */
   def kTrussBounded(edges: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame =
     kTrussFromSupports(edgeSupportIndex(edges).localCheckpoint(true), k, rounds)
+
+  /** Support-index MAINTENANCE under edge deletion (the daily-refresh
+    * operation: yesterday's support index + a delete delta). Returns
+    * the support index of (index minus removed) — spec-pinned equal
+    * to a from-scratch re-measure.
+    *
+    * Plan dispatch, calibrated by SupportMaintainProbe across
+    * sf0.1/sf1/sf10 (0.6M/6M/60M edges): whenever the surviving
+    * adjacency fits the driver broadcast budget, the FULL re-measure
+    * is the fastest maintenance plan at every delta size measured
+    * (sf10/64g: 38.6 s vs 49.9 s for incident-only at a 949-edge
+    * delta; sf1: 4.8 s vs 7.9 s at 79 edges; sf0.1: 2.6 s vs 4.1 s)
+    * — the incident path pays ~6 passes over the store (anti-join
+    * checkpoint, touched/affected semi-joins, sym probe, coalesce
+    * merge) to save intersect work that whole-stage codegen does
+    * almost for free. The incident path
+    * ([[maintainSupportsIncident]]) is dispatched ONLY in the regime
+    * where it is the difference between running and not running: the
+    * full adjacency exceeds the broadcast budget — the re-measure
+    * would ship Σ(deg_a+deg_b) array copies through the shuffle,
+    * ~230 GB at sf10, observed to fill the bench machine's disk on a
+    * 24 GiB-heap driver — while the delta's affected adjacency still
+    * fits and every incident-path join stays map-side (sf10/24g:
+    * incident completes in 74.9 s from the persisted index; the full
+    * plan cannot run at all).
+    *
+    * @param sup      prior support index (a, b, support), a < b
+    * @param removed  deleted undirected edges (a, b), a < b
+    */
+  def maintainSupports(sup: DataFrame, removed: DataFrame): DataFrame = {
+    val rem = removed.select(col("a"), col("b")).localCheckpoint(true)
+    val kept = sup.join(rem, Seq("a", "b"), "left_anti").localCheckpoint(true)
+    val m = kept.count()
+    if (2L * m <= broadcastAdjMaxEntries)
+      edgeSupports(kept.select("a", "b"), knownCount = Some(m))
+    else maintainSupportsIncident(kept, rem)
+  }
+
+  /** Incident-only maintenance body: removing edge (a,b) can only
+    * destroy triangles (a,b,z), whose other two edges touch a or b —
+    * so only edges incident to a deleted endpoint can change support,
+    * and they are re-measured exactly (adjacency built over the
+    * affected endpoints of the SURVIVING graph); every other row
+    * keeps its stored support. All joins against the delta-derived
+    * frames are broadcast-sized: nothing here shuffles the store. */
+  private[graft] def maintainSupportsIncident(kept: DataFrame,
+      rem: DataFrame): DataFrame = {
+    val und = kept.select("a", "b")
+    val touched = rem.select(col("a").as("t"))
+      .unionByName(rem.select(col("b").as("t"))).distinct()
+    val aff = und.join(touched, col("a") === col("t"), "left_semi")
+      .unionByName(und.join(touched, col("b") === col("t"), "left_semi"))
+      .distinct()
+    val fresh = supportsFor(und, aff)
+    kept.join(fresh.withColumnRenamed("support", "s2"), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("s2"), col("support")).as("support"))
+  }
 
   /** [[kTrussBounded]] waves over a prepared support index (the
     * index rows ARE wave-0's exact supports, so no initial measure
@@ -600,37 +659,22 @@ object Ranking {
       val removedCount = prevCount - keptCount
       if (removedCount == 0L) converged = true
       else {
-        val prev = sup
         und = kept.select("a", "b")
-        // Dense-vs-sparse wave dispatch: when a wave removes more
-        // edges than it keeps, "incident to a removal" is essentially
-        // every surviving edge — the incremental path would compute
-        // the touched/affected sets and a merge join only to
-        // re-measure everything anyway. Full recompute on the kept
-        // graph skips all three. The incremental path remains the
-        // tail-wave (and 100 TB trickle-wave) shape, where
-        // re-measuring only the O(removed·deg) incident edges is the
-        // whole point.
-        sup =
-          if (removedCount >= keptCount)
-            edgeSupports(und, knownCount = Some(keptCount))
-              .localCheckpoint(true)
-          else {
-            // one scan over the (checkpointed) previous index — no
-            // checkpoint of the removed rows themselves
-            val removed = prev.filter(col("support") < k - 2)
-            val touched = removed.select(col("a").as("t"))
-              .unionByName(removed.select(col("b").as("t"))).distinct()
-            val aff = und.join(touched, col("a") === col("t"), "left_semi")
-              .unionByName(und.join(touched, col("b") === col("t"), "left_semi"))
-              .distinct()
-            val fresh = supportsFor(und, aff)
-            kept.join(fresh.withColumnRenamed("support", "s2"),
-                Seq("a", "b"), "left")
-              .select(col("a"), col("b"),
-                coalesce(col("s2"), col("support")).as("support"))
-              .localCheckpoint(true)
-          }
+        // Every wave is a FULL support recompute on the kept graph.
+        // The r10 form dispatched tail waves (removed < kept) to an
+        // incident-only re-measure; KtrussCompareProbe measured that
+        // branch losing at EVERY wave of EVERY scale factor (sf0.1:
+        // 6.0 s vs 3.0 s; organic sf1: 10.9 s vs 6.6 s): this peel is
+        // avalanche-shaped — waves that remove little only occur once
+        // the surviving graph is small enough that a full recompute
+        // is a couple of cheap jobs, while the incremental path pays
+        // 3 extra passes over the kept set (touched/affected
+        // semi-joins + the coalesce merge) plus ~3x the job count.
+        // The incident-only machinery lives on where it measurably
+        // wins: [[maintainSupports]], the delta-maintenance regime
+        // (tiny delta against a LARGE stable graph).
+        sup = edgeSupports(und, knownCount = Some(keptCount))
+          .localCheckpoint(true)
         prevCount = keptCount
       }
       round += 1

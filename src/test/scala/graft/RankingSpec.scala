@@ -500,6 +500,34 @@ class RankingSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("maintainSupports: deletion delta ≡ from-scratch re-index") {
+    import spark.implicits._
+    // K4 + a pendant: delete edge (3,4) — every K4 edge loses the
+    // triangles through it, the pendant edge is untouched
+    val g = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L))
+    val sup0 = Ranking.edgeSupportIndex(g).localCheckpoint(true)
+    val removed = Seq((3L, 4L)).toDF("a", "b")
+    val maintained = Ranking.maintainSupports(sup0, removed).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val surviving = g.filter("NOT (src = 3 AND dst = 4)")
+    val recomputed = Ranking.edgeSupportIndex(surviving).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(maintained == recomputed)
+    // hand values: (1,2) still closes via 3 AND 4 → 2; (1,3)/(2,3)
+    // close only via {1,2,3} → 1; (4,9) stays 0
+    assert(maintained((1L, 2L)) == 2L)
+    assert(maintained((1L, 3L)) == 1L && maintained((2L, 3L)) == 1L)
+    assert(maintained((4L, 9L)) == 0L)
+    // the incident-only branch (dispatched on graphs too big to
+    // broadcast) produces the identical index
+    val kept = sup0.join(removed, Seq("a", "b"), "left_anti")
+      .localCheckpoint(true)
+    val incident = Ranking.maintainSupportsIncident(kept, removed).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(incident == recomputed)
+  }
   test("eccentricity: path graph depth-bounded, ball sizes exact") {
     import spark.implicits._
     // path 1->2->3->4->5; depth 3: ecc(1)=3 over {2,3,4}, ecc(4)=1 over {5};
