@@ -202,6 +202,26 @@ object Cli {
               "triangles, communities, reach, betweenness, closeness, shape, " +
               "modularity, walks, bowtie, lcc, or sparsify)")
         }
+      // incremental upsert into a live store — the reference's second
+      // `import json` on a live database MERGEs instead of rebuilding
+      // (api/session.rs); explicit here so a plain `import json`
+      // stays the documented overwrite
+      case Seq("import", "merge", path, _*) =>
+        val g = JsonImporter.mergeAnalysis(spark, store, path,
+          opt(args, "--pattern"))
+        emit(JsonImporter.stats(g))
+      // composed-store layout (<store>/graph|index|sigs): one delta
+      // import refreshes graph tables, fulltext index, and the
+      // near-dup signature store in a single pass (SURVEY §2 A8)
+      case Seq("database", "bootstrap", path, _*) =>
+        val g = importer.Refresh.bootstrap(spark, path, store,
+          opt(args, "--pattern"))
+        emit(JsonImporter.stats(g))
+      case Seq("database", "refresh", delta, _*) =>
+        val r = importer.Refresh.refresh(spark, delta, store,
+          opt(args, "--pattern"))
+        emit(JsonImporter.stats(r.graph))
+        System.err.println(s"[refresh] near-dup pairs in delta: ${r.report.count()}")
       case Seq("database", "stats", _*) =>
         emit(engine.stats())
       case Seq("database", "init", _*) =>

@@ -133,6 +133,48 @@ class CliSpec extends AnyFunSuite {
     assert(sp.contains("caller_uid") && sp.contains("w_total"))
   }
 
+  test("import merge upserts; database bootstrap + refresh maintain the composed store") {
+    import java.nio.file.{Files, Paths}
+    val res = getClass.getResource("/analysis").getPath
+    // merge: re-import the same directory into a fresh store — counts
+    // must not change (idempotent upsert)
+    val mStore = Files.createTempDirectory("cli_merge").toString + "/db"
+    Cli.run(Seq("--store", mStore, "import", "directory", res,
+      "--no-validate"), spark)
+    val before = importer.GraphStore.load(spark, mStore).functions.count()
+    capture2(mStore, "import", "merge", res)
+    assert(importer.GraphStore.load(spark, mStore).functions.count() == before)
+    // composed store: bootstrap from the fixtures, refresh with a new
+    // binary — graph/index/sigs all exist and the graph gained it
+    val root = Files.createTempDirectory("cli_root").toString + "/stores"
+    capture2(root, "database", "bootstrap", res)
+    val delta = Files.createTempDirectory("cli_delta").toString
+    Files.writeString(Paths.get(delta, "d.json"),
+      """{"binary_info": {"hashes": {"sha256": "ddd444"}, "name": "d.exe",
+        |"file_path": "/tmp/d.exe", "file_size": 64,
+        |"file_type": {"type": "PE32", "architecture": "x86_64"}},
+        |"functions": [{"name": "f", "address": "0x600000", "size": 8}],
+        |"strings": [{"value": "fresh delta string", "address": "0x6100"}]}"""
+        .stripMargin)
+    capture2(root, "database", "refresh", delta)
+    Seq("graph", "index", "sigs").foreach { d =>
+      assert(java.nio.file.Files.exists(Paths.get(s"$root/$d")), d)
+    }
+    val g = importer.GraphStore.load(spark, s"$root/graph")
+    assert(g.binaries.filter("hash = 'ddd444'").count() == 1)
+    // the refreshed index serves the delta's string
+    val idx = search.Fulltext.loadIndex(spark, s"$root/index")
+    assert(search.Fulltext.searchIndex(idx, Seq("fresh", "delta")).count() >= 1)
+  }
+
+  private def capture2(st: String, args: String*): String = {
+    val bos = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(bos, true, "UTF-8")) {
+      Cli.run(Seq("--store", st) ++ args, spark)
+    }
+    bos.toString("UTF-8").trim
+  }
+
   test("csv quoting escapes commas and quotes") {
     val csv = Cli.renderCsv(Seq("a", "b"),
       Seq(Seq("""say "hi"""", "x,y"), Seq("plain", "z")))
