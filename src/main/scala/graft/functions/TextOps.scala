@@ -147,6 +147,13 @@ object TextOps {
             frames.remove(k)
             stamps.remove(k)
           }
+          // nudge the collector so the ContextCleaner reaps the
+          // dropped frames' blocks NOW (their storage residency slows
+          // every heavy query that follows) instead of at the next
+          // organic full GC — which a large-heap board may not reach
+          // for minutes. Consumers still pinning a frame keep it
+          // reachable, so this is promptness, never a correctness bet.
+          System.gc()
         }
         build
       })
