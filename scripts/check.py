@@ -64,6 +64,13 @@ def main(sf_dir: str, out_dir: str) -> int:
     # the next sf1 attempt.
     if os.environ.get("GRAFT_SCALE_ORACLES_ONLY"):
         names = [n for n in names if n in scale]
+    # GRAFT_VERIFY_ONLY also FILTERS the compare when the output dir
+    # holds a full board (replaying a named subset of an existing full
+    # dump, e.g. the scale-digest headliners in parallel with the full
+    # alphabetical replay).
+    if os.environ.get("GRAFT_VERIFY_ONLY"):
+        only = set(os.environ["GRAFT_VERIFY_ONLY"].split(","))
+        names = [n for n in names if n in only]
     for name in names:
         got_files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not got_files:
