@@ -8,9 +8,10 @@ import json, re, sys
 def main(log_path, sf_dir, out_path, note=""):
     queries, fails = {}, {}
     for ln in open(log_path):
-        m = re.match(r"PASS (\S+) \((\d+) rows\)", ln)
+        m = re.match(r"PASS (\S+)( \[scale-digest\])? \((\d+) rows\)", ln)
         if m:
-            queries[m.group(1)] = {"pass": True, "rows": int(m.group(2))}
+            queries[m.group(1)] = {"pass": True, "rows": int(m.group(3)),
+                                   **({"form": "scale-digest"} if m.group(2) else {})}
             continue
         m = re.match(r"FAIL (\S+): (.*)", ln)
         if m:
