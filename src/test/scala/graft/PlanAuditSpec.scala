@@ -48,6 +48,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("refresh_compose broadcasts every delta-derived side (no store shuffle joins)") {
+    // the A8 scale contract: term df, corpus meta, and the per-doc
+    // join tails are broadcast; the only exchanges over the corpus
+    // are the postings/signature aggregations themselves
+    val p = planOf("refresh_compose")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast in refresh_compose:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in refresh_compose:\n$p")
+  }
+
   test("q1_pricing prunes unused lineitem columns from the scan") {
     val p = planOf("q1_pricing")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
