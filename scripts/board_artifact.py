@@ -13,10 +13,11 @@ def main(log_path, sf_dir, out_path, note=""):
             queries[m.group(1)] = {"pass": True, "rows": int(m.group(3)),
                                    **({"form": "scale-digest"} if m.group(2) else {})}
             continue
-        m = re.match(r"FAIL (\S+): (.*)", ln)
+        m = re.match(r"FAIL (\S+)( \[scale-digest\])?: (.*)", ln)
         if m:
-            fails[m.group(1)] = m.group(2).strip()
-            queries[m.group(1)] = {"pass": False, "err": m.group(2).strip()}
+            fails[m.group(1)] = m.group(3).strip()
+            queries[m.group(1)] = {"pass": False, "err": m.group(3).strip(),
+                                   **({"form": "scale-digest"} if m.group(2) else {})}
     art = {
         "sf_dir": sf_dir,
         "n_queries": len(queries),

@@ -35,6 +35,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     mem = os.environ.get("GRAFT_DUCKDB_MEMLIMIT", "24GB")
     con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # CPU cap so a long oracle replay can share the host with a bench
+    # board without serializing the round (wall time of the ORACLE is
+    # not a graded number; the bench's is).
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # Spark-written tables are directories of part files (the

@@ -67,6 +67,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // prompt block release for memo-evicted checkpoints (see
+      // KeyedFrameMemo scaladoc); default 30min starves a board
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet reader) and file-system cache so
@@ -242,7 +245,12 @@ object Bench {
         s"""{"gen":$g,"n_queries":${rs.size},"sec":${rs.map(_._2.median).sum}}"""
       }.mkString("[", ",", "]")
     val mode = if (wantGens > 1) s"$wantGens JVM generations" else "single JVM"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"memo":$memo,"generations":$genTotals,"sf":"$sfDir","runs":$runs,"note":"per-query median of $runs runs; $mode; memo=first-run build/ride attribution"}"""
+    // Headline keys LAST: the driver's log capture keeps only the
+    // final ~2000 chars of stdout, and with 249 queries the line is
+    // ~10 KB — metric/value/n_errors printed first were cut out of
+    // BENCH_r10/r11.json (parsed:null). Key order is irrelevant to
+    // any JSON parser but decisive for a tail capture.
+    val line = s"""{"queries":$qs,"errors":$errs,"memo":$memo,"generations":$genTotals,"note":"per-query median of $runs runs; $mode; memo=first-run build/ride attribution","metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":$nErr,"value":$total}"""
     println(line)
     // The stdout line is the driver contract, but a log-buffer tail
     // capture can truncate it (BENCH_r05.json lost 101 of 166 query

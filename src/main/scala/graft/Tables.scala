@@ -48,6 +48,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // backstop for memo-eviction block release (KeyedFrameMemo
+      // drops references; ContextCleaner unpersists on GC — the
+      // default 30min periodic GC is too slow for a board, and the
+      // eviction-time nudge is a no-op under -XX:+DisableExplicitGC)
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

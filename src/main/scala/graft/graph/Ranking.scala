@@ -462,16 +462,21 @@ object Ranking {
     * ~32 B/entry built, and a forced broadcast may claim at most 1/8
     * of driver heap — an 8 GiB driver admits ~33M entries (the
     * ~16M-edge payload r9's fixed constant allowed), a 1 GiB test JVM
-    * ~4M, a 64 GiB bench/cluster driver ~268M. The cap is the ONLY
-    * ceiling (r10's separate 16M-edge constant is gone): the
-    * alternative to broadcasting is shipping Σ(deg_a+deg_b) array
-    * copies through the support join — ~230 GB of shuffle on the
-    * 60M-edge sf10 callgraph, which simply dies on a bench machine's
-    * disk — so when the driver CAN hold the adjacency, broadcasting
-    * is the correct plan at any edge count (SupportMaintainProbe
-    * demonstrates both sides at sf10). */
+    * ~4M, a 64 GiB bench/cluster driver ~268M. The heap budget is
+    * additionally clamped at 250M entries (~8 GB built): Spark's
+    * BroadcastExchange hard-fails past 8 GB / 512M rows regardless of
+    * heap, so on very-large-heap drivers an unclamped budget would
+    * turn a plan heuristic into a query-killing SparkException. The
+    * clamped cap is the ONLY ceiling (r10's separate 16M-edge
+    * constant is gone): the alternative to broadcasting is shipping
+    * Σ(deg_a+deg_b) array copies through the support join — ~230 GB
+    * of shuffle on the 60M-edge sf10 callgraph, which simply dies on
+    * a bench machine's disk — so when the driver CAN hold (and Spark
+    * will accept) the adjacency, broadcasting is the correct plan at
+    * any edge count (SupportMaintainProbe demonstrates both sides at
+    * sf10). */
   private def broadcastAdjMaxEntries: Long =
-    Runtime.getRuntime.maxMemory / 8L / 32L
+    math.min(Runtime.getRuntime.maxMemory / 8L / 32L, 250000000L)
 
   private def withAdj(rows: DataFrame, adj0: DataFrame,
       nEdges: Long): DataFrame = {

@@ -61,14 +61,25 @@ object Refresh {
   private def stringDocs(g: BinaryGraph): DataFrame =
     g.strings.select(col("uid").as("doc_id"), col("value").as("text"))
 
-  /** Initialize all three stores under `root` from a full import. */
+  /** Initialize all three stores under `root` from a full import.
+    * Each store is written to a sibling staging directory and swapped
+    * in via [[GraphStore.promote]] — the same discipline as
+    * [[refresh]] — so a crash mid-bootstrap leaves only staging
+    * debris, never a live path a later load would read half-written
+    * (the "every store complete and loadable" invariant holds for
+    * bootstrap too, not just refresh). */
   def bootstrap(spark: SparkSession, path: String, root: String,
       pattern: Option[String] = None, partitions: Int = 32): BinaryGraph = {
+    def staged(live: String)(write: String => Unit): Unit = {
+      write(s"$live.staging")
+      GraphStore.promote(spark, s"$live.staging", live)
+      GraphStore.dropAside(spark, live)
+    }
     val g = JsonImporter.buildGraph(JsonImporter.readAnalysis(spark, path, pattern))
-    GraphStore.save(g, graphDir(root), partitions)
+    staged(graphDir(root))(GraphStore.save(g, _, partitions))
     val docs = stringDocs(GraphStore.load(spark, graphDir(root)))
-    Fulltext.saveIndex(Fulltext.buildIndex(docs), indexDir(root))
-    Dedup.saveSignatures(docs, sigsDir(root))
+    staged(indexDir(root))(Fulltext.saveIndex(Fulltext.buildIndex(docs), _))
+    staged(sigsDir(root))(Dedup.saveSignatures(docs, _))
     GraphStore.load(spark, graphDir(root))
   }
 

@@ -3,15 +3,17 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Incremental-vs-full k-truss peel comparison on a real derived
-  * graph (r10 verdict #3): times the SAME peel twice from one shared
-  * support index — (a) the shipped dispatching form
-  * (Ranking.kTrussFromSupports: full recompute on dense waves,
-  * incident-only re-measure on tail waves) and (b) the r9 form that
-  * re-measured EVERY surviving edge each wave — and prints one JSON
-  * line with both totals plus the per-form wave counts. Run with the
-  * organic sf1 dir to see the tail-wave win at the scale it was
-  * built for.
+/** K-truss peel harness-overhead comparison on a real derived graph:
+  * times the SAME peel twice from one shared support index — (a) the
+  * shipped peel (Ranking.kTrussFromSupports, full support re-measure
+  * every wave since r11 removed the tail-wave incident-only dispatch
+  * after it lost at every wave of every SF, PROBES_r11.json) and
+  * (b) a manual inline loop of the identical full-recompute plan —
+  * so the JSON keys measure the shipped driver's checkpoint/count
+  * bookkeeping against a bare loop, NOT an incremental strategy
+  * (`incremental_s` = shipped peel, kept for artifact continuity;
+  * the incremental path itself now lives only in
+  * Ranking.maintainSupportsIncident, probed by SupportMaintainProbe).
   */
 object KtrussCompareProbe {
   def main(args: Array[String]): Unit = {
@@ -34,12 +36,13 @@ object KtrussCompareProbe {
       s
     }
 
-    // (a) shipped dispatching peel
+    // (a) shipped peel (full support re-measure every wave)
     val (incRows, tInc) = timed {
       graph.Ranking.kTrussFromSupports(sup0, k, rounds).count()
     }
 
-    // (b) r9 form: full O(Σdeg²) support recompute on every wave
+    // (b) manual r9-style inline loop of the same full recompute —
+    // isolates the shipped driver's bookkeeping overhead
     val (fullRows, tFull) = timed {
       var sup: DataFrame = sup0
       var prev = sup.count()
