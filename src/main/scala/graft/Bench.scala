@@ -56,7 +56,8 @@ object Bench {
     * first_s is that first run's wall time, where the build cost
     * actually lands (the median mostly reflects the ridden shape). */
   final case class QStat(median: Double, err: Option[String],
-    built: Long, ridden: Long, firstS: Double)
+    built: Long, ridden: Long, firstS: Double,
+    times: Seq[Double] = Nil)
 
   type Results = Seq[(String, QStat)]
 
@@ -117,7 +118,7 @@ object Bench {
       val (b1, h1) = graft.functions.MemoStats.snapshot
       val rs = first +: (2 to runs).map(_ => time(SparkEntry.queries(name)))
       name -> QStat(median(rs.map(_._1)), rs.flatMap(_._2).headOption,
-        b1 - b0, h1 - h0, first._1)
+        b1 - b0, h1 - h0, first._1, rs.map(_._1))
     }
     spark.stop()
     out
@@ -165,10 +166,11 @@ object Bench {
           throw new RuntimeException(
             s"generation $g reported ${lines.size}/${names.size} queries")
         lines.foreach { ln =>
-          val parts = ln.split("\t", 6)
+          val parts = ln.split("\t", 7)
           all += parts(0) -> QStat(parts(1).toDouble,
-            if (parts.length > 5 && parts(5).nonEmpty) Some(parts(5)) else None,
-            parts(2).toLong, parts(3).toLong, parts(4).toDouble)
+            if (parts.length > 6 && parts(6).nonEmpty) Some(parts(6)) else None,
+            parts(2).toLong, parts(3).toLong, parts(4).toDouble,
+            parts(5).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq)
         }
         tsv.delete()
       }
@@ -219,6 +221,7 @@ object Bench {
       val f = sys.env("SPARK_GRAFT_BENCH_TSV")
       val body = results.map { case (k, q) =>
         s"$k\t${q.median}\t${q.built}\t${q.ridden}\t${q.firstS}\t" +
+          q.times.mkString(",") + "\t" +
           q.err.getOrElse("").replace("\t", " ").replace("\n", " ")
       }.mkString("", "\n", "\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f), body)
@@ -245,12 +248,20 @@ object Bench {
         s"""{"gen":$g,"n_queries":${rs.size},"sec":${rs.map(_._2.median).sum}}"""
       }.mkString("[", ",", "]")
     val mode = if (wantGens > 1) s"$wantGens JVM generations" else "single JVM"
+    // per-query spread only when it exists (runs>=2): medians of a
+    // single run cannot support round-over-round per-query reads
+    // (graph_betweenness swings +-25% at sf1) — the raw run times make
+    // the variance part of the committed record
+    val spread = if (runs < 2) "" else
+      ""","runs_s":""" + results.map { case (k, q) =>
+        jstr(k) + ":[" + q.times.mkString(",") + "]"
+      }.mkString("{", ",", "}")
     // Headline keys LAST: the driver's log capture keeps only the
     // final ~2000 chars of stdout, and with 249 queries the line is
     // ~10 KB — metric/value/n_errors printed first were cut out of
     // BENCH_r10/r11.json (parsed:null). Key order is irrelevant to
     // any JSON parser but decisive for a tail capture.
-    val line = s"""{"queries":$qs,"errors":$errs,"memo":$memo,"generations":$genTotals,"note":"per-query median of $runs runs; $mode; memo=first-run build/ride attribution","metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":$nErr,"value":$total}"""
+    val line = s"""{"queries":$qs,"errors":$errs,"memo":$memo,"generations":$genTotals,"note":"per-query median of $runs runs; $mode; memo=first-run build/ride attribution"$spread,"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":$nErr,"value":$total}"""
     println(line)
     // The stdout line is the driver contract, but a log-buffer tail
     // capture can truncate it (BENCH_r05.json lost 101 of 166 query

@@ -63,7 +63,14 @@ object Dedup {
     // The signature table is read 4× (both candidate sides + both
     // scoring sides) and by 8 sibling queries — the shared memoized
     // checkpoint serves all of them (it is tiny: 8 rows/doc).
-    val mh = minhashSigsShared(docs)
+    minhashLshFromSigs(minhashSigsShared(docs))
+  }
+
+  /** [[minhashLsh]] from an explicit signature frame — the form the
+    * composed pipeline uses so a SUBSET corpus (stage survivors) can
+    * ride the root corpus's memoized signatures filtered per-doc
+    * instead of re-signing the subset. */
+  def minhashLshFromSigs(mh: DataFrame): DataFrame = {
     val cand = mh.as("x").join(mh.as("y"),
         col("x.perm") === col("y.perm") && col("x.mh") === col("y.mh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -423,8 +430,21 @@ object Dedup {
   private val clustersMemo = new TextOps.FrameMemo
 
   private def clustersBuild(docs: DataFrame, minEstJaccard: Double,
-      rounds: Int): DataFrame = {
-    val pairs = minhashLsh(docs).filter(col("est_jaccard") >= minEstJaccard)
+      rounds: Int): DataFrame =
+    clustersFromSigs(minhashSigsShared(docs), minEstJaccard, rounds)
+
+  /** [[clusters]] from an explicit signature frame — the composed-
+    * pipeline form: near-dup clustering over a survivor SUBSET is the
+    * root corpus's memoized signatures filtered to the subset (a
+    * per-doc restriction, so signature values are unchanged), then
+    * this band-join + bounded label propagation over the restricted
+    * pair graph. Pair semantics match clustering the subset from
+    * scratch exactly; the corpus scan + shingle window is never
+    * re-paid. */
+  def clustersFromSigs(sigs: DataFrame, minEstJaccard: Double = 0.5,
+      rounds: Int = 12): DataFrame = {
+    val pairs = minhashLshFromSigs(sigs)
+      .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = graft.graph.Components.labelPropagation(pairs, maxIter = rounds)
     val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))

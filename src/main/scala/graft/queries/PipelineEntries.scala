@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.functions.TextOps
-import graft.pipeline.{Contamination, Curate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Contamination, CorpusPipeline, Curate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.search.Fulltext
 
 /** Driver-contract wiring + DuckDB oracles for the LLM-data-pipeline
@@ -96,6 +96,12 @@ object PipelineEntries {
       graft.streaming.EventStreams.sessionize(graft.streaming.EventStreams.events(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.mediaMeta(s, Tables.documentsShared(s, d))),
     "curate_pipeline" -> ((s, d) => Curate.curate(Tables.documentsShared(s, d))),
+    // the composed-pipeline API end-to-end: curate gates → near-dup
+    // canonical collapse over the survivors → 16-way shard layout of
+    // what's left, all in one session-shared plan (D91)
+    "pipeline_chain" -> ((s, d) =>
+      CorpusPipeline.over(Tables.documentsShared(s, d))
+        .curated().dedupNear().shardPlan(16)),
     "curate_full" -> ((s, d) =>
       Curate.curateFull(Tables.documentsShared(s, d), col("doc_id") % 97 === 0)),
     "events_asof" -> ((s, d) => TemporalOps.purchaseAsofView(s, d)),
@@ -463,7 +469,11 @@ object PipelineEntries {
   /** Shared near-dup-cluster CTE chain (expects `tok`/`sh`): minhash
     * signatures → candidate pairs → est_jaccard ≥ 0.5 edge set → 12
     * unrolled min-label rounds ending in `l12 (node, component)`. */
-  private lazy val clusterChain: String = {
+  /** The band-join + 12-round label-propagation CTE chain over an
+    * arbitrary signature CTE `sig` — shared by the whole-corpus
+    * cluster oracles (sig = the full `mh`) and the composed-pipeline
+    * oracle (sig = the curate-survivor restriction `mhk`). */
+  private def clusterChainFrom(sig: String): String = {
     val labelRounds = (0 until 12).map { t =>
       s"""l${t + 1} AS MATERIALIZED (
          |  SELECT l.node,
@@ -474,19 +484,17 @@ object PipelineEntries {
          |  LEFT JOIN l$t n ON n.node = u.b
          |  GROUP BY l.node, l.component)""".stripMargin
     }.mkString(",\n")
-    s"""mh AS MATERIALIZED (
-       |  $minhashUnion),
-       |cand AS (
+    s"""cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM mh x JOIN mh y
+       |  FROM $sig x JOIN $sig y
        |    ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id),
        |est AS MATERIALIZED (
        |  SELECT doc_a, doc_b,
        |         round(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / ${TextOps.MinhashA.length}.0, 4)
        |           AS est_jaccard
        |  FROM cand
-       |  JOIN mh a ON doc_a = a.doc_id
-       |  JOIN mh b ON doc_b = b.doc_id AND a.perm = b.perm
+       |  JOIN $sig a ON doc_a = a.doc_id
+       |  JOIN $sig b ON doc_b = b.doc_id AND a.perm = b.perm
        |  GROUP BY 1, 2),
        |und AS MATERIALIZED (
        |  SELECT DISTINCT a, b FROM (
@@ -496,6 +504,11 @@ object PipelineEntries {
        |l0 AS (SELECT DISTINCT a AS node, a AS component FROM und),
        |$labelRounds""".stripMargin
   }
+
+  private lazy val clusterChain: String =
+    s"""mh AS MATERIALIZED (
+       |  $minhashUnion),
+       |${clusterChainFrom("mh")}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "fulltext_search" -> fulltextSql(s"token IN $termsIn"),
@@ -875,6 +888,56 @@ object PipelineEntries {
          |FROM tot, rem""".stripMargin,
     // Shard layout plan: md5-hash shard assignment (the Sketches
     // keyHash contract), per-shard doc/token masses, HUGEINT share.
+    // The composed pipeline replayed end-to-end: the curate_pipeline
+    // kept-set, the cluster chain REBUILT over the survivors'
+    // signatures only (mhk — set-level stage semantics: clustering
+    // runs on what curation left), non-canonical cluster members
+    // dropped, and the shard_plan layout over the final corpus.
+    "pipeline_chain" -> {
+      import graft.functions.Sketches.keyHashSql
+      s"""WITH $TOK,
+         |$SH,
+         |t AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |         floor(AVG(CASE WHEN token IN ${TextOps.StopwordsSqlList}
+         |           THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio
+         |  FROM tok GROUP BY 1),
+         |d AS (
+         |  SELECT doc_id,
+         |         floor((CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |           / length(text)) * 10000 + 0.5) / 10000 AS digit_ratio
+         |  FROM documents),
+         |canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |ckept AS MATERIALIZED (
+         |  SELECT d.doc_id
+         |  FROM d JOIN t ON d.doc_id = t.doc_id
+         |  JOIN canon c ON d.doc_id = c.doc_id
+         |  WHERE t.n_tokens >= 20 AND d.digit_ratio <= 0.3
+         |    AND floor(least(1.0, t.n_tokens / 100.0) * (1.0 - d.digit_ratio)
+         |          * 10000 + 0.5) / 10000 >= 0.2
+         |    AND t.stopword_ratio >= 0.05),
+         |mh AS MATERIALIZED (
+         |  $minhashUnion),
+         |mhk AS MATERIALIZED (
+         |  SELECT mh.* FROM mh JOIN ckept USING (doc_id)),
+         |${clusterChainFrom("mhk")},
+         |fin AS MATERIALIZED (
+         |  SELECT doc_id FROM ckept
+         |  WHERE doc_id NOT IN (SELECT node FROM l12 WHERE node <> component)),
+         |st AS (
+         |  SELECT ${keyHashSql("doc_id")} % 16 AS shard,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         |      AS BIGINT) AS toks
+         |  FROM documents JOIN fin USING (doc_id)),
+         |s AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(toks) AS BIGINT) AS n_tokens
+         |      FROM st GROUP BY 1),
+         |tot AS (SELECT SUM(n_tokens) AS total FROM s)
+         |SELECT s.shard, s.n_docs, s.n_tokens,
+         |       CAST((1000000::HUGEINT * s.n_tokens) // tot.total AS BIGINT)
+         |         AS share_ppm
+         |FROM s, tot ORDER BY shard""".stripMargin
+    },
     "shard_plan" -> {
       import graft.functions.Sketches.keyHashSql
       s"""WITH t AS (
