@@ -34,7 +34,13 @@ def main(sf_dir: str, out_dir: str) -> int:
     # driver's quieter machines.
     mem = os.environ.get("GRAFT_DUCKDB_MEMLIMIT", "24GB")
     con.execute(f"SET memory_limit='{mem}'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # Spill dir must be PER-PROCESS: two concurrent replays sharing
+    # one temp_directory corrupt each other's spill files (observed as
+    # "Could not read enough bytes" on the r12 sharded sf1 replay).
+    spill = os.environ.get("GRAFT_DUCKDB_TMPDIR",
+                           f"/tmp/duckdb_spill/pid{os.getpid()}")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     # CPU cap so a long oracle replay can share the host with a bench
     # board without serializing the round (wall time of the ORACLE is
     # not a graded number; the bench's is).
