@@ -738,6 +738,53 @@ object Ranking {
       maxDepth: Int = 3): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val allSrcIds: Array[Long] = sources.select(col("node").cast("long").as("s"))
+      .distinct().orderBy("s").collect().map(_.getLong(0))
+    if (allSrcIds.isEmpty)
+      return spark.emptyDataset[(Long, Long)]
+        .toDF("node", "betweenness_ppm")
+    val eAll = traced("bw:edges")(Traversal.srcPreparedDistinct(edges))
+    // SOURCE-CHUNK DISPATCH on the sweep's materialized-cell count:
+    // the packed form's per-chunk peak is the checkpointed DAG-edge
+    // frame `esC` — |E| × k cells at ~23 B/cell measured (sf1:
+    // 6M × 64 ≈ 3.8·10⁸ cells ≈ 9 GB, fine; sf10 single-pass would
+    // be 3.8·10⁹ ≈ 90 GB, which filled the bench host's disk). Past
+    // the budget (default 6·10⁸ cells ≈ 14 GB peak) the source set
+    // splits into sequential chunks, each sweeping its own narrower
+    // arrays; betweenness(v) = Σ_s δ(s,v) is a sum over DISJOINT
+    // source groups of independent per-source values, so the chunked
+    // sum is bit-identical to the single pass at any chunking — the
+    // gate SFs and sf1 stay single-pass, and the oracle replays
+    // unchanged. (On a 1000-executor cluster the budget scales with
+    // aggregate spill capacity via GRAFT_BW_CELL_BUDGET /
+    // -Dgraft.bw.cell.budget.)
+    val nEdges = eAll.count()
+    val cellBudget: Long = sys.props.get("graft.bw.cell.budget")
+      .orElse(sys.env.get("GRAFT_BW_CELL_BUDGET"))
+      .map(_.toLong).getOrElse(600000000L)
+    val nChunks = math.max(1,
+      math.ceil(nEdges.toDouble * allSrcIds.length / cellBudget).toInt)
+    if (nChunks == 1) betweennessSweep(eAll, allSrcIds, maxDepth)
+    else {
+      val per = math.max(1,
+        math.ceil(allSrcIds.length.toDouble / nChunks).toInt)
+      val parts = allSrcIds.grouped(per).toSeq
+        .map(g => betweennessSweep(eAll, g, maxDepth))
+      parts.reduce(_.unionAll(_))
+        .groupBy("node")
+        .agg(sum(col("betweenness_ppm")).as("betweenness_ppm"))
+        .filter(col("betweenness_ppm") > 0)
+        .orderBy("node")
+    }
+  }
+
+  /** One packed Brandes sweep over an explicit source-id chunk — the
+    * single-pass body of [[betweennessSampled]]; see its scaladoc for
+    * the algorithm and contracts. */
+  private def betweennessSweep(eIn: DataFrame, srcIds: Array[Long],
+      maxDepth: Int): DataFrame = {
+    val spark = eIn.sparkSession
+    import spark.implicits._
     // PACKED multi-source form (the RegisterMax/anfApprox carrier
     // lesson applied to Brandes): the per-(source, node) row state
     // becomes THREE k-wide arrays per node — dist[i], σ[i], δ[i] for
@@ -753,17 +800,8 @@ object Ranking {
     // — a few hundred INDEPENDENT OF GRAPH SIZE — so the k-wide
     // arrays stay cache-line-sized at any corpus scale and the
     // driver-side id list is bounded by construction, not by n.
-    val srcIds: Array[Long] = sources.select(col("node").cast("long").as("s"))
-      .distinct().orderBy("s").collect().map(_.getLong(0))
     val k = srcIds.length
-    if (k == 0)
-      return spark.emptyDataset[(Long, Long)]
-        .toDF("node", "betweenness_ppm")
-    // the distinct src-partitioned edge frame rides the Traversal
-    // identity memo — in a bench/CLI session every run after the
-    // first (and every sibling operator fed the same cached edge
-    // frame) skips the exchange+checkpoint entirely
-    val e = traced("bw:edges")(Traversal.srcPreparedDistinct(edges))
+    val e = eIn
     val idx = s"sequence(0, ${k - 1})"
     // state: (v, dist array<int> with −1 = unreached, sigma array<long>)
     var state = srcIds.zipWithIndex.map { case (s, i) =>

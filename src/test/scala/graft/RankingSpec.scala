@@ -107,6 +107,32 @@ class RankingSpec extends AnyFunSuite {
     assert(d2 == Map(2L -> 1000000L), s"got $d2")
   }
 
+  test("betweenness source-chunk dispatch is bit-identical to the single pass") {
+    import spark.implicits._
+    // 4 sources over a graph with shared interior nodes; a 1-cell
+    // budget forces one chunk PER SOURCE — the maximal split — and
+    // the summed result must equal the packed single pass exactly
+    // (betweenness = Σ_s δ(s,·) over disjoint source groups).
+    val g = edges(1L -> 2L, 2L -> 3L, 2L -> 4L, 1L -> 5L, 5L -> 3L,
+      6L -> 2L, 7L -> 5L, 3L -> 8L, 4L -> 8L)
+    val srcs = Seq(1L, 6L, 7L, 2L).toDF("node")
+    val single = Ranking.betweennessSampled(g, srcs, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prev = sys.props.get("graft.bw.cell.budget")
+    sys.props("graft.bw.cell.budget") = "1"
+    try {
+      val chunked = Ranking.betweennessSampled(g, srcs, maxDepth = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(chunked == single, s"chunked $chunked vs single $single")
+      assert(single.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.bw.cell.budget") = v
+        case None => sys.props.remove("graft.bw.cell.budget"); ()
+      }
+    }
+  }
+
   test("stratified sample: per-stratum quota, deterministic hash order") {
     val d = docs(
       1L -> "the cat is on the mat", 2L -> "the dog is in the house",
