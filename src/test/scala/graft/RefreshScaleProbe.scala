@@ -36,14 +36,17 @@ object RefreshScaleProbe {
   }
 
   /** (count, Σxxhash64 over the sorted-column row image) — engine-
-    * order-independent store digest. */
-  private def digest(df: DataFrame): (Long, Long) = {
+    * order-independent store digest; the sum rides DECIMAL(38,0) —
+    * xxhash64 spans the full long range, so a long SUM overflows
+    * under ANSI after a few million rows. */
+  private def digest(df: DataFrame): (Long, String) = {
     val cols = df.columns.sorted.map(c => col(c).cast("string"))
     val r = df.select(
       count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(concat_ws("", cols: _*))), lit(0L)).as("h"))
+      coalesce(sum(xxhash64(concat_ws("", cols: _*)).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"))
       .head()
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
   }
 
   def main(args: Array[String]): Unit = {
