@@ -642,17 +642,38 @@ object Similarity {
     * ~B·n²/2^r per band at worst; pair recall at the threshold is the
     * banding S-curve (measured in SimilaritySpec, reported in
     * SURVEY.md).
+    *
+    * BAND-CHUNK DISPATCH on the MEASURED candidate-pair count: the
+    * single-pass plan materializes every band's candidate pairs
+    * through one distinct — at a fixed banding that volume grows
+    * quadratically with the corpus (the fixed-banding parity anchor
+    * hit ~7.5·10⁹ pairs at the sf10 probe and filled the bench
+    * host's disk). One cheap aggregation over the n·B signature rows
+    * yields the EXACT per-band pair count Σ c·(c−1)/2 over bucket
+    * occupancies c; past the budget (GRAFT_EMB_PAIR_BUDGET /
+    * -Dgraft.emb.pair.budget, default 2·10⁸ pairs ≈ a few GB of
+    * candidate shuffle) the bands greedy-pack into sequential chunks,
+    * each reranked and reduced to its qualifying (doc_a, doc_b,
+    * cosine) survivors — eagerly materialized, so peak spill is ONE
+    * chunk's candidates — then distinct-unioned. Exact by disjoint
+    * decomposition: the output set is {pairs matching in ANY band
+    * with cosine ≥ τ}, a union over band groups of per-group results
+    * with duplicates removed; cosine is a deterministic function of
+    * the pair, so the cross-chunk distinct collapses duplicates
+    * bit-exactly and the oracle replays unchanged. (On a
+    * 1000-executor cluster the budget scales with aggregate shuffle
+    * capacity via the env/property.)
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double, bands: Int = 24,
       planesPerBand: Int = 5): DataFrame = {
     val bb = lshBandBuckets(emb, bands, planesPerBand)
-    val cand = bb.as("x").join(bb.as("y"),
+    val v = withNorm(emb).filter(col("nrm") > 0)
+    def candidates(b: DataFrame): DataFrame = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
       .distinct()
-    val v = withNorm(emb).filter(col("nrm") > 0)
-    cand
+    def rerank(cand: DataFrame): DataFrame = cand
       .join(v.select(col("vec_id").as("doc_a"), col("qv").as("qa"), col("nrm").as("na")),
         "doc_a")
       .join(v.select(col("vec_id").as("doc_b"), col("qv").as("qb"), col("nrm").as("nb")),
@@ -661,7 +682,35 @@ object Similarity {
         rnd(VectorOps.dotLong(col("qa"), col("qb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
-      .orderBy("doc_a", "doc_b")
+    val pairBudget: Long = sys.props.get("graft.emb.pair.budget")
+      .orElse(sys.env.get("GRAFT_EMB_PAIR_BUDGET"))
+      .map(_.toLong).getOrElse(200000000L)
+    // exact per-band pair volume from bucket occupancy: c·(c−1) stays
+    // in long range (c ≤ n, n² ≤ 2^63 for any corpus this runs on)
+    val perBand: Array[(Int, Long)] = bb.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("band").agg((sum(col("c") * (col("c") - lit(1L))) / 2).as("pairs"))
+      .orderBy("band")
+      .collect().map(r => (r.getInt(0), r.getDouble(1).toLong))
+    if (perBand.map(_._2).sum <= pairBudget)
+      rerank(candidates(bb)).orderBy("doc_a", "doc_b")
+    else {
+      val bbP = bb.localCheckpoint(true) // n·B narrow rows, signed once
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      var cur = Vector.empty[Int]; var curPairs = 0L
+      perBand.foreach { case (b, p) =>
+        if (cur.nonEmpty && curPairs + p > pairBudget) {
+          chunks += cur; cur = Vector.empty; curPairs = 0L
+        }
+        cur :+= b; curPairs += p
+      }
+      if (cur.nonEmpty) chunks += cur
+      val parts = chunks.toSeq.map { bs =>
+        rerank(candidates(bbP.filter(col("band").isin(bs: _*))))
+          .localCheckpoint(true) // eager: one chunk's spill at a time
+      }
+      parts.reduce(_.unionAll(_)).distinct().orderBy("doc_a", "doc_b")
+    }
   }
 
   /** Banding chooser for [[embeddingNearDup]]: at a fixed signature

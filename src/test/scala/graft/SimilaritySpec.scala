@@ -83,6 +83,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rec >= 0.5, s"LSH dedup pair recall $rec collapsed")
   }
 
+  test("band-chunked rerank is bit-identical to the single pass") {
+    // Force the dispatch: a 1-pair budget splits the 24 bands into
+    // per-band chunks (the sf10 disk-fill path in miniature); the
+    // output contract is set equality of FULL rows — cosine included,
+    // so the cross-chunk distinct provably collapses duplicates of
+    // the same deterministic score.
+    def rows(df: DataFrame): Set[(Long, Long, Double)] = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val single = rows(Similarity.embeddingNearDup(emb, threshold = 0.4))
+    assert(single.nonEmpty)
+    sys.props("graft.emb.pair.budget") = "1"
+    try {
+      val chunked = rows(Similarity.embeddingNearDup(emb, threshold = 0.4))
+      assert(chunked == single)
+    } finally sys.props.remove("graft.emb.pair.budget")
+  }
+
   test("IVF recall@3 on clustered embeddings: high recall at nProbe << nCentroids") {
     import spark.implicits._
     // Planted structure: 8 well-separated centers (orthogonal dim
