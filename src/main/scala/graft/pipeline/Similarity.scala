@@ -643,7 +643,7 @@ object Similarity {
     * banding S-curve (measured in SimilaritySpec, reported in
     * SURVEY.md).
     *
-    * BAND-CHUNK DISPATCH on the MEASURED candidate-pair count: the
+    * SCALE DISPATCH on the MEASURED candidate-pair count: the
     * single-pass plan materializes every band's candidate pairs
     * through one distinct — at a fixed banding that volume grows
     * quadratically with the corpus (the fixed-banding parity anchor
@@ -651,33 +651,45 @@ object Similarity {
     * host's disk). One cheap aggregation over the n·B signature rows
     * yields the EXACT per-band pair count Σ c·(c−1)/2 over bucket
     * occupancies c; past the budget (GRAFT_EMB_PAIR_BUDGET /
-    * -Dgraft.emb.pair.budget, default 2·10⁸ pairs ≈ a few GB of
-    * candidate shuffle) the bands greedy-pack into sequential chunks,
-    * each reranked and reduced to its qualifying (doc_a, doc_b,
-    * cosine) survivors — eagerly materialized, so peak spill is ONE
-    * chunk's candidates — then distinct-unioned. Exact by disjoint
-    * decomposition: the output set is {pairs matching in ANY band
-    * with cosine ≥ τ}, a union over band groups of per-group results
-    * with duplicates removed; cosine is a deterministic function of
-    * the pair, so the cross-chunk distinct collapses duplicates
-    * bit-exactly and the oracle replays unchanged. (On a
-    * 1000-executor cluster the budget scales with aggregate shuffle
-    * capacity via the env/property.)
+    * -Dgraft.emb.pair.budget, default 2·10⁸ pairs) the pair frame
+    * must never be materialized, and the dispatch picks by where the
+    * vector table fits:
+    *
+    *  - STREAMED rerank (vectors fit the heap-derived broadcast
+    *    budget, the [[graft.graph.Ranking]] adjacency clamp
+    *    precedent): candidates skip the pre-rerank distinct and flow
+    *    map-side through TWO BroadcastHashJoins + the threshold
+    *    filter, so nothing pair-sized ever shuffles or spills — the
+    *    only exchange is the distinct over the tiny survivor set
+    *    (a pair matching in k bands is scored k times and collapses
+    *    there; candidate dots are ~100 ns each, orders of magnitude
+    *    cheaper than shuffling the pair).
+    *  - BAND-CHUNKED shuffle rerank (vector table above the
+    *    broadcast budget — the 100M×1KB-vector regime): bands
+    *    greedy-pack into sequential chunks under the pair budget,
+    *    each chunk's survivors eagerly materialized, so peak spill
+    *    is ONE chunk's candidate shuffle.
+    *
+    * Both are exact by disjoint decomposition: the output set is
+    * {pairs matching in ANY band with cosine ≥ τ}; cosine is a
+    * deterministic function of the pair, so distinct over full
+    * (doc_a, doc_b, cosine) rows collapses duplicates bit-exactly
+    * and the oracle replays unchanged. (On a 1000-executor cluster
+    * the budgets scale via the env/property knobs.)
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double, bands: Int = 24,
       planesPerBand: Int = 5): DataFrame = {
     val bb = lshBandBuckets(emb, bands, planesPerBand)
     val v = withNorm(emb).filter(col("nrm") > 0)
-    def candidates(b: DataFrame): DataFrame = b.as("x").join(b.as("y"),
+    def candidatesRaw(b: DataFrame): DataFrame = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
-      .distinct()
-    def rerank(cand: DataFrame): DataFrame = cand
-      .join(v.select(col("vec_id").as("doc_a"), col("qv").as("qa"), col("nrm").as("na")),
-        "doc_a")
-      .join(v.select(col("vec_id").as("doc_b"), col("qv").as("qb"), col("nrm").as("nb")),
-        "doc_b")
+    def rerank(cand: DataFrame, wrap: DataFrame => DataFrame): DataFrame = cand
+      .join(wrap(v.select(col("vec_id").as("doc_a"), col("qv").as("qa"),
+        col("nrm").as("na"))), "doc_a")
+      .join(wrap(v.select(col("vec_id").as("doc_b"), col("qv").as("qb"),
+        col("nrm").as("nb"))), "doc_b")
       .withColumn("cosine",
         rnd(VectorOps.dotLong(col("qa"), col("qb")) / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= threshold)
@@ -686,19 +698,34 @@ object Similarity {
       .orElse(sys.env.get("GRAFT_EMB_PAIR_BUDGET"))
       .map(_.toLong).getOrElse(200000000L)
     // exact per-band pair volume from bucket occupancy: c·(c−1) stays
-    // in long range (c ≤ n, n² ≤ 2^63 for any corpus this runs on)
-    val perBand: Array[(Int, Long)] = bb.groupBy("band", "bucket")
+    // in long range (c ≤ n, n² ≤ 2^63 for any corpus this runs on);
+    // Σ_buckets c = n rides along so the broadcast check needs no
+    // second pass over the input
+    val perBand: Array[(Int, Long, Long)] = bb.groupBy("band", "bucket")
       .agg(count(lit(1)).as("c"))
-      .groupBy("band").agg((sum(col("c") * (col("c") - lit(1L))) / 2).as("pairs"))
+      .groupBy("band").agg((sum(col("c") * (col("c") - lit(1L))) / 2).as("pairs"),
+        sum(col("c")).as("n"))
       .orderBy("band")
-      .collect().map(r => (r.getInt(0), r.getDouble(1).toLong))
+      .collect().map(r => (r.getInt(0), r.getDouble(1).toLong, r.getLong(2)))
+    val nVec: Long = if (perBand.isEmpty) 0L else perBand.map(_._3).max
+    // built-relation budget for ONE side of the rerank: ~800 B/row
+    // (64 quantized longs + raw floats + norm + hash-table overhead),
+    // two sides live at once → heap/16, clamped well under Spark's
+    // 8 GB BroadcastExchange hard limit
+    val broadcastVecMaxRows: Long = sys.props.get("graft.emb.bcast.rows")
+      .orElse(sys.env.get("GRAFT_EMB_BCAST_ROWS")).map(_.toLong)
+      .getOrElse(math.min(Runtime.getRuntime.maxMemory / 16L, 3500000000L) / 800L)
     if (perBand.map(_._2).sum <= pairBudget)
-      rerank(candidates(bb)).orderBy("doc_a", "doc_b")
+      rerank(candidatesRaw(bb).distinct(), identity)
+        .orderBy("doc_a", "doc_b")
+    else if (nVec <= broadcastVecMaxRows)
+      rerank(candidatesRaw(bb), broadcast)
+        .distinct().orderBy("doc_a", "doc_b")
     else {
       val bbP = bb.localCheckpoint(true) // n·B narrow rows, signed once
       val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
       var cur = Vector.empty[Int]; var curPairs = 0L
-      perBand.foreach { case (b, p) =>
+      perBand.foreach { case (b, p, _) =>
         if (cur.nonEmpty && curPairs + p > pairBudget) {
           chunks += cur; cur = Vector.empty; curPairs = 0L
         }
@@ -706,7 +733,8 @@ object Similarity {
       }
       if (cur.nonEmpty) chunks += cur
       val parts = chunks.toSeq.map { bs =>
-        rerank(candidates(bbP.filter(col("band").isin(bs: _*))))
+        rerank(candidatesRaw(bbP.filter(col("band").isin(bs: _*))).distinct(),
+          identity)
           .localCheckpoint(true) // eager: one chunk's spill at a time
       }
       parts.reduce(_.unionAll(_)).distinct().orderBy("doc_a", "doc_b")

@@ -83,12 +83,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rec >= 0.5, s"LSH dedup pair recall $rec collapsed")
   }
 
-  test("band-chunked rerank is bit-identical to the single pass") {
-    // Force the dispatch: a 1-pair budget splits the 24 bands into
-    // per-band chunks (the sf10 disk-fill path in miniature); the
-    // output contract is set equality of FULL rows — cosine included,
-    // so the cross-chunk distinct provably collapses duplicates of
-    // the same deterministic score.
+  test("streamed and band-chunked rerank are bit-identical to the single pass") {
+    // Force both scale dispatches (the sf10 disk-fill path in
+    // miniature): a 1-pair budget alone → streamed broadcast rerank;
+    // additionally zeroing the broadcast-row budget → per-band
+    // sequential chunks. The output contract is set equality of FULL
+    // rows — cosine included, so the final distinct provably
+    // collapses duplicate scorings of the same deterministic value.
     def rows(df: DataFrame): Set[(Long, Long, Double)] = df.collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Double]("cosine"))).toSet
@@ -96,9 +97,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(single.nonEmpty)
     sys.props("graft.emb.pair.budget") = "1"
     try {
+      val streamed = rows(Similarity.embeddingNearDup(emb, threshold = 0.4))
+      assert(streamed == single)
+      sys.props("graft.emb.bcast.rows") = "0"
       val chunked = rows(Similarity.embeddingNearDup(emb, threshold = 0.4))
       assert(chunked == single)
-    } finally sys.props.remove("graft.emb.pair.budget")
+    } finally {
+      sys.props.remove("graft.emb.pair.budget")
+      sys.props.remove("graft.emb.bcast.rows")
+    }
   }
 
   test("IVF recall@3 on clustered embeddings: high recall at nProbe << nCentroids") {
