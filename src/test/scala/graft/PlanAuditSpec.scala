@@ -59,6 +59,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cartesian product in refresh_compose:\n$p")
   }
 
+  test("streamed near-dup rerank: broadcast joins only, no pair-sized exchange") {
+    // the r12 sf10 lesson: past the pair budget, the ONLY acceptable
+    // rerank shape (when vectors fit the broadcast clamp) streams
+    // candidates map-side through BroadcastHashJoins — a sort-merge
+    // rerank would shuffle array-carrying pair rows (the 100-min
+    // killed form); the sole non-broadcast join allowed is the
+    // signature-sized (band, bucket) self-join
+    sys.props("graft.emb.pair.budget") = "1"
+    try {
+      val p = planOf("dedup_embedding")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"rerank not broadcast:\n$p")
+      assert("SortMergeJoin".r.findAllIn(p).size
+        + "ShuffledHashJoin".r.findAllIn(p).size <= 1,
+        s"pair-sized shuffle join in streamed rerank:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally sys.props.remove("graft.emb.pair.budget")
+  }
+
   test("q1_pricing prunes unused lineitem columns from the scan") {
     val p = planOf("q1_pricing")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
