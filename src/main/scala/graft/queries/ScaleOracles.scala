@@ -192,11 +192,61 @@ object ScaleOracles {
     "SELECT node, call_type, depth, n_cycles FROM out " +
       "ORDER BY call_type, node, depth")
 
+  /** sample_coreset: inductive chain verification AGAINST the
+    * output. The primary oracle unrolls the farthest-first rounds,
+    * and DuckDB executes each round's argmax as an i-keyed join
+    * explosion over all n·dim rows — measured CPU-bound at >95 min
+    * on the organic-sf1 replay (the round-12 stall). The digest
+    * instead treats the dumped chain as the candidate: dist²(p, c)
+    * for every point × claimed center is n·k rows, then per step t
+    * the (min-dist-to-prefix DESC, vec_id ASC) argmax must reproduce
+    * row t exactly. The tie-broken argmax is unique, so if step 1 is
+    * the MIN(vec_id) seed and every later step verifies against its
+    * prefix, the output IS the unique true chain — full-output
+    * exact, O(n·k²) state at any scale. Same quantization text as
+    * the primary (qx = round(x·10⁶) BIGINT; d² = n2a + n2b − 2·dot). */
+  private val sampleCoreset: (String, String) = (
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |exq AS (SELECT vec_id, CAST(round(x * 1000000, 0) AS BIGINT) AS qx, i
+       |        FROM ex),
+       |nn AS MATERIALIZED (
+       |  SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS n2
+       |  FROM exq GROUP BY 1),
+       |cv AS (SELECT o.rnk, e.vec_id, e.qx, e.i
+       |       FROM out o JOIN exq e ON e.vec_id = o.vec_id),
+       |pc AS MATERIALIZED (
+       |  SELECT a.vec_id AS p, c.rnk AS r,
+       |         MAX(pn.n2) + MAX(cn.n2)
+       |           - 2 * CAST(SUM(a.qx * c.qx) AS BIGINT) AS d2
+       |  FROM exq a JOIN cv c ON a.i = c.i
+       |  JOIN nn pn ON pn.vec_id = a.vec_id
+       |  JOIN nn cn ON cn.vec_id = c.vec_id
+       |  GROUP BY a.vec_id, c.rnk),
+       |md AS MATERIALIZED (
+       |  SELECT pc.p, s.rnk AS t, MIN(pc.d2) AS d
+       |  FROM pc JOIN (SELECT rnk FROM out WHERE rnk >= 2) s ON pc.r < s.rnk
+       |  GROUP BY pc.p, s.rnk),
+       |pick AS (
+       |  SELECT t, p, d,
+       |         ROW_NUMBER() OVER (PARTITION BY t ORDER BY d DESC, p) AS rn
+       |  FROM md)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, CAST(vec_id AS BIGINT) AS vec_id,
+       |       CAST(d2 AS BIGINT) AS d2 FROM (
+       |  SELECT 1 AS rnk, (SELECT MIN(vec_id) FROM exq) AS vec_id, 0 AS d2
+       |  UNION ALL
+       |  SELECT t AS rnk, p AS vec_id, d AS d2 FROM pick WHERE rn = 1)
+       |ORDER BY rnk""".stripMargin,
+    "SELECT rnk, vec_id, d2 FROM out ORDER BY rnk")
+
   /** name → (base-table digest SQL, output digest SQL over view
     * `out`). */
   val sql: Map[String, (String, String)] = Map(
     "dedup_embedding" -> dedupEmbedding,
     "graph_scc" -> graphScc,
     "graph_bowtie" -> graphBowtie,
-    "recursion_detect" -> recursionDetect)
+    "recursion_detect" -> recursionDetect,
+    "sample_coreset" -> sampleCoreset)
 }
