@@ -41,6 +41,35 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** Host-contention stamp (r12 verdict ask): the r12 headline
+    * comparison was clouded by a 250-query DuckDB replay sharing the
+    * box with the bench, and nothing in the artifact could prove or
+    * refute it. 1-min load average + a census of OTHER heavyweight
+    * processes (java/python/duckdb) make the comparison
+    * self-certifying: a clean board shows load ≈ 0 and no neighbors.
+    */
+  private[graft] def hostState(): String = {
+    val load =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val procs =
+      try {
+        import scala.jdk.CollectionConverters._
+        val self = ProcessHandle.current().pid()
+        ProcessHandle.allProcesses().iterator().asScala.flatMap { p =>
+          val cmd = p.info().command().orElse("")
+          val base = cmd.substring(cmd.lastIndexOf('/') + 1)
+          if (p.pid() != self &&
+            Seq("java", "python", "python3", "duckdb").contains(base))
+            Some(base)
+          else None
+        }.toSeq.groupBy(identity).toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k:${v.size}" }.mkString(",")
+      } catch { case _: Throwable => "?" }
+    s"""{"loadavg":$load,"other_procs":${jstr(procs)}}"""
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -200,6 +229,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.keys.filter(names).toSeq
       case None => SparkEntry.queries.keys.toSeq
     }
+    val hostStart = hostState()
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_GEN")
     val wantGens =
       // a generation child NEVER forks again (second guard behind the
@@ -261,7 +291,7 @@ object Bench {
     // ~10 KB — metric/value/n_errors printed first were cut out of
     // BENCH_r10/r11.json (parsed:null). Key order is irrelevant to
     // any JSON parser but decisive for a tail capture.
-    val line = s"""{"queries":$qs,"errors":$errs,"memo":$memo,"generations":$genTotals,"note":"per-query median of $runs runs; $mode; memo=first-run build/ride attribution"$spread,"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":$nErr,"value":$total}"""
+    val line = s"""{"queries":$qs,"errors":$errs,"memo":$memo,"generations":$genTotals,"host_start":$hostStart,"host_end":${hostState()},"note":"per-query median of $runs runs; $mode; memo=first-run build/ride attribution; host_*=1-min loadavg + neighbor-process census at board start/end"$spread,"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":$nErr,"value":$total}"""
     println(line)
     // The stdout line is the driver contract, but a log-buffer tail
     // capture can truncate it (BENCH_r05.json lost 101 of 166 query

@@ -87,6 +87,7 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
+    val hostStart = Bench.hostState()
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val rep = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "10").toInt
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale_sf1")
@@ -130,7 +131,7 @@ object ScaleBench {
     val rows = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"replicate":$rep,"reused_existing_data":$reuse,"base":"$base","lineitem_rows":$nLine,"documents_rows":$nDocs,"note":"single run per query on ${rep}x-replicated sf0.1"}""")
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"replicate":$rep,"reused_existing_data":$reuse,"base":"$base","lineitem_rows":$nLine,"documents_rows":$nDocs,"host_start":$hostStart,"host_end":${Bench.hostState()},"note":"single run per query on ${rep}x-replicated sf0.1; host_*=1-min loadavg + neighbor-process census"}""")
     spark.stop()
   }
 }

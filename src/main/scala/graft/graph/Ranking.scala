@@ -1291,26 +1291,68 @@ object Ranking {
     * pairs sharing parts, functions sharing strings, docs sharing
     * shingles. The classic scale hazard is the frequent item: one
     * item held by k entities emits C(k,2) pairs, so items with more
-    * than `maxItemDeg` entities are DROPPED before the self-join (the
-    * standard frequent-token cut from similarity joins — they carry
-    * the least signal and all of the blowup; the cap bounds per-item
-    * fanout at C(cap,2) and makes total work linear in items). The
-    * self-join shuffles on item; `a < b` halves the pair space.
+    * than `maxItemDeg` entities are DROPPED up front (the standard
+    * frequent-token cut from similarity joins — they carry the least
+    * signal and all of the blowup; the cap bounds per-item fanout at
+    * C(cap,2) and makes total work linear in items).
+    *
+    * Pair generation is NOT a self-join: each kept item's entity set
+    * (≤ cap elements) collapses to one sorted array and the a<b pairs
+    * expand inline through codegen'd nested `transform`s — vs the
+    * item-keyed self-join this halves the shuffle (the entity frame
+    * moves once, not twice) and removes both sort-merge sorts; pair
+    * rows are born inside the stage whose partial (a,b) aggregate
+    * immediately folds them (313 s → the r13 cut on the sf10 board).
+    *
+    * SCALE DISPATCH (the embeddingNearDup discipline): a cheap
+    * worst-case bound — (cap−1)/2 pairs per input row — gates a
+    * measured occupancy pass; past `graft.cooc.pair.budget` (default
+    * 2·10⁸) the items split into hash chunks processed sequentially
+    * (eager per-chunk materialization bounds peak spill at one
+    * chunk), and per-chunk partial counts SUM exactly: chunks are
+    * item-disjoint, so n_shared(a,b) = Σ_chunks shared items there.
     */
   def cooccurrence(pairs: DataFrame, maxItemDeg: Int = 30,
       minShared: Long = 1L): DataFrame = {
-    val pe = pairs.toDF("entity", "item")
+    val pe0 = pairs.toDF("entity", "item")
       .select(col("entity").cast("long"), col("item").cast("long"))
       .distinct()
-    val kept = pe.join(
-      pe.groupBy("item").agg(count(lit(1)).as("ideg"))
-        .filter(col("ideg") <= maxItemDeg).select("item"),
-      Seq("item"))
-    kept.select(col("item"), col("entity").as("a"))
-      .join(kept.select(col("item").as("i2"), col("entity").as("b")),
-        col("item") === col("i2") && col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    def pairCounts(pe: DataFrame): DataFrame = pe
+      .groupBy("item").agg(sort_array(collect_list(col("entity"))).as("es"))
+      .filter(size(col("es")).between(2, maxItemDeg))
+      .select(explode(expr(
+        "flatten(transform(es, (x, i) -> " +
+          "transform(slice(es, i + 2, size(es)), y -> named_struct('a', x, 'b', y))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val pairBudget: Long = sys.props.get("graft.cooc.pair.budget")
+      .orElse(sys.env.get("GRAFT_COOC_PAIR_BUDGET"))
+      .map(_.toLong).getOrElse(200000000L)
+    // worst case from ONE count(): every input row on a cap-degree
+    // item emits (cap−1)/2 pairs; under budget no stats pass runs
+    val worst = pairs.count().toDouble * (maxItemDeg - 1).toDouble / 2
+    if (worst <= pairBudget.toDouble)
+      pairCounts(pe0).filter(col("n_shared") >= minShared)
+    else {
+      val pe = pe0.localCheckpoint(true) // scanned once per chunk
+      val measured = pe.groupBy("item").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= maxItemDeg)
+        .agg(sum(expr("c * (c - 1) div 2")).as("p")).head()
+      val totalPairs = if (measured.isNullAt(0)) 0L else measured.getLong(0)
+      if (totalPairs <= pairBudget)
+        pairCounts(pe).filter(col("n_shared") >= minShared)
+      else {
+        val nChunks = math.min(1024L, totalPairs / pairBudget + 1).toInt
+        val parts = (0 until nChunks).map { i =>
+          pairCounts(pe.filter(pmod(hash(col("item")), lit(nChunks)) === i))
+            .localCheckpoint(true) // eager: one chunk's spill at a time
+        }
+        parts.reduce(_.unionAll(_))
+          .groupBy("a", "b").agg(sum(col("n_shared")).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+      }
+    }
   }
 
   /** Rich-club coefficient ladder (Colizza et al. 2006): for each

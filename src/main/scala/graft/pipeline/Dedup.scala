@@ -320,16 +320,26 @@ object Dedup {
     */
   def ngramJaccardPrefixForced(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val sh = TextOps.shinglesShared(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rarity = TextOps.shingleDfShared(docs)
       .select(col("sh"), col("df").as("sh_df"))
+    // Rarity ranking WITHOUT a corpus-wide window: the row_number()
+    // form range-sorted the whole (doc, shingle, df) frame just to
+    // keep each doc's prefix — the top line of the sf10 board (459 s)
+    // was that sort. Instead each doc's (df, sh) pairs collapse to one
+    // array row (the same per-doc state the Vernica verification frame
+    // below already carries), the codegen'd array_sort gives the
+    // identical (sh_df, sh) total order — (df, sh) is unique within a
+    // doc, so the order matches row_number's tie-break exactly — and
+    // slice keeps the |x| − ⌈τ·|x|⌉ + 1 prefix with n_sh = size(ds)
+    // computed in place (no sizes join). One hash-shuffle by doc_id,
+    // per-doc O(n log n) local sorts, nothing corpus-globally ordered.
+    val prefLen = s"cast(size(ds) - ceil($minJaccard * size(ds)) + 1 as int)"
     val ranked = sh.join(rarity, "sh")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("sh_df"), col("sh"))))
-      .join(sizes, "doc_id")
-      .filter(col("rn") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
-      .select("doc_id", "sh")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("sh_df"), col("sh"))).as("ds"))
+      .select(col("doc_id"),
+        explode(expr(s"slice(array_sort(ds), 1, $prefLen)")).as("p"))
+      .select(col("doc_id"), col("p.sh").as("sh"))
     val cand = ranked.as("x").join(ranked.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

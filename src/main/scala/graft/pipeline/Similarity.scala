@@ -676,6 +676,16 @@ object Similarity {
     * (doc_a, doc_b, cosine) rows collapses duplicates bit-exactly
     * and the oracle replays unchanged. (On a 1000-executor cluster
     * the budgets scale via the env/property knobs.)
+    *
+    * EAGERNESS: constructing the DataFrame runs Spark jobs before
+    * any caller action — always one count() of the input, plus (only
+    * when the worst-case bound B·n·(n−1)/2 exceeds the pair budget)
+    * the occupancy aggregation over the n·B signature rows, and in
+    * the chunked branch an eager localCheckpoint per chunk. Small
+    * corpora — anything whose all-in-one-bucket WORST case is under
+    * budget — skip the occupancy pass entirely: paying a signature
+    * materialization just to decide a dispatch that can only go one
+    * way was measured at +1.7× on the sf0.1 board (r12 regression).
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double, bands: Int = 24,
       planesPerBand: Int = 5): DataFrame = {
@@ -697,16 +707,33 @@ object Similarity {
     val pairBudget: Long = sys.props.get("graft.emb.pair.budget")
       .orElse(sys.env.get("GRAFT_EMB_PAIR_BUDGET"))
       .map(_.toLong).getOrElse(200000000L)
-    // exact per-band pair volume from bucket occupancy: c·(c−1) stays
-    // in long range (c ≤ n, n² ≤ 2^63 for any corpus this runs on);
-    // Σ_buckets c = n rides along so the broadcast check needs no
-    // second pass over the input
-    val perBand: Array[(Int, Long, Long)] = bb.groupBy("band", "bucket")
+    // Sufficient check BEFORE any signature work: even if every vector
+    // landed in ONE bucket a band yields n·(n−1)/2 pairs, so
+    // B·n·(n−1)/2 ≤ budget proves the single-pass branch safe from one
+    // count() of the input — no occupancy pass runs just to pick a
+    // branch that can only go one way (the r12 sf0.1 board paid that
+    // pass on every small-corpus call: dedup_embedding 1.65→2.84 s).
+    val nIn: Long = emb.count()
+    if (bands.toDouble * nIn.toDouble * (nIn - 1).toDouble / 2 <= pairBudget.toDouble)
+      rerank(candidatesRaw(bb).distinct(), identity)
+        .orderBy("doc_a", "doc_b")
+    else {
+    // exact per-band pair volume from bucket occupancy: c·(c−1) is
+    // even, so `div 2` per bucket is exact and the count stays an
+    // integral LONG end-to-end — the earlier `/ 2` cast the sum
+    // through Double, whose 53-bit mantissa silently loses pair-count
+    // precision above ~9·10¹⁵ pairs/band (plausible at the 100M-vector
+    // regime this dispatch exists for). max(c) rides along to prove
+    // (or refute) per-sub-chunk spill bounds under bucket skew, and
+    // the distinct-bucket count caps the useful sub-split fanout.
+    val perBand: Array[(Int, Long, Long, Long, Long)] = bb.groupBy("band", "bucket")
       .agg(count(lit(1)).as("c"))
-      .groupBy("band").agg((sum(col("c") * (col("c") - lit(1L))) / 2).as("pairs"),
-        sum(col("c")).as("n"))
+      .groupBy("band").agg(sum(expr("c * (c - 1) div 2")).as("pairs"),
+        sum(col("c")).as("n"), max(col("c")).as("mx"),
+        count(lit(1)).as("nbkt"))
       .orderBy("band")
-      .collect().map(r => (r.getInt(0), r.getDouble(1).toLong, r.getLong(2)))
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val nVec: Long = if (perBand.isEmpty) 0L else perBand.map(_._3).max
     // built-relation budget for ONE side of the rerank: ~800 B/row
     // (64 quantized longs + raw floats + norm + hash-table overhead),
@@ -723,21 +750,50 @@ object Similarity {
         .distinct().orderBy("doc_a", "doc_b")
     else {
       val bbP = bb.localCheckpoint(true) // n·B narrow rows, signed once
-      val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      // Greedy band packing under the budget. A SINGLE band over
+      // budget (hot buckets under skewed data) sub-splits by
+      // bucket-hash range: pairs require equal bucket, so a
+      // bucket-disjoint partition of a band is pair-disjoint and the
+      // exactness decomposition is unchanged — without this, one hot
+      // band became a lone unbounded chunk and silently reinstated
+      // the pre-dispatch disk-fill failure. A single BUCKET over
+      // budget cannot be split without breaking pair locality (that
+      // c²/2 blowup is what bandingFor exists to prevent): warn
+      // loudly that the per-chunk spill bound is exceeded.
+      val preds = scala.collection.mutable.ArrayBuffer.empty[Column]
       var cur = Vector.empty[Int]; var curPairs = 0L
-      perBand.foreach { case (b, p, _) =>
-        if (cur.nonEmpty && curPairs + p > pairBudget) {
-          chunks += cur; cur = Vector.empty; curPairs = 0L
-        }
-        cur :+= b; curPairs += p
+      def flush(): Unit = if (cur.nonEmpty) {
+        preds += col("band").isin(cur: _*); cur = Vector.empty; curPairs = 0L
       }
-      if (cur.nonEmpty) chunks += cur
-      val parts = chunks.toSeq.map { bs =>
-        rerank(candidatesRaw(bbP.filter(col("band").isin(bs: _*))).distinct(),
-          identity)
+      perBand.foreach { case (b, p, _, mx, nbkt) =>
+        if (p > pairBudget) {
+          flush()
+          // fanout capped by the band's DISTINCT-bucket count: a
+          // bucket is atomic under the equal-bucket join key, so more
+          // sub-chunks than buckets only adds empty checkpoint jobs
+          val nSplit = Seq(1024L, math.max(1L, nbkt),
+            p / pairBudget + 1).min.toInt
+          if (mx * (mx - 1) / 2 > pairBudget)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"embeddingNearDup: band $b has a single bucket with $mx " +
+                s"vectors (${mx * (mx - 1) / 2} pairs > budget $pairBudget)" +
+                " — per-chunk spill bound exceeded; re-band via bandingFor")
+          (0 until nSplit).foreach { i =>
+            preds += (col("band") === b &&
+              pmod(hash(col("bucket")), lit(nSplit)) === i)
+          }
+        } else {
+          if (cur.nonEmpty && curPairs + p > pairBudget) flush()
+          cur :+= b; curPairs += p
+        }
+      }
+      flush()
+      val parts = preds.toSeq.map { pr =>
+        rerank(candidatesRaw(bbP.filter(pr)).distinct(), identity)
           .localCheckpoint(true) // eager: one chunk's spill at a time
       }
       parts.reduce(_.unionAll(_)).distinct().orderBy("doc_a", "doc_b")
+    }
     }
   }
 

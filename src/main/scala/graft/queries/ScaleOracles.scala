@@ -226,8 +226,17 @@ object ScaleOracles {
        |  JOIN nn cn ON cn.vec_id = c.vec_id
        |  GROUP BY a.vec_id, c.rnk),
        |md AS MATERIALIZED (
+       |  -- step set generated INDEPENDENTLY of out (k is pinned at 8
+       |  -- in coresetKCenter, clamped by corpus size): deriving steps
+       |  -- from out itself let any truncated/relabeled chain build a
+       |  -- matching expected frame and pass — the expected frame must
+       |  -- always carry contiguous rnk 1..k so a dropped round FAILS
+       |  -- the row-count compare.
        |  SELECT pc.p, s.rnk AS t, MIN(pc.d2) AS d
-       |  FROM pc JOIN (SELECT rnk FROM out WHERE rnk >= 2) s ON pc.r < s.rnk
+       |  FROM pc JOIN (
+       |    SELECT CAST(unnest(generate_series(2,
+       |      LEAST(8, (SELECT COUNT(*) FROM embeddings)))) AS BIGINT) AS rnk
+       |  ) s ON pc.r < s.rnk
        |  GROUP BY pc.p, s.rnk),
        |pick AS (
        |  SELECT t, p, d,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chunk-sequentiality gates (r12 verdict #6): the chunked
+  * betweenness and band-chunked rerank dispatches claim "peak spill ≈
+  * one chunk" — true only while each chunk is EAGERLY materialized at
+  * construction time, so the returned plan unions checkpoint SCANS.
+  * If that discipline drifts (a dropped localCheckpoint(true)), the
+  * union lazily co-materializes every chunk's candidate join / sweep
+  * in ONE job at first action — the disk-fill mode the dispatches
+  * exist to prevent. These tests force the chunked branch on small
+  * data and assert the structural invariant directly on the plan:
+  * below the union there are no joins and no source scans, only
+  * already-materialized RDD scans. (The KtrussCompareProbe pattern:
+  * gate the mechanism, not the wall time.)
+  */
+class ChunkSequentialSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fmt(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("band-chunked rerank: returned plan unions materialized chunk scans only") {
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < 100)
+    val single = pipeline.Similarity.embeddingNearDup(emb, 0.4)
+      .collect().map(_.toSeq).toSet
+    sys.props("graft.emb.pair.budget") = "1000" // force ~4 chunks
+    sys.props("graft.emb.bcast.rows") = "1" // rule out the streamed branch
+    try {
+      val out = pipeline.Similarity.embeddingNearDup(emb, 0.4)
+      val p = fmt(out)
+      assert(p.contains("Union"), s"expected a chunk union:\n$p")
+      assert(!p.contains("Join"),
+        s"chunk internals leak past the union — chunks no longer " +
+          s"materialize at construction:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"union leaves are not checkpoint scans:\n$p")
+      // exactness of the disjoint decomposition: chunked ≡ single-pass
+      assert(out.collect().map(_.toSeq).toSet === single)
+    } finally {
+      sys.props.remove("graft.emb.pair.budget")
+      sys.props.remove("graft.emb.bcast.rows")
+    }
+  }
+
+  test("source-chunked betweenness: returned plan unions materialized sweep scans only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (2L, 4L), (5L, 1L), (3L, 5L)).toDF("src", "dst")
+    val sources = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val single = graph.Ranking.betweennessSampled(edges, sources)
+      .collect().map(_.toSeq).toSet
+    sys.props("graft.bw.cell.budget") = "1" // one source per chunk
+    try {
+      val out = graph.Ranking.betweennessSampled(edges, sources)
+      val p = fmt(out)
+      assert(p.contains("Union"), s"expected a sweep union:\n$p")
+      assert(!p.contains("Join"),
+        s"sweep internals leak past the union — sweeps no longer " +
+          s"materialize at construction:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"union leaves are not checkpoint scans:\n$p")
+      assert(out.collect().map(_.toSeq).toSet === single)
+    } finally sys.props.remove("graft.bw.cell.budget")
+  }
+}

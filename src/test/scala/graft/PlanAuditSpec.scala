@@ -78,6 +78,36 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.emb.pair.budget")
   }
 
+  test("ngram prefix ranking never plans a corpus-wide window sort") {
+    // the r13 cut of the sf10 top board line (459 s): the rarity
+    // prefix must come from per-doc array_sort inside a hash
+    // aggregate — a row_number() window re-introduces a corpus-sized
+    // range sort of the (doc, shingle, df) frame
+    val docs = Tables.documentsShared(spark, dir)
+    val p = pipeline.Dedup.ngramJaccardPrefixForced(docs)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Window"),
+      s"prefix ranking regressed to a window sort:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"expected the per-doc aggregate form:\n$p")
+  }
+
+  test("cooccurrence projection is join-free: pairs expand inline from per-item arrays") {
+    // the r13 cosupply cut: the item-keyed self-join (entity frame
+    // shuffled twice + two SMJ sorts) must not come back — pair rows
+    // are born from nested transform over each item's sorted entity
+    // array, inside the stage whose (a,b) partial aggregate folds them
+    import spark.implicits._
+    val pairs = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (2L, 20L))
+      .toDF("entity", "item")
+    val p = graph.Ranking.cooccurrence(pairs)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"),
+      s"cooccurrence regressed to a self-join:\n$p")
+    assert(p.contains("Generate"), // the explode of the inline pair arrays
+      s"expected inline pair expansion (explode):\n$p")
+  }
+
   test("q1_pricing prunes unused lineitem columns from the scan") {
     val p = planOf("q1_pricing")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))

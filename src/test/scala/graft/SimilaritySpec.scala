@@ -99,6 +99,11 @@ class SimilaritySpec extends AnyFunSuite {
     try {
       val streamed = rows(Similarity.embeddingNearDup(emb, threshold = 0.4))
       assert(streamed == single)
+      // ~3.6k pairs/band at sf0.001: a 2000-pair budget still forces
+      // the chunked branch AND the hot-band bucket-hash sub-split
+      // (each band → 2 sub-chunks) without degenerating into one
+      // checkpoint job per bucket the way budget=1 would
+      sys.props("graft.emb.pair.budget") = "2000"
       sys.props("graft.emb.bcast.rows") = "0"
       val chunked = rows(Similarity.embeddingNearDup(emb, threshold = 0.4))
       assert(chunked == single)
