@@ -1335,17 +1335,24 @@ object Ranking {
     if (worst <= pairBudget.toDouble)
       pairCounts(pe0).filter(col("n_shared") >= minShared)
     else {
-      val pe = pe0.localCheckpoint(true) // scanned once per chunk
-      val measured = pe.groupBy("item").agg(count(lit(1)).as("c"))
+      // The corpus-sized distinct frame is NEVER materialized: a
+      // localCheckpoint here deserialized-caches 60M rows into the
+      // heap, and that one block build OOM'd the 64 GB sf10 board
+      // JVM (GCLocker retry starvation while copying a partition's
+      // values array). Each pass recomputes the distinct — one extra
+      // shuffle per pass, ZERO corpus-sized heap state; only the
+      // pair-AGGREGATED chunk outputs (≤ budget rows by construction)
+      // are eagerly materialized in the chunked branch.
+      val measured = pe0.groupBy("item").agg(count(lit(1)).as("c"))
         .filter(col("c") <= maxItemDeg)
         .agg(sum(expr("c * (c - 1) div 2")).as("p")).head()
       val totalPairs = if (measured.isNullAt(0)) 0L else measured.getLong(0)
       if (totalPairs <= pairBudget)
-        pairCounts(pe).filter(col("n_shared") >= minShared)
+        pairCounts(pe0).filter(col("n_shared") >= minShared)
       else {
         val nChunks = math.min(1024L, totalPairs / pairBudget + 1).toInt
         val parts = (0 until nChunks).map { i =>
-          pairCounts(pe.filter(pmod(hash(col("item")), lit(nChunks)) === i))
+          pairCounts(pe0.filter(pmod(hash(col("item")), lit(nChunks)) === i))
             .localCheckpoint(true) // eager: one chunk's spill at a time
         }
         parts.reduce(_.unionAll(_))
