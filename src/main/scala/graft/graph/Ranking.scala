@@ -1296,29 +1296,41 @@ object Ranking {
     * signal and all of the blowup; the cap bounds per-item fanout at
     * C(cap,2) and makes total work linear in items).
     *
-    * Pair generation is NOT a self-join: each kept item's entity set
-    * (≤ cap elements) collapses to one sorted array and the a<b pairs
-    * expand inline through codegen'd nested `transform`s — vs the
-    * item-keyed self-join this halves the shuffle (the entity frame
-    * moves once, not twice) and removes both sort-merge sorts; pair
-    * rows are born inside the stage whose partial (a,b) aggregate
-    * immediately folds them (313 s → the r13 cut on the sf10 board).
+    * Pair generation is NOT a self-join, and there is no separate
+    * distinct() pass either: one aggregation collects each item's
+    * entity set through [[graft.functions.BoundedDistinctLongs]] — a
+    * cap+1-BOUNDED distinct-set partial aggregate, so every map task
+    * ships ≤ cap+1 longs per item (duplicates collapse map-side, a
+    * hot item's members never materialize beyond the cap anywhere,
+    * and a returned set of exactly cap+1 proves ideg > cap → drop,
+    * losslessly). The a<b pairs then expand inline from the sorted
+    * array through codegen'd nested `transform`s into the stage whose
+    * partial (a,b) aggregate immediately folds them. Net plan: TWO
+    * shuffles total (item-keyed bounded sets, then (a,b) counts) vs
+    * the self-join's four (distinct + two join sides + pair counts)
+    * — and zero corpus-sized state on any executor.
     *
     * SCALE DISPATCH (the embeddingNearDup discipline): a cheap
-    * worst-case bound — (cap−1)/2 pairs per input row — gates a
-    * measured occupancy pass; past `graft.cooc.pair.budget` (default
-    * 2·10⁸) the items split into hash chunks processed sequentially
-    * (eager per-chunk materialization bounds peak spill at one
-    * chunk), and per-chunk partial counts SUM exactly: chunks are
-    * item-disjoint, so n_shared(a,b) = Σ_chunks shared items there.
+    * worst-case bound — (cap−1)/2 pairs per input row from one
+    * count() — gates a measured pass; past `graft.cooc.pair.budget`
+    * (default 10⁹ pairs ≈ 25 GB of (a,b) shuffle, the betweenness
+    * cell-budget spill class) the items split into hash chunks
+    * processed sequentially (eager per-chunk materialization bounds
+    * peak spill at one chunk; only the pair-AGGREGATED outputs, ≤
+    * budget rows, are ever cached), and per-chunk partial counts SUM
+    * exactly: chunks are item-disjoint, so n_shared(a,b) = Σ_chunks
+    * shared items there. The measured statistic uses RAW per-item row
+    * counts (no distinct pass), an upper bound on true pair volume —
+    * duplicate-heavy inputs may over-chunk, never under-chunk.
     */
   def cooccurrence(pairs: DataFrame, maxItemDeg: Int = 30,
       minShared: Long = 1L): DataFrame = {
-    val pe0 = pairs.toDF("entity", "item")
+    val pi = pairs.toDF("entity", "item")
       .select(col("entity").cast("long"), col("item").cast("long"))
-      .distinct()
     def pairCounts(pe: DataFrame): DataFrame = pe
-      .groupBy("item").agg(sort_array(collect_list(col("entity"))).as("es"))
+      .groupBy("item")
+      .agg(graft.functions.BoundedSetAgg
+        .boundedDistinct(col("entity"), maxItemDeg + 1).as("es"))
       .filter(size(col("es")).between(2, maxItemDeg))
       .select(explode(expr(
         "flatten(transform(es, (x, i) -> " +
@@ -1328,31 +1340,21 @@ object Ranking {
       .agg(count(lit(1)).as("n_shared"))
     val pairBudget: Long = sys.props.get("graft.cooc.pair.budget")
       .orElse(sys.env.get("GRAFT_COOC_PAIR_BUDGET"))
-      .map(_.toLong).getOrElse(200000000L)
-    // worst case from ONE count(): every input row on a cap-degree
-    // item emits (cap−1)/2 pairs; under budget no stats pass runs
+      .map(_.toLong).getOrElse(1000000000L)
     val worst = pairs.count().toDouble * (maxItemDeg - 1).toDouble / 2
     if (worst <= pairBudget.toDouble)
-      pairCounts(pe0).filter(col("n_shared") >= minShared)
+      pairCounts(pi).filter(col("n_shared") >= minShared)
     else {
-      // The corpus-sized distinct frame is NEVER materialized: a
-      // localCheckpoint here deserialized-caches 60M rows into the
-      // heap, and that one block build OOM'd the 64 GB sf10 board
-      // JVM (GCLocker retry starvation while copying a partition's
-      // values array). Each pass recomputes the distinct — one extra
-      // shuffle per pass, ZERO corpus-sized heap state; only the
-      // pair-AGGREGATED chunk outputs (≤ budget rows by construction)
-      // are eagerly materialized in the chunked branch.
-      val measured = pe0.groupBy("item").agg(count(lit(1)).as("c"))
+      val measured = pi.groupBy("item").agg(count(lit(1)).as("c"))
         .filter(col("c") <= maxItemDeg)
         .agg(sum(expr("c * (c - 1) div 2")).as("p")).head()
       val totalPairs = if (measured.isNullAt(0)) 0L else measured.getLong(0)
       if (totalPairs <= pairBudget)
-        pairCounts(pe0).filter(col("n_shared") >= minShared)
+        pairCounts(pi).filter(col("n_shared") >= minShared)
       else {
         val nChunks = math.min(1024L, totalPairs / pairBudget + 1).toInt
         val parts = (0 until nChunks).map { i =>
-          pairCounts(pe0.filter(pmod(hash(col("item")), lit(nChunks)) === i))
+          pairCounts(pi.filter(pmod(hash(col("item")), lit(nChunks)) === i))
             .localCheckpoint(true) // eager: one chunk's spill at a time
         }
         parts.reduce(_.unionAll(_))

@@ -330,6 +330,34 @@ class RankingSpec extends AnyFunSuite {
     assert(trimmed == Map((1L, 2L) -> 3L))
   }
 
+  test("boundedDistinct: dedups, sorts ascending, truncates to the smallest limit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.BoundedSetAgg.boundedDistinct
+    // duplicates collapse; output sorted ascending
+    val df = Seq((1L, 5L), (1L, 3L), (1L, 5L), (1L, 9L), (1L, 1L),
+      (2L, 7L)).toDF("g", "v")
+    val full = df.groupBy("g").agg(boundedDistinct(col("v"), 10).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(full(1L) == Seq(1L, 3L, 5L, 9L) && full(2L) == Seq(7L))
+    // limit keeps the SMALLEST values (the merge-safe semilattice);
+    // a group returning exactly `limit` values signals overflow
+    val capped = df.groupBy("g").agg(boundedDistinct(col("v"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(capped(1L) == Seq(1L, 3L, 5L))
+    // distributed parity: many partitions, same result as one
+    val wide = spark.range(0, 1000)
+      .select((col("id") % 7).as("g"), (col("id") % 50).as("v"))
+      .repartition(13)
+    val a = wide.groupBy("g").agg(boundedDistinct(col("v"), 12).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = wide.coalesce(1).groupBy("g")
+      .agg(boundedDistinct(col("v"), 12).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+    a.values.foreach(s => assert(s.size == 12 && s == s.sorted))
+  }
+
   test("temporal paths: offset must increase, nodes distinct") {
     import spark.implicits._
     // 1→2 at offset 1; 2→3 at offset 2 (valid continuation);
