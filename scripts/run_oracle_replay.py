@@ -43,6 +43,10 @@ def run_check(sf_dir, out_dir, names, mem, threads, log_lines, tag):
     env["GRAFT_SCALE_ORACLES"] = "1"
     if threads:
         env["GRAFT_DUCKDB_THREADS"] = str(threads)
+    else:
+        # the solo heavy pass owns the machine: an inherited shard
+        # thread cap must not leak into it
+        env.pop("GRAFT_DUCKDB_THREADS", None)
     p = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
          sf_dir, out_dir],
@@ -56,6 +60,15 @@ def main(sf_dir, out_dir, log_path, n_shards=3):
     names = sorted(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
+    # COMPLETENESS (r13 advice): the query list comes from listing
+    # out_dir, and check.py's GRAFT_VERIFY_ONLY mode skips its
+    # oracle-present-but-no-result pass — an oracle whose output dir
+    # was never written would silently vanish from every shard and the
+    # replay would exit 0. Fail them here instead.
+    import json
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        expected = sorted(json.load(f).keys())
+    missing = [n for n in expected if n not in set(names)]
     heavy_set = [h for h in
                  os.environ.get("GRAFT_HEAVY", ",".join(DEFAULT_HEAVY)).split(",")
                  if h]
@@ -81,14 +94,18 @@ def main(sf_dir, out_dir, log_path, n_shards=3):
         rcs.append(run_check(sf_dir, out_dir, [h], heavy_mem, None,
                              log_lines, f"heavy:{h}"))
     with open(log_path, "w") as f:
+        for n in missing:
+            f.write(f"FAIL {n}: oracle present but no result written\n")
+    with open(log_path, "a") as f:
         for tag, out in log_lines:
             f.write(f"---- {tag} ----\n{out}\n")
     n_pass = sum(ln.startswith("PASS") for _, o in log_lines
                  for ln in o.splitlines())
-    n_fail = sum(ln.startswith("FAIL") for _, o in log_lines
-                 for ln in o.splitlines())
+    n_fail = len(missing) + sum(ln.startswith("FAIL") for _, o in log_lines
+                                for ln in o.splitlines())
     print(f"replay: {n_pass} pass, {n_fail} fail "
-          f"({len(shards)} shards + {len(heavy)} serialized heavies); "
+          f"({len(missing)} missing results; "
+          f"{len(shards)} shards + {len(heavy)} serialized heavies); "
           f"log: {log_path}")
     return 1 if (n_fail or any(rcs)) else 0
 

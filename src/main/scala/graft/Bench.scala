@@ -56,11 +56,22 @@ object Bench {
     val procs =
       try {
         import scala.jdk.CollectionConverters._
-        val self = ProcessHandle.current().pid()
+        // exclude the bench's own process TREE — ancestors (the sbt /
+        // launcher java parent) and descendants (forked generation
+        // children) — so a genuinely clean board reports NO neighbors
+        // instead of the java:1+ its own launcher used to count
+        val family = scala.collection.mutable.Set.empty[Long]
+        var up: java.util.Optional[ProcessHandle] =
+          java.util.Optional.of(ProcessHandle.current())
+        while (up.isPresent) {
+          family += up.get.pid(); up = up.get.parent()
+        }
+        ProcessHandle.current().descendants().iterator().asScala
+          .foreach(d => family += d.pid())
         ProcessHandle.allProcesses().iterator().asScala.flatMap { p =>
           val cmd = p.info().command().orElse("")
           val base = cmd.substring(cmd.lastIndexOf('/') + 1)
-          if (p.pid() != self &&
+          if (!family.contains(p.pid()) &&
             Seq("java", "python", "python3", "duckdb").contains(base))
             Some(base)
           else None

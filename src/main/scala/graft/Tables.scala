@@ -35,6 +35,15 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def documentsShared(s: SparkSession, d: String): DataFrame =
     docsMemo.getOrElseUpdate((s, d), table(s, d, "documents"))
+
+  /** IDENTITY-STABLE embeddings frame — the [[documentsShared]]
+    * discipline for the vector family, so Similarity's identity-keyed
+    * shared-rerank memo (bruteTopKMemo) hits across the D6/D64/D69
+    * trio instead of re-scanning the corpus per query. */
+  private val embMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def embeddingsShared(s: SparkSession, d: String): DataFrame =
+    embMemo.getOrElseUpdate((s, d), table(s, d, "embeddings"))
 }
 
 /** Session factory for tests / standalone use. */

@@ -292,6 +292,23 @@ object TextOps {
         .localCheckpoint(true)
     }
 
+  /** The Vernica verification frame (doc_id, arr = sorted shingle
+    * array, n_sh), checkpointed once per docs frame — the per-doc
+    * sorted-set state the exact-verify family (D4 sizes, D4b prefix
+    * verify, D44 containment) each rebuilt with their own
+    * collect_list + sort_array agg; one hash shuffle per board now
+    * serves all of them. Array state is bounded by document length
+    * (the D4b doc contract), same residency class as
+    * [[shinglesShared]] itself. */
+  private val shingleArrMemo = new FrameMemo
+  def shingleArraysShared(docs: DataFrame): DataFrame =
+    memoShared(shingleArrMemo, docs) {
+      shinglesShared(docs).groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("arr"),
+          count(lit(1)).as("n_sh"))
+        .localCheckpoint(true)
+    }
+
   /** [[shingles]] with the shingle's token position kept:
     * (doc_id, seq, sh) where seq = 1-based position of the shingle's
     * FIRST token. Positional consumers (winnowing) need the offset;

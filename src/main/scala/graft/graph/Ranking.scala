@@ -1320,8 +1320,14 @@ object Ranking {
     * budget rows, are ever cached), and per-chunk partial counts SUM
     * exactly: chunks are item-disjoint, so n_shared(a,b) = Σ_chunks
     * shared items there. The measured statistic uses RAW per-item row
-    * counts (no distinct pass), an upper bound on true pair volume —
-    * duplicate-heavy inputs may over-chunk, never under-chunk.
+    * counts CLAMPED at the cap (no distinct pass): an item's true
+    * pair yield is C(distinct, 2) with distinct ≤ min(raw, cap) when
+    * kept and 0 when cap-dropped — both ≤ C(least(raw, cap), 2), so
+    * the clamped sum is an upper bound on true pair volume at any
+    * duplicate density. Duplicate-heavy inputs may over-chunk, never
+    * under-chunk. (A raw-count FILTER here would under-estimate: an
+    * item with raw > cap but distinct ≤ cap emits real pairs yet
+    * would contribute 0 — the r13 advice finding.)
     */
   def cooccurrence(pairs: DataFrame, maxItemDeg: Int = 30,
       minShared: Long = 1L): DataFrame = {
@@ -1346,8 +1352,9 @@ object Ranking {
       pairCounts(pi).filter(col("n_shared") >= minShared)
     else {
       val measured = pi.groupBy("item").agg(count(lit(1)).as("c"))
-        .filter(col("c") <= maxItemDeg)
-        .agg(sum(expr("c * (c - 1) div 2")).as("p")).head()
+        .agg(sum(expr(
+          s"least(c, ${maxItemDeg}L) * (least(c, ${maxItemDeg}L) - 1) div 2"))
+          .as("p")).head()
       val totalPairs = if (measured.isNullAt(0)) 0L else measured.getLong(0)
       if (totalPairs <= pairBudget)
         pairCounts(pi).filter(col("n_shared") >= minShared)

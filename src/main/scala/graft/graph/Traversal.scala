@@ -258,6 +258,24 @@ object Traversal {
     * edge reuse is e1=e3 or e2=e4, and either forces the walk
     * `a→b→a→b→a` — exactly one per 2-cycle partner b of the start a.
     * Hence trails(4) = walks(4) − |{b ≠ a : (a,b) ∈ E ∧ (b,a) ∈ E}|.
+    *
+    * START-CHUNK DISPATCH (the betweenness source-chunk discipline):
+    * the DP state is (start, node)-keyed — up to |starts|·|V| rows
+    * per round, and the round join's pre-aggregation volume is up to
+    * |starts|·|E| rows. At organic sf10 the single pass spilled the
+    * bench host's disk (~75 GB: 4 unreleased checkpoint rounds plus
+    * their shuffle files). Past the budget (default 10⁹ join cells ≈
+    * 25 GB transient spill; GRAFT_REC_CELL_BUDGET /
+    * -Dgraft.rec.cell.budget) the start set splits into hash-residue
+    * chunks processed SEQUENTIALLY (each sweep's rounds and outputs
+    * are eagerly materialized, so peak disk is one chunk). Chunks are
+    * start-disjoint and the DP is per-start independent, so the
+    * chunked union is bit-identical to the single pass. The cheap
+    * sufficient bound (|starts|·|V|·maxDepth from two counts) keeps
+    * the gate SFs single-pass with no measured join; the measured
+    * statistic (round-1 volume w1 = Σ_s outdeg(s), round-2 bound
+    * w2 = Σ_{s→v} outdeg(v), geometric extrapolation clamped at
+    * |starts|·|E| per round) engages only past it.
     */
   private def recursionDp(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
     val e = edgeCols(edges).filter(col("_src") =!= col("_dst"))
@@ -268,13 +286,75 @@ object Traversal {
         col("f._src") === col("r_dst") && col("f._dst") === col("r_src"))
       .groupBy(col("f._src").as("start"))
       .agg(count(lit(1)).as("n_two_cycles"))
+    val cellBudget: Long = sys.props.get("graft.rec.cell.budget")
+      .orElse(sys.env.get("GRAFT_REC_CELL_BUDGET"))
+      .map(_.toLong).getOrElse(1000000000L)
+    val nStarts = startSet.count()
+    if (nStarts == 0)
+      return directSelfLoops(edges)
+    val nNodes = e.select(col("_src").as("n"))
+      .unionByName(e.select(col("_dst").as("n"))).distinct().count()
+    val sufficient = nStarts.toDouble * nNodes * maxDepth
+    val nChunks =
+      if (sufficient <= cellBudget.toDouble) 1
+      else {
+        val nEdges = e.count()
+        val m = startSet.join(e, col("start") === col("_src"))
+          .join(e.groupBy(col("_src").as("_v")).agg(count(lit(1)).as("odeg")),
+            col("_dst") === col("_v"), "left")
+          .agg(count(lit(1)).as("w1"),
+            sum(coalesce(col("odeg"), lit(0L))).as("w2")).head()
+        val w1 = m.getLong(0).toDouble
+        val w2 = if (m.isNullAt(1)) 0.0 else m.getLong(1).toDouble
+        val r = w2 / math.max(w1, 1.0)
+        val perRoundCap = nStarts.toDouble * nEdges
+        val est = w1 + (2 to maxDepth)
+          .map(d => math.min(w2 * math.pow(r, (d - 2).toDouble), perRoundCap))
+          .sum
+        math.min(64L, math.max(1L, math.ceil(est / cellBudget).toLong)).toInt
+      }
+    if (nChunks == 1) {
+      val indirect = recursionDpSweep(e, startSet, maxDepth, c2,
+        release = false)
+      directSelfLoops(edges).unionByName(indirect)
+    } else {
+      // amortize the per-round probe exchange across chunks: the edge
+      // frame is hash-partitioned on the probe key ONCE; each chunk
+      // round then exchanges only its (narrow) DP frame
+      val eP = e.repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("_src")).localCheckpoint(true)
+      val c2P = c2.localCheckpoint(true)
+      val parts = (0 until nChunks).map { i =>
+        recursionDpSweep(eP,
+          startSet.filter(pmod(hash(col("start")), lit(nChunks)) === i),
+          maxDepth, c2P, release = true)
+      }
+      Ranking.releaseRound(eP)
+      Ranking.releaseRound(c2P)
+      directSelfLoops(edges).unionByName(parts.reduce(_ unionByName _))
+    }
+  }
+
+  /** One walk-DP sweep over an explicit start subset — the body of
+    * [[recursionDp]]; see its scaladoc for the algorithm and the
+    * exactness argument. With `release = true` (the chunked path)
+    * every per-depth output is eagerly materialized and each DP
+    * round's checkpoint blocks are unpersisted as soon as the next
+    * round lands, so a sweep's peak disk is TWO rounds of state, and
+    * the returned frame is a union of checkpoint scans (the
+    * ChunkSequentialSpec contract). */
+  private def recursionDpSweep(e: DataFrame, startSet: DataFrame,
+      maxDepth: Int, c2: DataFrame, release: Boolean): DataFrame = {
     var dp = startSet
       .select(col("start"), col("start").as("cur"), lit(1L).as("walks"))
     val cycles = (1 to maxDepth).map { d =>
-      dp = dp.join(e, dp("cur") === e("_src"))
+      val prev = dp
+      dp = dp.hint("shuffle_hash").join(e, dp("cur") === e("_src"))
         .groupBy(col("start"), col("_dst").as("cur"))
         .agg(sum(col("walks")).as("walks"))
         .localCheckpoint(true)
+      if (release && d > 1) Ranking.releaseRound(prev)
       val returning = dp.filter(col("cur") === col("start") && lit(d) >= 2)
         .select(col("start"), col("walks"))
       val corrected =
@@ -284,13 +364,14 @@ object Traversal {
               (col("walks") - coalesce(col("n_two_cycles"), lit(0L))).as("walks"))
             .filter(col("walks") > 0)
         else returning
-      corrected.select(col("start").as("node"), lit(d).as("depth"),
+      val out = corrected.select(col("start").as("node"), lit(d).as("depth"),
         col("walks").as("n_cycles"))
+      if (release) out.localCheckpoint(true) else out
     }
-    val indirect = cycles.reduce(_ unionByName _)
+    if (release) Ranking.releaseRound(dp)
+    cycles.reduce(_ unionByName _)
       .withColumn("call_type", lit("Indirect"))
       .select("node", "call_type", "depth", "n_cycles")
-    directSelfLoops(edges).unionByName(indirect)
   }
 
   /** Trail-cycle counts by explicit enumeration with a carried
@@ -398,6 +479,22 @@ object Traversal {
     * discipline: twins must not drift).
     */
   def reachLevels(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
+    val rounds = reachRounds(edges, starts, maxDepth)
+    if (rounds.isEmpty)
+      starts.select(col("node").cast("long").as("start"),
+        col("node").cast("long").as("node"),
+        lit(0L).as("depth")).limit(0)
+    else rounds.reduce(_ unionByName _)
+  }
+
+  /** The [[reachLevels]] loop with each level's (start, node, depth)
+    * frontier returned as its own CHECKPOINTED frame — the shared
+    * body that lets [[reachCounts]] release every round after its
+    * narrow aggregate lands. Frontiers are pairwise disjoint (the
+    * per-start visited anti-join), so callers may count them
+    * independently and sum. */
+  private def reachRounds(edges: DataFrame, starts: DataFrame,
+      maxDepth: Int): Seq[DataFrame] = {
     // hash-partition the edge set on the join key ONCE — localCheckpoint
     // preserves outputPartitioning through LogicalRDD, so every later
     // level's frontier⋈edges join exchanges only the (small) frontier,
@@ -437,8 +534,87 @@ object Traversal {
     // That is the semantics recursion-group analysis wants — a node's
     // own cycles are the Direct-recursion bucket (recursion()), not a
     // mutual pair.
-    if (reached.isEmpty) frontier.limit(0).withColumn("depth", lit(0L))
-    else reached.reduce(_ unionByName _)
+    reached.toSeq
+  }
+
+  /** Per-start reach-set sizes (start, n_reach) with BOUNDED residue:
+    * the [[reachLevels]] loop aggregated to its per-start counts
+    * eagerly, then every frontier round's checkpoint blocks released
+    * before returning — the chunk body of [[reachCountsChunked]].
+    * Frontier rounds are pairwise disjoint, so per-round counts SUM
+    * exactly to |ball(start)|; starts with an empty ball emit no row
+    * (the reachWithin→groupBy semantics verbatim). */
+  def reachCounts(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
+    val rounds = reachRounds(edges, starts, maxDepth)
+    if (rounds.isEmpty)
+      return starts.select(col("node").cast("long").as("start"),
+        lit(0L).as("n_reach")).limit(0)
+    val counts = rounds
+      .map(_.groupBy("start").agg(count(lit(1)).as("n_reach")))
+      .reduce(_ unionByName _)
+      .groupBy("start").agg(sum(col("n_reach")).as("n_reach"))
+      .localCheckpoint(true)
+    rounds.foreach(Ranking.releaseRound)
+    counts
+  }
+
+  /** Exact per-start reach counts with the START-CHUNK DISPATCH (the
+    * betweenness source-chunk discipline, r13 verdict #1): the exact
+    * ball enumeration materializes Θ(Σ|ball|) (start, node) pairs —
+    * at organic sf10 the single-pass frontier checkpoints spilled the
+    * bench host's disk (~75 GB). Past the budget (default 10⁹ pair
+    * cells; GRAFT_ANF_CELL_BUDGET / -Dgraft.anf.cell.budget) the
+    * start set splits into hash-residue chunks processed SEQUENTIALLY
+    * through [[reachCounts]] (eager narrow aggregate per chunk, every
+    * frontier round released), so peak disk is one chunk's ball set.
+    * Chunks are start-disjoint and counts are per-start independent,
+    * so the chunked union is bit-identical to the single pass.
+    *
+    * The cheap sufficient bound (|starts|·|V| · maxDepth from two
+    * counts) keeps the gate SFs single-pass with no measured join.
+    * Past it, the statistic is EXACT for the first two rounds —
+    * f1 = Σ_s outdeg(s) bounds round 1's pairs and
+    * f2 = Σ_{s→v} outdeg(v) bounds round 2's pre-distinct join
+    * volume (the dominant spill) — with geometric extrapolation for
+    * deeper rounds, clamped at |starts|·|V| each.
+    */
+  def reachCountsChunked(edges: DataFrame, starts: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val e = edgeCols(edges).select("_src", "_dst")
+    val startSet = starts.select(col("node").cast("long").as("start")).distinct()
+    val cellBudget: Long = sys.props.get("graft.anf.cell.budget")
+      .orElse(sys.env.get("GRAFT_ANF_CELL_BUDGET"))
+      .map(_.toLong).getOrElse(1000000000L)
+    val nStarts = startSet.count()
+    val nNodes = e.select(col("_src").as("n"))
+      .unionByName(e.select(col("_dst").as("n"))).distinct().count()
+    val perRoundCap = nStarts.toDouble * nNodes
+    val nChunks =
+      if (perRoundCap * maxDepth <= cellBudget.toDouble) 1
+      else {
+        val m = startSet.join(e, col("start") === col("_src"))
+          .join(e.groupBy(col("_src").as("_v")).agg(count(lit(1)).as("odeg")),
+            col("_dst") === col("_v"), "left")
+          .agg(count(lit(1)).as("f1"),
+            sum(coalesce(col("odeg"), lit(0L))).as("f2")).head()
+        val f1 = m.getLong(0).toDouble
+        val f2 = if (m.isNullAt(1)) 0.0 else m.getLong(1).toDouble
+        val r = f2 / math.max(f1, 1.0)
+        val est = f1 + (2 to maxDepth)
+          .map(d => math.min(f2 * math.pow(r, (d - 2).toDouble), perRoundCap))
+          .sum
+        math.min(4096L, math.max(1L, math.ceil(est / cellBudget).toLong)).toInt
+      }
+    if (nChunks == 1)
+      reachWithin(edges, startSet.select(col("start").as("node")), maxDepth)
+        .groupBy("start").agg(count(lit(1)).as("n_reach"))
+    else
+      (0 until nChunks).map { i =>
+        reachCounts(edges,
+          startSet.filter(pmod(hash(col("start")), lit(nChunks)) === i)
+            .select(col("start").as("node")),
+          maxDepth)
+      }.reduce(_ unionByName _)
   }
 
   /** Time-respecting 2-hop paths: a→b→c counts only when the second

@@ -349,10 +349,10 @@ object Dedup {
     // a codegen'd array_intersect — O(|a|+|b|) per candidate with no
     // groupBy behind it (the per-shingle explode-join variant re-walks
     // both docs through two skewed shuffles per pair and is ~10×
-    // slower once candidates outnumber true pairs).
-    val arrs = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("arr"),
-        count(lit(1)).as("n_sh"))
+    // slower once candidates outnumber true pairs). The frame is the
+    // board-shared Vernica memo — D4's sizes and D44's verify ride
+    // the same checkpoint.
+    val arrs = TextOps.shingleArraysShared(docs)
     cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
         col("n_sh").as("na")), "doc_a")
@@ -391,9 +391,7 @@ object Dedup {
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val arrs = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("arr"),
-        count(lit(1)).as("n_sh"))
+    val arrs = TextOps.shingleArraysShared(docs)
     cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
         col("n_sh").as("na")), "doc_a")
@@ -547,7 +545,9 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
     // read 3× (sizes + both intersection sides) — materialize once.
     val sh = TextOps.shinglesShared(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // sizes ride the board-shared Vernica frame: one per-doc agg
+    // serves D4, D4b's verify and D44 instead of three
+    val sizes = TextOps.shingleArraysShared(docs).select("doc_id", "n_sh")
     val inter = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -486,18 +486,19 @@ object GraphQueries {
     // scale path whose cost never leaves n·m rows)
     val starts = e.select(col("src").as("node"))
       .filter(col("node") % 10 === 3).distinct()
-    Traversal.reachWithin(e, starts, depth)
-      .groupBy(col("start").as("node"))
-      .agg(count(lit(1)).as("n_reach"))
+    // start-chunked past the measured cell budget (r13's sf10 disk
+    // casualty — Traversal.reachCountsChunked) with bit-exact unions;
+    // the gate SFs stay on the single-pass plan
+    Traversal.reachCountsChunked(e, starts, depth)
+      .select(col("start").as("node"), col("n_reach"))
       .orderBy("node")
   }
 
   /** [[graphAnf]] without the start slice — exact ANF for every node. */
   def graphAnfAll(s: SparkSession, d: String, depth: Int = 2): DataFrame = {
     val e = callEdges(s, d)
-    Traversal.reachWithin(e, e.select(col("src").as("node")).distinct(), depth)
-      .groupBy(col("start").as("node"))
-      .agg(count(lit(1)).as("n_reach"))
+    Traversal.reachCountsChunked(e, e.select(col("src").as("node")).distinct(), depth)
+      .select(col("start").as("node"), col("n_reach"))
       .orderBy("node")
   }
 

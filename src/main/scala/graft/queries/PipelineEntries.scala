@@ -82,7 +82,7 @@ object PipelineEntries {
         Similarity.withJitteredTwins(Tables.embeddings(s, d)),
         threshold = AutoTau, bands = AutoBanding._1, planesPerBand = AutoBanding._2)),
     "sim_topk" -> ((s, d) =>
-      Similarity.topKCosine(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
+      Similarity.topKCosine(Tables.embeddingsShared(s, d), col("vec_id") % 100 === 0)),
     "sim_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
@@ -169,10 +169,10 @@ object PipelineEntries {
     "source_similarity" -> ((s, d) => Dedup.sourceSimilarity(Tables.documentsShared(s, d))),
     "dedup_inflation" -> ((s, d) => Dedup.dedupInflation(Tables.documentsShared(s, d))),
     "embed_knn_purity" -> ((s, d) =>
-      Similarity.knnPurity(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
+      Similarity.knnPurity(Tables.embeddingsShared(s, d), col("vec_id") % 100 === 0)),
     "embed_drift" -> ((s, d) => Similarity.labelDrift(Tables.embeddings(s, d))),
     "sim_recall_audit" -> ((s, d) =>
-      Similarity.annRecallAudit(Tables.embeddings(s, d), col("vec_id") % 100 === 0)),
+      Similarity.annRecallAudit(Tables.embeddingsShared(s, d), col("vec_id") % 100 === 0)),
     "events_funnel" -> ((s, d) =>
       TemporalOps.conversionFunnel(graft.streaming.EventStreams.events(s, d))),
     "embed_project" -> ((s, d) =>

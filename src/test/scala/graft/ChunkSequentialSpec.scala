@@ -68,4 +68,55 @@ class ChunkSequentialSpec extends AnyFunSuite {
       assert(out.collect().map(_.toSeq).toSet === single)
     } finally sys.props.remove("graft.bw.cell.budget")
   }
+
+  test("start-chunked recursion DP: returned plan unions materialized sweep scans only") {
+    import spark.implicits._
+    // self-loop, a 2-cycle, two overlapping 3-cycles, a 4-cycle —
+    // exercises every depth bucket plus the d=4 trail correction
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (3L, 4L), (4L, 1L), (5L, 5L), (4L, 2L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("src", "dst", "offset")
+    val starts = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val single = graph.Traversal.recursion(edges, starts, maxDepth = 4)
+      .collect().map(_.toSeq).toSet
+    sys.props("graft.rec.cell.budget") = "1" // force the chunked branch
+    try {
+      val out = graph.Traversal.recursion(edges, starts, maxDepth = 4)
+      val p = fmt(out)
+      assert(p.contains("Union"), s"expected a sweep union:\n$p")
+      assert(!p.contains("Join"),
+        s"sweep internals leak past the union — per-depth outputs no " +
+          s"longer materialize at construction:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"union leaves are not checkpoint scans:\n$p")
+      assert(out.collect().map(_.toSeq).toSet === single)
+    } finally sys.props.remove("graft.rec.cell.budget")
+  }
+
+  test("start-chunked reach counts: returned plan unions materialized chunk scans only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (2L, 4L), (5L, 1L), (3L, 5L), (6L, 1L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("src", "dst", "offset")
+    val starts = Seq(1L, 2L, 3L, 6L).toDF("node")
+    val single = graph.Traversal.reachCountsChunked(edges, starts, 2)
+      .collect().map(_.toSeq).toSet
+    // cross-check the single-pass dispatch against the raw pair set
+    val raw = graph.Traversal.reachWithin(edges, starts, 2)
+      .groupBy("start").agg(count(lit(1)).as("n_reach"))
+      .collect().map(_.toSeq).toSet
+    assert(single === raw)
+    sys.props("graft.anf.cell.budget") = "1" // force the chunked branch
+    try {
+      val out = graph.Traversal.reachCountsChunked(edges, starts, 2)
+      val p = fmt(out)
+      assert(p.contains("Union"), s"expected a chunk union:\n$p")
+      assert(!p.contains("Join"),
+        s"chunk internals leak past the union — chunk aggregates no " +
+          s"longer materialize at construction:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"union leaves are not checkpoint scans:\n$p")
+      assert(out.collect().map(_.toSeq).toSet === single)
+    } finally sys.props.remove("graft.anf.cell.budget")
+  }
 }

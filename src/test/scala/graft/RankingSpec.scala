@@ -330,6 +330,31 @@ class RankingSpec extends AnyFunSuite {
     assert(trimmed == Map((1L, 2L) -> 3L))
   }
 
+  test("cooccurrence: duplicate-heavy items count toward the chunk estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // item 100: 4 DISTINCT entities but 20 raw rows (entity 1 ×17).
+    // With cap 5 it emits C(4,2)=6 real pairs; a raw-count FILTER
+    // (c <= cap) would score it 0 and pick the unchunked branch over
+    // budget — the r13 advice under-estimate. The clamped statistic
+    // scores it C(5,2)=10 > budget 5, so the chunked branch engages.
+    val rows = (1 to 17).map(_ => (1L, 100L)) ++
+      Seq((2L, 100L), (3L, 100L), (4L, 100L))
+    val pairs = rows.toDF("entity", "item")
+    val single = Ranking.cooccurrence(pairs, maxItemDeg = 5)
+      .collect().map(_.toSeq).toSet
+    assert(single.size == 6)
+    sys.props("graft.cooc.pair.budget") = "5"
+    try {
+      val out = Ranking.cooccurrence(pairs, maxItemDeg = 5)
+      val p = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("Union") && p.contains("Scan ExistingRDD"),
+        s"duplicate-heavy input no longer reaches the chunked branch:\n$p")
+      assert(out.collect().map(_.toSeq).toSet === single)
+    } finally sys.props.remove("graft.cooc.pair.budget")
+  }
+
   test("boundedDistinct: dedups, sorts ascending, truncates to the smallest limit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
