@@ -271,7 +271,7 @@ object Traversal {
     * are eagerly materialized, so peak disk is one chunk). Chunks are
     * start-disjoint and the DP is per-start independent, so the
     * chunked union is bit-identical to the single pass. The cheap
-    * sufficient bound (|starts|·|V|·maxDepth from two counts) keeps
+    * sufficient bound (|starts|·|E|·maxDepth from two counts) keeps
     * the gate SFs single-pass with no measured join; the measured
     * statistic (round-1 volume w1 = Σ_s outdeg(s), round-2 bound
     * w2 = Σ_{s→v} outdeg(v), geometric extrapolation clamped at
@@ -292,13 +292,15 @@ object Traversal {
     val nStarts = startSet.count()
     if (nStarts == 0)
       return directSelfLoops(edges)
-    val nNodes = e.select(col("_src").as("n"))
-      .unionByName(e.select(col("_dst").as("n"))).distinct().count()
-    val sufficient = nStarts.toDouble * nNodes * maxDepth
+    // the cheap sufficient bound is on per-round JOIN/EXCHANGE volume
+    // (≤ |starts|·|E| — every DP row can expand its node's full
+    // out-list), NOT on DP state rows: at organic sf10 the state was
+    // a harmless 32M rows while the round exchanges wrote the ~75 GB
+    val nEdges = e.count()
+    val sufficient = nStarts.toDouble * nEdges * maxDepth
     val nChunks =
       if (sufficient <= cellBudget.toDouble) 1
       else {
-        val nEdges = e.count()
         val m = startSet.join(e, col("start") === col("_src"))
           .join(e.groupBy(col("_src").as("_v")).agg(count(lit(1)).as("odeg")),
             col("_dst") === col("_v"), "left")
@@ -582,9 +584,14 @@ object Traversal {
       maxDepth: Int): DataFrame = {
     val e = edgeCols(edges).select("_src", "_dst")
     val startSet = starts.select(col("node").cast("long").as("start")).distinct()
+    // default 2·10⁸: the estimate counts MATERIALIZED pair rows, and
+    // each pair stacks ~4 on-disk copies through its round (join
+    // output → distinct exchange → anti-join exchange → frontier
+    // checkpoint), so 2·10⁸ cells ≈ 25 GB peak — the sf10 single
+    // pass measured ~6·10⁸ est cells and ~75 GB real spill
     val cellBudget: Long = sys.props.get("graft.anf.cell.budget")
       .orElse(sys.env.get("GRAFT_ANF_CELL_BUDGET"))
-      .map(_.toLong).getOrElse(1000000000L)
+      .map(_.toLong).getOrElse(200000000L)
     val nStarts = startSet.count()
     val nNodes = e.select(col("_src").as("n"))
       .unionByName(e.select(col("_dst").as("n"))).distinct().count()
