@@ -624,7 +624,18 @@ object GraphQueries {
   /** The checkpointed co-occurrence pair frame behind C24, memoized
     * per (session, dir) — the sccMemo discipline: the projection join
     * is the expensive part (≈5M pairs at the 10× probe), so the pair
-    * list and its summary twin share ONE materialization. */
+    * list and its summary twin share ONE materialization.
+    *
+    * DISK_ONLY, not the default MEMORY_AND_DISK: the pair list is
+    * CORPUS-SIZED (it grows with Σ C(deg_item, 2), ~10⁹ rows at
+    * organic sf10), and deserialized memory blocks are PINNED while
+    * every scan task iterates them — on the r14 sf10 board the
+    * summary twin's trivial histogram aggregate could not allocate
+    * its initial 256 KB hash map because 32 readers held the entire
+    * unified pool (UNABLE_TO_ACQUIRE_MEMORY). A disk-backed
+    * checkpoint streams through the serializer and never competes
+    * with execution memory; the twin pays a re-read, not a
+    * recompute. */
   private val coSupplyMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def coSupplyPairs(s: SparkSession, d: String): DataFrame =
@@ -632,7 +643,8 @@ object GraphQueries {
       Ranking.cooccurrence(
         Tables.lineitem(s, d).select(col("l_suppkey"), col("l_partkey")),
         maxItemDeg = 30)
-        .localCheckpoint(true))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
 
   /** C24b summary twin of [[coSupply]] (the simhashStats move): the
     * (n_shared → n_pairs) histogram — scale probes and monitoring
