@@ -56,7 +56,31 @@ def run_check(sf_dir, out_dir, names, mem, threads, log_lines, tag):
     return p.returncode
 
 
+def spill_headroom_gb():
+    """Usable GB on the filesystem the DuckDB shards will spill to."""
+    import shutil
+    spill_root = os.environ.get("GRAFT_DUCKDB_TMPDIR", "/tmp/duckdb_spill")
+    probe = spill_root
+    while not os.path.exists(probe):
+        probe = os.path.dirname(probe) or "/"
+    return shutil.disk_usage(probe).free / (1 << 30)
+
+
 def main(sf_dir, out_dir, log_path, n_shards=3):
+    # SPILL HEADROOM GATE (r14 verdict ask #3): the r14 sf1 replay's
+    # only fails were oracle-side "disk full" — a co-scheduled Spark
+    # dump shared the spill filesystem mid-invocation. Refuse to start
+    # (rather than fail 80 minutes in) when the spill disk can't hold
+    # a heavy oracle's worst observed spill (~74 GB) plus margin. Do
+    # NOT co-schedule Spark dumps or boards with a replay; override
+    # via GRAFT_MIN_SPILL_GB for small-SF replays.
+    min_gb = float(os.environ.get("GRAFT_MIN_SPILL_GB", "40"))
+    free_gb = spill_headroom_gb()
+    if free_gb < min_gb:
+        print(f"FAIL replay: spill disk headroom {free_gb:.1f} GB < "
+              f"required {min_gb:.0f} GB — free disk or lower "
+              f"GRAFT_MIN_SPILL_GB before launching shards")
+        return 1
     names = sorted(
         d for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)))
@@ -66,7 +90,15 @@ def main(sf_dir, out_dir, log_path, n_shards=3):
     # was never written would silently vanish from every shard and the
     # replay would exit 0. Fail them here instead.
     import json
-    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+    manifest = os.path.join(out_dir, "oracle_sql.json")
+    # (r14 advice) a legacy/partial output dir without the manifest
+    # must FAIL loudly, not die in an unhandled traceback before any
+    # shard runs
+    if not os.path.exists(manifest):
+        print(f"FAIL replay: {manifest} missing — out_dir is not a "
+              "complete graft.Verify dump")
+        return 1
+    with open(manifest) as f:
         expected = sorted(json.load(f).keys())
     missing = [n for n in expected if n not in set(names)]
     heavy_set = [h for h in

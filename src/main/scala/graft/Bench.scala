@@ -48,11 +48,13 @@ object Bench {
     * processes (java/python/duckdb) make the comparison
     * self-certifying: a clean board shows load ≈ 0 and no neighbors.
     */
+  private[graft] def loadAvg(): Double =
+    try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   private[graft] def hostState(): String = {
-    val load =
-      try java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
+    val load = loadAvg()
     val procs =
       try {
         import scala.jdk.CollectionConverters._
@@ -97,7 +99,7 @@ object Bench {
     * actually lands (the median mostly reflects the ridden shape). */
   final case class QStat(median: Double, err: Option[String],
     built: Long, ridden: Long, firstS: Double,
-    times: Seq[Double] = Nil)
+    times: Seq[Double] = Nil, loadavg: Double = -1.0)
 
   type Results = Seq[(String, QStat)]
 
@@ -153,12 +155,17 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
     val out = names.map { name =>
+      // per-query launch stamp (r14 verdict ask #7): the 1-min loadavg
+      // at THIS query's start, so a board's >1.5× lines self-document
+      // their neighbor pressure instead of being adjudicated by
+      // narrative next round
+      val la = loadAvg()
       val (b0, h0) = graft.functions.MemoStats.snapshot
       val first = time(SparkEntry.queries(name))
       val (b1, h1) = graft.functions.MemoStats.snapshot
       val rs = first +: (2 to runs).map(_ => time(SparkEntry.queries(name)))
       name -> QStat(median(rs.map(_._1)), rs.flatMap(_._2).headOption,
-        b1 - b0, h1 - h0, first._1, rs.map(_._1))
+        b1 - b0, h1 - h0, first._1, rs.map(_._1), la)
     }
     spark.stop()
     out
@@ -206,11 +213,12 @@ object Bench {
           throw new RuntimeException(
             s"generation $g reported ${lines.size}/${names.size} queries")
         lines.foreach { ln =>
-          val parts = ln.split("\t", 7)
+          val parts = ln.split("\t", 8)
           all += parts(0) -> QStat(parts(1).toDouble,
-            if (parts.length > 6 && parts(6).nonEmpty) Some(parts(6)) else None,
+            if (parts.length > 7 && parts(7).nonEmpty) Some(parts(7)) else None,
             parts(2).toLong, parts(3).toLong, parts(4).toDouble,
-            parts(5).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq)
+            parts(5).split(",").filter(_.nonEmpty).map(_.toDouble).toSeq,
+            parts(6).toDouble)
         }
         tsv.delete()
       }
@@ -262,7 +270,7 @@ object Bench {
       val f = sys.env("SPARK_GRAFT_BENCH_TSV")
       val body = results.map { case (k, q) =>
         s"$k\t${q.median}\t${q.built}\t${q.ridden}\t${q.firstS}\t" +
-          q.times.mkString(",") + "\t" +
+          q.times.mkString(",") + s"\t${q.loadavg}\t" +
           q.err.getOrElse("").replace("\t", " ").replace("\n", " ")
       }.mkString("", "\n", "\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f), body)
@@ -283,6 +291,13 @@ object Bench {
     val memo = results.collect { case (k, q) if q.built > 0 || q.ridden > 0 =>
       s"""${jstr(k)}:{"built":${q.built},"ridden":${q.ridden},"first_s":${q.firstS}}"""
     }.mkString("{", ",", "}")
+    // Per-query launch stamps (r14 verdict ask #7): generation index +
+    // 1-min loadavg at the query's start. Board variance now
+    // self-documents — a >1.5× line launched at loadavg 30 reads as
+    // neighbor contention, one at loadavg ~0 reads as real.
+    val qHost = results.map { case (k, q) =>
+      s"""${jstr(k)}:{"gen":${generationOf(k)},"loadavg":${q.loadavg}}"""
+    }.mkString("{", ",", "}")
     val genTotals = results.groupBy { case (k, _) => generationOf(k) }
       .toSeq.sortBy(_._1)
       .map { case (g, rs) =>
@@ -302,7 +317,7 @@ object Bench {
     // ~10 KB — metric/value/n_errors printed first were cut out of
     // BENCH_r10/r11.json (parsed:null). Key order is irrelevant to
     // any JSON parser but decisive for a tail capture.
-    val line = s"""{"queries":$qs,"errors":$errs,"memo":$memo,"generations":$genTotals,"host_start":$hostStart,"host_end":${hostState()},"note":"per-query median of $runs runs; $mode; memo=first-run build/ride attribution; host_*=1-min loadavg + neighbor-process census at board start/end"$spread,"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":$nErr,"value":$total}"""
+    val line = s"""{"queries":$qs,"errors":$errs,"memo":$memo,"query_host":$qHost,"generations":$genTotals,"host_start":$hostStart,"host_end":${hostState()},"note":"per-query median of $runs runs; $mode; memo=first-run build/ride attribution; query_host=generation index + 1-min loadavg at each query's launch; host_*=1-min loadavg + neighbor-process census at board start/end"$spread,"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_errors":$nErr,"value":$total}"""
     println(line)
     // The stdout line is the driver contract, but a log-buffer tail
     // capture can truncate it (BENCH_r05.json lost 101 of 166 query

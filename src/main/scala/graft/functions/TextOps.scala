@@ -152,6 +152,16 @@ object TextOps {
       stamps.remove(key.asInstanceOf[K])
       sizes.remove(key.asInstanceOf[K])
     }
+    /** Non-building lookup: lets a measured dispatch choose its plan
+      * based on whether a sibling query ALREADY paid for the shared
+      * frame, without forcing the build itself (the D4b prefix join
+      * rides D4's pair frame only when it exists). Touches the LRU
+      * stamp on hit so riding keeps the frame warm. */
+    def peek(key: K): Option[DataFrame] = {
+      val f = frames.get(key)
+      if (f.isDefined) stamps.put(key, globalTick.incrementAndGet())
+      f
+    }
     def getOrBuild(key: K)(build: => DataFrame): DataFrame = {
       if (frames.contains(key)) MemoStats.recordHit()
       else MemoStats.recordBuild()

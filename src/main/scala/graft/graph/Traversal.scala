@@ -246,8 +246,52 @@ object Traversal {
     * sets).
     */
   def recursion(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame =
-    if (maxDepth <= 4) recursionDp(edges, starts, maxDepth)
+    recursion(edges, starts, maxDepth, None, None)
+
+  /** [[recursion]] with caller-known size UPPER BOUNDS (r14 verdict
+    * ask #4): when `startBound`/`edgeBound` prove the per-round join
+    * volume fits the cell budget, the single-pass plan is chosen with
+    * ZERO driver count() jobs — the engine's callers already know
+    * |starts| ≤ 64 (the md5 cap) and |E| ≤ |lineitem| (the modulus
+    * memo's count), so the gate SFs stop paying ~0.6 s of dispatch
+    * counts per call for numbers the session already holds. Bounds
+    * are conservative: an over-bound can only send the call to the
+    * measured path (which then counts exactly), never skip a needed
+    * chunking. */
+  def recursion(edges: DataFrame, starts: DataFrame, maxDepth: Int,
+      startBound: Option[Long], edgeBound: Option[Long]): DataFrame =
+    if (maxDepth <= 4) recursionDp(edges, starts, maxDepth, startBound, edgeBound)
     else recursionTrails(edges, starts, maxDepth)
+
+  /** Measured free-disk chunk cell budget (r14 verdict ask #6): a
+    * FIXED budget cannot see neighbor disk pressure — the in-board
+    * sf10 recursion sweep over-paid vs its solo probe partly because
+    * the constant assumed a quiet disk. Resolution order: system
+    * property, then env var (both kept as the operator escape hatch
+    * and the ChunkSequentialSpec forcing knob), else the usable space
+    * of the first Spark spill dir × a 30% claim ÷ the dispatch's
+    * measured bytes-per-cell (each dispatch documents its own on-disk
+    * copy count). Clamped to [default/8, default×8] so a mis-probed
+    * filesystem can never produce a degenerate 1-cell or effectively
+    * unbounded budget; probe failure falls back to the r14 default.
+    * At the r14 bench host (~73 GB usable) the derived values
+    * reproduce the r14 constants within ~15% — the derivation is the
+    * same budget made self-tuning, not a new policy. */
+  private[graft] def chunkCellBudget(prop: String, env: String,
+      bytesPerCell: Double, default: Long): Long =
+    sys.props.get(prop).orElse(sys.env.get(env)).map(_.toLong).getOrElse {
+      val dir = sys.props.get("spark.local.dir")
+        .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+        .split(",").head.trim
+      val usable =
+        try java.nio.file.Files
+          .getFileStore(java.nio.file.Paths.get(dir)).getUsableSpace
+        catch { case _: Exception => -1L }
+      if (usable <= 0L) default
+      else math.max(default / 8,
+        math.min(default * 8, (usable * 0.30 / bytesPerCell).toLong))
+    }
 
   /** DP cycle counts with the depth-4 trail correction.
     *
@@ -264,9 +308,10 @@ object Traversal {
     * per round, and the round join's pre-aggregation volume is up to
     * |starts|·|E| rows. At organic sf10 the single pass spilled the
     * bench host's disk (~75 GB: 4 unreleased checkpoint rounds plus
-    * their shuffle files). Past the budget (default 10⁹ join cells ≈
-    * 25 GB transient spill; GRAFT_REC_CELL_BUDGET /
-    * -Dgraft.rec.cell.budget) the start set splits into hash-residue
+    * their shuffle files). Past the budget (derived from measured free
+    * spill-dir space at ~25 B/cell, see [[chunkCellBudget]];
+    * GRAFT_REC_CELL_BUDGET / -Dgraft.rec.cell.budget override) the
+    * start set splits into hash-residue
     * chunks processed SEQUENTIALLY (each sweep's rounds and outputs
     * are eagerly materialized, so peak disk is one chunk). Chunks are
     * start-disjoint and the DP is per-start independent, so the
@@ -277,7 +322,8 @@ object Traversal {
     * w2 = Σ_{s→v} outdeg(v), geometric extrapolation clamped at
     * |starts|·|E| per round) engages only past it.
     */
-  private def recursionDp(edges: DataFrame, starts: DataFrame, maxDepth: Int): DataFrame = {
+  private def recursionDp(edges: DataFrame, starts: DataFrame, maxDepth: Int,
+      startBound: Option[Long] = None, edgeBound: Option[Long] = None): DataFrame = {
     val e = edgeCols(edges).filter(col("_src") =!= col("_dst"))
     val startSet = starts.select(col("node").cast("long").as("start")).distinct()
     // 2-cycle partner count per start node (the depth-4 correction).
@@ -286,9 +332,21 @@ object Traversal {
         col("f._src") === col("r_dst") && col("f._dst") === col("r_src"))
       .groupBy(col("f._src").as("start"))
       .agg(count(lit(1)).as("n_two_cycles"))
-    val cellBudget: Long = sys.props.get("graft.rec.cell.budget")
-      .orElse(sys.env.get("GRAFT_REC_CELL_BUDGET"))
-      .map(_.toLong).getOrElse(1000000000L)
+    // 1e9 cells ≈ 25 GB transient spill → ~25 B/cell on disk
+    val cellBudget: Long = chunkCellBudget("graft.rec.cell.budget",
+      "GRAFT_REC_CELL_BUDGET", bytesPerCell = 25.0, default = 1000000000L)
+    // caller-supplied upper bounds prove the single-pass plan with no
+    // count() jobs at all (r14 verdict ask #4); an over-bound only
+    // falls through to the measured path below, never mis-chunks
+    val boundSufficient = (startBound, edgeBound) match {
+      case (Some(sb), Some(eb)) =>
+        sb.toDouble * eb.toDouble * maxDepth <= cellBudget.toDouble
+      case _ => false
+    }
+    if (boundSufficient) {
+      val indirect = recursionDpSweep(e, startSet, maxDepth, c2, release = false)
+      return directSelfLoops(edges).unionByName(indirect)
+    }
     val nStarts = startSet.count()
     if (nStarts == 0)
       return directSelfLoops(edges)
@@ -310,9 +368,17 @@ object Traversal {
         val w2 = if (m.isNullAt(1)) 0.0 else m.getLong(1).toDouble
         val r = w2 / math.max(w1, 1.0)
         val perRoundCap = nStarts.toDouble * nEdges
-        val est = w1 + (2 to maxDepth)
-          .map(d => math.min(w2 * math.pow(r, (d - 2).toDouble), perRoundCap))
-          .sum
+        // pessimistic floor (r14 advice): the geometric extrapolation
+        // from the round-1/round-2 ratio under-estimates graphs whose
+        // frontier growth ACCELERATES past depth 2; assuming every
+        // later round carries at least the measured round-2 volume
+        // binds only when r < 1 and costs extra chunks, never a wrong
+        // result
+        val est = math.max(
+          w1 + (2 to maxDepth)
+            .map(d => math.min(w2 * math.pow(r, (d - 2).toDouble), perRoundCap))
+            .sum,
+          math.min(w2, perRoundCap) * math.max(maxDepth - 1, 1))
         math.min(64L, math.max(1L, math.ceil(est / cellBudget).toLong)).toInt
       }
     if (nChunks == 1) {
@@ -514,6 +580,7 @@ object Traversal {
       .distinct()
       .select(col("start"), col("start").as("node"))
       .localCheckpoint(true)
+    val seed = frontier
     var visited = frontier
     val reached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (d <- 1 to maxDepth if !frontier.isEmpty) {
@@ -536,6 +603,14 @@ object Traversal {
     // That is the semantics recursion-group analysis wants — a node's
     // own cycles are the Direct-recursion bucket (recursion()), not a
     // mutual pair.
+    //
+    // The depth-0 seed checkpoint is only ever a loop-internal join
+    // probe — no returned round's plan references it (each round is
+    // itself a lineage-truncated checkpoint scan) — so its blocks are
+    // released here rather than leaking one seed frame per call (r14
+    // advice: the chunked reachCounts path stacked up to 4096 of
+    // them per session).
+    Ranking.releaseRound(seed)
     reached.toSeq
   }
 
@@ -564,8 +639,10 @@ object Traversal {
     * betweenness source-chunk discipline, r13 verdict #1): the exact
     * ball enumeration materializes Θ(Σ|ball|) (start, node) pairs —
     * at organic sf10 the single-pass frontier checkpoints spilled the
-    * bench host's disk (~75 GB). Past the budget (default 10⁹ pair
-    * cells; GRAFT_ANF_CELL_BUDGET / -Dgraft.anf.cell.budget) the
+    * bench host's disk (~75 GB). Past the budget (derived from
+    * measured free spill-dir space at ~125 B/cell, see
+    * [[chunkCellBudget]]; GRAFT_ANF_CELL_BUDGET /
+    * -Dgraft.anf.cell.budget override) the
     * start set splits into hash-residue chunks processed SEQUENTIALLY
     * through [[reachCounts]] (eager narrow aggregate per chunk, every
     * frontier round released), so peak disk is one chunk's ball set.
@@ -581,17 +658,37 @@ object Traversal {
     * deeper rounds, clamped at |starts|·|V| each.
     */
   def reachCountsChunked(edges: DataFrame, starts: DataFrame,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int): DataFrame =
+    reachCountsChunked(edges, starts, maxDepth, None, None)
+
+  /** [[reachCountsChunked]] with caller-known size UPPER BOUNDS (r14
+    * verdict ask #4, the recursion() twin): `startBound`/`nodeBound`
+    * proving |starts|·|V|·maxDepth fits the budget choose the
+    * single-pass plan with ZERO count() jobs — graphAnf's caller
+    * already knows both bounds from the modulus memo (node ids live
+    * in [0, modulus), the residue slice is ≤ ⌈modulus/10⌉).
+    * Conservative by construction: an over-bound only falls through
+    * to the measured path, which then counts exactly. */
+  def reachCountsChunked(edges: DataFrame, starts: DataFrame,
+      maxDepth: Int, startBound: Option[Long],
+      nodeBound: Option[Long]): DataFrame = {
     val e = edgeCols(edges).select("_src", "_dst")
     val startSet = starts.select(col("node").cast("long").as("start")).distinct()
-    // default 2·10⁸: the estimate counts MATERIALIZED pair rows, and
-    // each pair stacks ~4 on-disk copies through its round (join
-    // output → distinct exchange → anti-join exchange → frontier
-    // checkpoint), so 2·10⁸ cells ≈ 25 GB peak — the sf10 single
-    // pass measured ~6·10⁸ est cells and ~75 GB real spill
-    val cellBudget: Long = sys.props.get("graft.anf.cell.budget")
-      .orElse(sys.env.get("GRAFT_ANF_CELL_BUDGET"))
-      .map(_.toLong).getOrElse(200000000L)
+    // the estimate counts MATERIALIZED pair rows, and each pair
+    // stacks ~4 on-disk copies through its round (join output →
+    // distinct exchange → anti-join exchange → frontier checkpoint),
+    // so ~125 B/cell on disk and 2·10⁸ cells ≈ 25 GB peak — the sf10
+    // single pass measured ~6·10⁸ est cells and ~75 GB real spill
+    val cellBudget: Long = chunkCellBudget("graft.anf.cell.budget",
+      "GRAFT_ANF_CELL_BUDGET", bytesPerCell = 125.0, default = 200000000L)
+    val boundSufficient = (startBound, nodeBound) match {
+      case (Some(sb), Some(nb)) =>
+        sb.toDouble * nb.toDouble * maxDepth <= cellBudget.toDouble
+      case _ => false
+    }
+    if (boundSufficient)
+      return reachWithin(edges, startSet.select(col("start").as("node")), maxDepth)
+        .groupBy("start").agg(count(lit(1)).as("n_reach"))
     val nStarts = startSet.count()
     val nNodes = e.select(col("_src").as("n"))
       .unionByName(e.select(col("_dst").as("n"))).distinct().count()
@@ -607,9 +704,15 @@ object Traversal {
         val f1 = m.getLong(0).toDouble
         val f2 = if (m.isNullAt(1)) 0.0 else m.getLong(1).toDouble
         val r = f2 / math.max(f1, 1.0)
-        val est = f1 + (2 to maxDepth)
-          .map(d => math.min(f2 * math.pow(r, (d - 2).toDouble), perRoundCap))
-          .sum
+        // pessimistic floor (r14 advice): see recursionDp — binds only
+        // when the measured round-1→2 ratio shrinks (r < 1) yet later
+        // frontiers might not, and costs extra chunks, never a wrong
+        // result
+        val est = math.max(
+          f1 + (2 to maxDepth)
+            .map(d => math.min(f2 * math.pow(r, (d - 2).toDouble), perRoundCap))
+            .sum,
+          math.min(f2, perRoundCap) * math.max(maxDepth - 1, 1))
         math.min(4096L, math.max(1L, math.ceil(est / cellBudget).toLong)).toInt
       }
     if (nChunks == 1)

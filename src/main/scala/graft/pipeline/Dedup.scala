@@ -294,7 +294,15 @@ object Dedup {
     * Either path returns the identical J ≥ τ pair set (the oracle is
     * plain [[ngramJaccard]] in both regimes). */
   def ngramJaccardPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
-    if (prefixSkewMultiplier(docs) < PrefixSkewCutover)
+    // ride D4's memoized pair frame when a sibling query already paid
+    // for it (r14 verdict ask #5): the prefix filter is LOSSLESS wrt
+    // plain Jaccard, so filtering the shared J ≥ 0.1 frame at τ is the
+    // identical output for one free scan — the skew dispatch below
+    // remains the standalone/production plan when no sibling has paid
+    if (minJaccard >= JaccardMemoFloor && jaccardPairsMemo.peek(docs).isDefined)
+      jaccardPairsShared(docs).filter(col("jaccard") >= minJaccard)
+        .orderBy("doc_a", "doc_b")
+    else if (prefixSkewMultiplier(docs) < PrefixSkewCutover)
       ngramJaccard(docs, minJaccard)
     else ngramJaccardPrefixForced(docs, minJaccard)
 
@@ -542,7 +550,29 @@ object Dedup {
     * candidate generator — hot shingles are the skew risk at scale,
     * handled by AQE skew-split (or a df-cap filter upstream).
     */
-  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1): DataFrame = {
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.1): DataFrame =
+    (if (minJaccard >= JaccardMemoFloor) jaccardPairsShared(docs)
+      .filter(col("jaccard") >= minJaccard)
+    else ngramJaccardBuild(docs, minJaccard))
+      .orderBy("doc_a", "doc_b")
+
+  /** The D4 pair frame at the τ = 0.1 floor, memoized per docs
+    * identity and CHECKPOINTED (r14 verdict ask #5): the sh-equality
+    * candidate join + per-pair intersection agg is the cost, and both
+    * D4 (τ = 0.1) and D4b (τ = 0.5 — the prefix filter is LOSSLESS
+    * wrt plain Jaccard, so its output is exactly this frame's ≥ 0.5
+    * subset) walked `shinglesShared` through their own copy of it
+    * every board (189.6 + 214.5 s at organic sf10). What persists is
+    * the FILTERED (J ≥ 0.1) output — near-dup-sized, never the raw
+    * candidate stream, so the checkpoint adds no corpus-scale disk. */
+  private val jaccardPairsMemo = new TextOps.FrameMemo
+  private val JaccardMemoFloor = 0.1
+  private def jaccardPairsShared(docs: DataFrame): DataFrame =
+    jaccardPairsMemo.getOrBuild(docs) {
+      ngramJaccardBuild(docs, JaccardMemoFloor).localCheckpoint(true)
+    }
+
+  private def ngramJaccardBuild(docs: DataFrame, minJaccard: Double): DataFrame = {
     // read 3× (sizes + both intersection sides) — materialize once.
     val sh = TextOps.shinglesShared(docs)
     // sizes ride the board-shared Vernica frame: one per-doc agg
@@ -559,7 +589,6 @@ object Dedup {
         round(col("inter") / (col("sa.n_sh") + col("sb.n_sh") - col("inter")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash estimator calibration audit: for every D2 candidate

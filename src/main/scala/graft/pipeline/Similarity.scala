@@ -72,10 +72,22 @@ object Similarity {
     * `rnk ≤ k` replays the direct k-pass bit-identically; k >
     * K_SHARED bypasses the memo. Keyed by the predicate's expression
     * string (Column identity differs per call site); the
-    * KeyedFrameMemo eviction/release discipline applies. */
+    * KeyedFrameMemo eviction/release discipline applies.
+    *
+    * IDENTITY CONTRACT (r14 advice): the memo key is the corpus
+    * frame's OBJECT identity — callers must pass the identity-stable
+    * [[graft.Tables.embeddingsShared]] frame (the entry layer does),
+    * or every call silently rebuilds the corpus scan. A rebuild for
+    * a frame whose schema+predicate signature was already built this
+    * session logs a WARN naming the fix, so a memo miss is never
+    * silent. */
   private val bruteTopKMemo =
     new graft.functions.TextOps.KeyedFrameMemo[(DataFrame, String)]
   private val K_SHARED = 5
+  /** (schema, predicate) signatures already built once — the
+    * equal-shape-different-identity rebuild detector. */
+  private val bruteBuiltSigs =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
   def topKCosine(emb: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
     def brute(kk: Int): DataFrame = {
       // zero-norm (all-zero-quantized) vectors have no direction: both
@@ -91,6 +103,12 @@ object Similarity {
     if (k > K_SHARED) brute(k)
     else {
       val shared = bruteTopKMemo.getOrBuild((emb, queryPred.toString())) {
+        val sig = emb.schema.simpleString + "|" + queryPred.toString()
+        if (bruteBuiltSigs.putIfAbsent(sig, true).isDefined)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "topKCosine rebuilding the shared corpus top-k for an " +
+              "equal-schema frame — pass the identity-stable " +
+              "Tables.embeddingsShared so the memo can hit")
         brute(K_SHARED).localCheckpoint(true)
       }
       if (k == K_SHARED) shared

@@ -48,11 +48,20 @@ object GraphQueries {
     m.getOrElseUpdate(k, build)
   }
 
+  /** One metadata-fast lineitem row count per (session, dir) — the
+    * scalar the modulus derivation already paid for, now exposed so
+    * dispatch gates can PROVE bounds (|edges| ≤ |lineitem|) without
+    * fresh count() jobs (r14 verdict ask #4). */
+  private val lineCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  def lineitemCount(s: SparkSession, d: String): Long =
+    memoCounted(lineCountMemo, (s, d))(Tables.lineitem(s, d).count())
+
   private val modMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
   def modulus(s: SparkSession, d: String): Long =
     memoCounted(modMemo, (s, d))(
-      math.max(M, Tables.lineitem(s, d).count() / 120L))
+      math.max(M, lineitemCount(s, d) / 120L))
 
   /** One cached edge DataFrame per (session, dir): repeated queries
     * in a session reuse the same object, so the CacheManager never
@@ -148,10 +157,16 @@ object GraphQueries {
       .orderBy("callee", "ord")
   }
 
-  /** B8 recursion detection (call_path_analyzer.rs:253-331). */
+  /** B8 recursion detection (call_path_analyzer.rs:253-331).
+    * The dispatch bounds come from numbers the board already holds:
+    * the start pick is md5-capped at 64 ([[capStarts]]) and the
+    * deduped edge set can't exceed the lineitem row count (the
+    * modulus memo's scalar) — so the gate SFs prove the single-pass
+    * plan with zero dispatch count() jobs (r14 verdict ask #4). */
   def recursionDetect(s: SparkSession, d: String, maxDepth: Int = 4): DataFrame = {
     val e = callEdges(s, d)
-    Traversal.recursion(e, recStarts(e), maxDepth)
+    Traversal.recursion(e, recStarts(e), maxDepth,
+      startBound = Some(64L), edgeBound = Some(lineitemCount(s, d)))
       .orderBy("call_type", "node", "depth")
   }
 
@@ -488,8 +503,12 @@ object GraphQueries {
       .filter(col("node") % 10 === 3).distinct()
     // start-chunked past the measured cell budget (r13's sf10 disk
     // casualty — Traversal.reachCountsChunked) with bit-exact unions;
-    // the gate SFs stay on the single-pass plan
-    Traversal.reachCountsChunked(e, starts, depth)
+    // the gate SFs prove the single-pass plan from the modulus memo's
+    // bounds (node ids live in [0, modulus), the residue-3 slice is
+    // ≤ ⌈modulus/10⌉) with zero dispatch count() jobs (r14 ask #4)
+    val m = modulus(s, d)
+    Traversal.reachCountsChunked(e, starts, depth,
+      startBound = Some(m / 10 + 1), nodeBound = Some(m))
       .select(col("start").as("node"), col("n_reach"))
       .orderBy("node")
   }
@@ -497,7 +516,10 @@ object GraphQueries {
   /** [[graphAnf]] without the start slice — exact ANF for every node. */
   def graphAnfAll(s: SparkSession, d: String, depth: Int = 2): DataFrame = {
     val e = callEdges(s, d)
-    Traversal.reachCountsChunked(e, e.select(col("src").as("node")).distinct(), depth)
+    val m = modulus(s, d)
+    Traversal.reachCountsChunked(e,
+      e.select(col("src").as("node")).distinct(), depth,
+      startBound = Some(m), nodeBound = Some(m))
       .select(col("start").as("node"), col("n_reach"))
       .orderBy("node")
   }

@@ -119,4 +119,53 @@ class ChunkSequentialSpec extends AnyFunSuite {
       assert(out.collect().map(_.toSeq).toSet === single)
     } finally sys.props.remove("graft.anf.cell.budget")
   }
+
+  test("caller bound hints: zero-count single-pass gate is output-identical " +
+    "and over-bounds fall through to the measured dispatch") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (3L, 4L), (4L, 1L), (5L, 5L), (4L, 2L))
+      .map { case (s, d) => (s, d, 0L) }.toDF("src", "dst", "offset")
+    val starts = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val recBase = graph.Traversal.recursion(edges, starts, 4)
+      .collect().map(_.toSeq).toSet
+    // proving bounds → single pass, no dispatch counts
+    assert(graph.Traversal.recursion(edges, starts, 4,
+      startBound = Some(4L), edgeBound = Some(9L))
+      .collect().map(_.toSeq).toSet === recBase)
+    val anfBase = graph.Traversal.reachCountsChunked(edges, starts, 2)
+      .collect().map(_.toSeq).toSet
+    assert(graph.Traversal.reachCountsChunked(edges, starts, 2,
+      startBound = Some(4L), nodeBound = Some(5L))
+      .collect().map(_.toSeq).toSet === anfBase)
+    // bounds that DON'T fit the (forced tiny) budget must fall through
+    // to the measured path and still chunk — the hint can never skip a
+    // needed chunking, only prove a safe single pass
+    sys.props("graft.rec.cell.budget") = "1"
+    sys.props("graft.anf.cell.budget") = "1"
+    try {
+      val rec = graph.Traversal.recursion(edges, starts, 4,
+        startBound = Some(4L), edgeBound = Some(9L))
+      assert(fmt(rec).contains("Union"))
+      assert(rec.collect().map(_.toSeq).toSet === recBase)
+      val anf = graph.Traversal.reachCountsChunked(edges, starts, 2,
+        startBound = Some(4L), nodeBound = Some(5L))
+      assert(fmt(anf).contains("Union"))
+      assert(anf.collect().map(_.toSeq).toSet === anfBase)
+    } finally {
+      sys.props.remove("graft.rec.cell.budget")
+      sys.props.remove("graft.anf.cell.budget")
+    }
+  }
+
+  test("chunkCellBudget: explicit override wins; derived budget is " +
+    "clamped to [default/8, default*8]") {
+    sys.props("graft.test.cell.budget") = "12345"
+    try assert(graph.Traversal.chunkCellBudget("graft.test.cell.budget",
+      "GRAFT_TEST_NO_SUCH_ENV", 25.0, 1000000000L) === 12345L)
+    finally sys.props.remove("graft.test.cell.budget")
+    val derived = graph.Traversal.chunkCellBudget("graft.test.cell.budget",
+      "GRAFT_TEST_NO_SUCH_ENV", 25.0, 1000000000L)
+    assert(derived >= 1000000000L / 8 && derived <= 1000000000L * 8)
+  }
 }
