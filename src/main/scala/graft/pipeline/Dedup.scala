@@ -293,6 +293,27 @@ object Dedup {
     * its name as df-skew insurance rather than an always-on tax.
     * Either path returns the identical J ≥ τ pair set (the oracle is
     * plain [[ngramJaccard]] in both regimes). */
+  /** The BOARD form of D4b (r14 verdict ask #5): always rides — or
+    * builds — the shared τ = 0.1 pair frame, so whichever of D4/D4b
+    * runs first pays the one sh-equality candidate join and the other
+    * is a filter over the checkpoint; query ORDER on a board can
+    * never forfeit the sharing (the measured dispatch would re-pay
+    * the prefix plan when D4b lands first on a skewed corpus, even
+    * though D4 must run the plain join later anyway).
+    * [[ngramJaccardPrefix]] stays the standalone/production API:
+    * without a sibling D4 on the same corpus, the skew dispatch picks
+    * the cheaper lossless plan instead of this unconditional plain
+    * join. Output is identical to both (the prefix filter is
+    * lossless). */
+  def ngramJaccardPrefixBoard(docs: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard >= JaccardMemoFloor,
+      s"board form shares the tau=$JaccardMemoFloor pair frame; " +
+        s"got $minJaccard")
+    jaccardPairsShared(docs).filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def ngramJaccardPrefix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
     // ride D4's memoized pair frame when a sibling query already paid
     // for it (r14 verdict ask #5): the prefix filter is LOSSLESS wrt

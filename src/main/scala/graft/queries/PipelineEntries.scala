@@ -51,7 +51,7 @@ object PipelineEntries {
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documentsShared(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documentsShared(s, d))),
     "dedup_ngram_prefix" -> ((s, d) =>
-      Dedup.ngramJaccardPrefix(Tables.documentsShared(s, d), minJaccard = 0.5)),
+      Dedup.ngramJaccardPrefixBoard(Tables.documentsShared(s, d), minJaccard = 0.5)),
     "dedup_cluster" -> ((s, d) => Dedup.clusters(Tables.documentsShared(s, d))),
     "sample_cluster_cap" -> ((s, d) => Dedup.clusterCap(Tables.documentsShared(s, d))),
     "decontaminate" -> ((s, d) =>
