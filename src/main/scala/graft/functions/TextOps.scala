@@ -196,15 +196,24 @@ object TextOps {
       new java.util.concurrent.CopyOnWriteArrayList[KeyedFrameMemo[_]]
     private def register(m: KeyedFrameMemo[_]): Unit = { registry.add(m); () }
 
-    /** Default 6 GiB ≈ 1/4 of the 24 GiB organic-board heap: big
-      * enough that the sf0.1 gate board (Σ shared artifacts ≈ 1 GiB)
-      * never evicts, small enough that an sf1 board's tail can't hold
-      * every earlier query's checkpoints resident. Override via
-      * GRAFT_MEMO_BUDGET_MB (env) or -Dgraft.memo.budget.mb (specs). */
+    /** Default max(6 GiB, heap/4): the floor is ~1/4 of the 24 GiB
+      * organic-board heap — big enough that the sf0.1 gate board
+      * (Σ shared artifacts ≈ 1 GiB) never evicts, small enough that
+      * an sf1 board's tail can't hold every earlier query's
+      * checkpoints resident — and the heap/4 term scales the budget
+      * with the memory the operator was actually given (guide-§5
+      * posture: storage residency should be a fraction of the
+      * execution heap, not a constant tuned for one host). The fixed
+      * 6 GiB starved the r15 sf10 board: its 64 GiB generation JVMs
+      * still evicted the simhash pair frame between dedup_simhash and
+      * its histogram twin (124 s rebuild) and the shared rerank frame
+      * between sim_topk and embed_knn_purity (134 s rebuild). Override
+      * via GRAFT_MEMO_BUDGET_MB (env) or -Dgraft.memo.budget.mb. */
     private[graft] def budgetBytes: Long =
       sys.props.get("graft.memo.budget.mb")
         .orElse(sys.env.get("GRAFT_MEMO_BUDGET_MB"))
-        .map(_.toLong << 20).getOrElse(6L << 30)
+        .map(_.toLong << 20)
+        .getOrElse(math.max(6L << 30, Runtime.getRuntime.maxMemory / 4))
 
     /** Persisted bytes (memory + disk) of the frame's checkpointed
       * RDD leaves, from the driver's own storage listing — no job
@@ -227,11 +236,24 @@ object TextOps {
       registry.toArray(Array.empty[KeyedFrameMemo[_]])
         .map(_.sizes.values.foldLeft(0L)(_ + _)).sum
 
-    /** Drop globally-oldest entries until the ledger fits the budget
-      * (the just-built entry is exempt — a single artifact larger
-      * than the budget must still serve its consumers). Best-effort
-      * under concurrency: a racing rebuild costs wasted work, never
-      * correctness (reachability owns lifetime). */
+    /** Entries below this size are invisible to the byte sweep:
+      * dropping a sub-MiB frame toward a GiB-scale overage frees
+      * nothing, yet the old pure-age sweep evicted exactly those
+      * first — small-but-expensive-to-REBUILD frames built early in a
+      * board (the r15 sf10 boards rebuilt the ~100 KB shared rerank
+      * frame at a 134 s rebuild cost, and the ~MB simhash pair frame
+      * at 124 s, while multi-GiB shingle checkpoints kept the ledger
+      * over budget). Worst-case unswept residency is bounded by the
+      * per-memo 64-entry count cap: 64 entries × <1 MiB ≈ 64 MiB per
+      * memo — noise against the ≥6 GiB budget. */
+    private val SweepFloorBytes: Long = 1L << 20
+
+    /** Drop globally-oldest entries ≥ [[SweepFloorBytes]] until the
+      * ledger fits the budget (the just-built entry is exempt — a
+      * single artifact larger than the budget must still serve its
+      * consumers). Best-effort under concurrency: a racing rebuild
+      * costs wasted work, never correctness (reachability owns
+      * lifetime). */
     private def sweepOverBudget(owner: KeyedFrameMemo[_], key: Any): Unit = {
       var total = residentBytes
       if (total <= budgetBytes) return
@@ -244,9 +266,9 @@ object TextOps {
       var dropped = false
       byAge.iterator.takeWhile(_ => total > budgetBytes).foreach {
         case (_, m, k) =>
-          if (!(m.eq(owner) && k == key)) {
-            val b = m.sizes.asInstanceOf[
-              scala.collection.concurrent.TrieMap[Any, Long]].getOrElse(k, 0L)
+          val b = m.sizes.asInstanceOf[
+            scala.collection.concurrent.TrieMap[Any, Long]].getOrElse(k, 0L)
+          if (b >= SweepFloorBytes && !(m.eq(owner) && k == key)) {
             m.drop(k)
             total -= b
             dropped = true

@@ -57,6 +57,43 @@ class MemoBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-MiB entries are invisible to the byte sweep (rebuild shield)") {
+    val s = spark
+    val prev = sys.props.get("graft.memo.budget.mb")
+    sys.props("graft.memo.budget.mb") = "3" // ~2 bulky frames
+    try {
+      val memo = new TextOps.KeyedFrameMemo[String]
+      // oldest entry, checkpointed (so its bytes register) but far
+      // below the 1 MiB sweep floor — the r15 sf10 rerank-frame shape
+      val tiny = memo.getOrBuild("tiny") {
+        s.range(100).toDF("x").localCheckpoint(true)
+      }
+      memo.getOrBuild("big1") { bulky(s, 6) }
+      memo.getOrBuild("big2") { bulky(s, 7) }
+      memo.getOrBuild("big3") { bulky(s, 8) } // sweeps big1/big2, never tiny
+      val again = memo.getOrBuild("tiny") {
+        fail("a sub-floor entry must survive the byte sweep")
+      }
+      assert(again eq tiny)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.memo.budget.mb") = v
+        case None => sys.props.remove("graft.memo.budget.mb"); ()
+      }
+    }
+  }
+
+  test("default budget scales with the heap, floored at 6 GiB") {
+    val prev = sys.props.get("graft.memo.budget.mb")
+    sys.props.remove("graft.memo.budget.mb")
+    try {
+      assert(TextOps.KeyedFrameMemo.budgetBytes ==
+        math.max(6L << 30, Runtime.getRuntime.maxMemory / 4))
+    } finally {
+      prev.foreach(v => sys.props("graft.memo.budget.mb") = v)
+    }
+  }
+
   test("a single artifact larger than the budget still serves (exempt)") {
     val s = spark
     val prev = sys.props.get("graft.memo.budget.mb")
