@@ -153,6 +153,147 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer squared-L2 distance over two `array<long>` columns:
+  * Σ (aᵢ−bᵢ)² over min(|a|,|b|) dims, one primitive codegen loop.
+  *
+  * Replaces the `aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)))`
+  * form on the k-means hot path (centroid assignment evaluates it
+  * |corpus|·|centroids| times): higher-order functions have no
+  * codegen and allocate an intermediate array per evaluation, which
+  * dominated the assignment stage. Long arithmetic is order-free, so
+  * the value is bit-identical to the composable form and the DuckDB
+  * oracles replay unchanged. */
+case class SquaredL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All `bands` LSH band buckets of one quantized vector in ONE fused
+  * primitive loop: bucket(b) = Σ_p (dot(qv, w[b·planes+p]) > 0 ? 2^p
+  * : 0) over the flat weight matrix `weights` (layout: plane-major,
+  * 64 longs per plane — weights((b·planes+p)·64 + i) is dim i of
+  * plane b·planes+p).
+  *
+  * Replaces the per-plane expression fan-out in `lshBandBuckets`:
+  * B·r separate `CASE WHEN longdotproduct(qv, [64-long literal]) > 0`
+  * expressions compile into a single giant whole-stage-codegen method
+  * that the JVM refuses to JIT (HotSpot's HugeMethodLimit), so the
+  * 100-plane signature ran ~100× off the primitive-loop floor —
+  * measured 12 s for 40k vectors at organic sf1, ~250 µs/vector for
+  * what is 6,400 multiply-adds. This expression is one small JITable
+  * loop over a plain long[] constant (no ArrayData boxing on the
+  * weight side either).
+  *
+  * Bit-parity contract: each dot runs over min(|qv|, 64) dims —
+  * exactly [[LongDotProduct]] against the old 64-element literals —
+  * and a NULL input vector yields the all-zero bucket array, exactly
+  * what the old `when(dot > 0, …).otherwise(0)` chain produced for a
+  * null qv (null dot → otherwise branch → bucket 0 in every band, row
+  * retained). Sign test `> 0` on exact integer sums: bit-identical
+  * across engines regardless of summation order. */
+case class LshBandSignature(child: Expression, weights: Seq[Long],
+    bands: Int, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(weights.length == bands * planes * 64,
+    s"weights must be bands*planes*64 = ${bands * planes * 64} longs")
+
+  // Seq (not Array) so two builds of the same banding are
+  // structurally equal — canonicalization/exchange-reuse see through
+  // them; the hot loop runs over the flat primitive copy below.
+  @transient private lazy val w: Array[Long] = weights.toArray
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private def compute(qv: ArrayData): Array[Long] = {
+    val out = new Array[Long](bands)
+    if (qv != null) {
+      val n = math.min(qv.numElements(), 64)
+      var b = 0
+      while (b < bands) {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val base = (b * planes + p) * 64
+          var s = 0L
+          var i = 0
+          while (i < n) { s += qv.getLong(i) * w(base + i); i += 1 }
+          if (s > 0) bucket |= 1L << p
+          p += 1
+        }
+        out(b) = bucket
+        b += 1
+      }
+    }
+    out
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      compute(child.eval(input).asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val self = ctx.addReferenceObj("lshSig", this)
+    val childGen = child.genCode(ctx)
+    val qv = ctx.freshName("qv")
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |ArrayData $qv = ${childGen.isNull} ? null
+        |  : (ArrayData) ${childGen.value};
+        |ArrayData ${ev.value} =
+        |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        |    .fromPrimitiveArray($self.computeJava($qv));
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  /** Codegen entry point (public for the generated class). */
+  def computeJava(qv: ArrayData): Array[Long] = compute(qv)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Column API for [[DotProduct]]: both inputs must already be
     * `array<double>` (cast upstream once, not per pair). */
@@ -168,4 +309,16 @@ object VectorOps {
   /** Column API for [[LongDotProduct]]: both inputs `array<long>`. */
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(LongDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[SquaredL2Distance]]: both inputs `array<long>`. */
+  def squaredL2(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredL2Distance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[LshBandSignature]]: `qv` is `array<long>`,
+    * `weights` the flat plane-major bands·planes·64 weight matrix. */
+  def lshBandSignature(qv: Column, weights: Seq[Long],
+      bands: Int, planes: Int): Column =
+    ColumnBridge.column(
+      LshBandSignature(ColumnBridge.expression(qv), weights, bands, planes))
 }

@@ -170,21 +170,29 @@ object Dedup {
     // ~4x fewer candidates for the identical pigeonhole guarantee.
     val occ = TextOps.tokensBag(docs)
       .withColumn("th", TextOps.simMixOf(TextOps.tokenHash(col("token"))))
-    val votes = (0 until SimBits).map { i =>
-      sum(shiftright(col("th"), i).bitwiseAND(1L) * 2L - 1L).as(s"v$i")
-    }
+    // ONE fused partial aggregate for all 56 bit votes
+    // (graft.functions.SimhashSigAgg) — the 56-separate-sum form paid
+    // 56 codegen'd agg-expression updates per token occurrence;
+    // signature bit-identical (integer vote sums, same >0 test).
     occ.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimBits).map(i => when(col(s"v$i") > 0, 1L << i).otherwise(0L))
-          .reduce(_ + _).as("sig"))
+      .agg(graft.functions.SimhashAgg.sig(col("th"), SimBits).as("sig"))
   }
 
-  /** Signature width and band geometry: 8 bands × 7 bits. Pigeonhole:
-    * ≤ 6 flipped bits leave ≥ 2 of 8 bands intact, so the band join
-    * is exact for maxHamming ≤ 6. */
+  /** Signature width and band geometry: 7 bands × 8 bits. Pigeonhole:
+    * ≤ 6 flipped bits touch at most 6 bands, leaving ≥ 1 of 7 intact,
+    * so the band join is exact for maxHamming ≤ 6 — and the leftmost-
+    * matching-band dedup needs exactly that one intact copy.
+    *
+    * r15: was 8 bands × 7 bits — same 56-bit signature, same exact
+    * pair output, but a 7-bit band collides at 1/128 vs 8-bit at
+    * 1/256, and the candidate join is the operator's whole cost
+    * (candidates ≈ bands·n²/2^bits: n²/16 then, n²/36.6 now — 2.3×
+    * fewer rows through the XOR filter; the pair list is identical by
+    * the pigeonhole above). The signature itself is untouched, so
+    * hamming values and the oracle replay cannot move. */
   val SimBits = 56
-  val SimBandBits = 7
+  val SimBands = 7
+  val SimBandBits = 8
 
   /** D3 SimHash near-dup: pairs with Hamming distance ≤ 6 over the
     * 56-bit signature. Candidates via 8 × 7-bit bands — pigeonhole
@@ -234,17 +242,19 @@ object Dedup {
     else simhashPairsBuild(docs, maxHamming)
 
   private def simhashPairsBuild(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= SimBands - 1,
+      s"band join is exact only to hamming ${SimBands - 1}")
     // 1 row/doc, read by both join sides — materialize once.
     val sig = simhashSigsShared(docs)
     val bands = sig.select(col("doc_id"), col("sig"),
-      explode(array((0 until 8).map(b =>
+      explode(array((0 until SimBands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), SimBandBits * b)
             .bitwiseAND((1L << SimBandBits) - 1).as("bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bits"))
     // LEFTMOST-MATCHING-BAND dedup instead of a distinct shuffle: a
-    // qualifying pair (≤ 6 flipped bits over 8 bands) shares ≥ 2
-    // intact bands, so the band join emits it 2–8×. Both full
+    // qualifying pair (≤ 6 flipped bits over 7 bands) shares ≥ 1
+    // intact band, so the band join emits it 1–7×. Both full
     // signatures ride the joined row, so each copy can compute the
     // pair's SMALLEST matching band from the XOR alone and keep
     // itself only when it IS that band — pure codegen arithmetic,
@@ -253,10 +263,10 @@ object Dedup {
     // every near-dup pair (2–8× the output volume — 11.8 M pairs at
     // the 10× probe) through an exchange this form never pays.
     val xorSig = col("x.sig").bitwiseXOR(col("y.sig"))
-    val minBand = least((0 until 8).map(b =>
+    val minBand = least((0 until SimBands).map(b =>
       when(shiftright(xorSig, SimBandBits * b)
           .bitwiseAND((1L << SimBandBits) - 1) === 0, lit(b))
-        .otherwise(lit(8))): _*)
+        .otherwise(lit(SimBands))): _*)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -92,7 +92,16 @@ object Similarity {
     def brute(kk: Int): DataFrame = {
       // zero-norm (all-zero-quantized) vectors have no direction: both
       // engines exclude them from every cosine (oracle: HAVING in nrm)
-      val v = withNorm(emb).filter(col("nrm") > 0)
+      // Materialized + projected ONCE: the corpus × queries
+      // nested-loop join streams |corpus|·|queries| combined rows
+      // through the scorer, and with a live withNorm the interpreted
+      // quantize transforms both sat in the stream-side plan (blocking
+      // whole-stage fusion of join+dot+top-k) and re-derived the
+      // chain on the query side; the checkpoint leaves one primitive
+      // codegen stage per pair (guide §4: no non-codegen exprs on the
+      // hot path).
+      val v = withNorm(emb).select(col("vec_id"), col("qv"), col("nrm"))
+        .filter(col("nrm") > 0).localCheckpoint(true)
       val q = v.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("nrm").as("qn"))
       val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -163,8 +172,14 @@ object Similarity {
     * narrow agg — single corpus pass for all queries. */
   def rangeSearch(emb: DataFrame, queryPred: Column,
       tauNum: Int = 3, tauDen: Int = 10): DataFrame = {
-    val v = withNorm(emb).filter(col("nrm") > 0)
+    // materialized + projected once — the topKCosine brute-pass
+    // lesson: the queries × corpus loop must stream over primitive
+    // checkpointed arrays, not re-derive the interpreted quantize
+    // chain inside the pair stage
+    val v = withNorm(emb).select(col("vec_id"), col("qv"), col("nrm"))
+      .filter(col("nrm") > 0)
       .withColumn("n2", VectorOps.dotLong(col("qv"), col("qv")))
+      .localCheckpoint(true)
     val q = v.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("nrm").as("qn"), col("n2").as("qn2"))
@@ -212,9 +227,12 @@ object Similarity {
       BigInt(math.floor(1e6 / math.sqrt(dim.toDouble)).toLong))
     for (_ <- 1 to rounds) {
       val vLit = array(v.map(x => lit(x.toLong)): _*)
+      // native codegen dot (VectorOps.LongDotProduct) — the
+      // aggregate(zip_with(...)) form allocated an interpreted
+      // intermediate array per row per power-iteration round; the
+      // long sum is order-free so the trajectory is bit-identical
       val s = qc.withColumn("vv", vLit)
-        .withColumn("dot",
-          expr("aggregate(zip_with(qc, vv, (x, w) -> x * w), 0L, (a, b) -> a + b)"))
+        .withColumn("dot", VectorOps.dotLong(col("qc"), col("vv")))
         .select((0 until dim).map(i =>
           sum(col("qc")(i).cast("decimal(38,0)") * col("dot")).as(s"s$i")): _*)
         .head()
@@ -309,9 +327,9 @@ object Similarity {
     // the cross-engine negative-mean contract events_holt pinned
     val mean = array((0 until dim).map(i => lit(sums.getLong(i) / n)): _*)
     q.withColumn("cv", mean)
-      .select(col("vec_id"),
-        expr("aggregate(zip_with(qv, cv, (x, c) -> (x - c) * (x - c)), 0L, (a, v) -> a + v)")
-          .as("d2"))
+      // native codegen squared-L2 (bit-identical integer sum; the
+      // zip_with form allocated an interpreted array per row)
+      .select(col("vec_id"), VectorOps.squaredL2(col("qv"), col("cv")).as("d2"))
       .orderBy(col("d2").desc, col("vec_id"))
       .limit(k)
   }
@@ -451,14 +469,15 @@ object Similarity {
     * across engines — no rounding boundary to land on. */
   def lshBucket(emb: DataFrame, planes: Int = 8): DataFrame = {
     val v = withNorm(emb)
-    val proj = (0 until planes).map { j =>
-      val p = aggregate(
-        zip_with(col("qv"), sequence(lit(0), lit(63)),
-          (x, i) => x * planeWeight(j, i)),
-        lit(0L), (acc, x) => acc + x)
-      when(p > 0, 1L << j).otherwise(0L)
-    }
-    v.withColumn("bucket", proj.reduce(_ + _))
+    // one fused primitive loop (VectorOps.LshBandSignature, bands=1):
+    // the zip_with/aggregate form allocated two interpreted
+    // intermediate arrays per (vector, plane). Bit-identical buckets:
+    // same integer plane weights, same >0 sign test, null vector →
+    // bucket 0 exactly as the when(...).otherwise(0) chain produced.
+    val flat: Seq[Long] =
+      (0 until planes).flatMap(j => (1 to 64).map(i1 => planeWeightValue(j, i1)))
+    v.withColumn("bucket",
+      element_at(VectorOps.lshBandSignature(col("qv"), flat, 1, planes), 1))
   }
 
   /** D7 LSH-bucketed ANN: exact cosine within each bucket only,
@@ -509,9 +528,11 @@ object Similarity {
     * compounded it across Lloyd rounds). */
   private def centroidRanks(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x))
+      // one primitive codegen loop per (vector, centroid) — the
+      // aggregate(zip_with(...)) form allocated an interpreted
+      // intermediate array per pair on the corpus×k hot path; the
+      // integer sum is order-free so the value is bit-identical
+      .withColumn("dist", VectorOps.squaredL2(col("qv"), col("cv")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
 
@@ -546,8 +567,25 @@ object Similarity {
     * broadcast (k ≤ a few thousand), the corpus is never collected.
     * Returned `cv` is in the 10⁶-quantized integer space.
     */
-  def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    val v = withNorm(emb)
+  def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame =
+    kmeansCentroidsFromNorm(normCheckpoint(emb), k, iters)
+
+  /** The quantized-norm frame (vec_id, qv, nrm) materialized once —
+    * every k-means-family operator trains, assigns and reranks over
+    * MANY passes of the same frame, and a live `withNorm` re-derived
+    * the interpreted quantize transform chain (no codegen for
+    * higher-order functions) from the scan inside every one of those
+    * stages, blocking whole-stage fusion of the assignment loop with
+    * it. One checkpoint; every downstream stage is pure codegen over
+    * primitive arrays. */
+  private[pipeline] def normCheckpoint(emb: DataFrame): DataFrame =
+    withNorm(emb).select(col("vec_id"), col("qv"), col("nrm"))
+      .localCheckpoint(true)
+
+  /** [[kmeansCentroids]] over an already-materialized norm frame —
+    * callers that also assign/rerank share ONE checkpoint. */
+  private[pipeline] def kmeansCentroidsFromNorm(v: DataFrame, k: Int,
+      iters: Int): DataFrame = {
     // the element-wise recompute needs the width statically; read it
     // from the data (one 1-row job) rather than assuming 64 — a wrong
     // assumption would silently produce null centroid entries. An
@@ -575,8 +613,8 @@ object Similarity {
     * mean is back in safe long range.
     */
   def clusterSummary(emb: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    val v = withNorm(emb)
-    val cents = kmeansCentroids(emb, k, iters)
+    val v = normCheckpoint(emb)
+    val cents = kmeansCentroidsFromNorm(v, k, iters)
     centroidRanks(v, cents).filter(col("crank") === 1)
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"),
@@ -595,8 +633,8 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 3,
       nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 2): DataFrame = {
-    val v = withNorm(emb)
-    val cents = kmeansCentroids(emb, nCentroids, iters)
+    val v = normCheckpoint(emb)
+    val cents = kmeansCentroidsFromNorm(v, nCentroids, iters)
     val assigned = centroidRanks(v, cents)
       .filter(col("crank") <= nProbe && col("nrm") > 0)
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid"), col("crank"))
@@ -657,21 +695,31 @@ object Similarity {
     * round-to-6dp float form had a latent ulp-at-the-boundary hazard).
     */
   def lshBandBuckets(emb: DataFrame, bands: Int = 24,
-      planesPerBand: Int = 5): DataFrame = {
-    val v = withNorm(emb)
-    def weightArr(j: Int): Array[Long] =
-      Array.tabulate(64)(i0 => planeWeightValue(j, i0 + 1))
-    val bucketCols = (0 until bands).map { b =>
-      (0 until planesPerBand).map { p =>
-        val j = b * planesPerBand + p
-        when(VectorOps.dotLong(col("qv"), typedLit(weightArr(j))) > 0,
-          lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"_b$b")
-    }
-    v.select(col("vec_id") +: bucketCols: _*)
-      .select(col("vec_id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), col(s"_b$b").as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+      planesPerBand: Int = 5): DataFrame =
+    lshBandBucketsFromNorm(withNorm(emb), bands, planesPerBand)
+
+  /** [[lshBandBuckets]] over an already-normed (vec_id, qv, …) frame —
+    * callers that also rerank hand in their materialized norm frame so
+    * the quantize transform chain is not re-derived from the scan on
+    * every plan branch (see [[embeddingNearDup]]). */
+  private def lshBandBucketsFromNorm(v: DataFrame, bands: Int,
+      planesPerBand: Int): DataFrame = {
+    // ONE fused primitive loop for the whole B·r-plane signature
+    // (VectorOps.LshBandSignature). The previous per-plane expression
+    // fan-out — B·r separate `when(dotLong(qv, 64-long literal) > 0)`
+    // columns — generated a whole-stage method so large HotSpot never
+    // JIT-compiled it: the 100-plane auto signature cost ~250 µs per
+    // vector (12 s / 40k vectors at organic sf1) for what is 6,400
+    // multiply-adds. Fused loop: same bucket bits (exact integer dots
+    // over min(|qv|,64) dims, > 0 sign test, null vector → all-zero
+    // buckets); the oracle SQL is untouched because the signature is
+    // bit-identical.
+    val flat: Seq[Long] = (0 until bands * planesPerBand).flatMap(j =>
+      (1 to 64).map(i1 => planeWeightValue(j, i1)))
+    v.select(col("vec_id"),
+        VectorOps.lshBandSignature(col("qv"), flat, bands, planesPerBand)
+          .as("sig"))
+      .select(col("vec_id"), posexplode(col("sig")).as(Seq("band", "bucket")))
   }
 
   /** D5 embedding near-dup, scale path: banded-LSH candidate
@@ -684,18 +732,15 @@ object Similarity {
     * banding S-curve (measured in SimilaritySpec, reported in
     * SURVEY.md).
     *
-    * SCALE DISPATCH on the MEASURED candidate-pair count: the
-    * single-pass plan materializes every band's candidate pairs
-    * through one distinct — at a fixed banding that volume grows
-    * quadratically with the corpus (the fixed-banding parity anchor
-    * hit ~7.5·10⁹ pairs at the sf10 probe and filled the bench
-    * host's disk). One cheap aggregation over the n·B signature rows
-    * yields the EXACT per-band pair count Σ c·(c−1)/2 over bucket
-    * occupancies c; past the budget (GRAFT_EMB_PAIR_BUDGET /
-    * -Dgraft.emb.pair.budget, default 2·10⁸ pairs) the pair frame
-    * must never be materialized, and the dispatch picks by where the
-    * vector table fits:
+    * SCALE DISPATCH, cheapest-proof-first (r15: the occupancy pass
+    * moved behind the broadcast test — the streamed shape's safety
+    * never depended on the pair count, so measuring it first bought
+    * nothing but the n·B aggregation):
     *
+    *  - SINGLE-PASS pre-distinct (worst-case bound B·n·(n−1)/2 under
+    *    the pair budget — GRAFT_EMB_PAIR_BUDGET /
+    *    -Dgraft.emb.pair.budget, default 2·10⁸ pairs): the gate-SF
+    *    plan, proved safe from the input count alone.
     *  - STREAMED rerank (vectors fit the heap-derived broadcast
     *    budget, the [[graft.graph.Ranking]] adjacency clamp
     *    precedent): candidates skip the pre-rerank distinct and flow
@@ -704,34 +749,58 @@ object Similarity {
     *    only exchange is the distinct over the tiny survivor set
     *    (a pair matching in k bands is scored k times and collapses
     *    there; candidate dots are ~100 ns each, orders of magnitude
-    *    cheaper than shuffling the pair).
-    *  - BAND-CHUNKED shuffle rerank (vector table above the
-    *    broadcast budget — the 100M×1KB-vector regime): bands
-    *    greedy-pack into sequential chunks under the pair budget,
-    *    each chunk's survivors eagerly materialized, so peak spill
-    *    is ONE chunk's candidate shuffle.
+    *    cheaper than shuffling the pair). Decided from nIn alone —
+    *    no occupancy pass.
+    *  - Vector table ABOVE the broadcast budget (the 100M×1KB-vector
+    *    regime): one aggregation over the n·B signature rows yields
+    *    the EXACT per-band pair count Σ c·(c−1)/2 over bucket
+    *    occupancies c. Under the budget → the pre-distinct plan (one
+    *    pair exchange, shuffle rerank); past it → BAND-CHUNKED
+    *    shuffle rerank: bands greedy-pack into sequential chunks
+    *    under the pair budget, each chunk's survivors eagerly
+    *    materialized, so peak spill is ONE chunk's candidate shuffle
+    *    (at a fixed banding the candidate volume grows quadratically
+    *    with the corpus — the fixed-banding parity anchor hit
+    *    ~7.5·10⁹ pairs at the sf10 probe and filled the bench host's
+    *    disk; the pair frame must never materialize there).
     *
-    * Both are exact by disjoint decomposition: the output set is
-    * {pairs matching in ANY band with cosine ≥ τ}; cosine is a
+    * All shapes are exact by disjoint decomposition: the output set
+    * is {pairs matching in ANY band with cosine ≥ τ}; cosine is a
     * deterministic function of the pair, so distinct over full
     * (doc_a, doc_b, cosine) rows collapses duplicates bit-exactly
     * and the oracle replays unchanged. (On a 1000-executor cluster
     * the budgets scale via the env/property knobs.)
     *
     * EAGERNESS: constructing the DataFrame runs Spark jobs before
-    * any caller action — always one count() of the input, plus (only
-    * when the worst-case bound B·n·(n−1)/2 exceeds the pair budget)
-    * the occupancy aggregation over the n·B signature rows, and in
-    * the chunked branch an eager localCheckpoint per chunk. Small
-    * corpora — anything whose all-in-one-bucket WORST case is under
-    * budget — skip the occupancy pass entirely: paying a signature
-    * materialization just to decide a dispatch that can only go one
-    * way was measured at +1.7× on the sf0.1 board (r12 regression).
+    * any caller action — one localCheckpoint of the projected norm
+    * frame (vec_id, qv, nrm) plus its count(), plus (only when the
+    * worst-case bound exceeds the pair budget AND the vector table
+    * is too big to broadcast) the occupancy aggregation over the n·B
+    * signature rows, and in the chunked branch an eager
+    * localCheckpoint per chunk. Small corpora — anything whose
+    * all-in-one-bucket WORST case is under budget — skip the
+    * occupancy pass entirely: paying a signature materialization
+    * just to decide a dispatch that can only go one way was measured
+    * at +1.7× on the sf0.1 board (r12 regression).
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double, bands: Int = 24,
       planesPerBand: Int = 5): DataFrame = {
-    val bb = lshBandBuckets(emb, bands, planesPerBand)
-    val v = withNorm(emb).filter(col("nrm") > 0)
+    // ONE materialized norm pass per call. The quantize chain
+    // (transform/cast/round per element) is interpreted — higher-order
+    // functions have no codegen — and the un-materialized plan
+    // re-derived it from the scan on EVERY branch that mentions qv:
+    // the posexplode's inferred size(sig)>0 filter, both sides of the
+    // bucket self-join, and both rerank sides — 4-8 interpreted
+    // passes per query (measured: the organic-sf1 auto rerank alone
+    // 64 s live vs 21 s over a checkpointed norm frame, and the
+    // checkpoint gives the planner EXACT sizes, so the rerank joins
+    // broadcast instead of sort-merging the pair frame). Projected to
+    // (vec_id, qv, nrm) before materializing — the raw double array
+    // is dead weight here (guide: project before you materialize).
+    val vAll = withNorm(emb).select(col("vec_id"), col("qv"), col("nrm"))
+      .localCheckpoint(true)
+    val bb = lshBandBucketsFromNorm(vAll, bands, planesPerBand)
+    val v = vAll.filter(col("nrm") > 0)
     def candidatesRaw(b: DataFrame): DataFrame = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -754,10 +823,33 @@ object Similarity {
     // count() of the input — no occupancy pass runs just to pick a
     // branch that can only go one way (the r12 sf0.1 board paid that
     // pass on every small-corpus call: dedup_embedding 1.65→2.84 s).
-    val nIn: Long = emb.count()
+    val nIn: Long = vAll.count() // row-preserving projection of emb
+    // built-relation budget for ONE side of the rerank: ~800 B/row
+    // (64 quantized longs + raw floats + norm + hash-table overhead),
+    // two sides live at once → heap/16, clamped well under Spark's
+    // 8 GB BroadcastExchange hard limit
+    val broadcastVecMaxRows: Long = sys.props.get("graft.emb.bcast.rows")
+      .orElse(sys.env.get("GRAFT_EMB_BCAST_ROWS")).map(_.toLong)
+      .getOrElse(math.min(Runtime.getRuntime.maxMemory / 16L, 3500000000L) / 800L)
     if (bands.toDouble * nIn.toDouble * (nIn - 1).toDouble / 2 <= pairBudget.toDouble)
       rerank(candidatesRaw(bb).distinct(), identity)
         .orderBy("doc_a", "doc_b")
+    else if (nIn <= broadcastVecMaxRows)
+      // STREAMED rerank decided from nIn ALONE — nothing pair-sized
+      // ever materializes in this shape (candidates flow map-side
+      // through two BroadcastHashJoins straight into the threshold
+      // filter), so its safety never depended on the pair count and
+      // the occupancy aggregation bought nothing here. The old
+      // dispatch ran occupancy first and then PREFERRED the
+      // pre-distinct plan when pairs ≤ budget — paying one exchange
+      // of the full candidate frame (600 MB at organic sf1's 37M
+      // pairs) to save re-scoring band-duplicate candidates, a bad
+      // trade when a noise candidate matches in ~1 band (dots are
+      // ~100 ns; the exchange is not). Survivor distinct collapses
+      // band duplicates bit-exactly (cosine is a deterministic
+      // function of the pair), so the output set is unchanged.
+      rerank(candidatesRaw(bb), broadcast)
+        .distinct().orderBy("doc_a", "doc_b")
     else {
     // exact per-band pair volume from bucket occupancy: c·(c−1) is
     // even, so `div 2` per bucket is exact and the count stays an
@@ -775,20 +867,13 @@ object Similarity {
       .orderBy("band")
       .collect().map(r =>
         (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    val nVec: Long = if (perBand.isEmpty) 0L else perBand.map(_._3).max
-    // built-relation budget for ONE side of the rerank: ~800 B/row
-    // (64 quantized longs + raw floats + norm + hash-table overhead),
-    // two sides live at once → heap/16, clamped well under Spark's
-    // 8 GB BroadcastExchange hard limit
-    val broadcastVecMaxRows: Long = sys.props.get("graft.emb.bcast.rows")
-      .orElse(sys.env.get("GRAFT_EMB_BCAST_ROWS")).map(_.toLong)
-      .getOrElse(math.min(Runtime.getRuntime.maxMemory / 16L, 3500000000L) / 800L)
+    // (the vector table is NOT broadcastable on this branch — nIn >
+    // broadcastVecMaxRows, and the per-band signature row count
+    // equals nIn — so the streamed shape is out; occupancy decides
+    // between the one-exchange pre-distinct plan and band chunking)
     if (perBand.map(_._2).sum <= pairBudget)
       rerank(candidatesRaw(bb).distinct(), identity)
         .orderBy("doc_a", "doc_b")
-    else if (nVec <= broadcastVecMaxRows)
-      rerank(candidatesRaw(bb), broadcast)
-        .distinct().orderBy("doc_a", "doc_b")
     else {
       val bbP = bb.localCheckpoint(true) // n·B narrow rows, signed once
       // Greedy band packing under the budget. A SINGLE band over
@@ -986,8 +1071,9 @@ object Similarity {
     (0 until m).map { j =>
       val subEmb = emb.select(col("vec_id"),
         slice(col("embedding"), j * sub + 1, sub).as("embedding"))
-      val cents = kmeansCentroids(subEmb, k, iters)
-      centroidRanks(withNorm(subEmb), cents)
+      val vj = normCheckpoint(subEmb)
+      val cents = kmeansCentroidsFromNorm(vj, k, iters)
+      centroidRanks(vj, cents)
         .filter(col("crank") === 1)
         .select(col("vec_id"), lit(j).as("subspace"),
           col("cid").as("code"), col("dist"))
@@ -1021,9 +1107,10 @@ object Similarity {
         val k = j.toLong * dim + i
         ((k * k) % 10007) * 2246822519L % 97 - 48
       }.toArray
-      aggregate(
-        zip_with(col("qx"), typedlit(w), (x, ww) => x * ww),
-        lit(0L), (acc, v) => acc + v)
+      // native codegen dot against the literal weight column — the
+      // zip_with form allocated an interpreted intermediate array per
+      // (row, output dim); the long sum is order-free (bit-identical)
+      VectorOps.dotLong(col("qx"), typedlit(w))
     }
     q.select(col("vec_id"), posexplode(array(outs: _*)).as(Seq("j", "proj")))
       .orderBy("vec_id", "j")
@@ -1036,7 +1123,12 @@ object Similarity {
     * operator is [[embeddingNearDup]]. */
   def embeddingNearDupExact(emb: DataFrame, threshold: Double,
       sampleMod: Int = 10): DataFrame = {
-    val v = withNorm(emb).filter(col("nrm") > 0)
+    // materialized + projected once, for the same reason as the
+    // topKCosine brute pass: the n × n/sampleMod nested-loop join
+    // must stream over primitive checkpointed arrays, not re-derive
+    // the interpreted quantize chain inside the pair loop's stage
+    val v = withNorm(emb).select(col("vec_id"), col("qv"), col("nrm"))
+      .filter(col("nrm") > 0).localCheckpoint(true)
     val a = v.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id").as("doc_a"), col("qv").as("qa"), col("nrm").as("na"))
     v.join(broadcast(a), col("doc_a") < col("vec_id"))
@@ -1065,8 +1157,8 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, threshold: Double, k: Int = 16,
       iters: Int = 2): DataFrame = {
-    val v = withNorm(emb)
-    val cents = kmeansCentroids(emb, k, iters)
+    val v = normCheckpoint(emb)
+    val cents = kmeansCentroidsFromNorm(v, k, iters)
     val asg = centroidRanks(v, cents).filter(col("crank") === 1)
       .select(col("cid"), col("vec_id"), col("qv"), col("nrm"))
       .localCheckpoint(true)

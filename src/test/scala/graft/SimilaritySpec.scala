@@ -107,6 +107,12 @@ class SimilaritySpec extends AnyFunSuite {
       sys.props("graft.emb.bcast.rows") = "0"
       val chunked = rows(Similarity.embeddingNearDup(emb, threshold = 0.4))
       assert(chunked == single)
+      // non-broadcastable vectors but measured pairs under budget
+      // (~86k total at sf0.001) → the occupancy-gated pre-distinct
+      // plan, the one branch the two dispatches above skip
+      sys.props("graft.emb.pair.budget") = "100000"
+      val preDistinct = rows(Similarity.embeddingNearDup(emb, threshold = 0.4))
+      assert(preDistinct == single)
     } finally {
       sys.props.remove("graft.emb.pair.budget")
       sys.props.remove("graft.emb.bcast.rows")
