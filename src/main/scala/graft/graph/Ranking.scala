@@ -802,7 +802,6 @@ object Ranking {
     // driver-side id list is bounded by construction, not by n.
     val k = srcIds.length
     val e = eIn
-    val idx = s"sequence(0, ${k - 1})"
     // state: (v, dist array<int> with −1 = unreached, sigma array<long>)
     var state = srcIds.zipWithIndex.map { case (s, i) =>
       (s, Seq.tabulate(k)(j => if (j == i) 0 else -1),
@@ -828,19 +827,16 @@ object Ranking {
         .groupBy(col("_dst").as("v"))
         .agg(graft.functions.RegisterAgg
           .levelSigmaSum(col("dist"), col("sigma"), t - 1, k).as("m"))
+      // fused k-wide register updates (graft.functions.BrandesOps):
+      // the transform(CASE …) HOF forms ran interpreted with a boxed
+      // array allocation per node per round — same per-index
+      // arithmetic and null guards, one primitive codegen loop
       state = state.join(msgs, Seq("v"), "full_outer")
         .select(col("v"),
-          expr(s"""transform($idx, j -> CASE
-              WHEN dist IS NOT NULL AND element_at(dist, j + 1) >= 0
-                THEN element_at(dist, j + 1)
-              WHEN m IS NOT NULL AND element_at(m, j + 1) > 0 THEN $t
-              ELSE -1 END)""").as("dist"),
-          expr(s"""transform($idx, j -> CASE
-              WHEN sigma IS NOT NULL AND element_at(dist, j + 1) >= 0
-                THEN element_at(sigma, j + 1)
-              WHEN m IS NOT NULL AND element_at(m, j + 1) > 0
-                THEN element_at(m, j + 1)
-              ELSE 0 END)""").as("sigma"))
+          graft.functions.BrandesOps
+            .forwardDist(col("dist"), col("m"), t, k).as("dist"),
+          graft.functions.BrandesOps
+            .forwardSigma(col("dist"), col("sigma"), col("m"), k).as("sigma"))
       state = traced(s"bw:fwd$t")(state.localCheckpoint(true))
       // round t−1's blocks have no remaining consumer once round t
       // is materialized (t=1's prev is the LocalRelation seed — no-op)
@@ -859,16 +855,15 @@ object Ranking {
         col("sigma").as("gw")).hint("shuffle_hash"),
         col("_dst") === col("_v2"))
       .select(col("_src"), col("_dst"), col("dv"), col("gv"), col("dw"), col("gw"))
-      .filter(expr(
-        s"exists($idx, j -> element_at(dv, j + 1) >= 0 AND " +
-          "element_at(dw, j + 1) = element_at(dv, j + 1) + 1)"))
+      // fused |E|-scale DAG-edge test (was an interpreted exists())
+      .filter(graft.functions.BrandesOps.dagEdge(col("dv"), col("dw")))
     // the second build join exchanges on _dst already — the per-round
     // δ probes below reuse that partitioning, no explicit repartition
     val esC = traced("bw:es")(es.localCheckpoint(true))
     // all-zero δ₀ is a trivial projection of the checkpointed state —
     // not worth its own barrier/materialization
     var delta = state
-      .select(col("v"), col("dist"), expr(s"transform($idx, j -> 0L)").as("delta"))
+      .select(col("v"), col("dist"), array_repeat(lit(0L), k).as("delta"))
     var firstBwd = true
     for (t <- depth - 1 to 0 by -1) {
       val prevDelta = delta
@@ -883,10 +878,8 @@ object Ranking {
       // one level), keep accumulated deeper levels
       delta = delta.join(contrib, Seq("v"), "left")
         .select(col("v"), col("dist"),
-          expr(s"""transform($idx, j -> CASE
-              WHEN element_at(dist, j + 1) = $t
-                THEN IF(c IS NULL, 0, element_at(c, j + 1))
-              ELSE element_at(delta, j + 1) END)""").as("delta"))
+          graft.functions.BrandesOps
+            .deltaUpdate(col("dist"), col("delta"), col("c"), t, k).as("delta"))
       delta = traced(s"bw:bwd$t")(delta.localCheckpoint(true))
       if (firstBwd) {
         // δ₀ was a lazy projection of `state`; with it and esC both
@@ -898,9 +891,8 @@ object Ranking {
     delta
       // index i with dist 0 is v's own source row (s = v) — excluded
       .select(col("v").as("node"),
-        expr(s"""aggregate($idx, 0L, (acc, j) ->
-            acc + IF(element_at(dist, j + 1) >= 1,
-              element_at(delta, j + 1), 0))""").as("betweenness_ppm"))
+        graft.functions.BrandesOps
+          .betweennessSum(col("dist"), col("delta")).as("betweenness_ppm"))
       .filter(col("betweenness_ppm") > 0)
       .orderBy("node")
   }

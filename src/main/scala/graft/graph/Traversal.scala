@@ -799,10 +799,11 @@ object Traversal {
     val idx = pmod(h, lit(m.toLong)).cast("int")
     val rho = when(rest === 0, lit(restBits + 1))
       .otherwise(lit(restBits + 1) - length(bin(rest))).cast("int")
-    // seed bank: all-zero except the node's own register
+    // seed bank: all-zero except the node's own register — fused
+    // (functions.HllRegisterSeed; the transform(sequence…) form built
+    // a boxed m-element array per node interpreted)
     var regs = nodes.select(col("node"),
-      transform(sequence(lit(0), lit(m - 1)),
-        i => when(i === idx, rho).otherwise(lit(0))).as("regs"))
+      graft.functions.HllOps.seedRegister(idx, rho, m).as("regs"))
       .localCheckpoint(true)
     for (_ <- 1 to depth) {
       val prevRegs = regs
@@ -821,11 +822,14 @@ object Traversal {
     val alpha = if (m >= 128) 0.7213 / (1 + 1.079 / m)
       else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
     regs
+      // both folds in ONE fused pass (functions.HllZFold): z is the
+      // sequential Σ 2^(−reg) in array order — bit-identical to the
+      // aggregate() fold — and zeros the exact register-zero count
       .select(col("node"),
-        aggregate(col("regs"), lit(0.0),
-          (acc, r) => acc + pow(lit(2.0), -r)).as("z"),
-        aggregate(col("regs"), lit(0),
-          (acc, r) => acc + when(r === 0, 1).otherwise(0)).as("zeros"))
+        graft.functions.HllOps.zFold(col("regs"), m).as("zf"))
+      .select(col("node"),
+        col("zf").getField("z").as("z"),
+        col("zf").getField("zeros").as("zeros"))
       .select(col("node"), {
         val raw = lit(alpha * m * m) / col("z")
         when(raw <= 2.5 * m && col("zeros") > 0,

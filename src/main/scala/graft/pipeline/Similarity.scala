@@ -996,34 +996,37 @@ object Similarity {
     * on codes (int dot) and rescale, or use recon for exactness
     * bounds. Rounding pinned to 6/8 dp so the oracle replays it.
     */
-  def quantizeInt8(emb: DataFrame): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("maxabs",
-        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
-      .withColumn("scale", round(col("maxabs") / 127.0, 8))
-    v.withColumn("codes", transform(col("v"),
-        x => when(col("maxabs") === 0, 0L)
-          .otherwise(round(x * 127.0 / col("maxabs"), 0).cast("long"))))
-      .withColumn("recon_mse", round(
-        aggregate(
-          zip_with(col("v"), col("codes"),
-            (x, c) => {
-              val err = x - c.cast("double") * col("maxabs") / 127.0
-              err * err
-            }),
-          lit(0.0), (acc, x) => acc + x) / size(col("v")), 8))
-      .select(col("vec_id"), col("scale"), col("codes"), col("recon_mse"))
-  }
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    quantizeStats(emb)
+      .select(col("vec_id"),
+        round(col("q").getField("maxabs") / 127.0, 8).as("scale"),
+        col("q").getField("codes").as("codes"),
+        round(col("q").getField("err2")
+          / size(col("q").getField("codes")), 8).as("recon_mse"))
+
+  /** ONE fused primitive pass per vector
+    * (functions.QuantizeInt8Stats) replacing the r15 chain of six
+    * interpreted higher-order-function passes — maxabs fold, codes
+    * transform, zip_with err² fold, two code folds, cast transform —
+    * each of which allocated a boxed array per row. Arithmetic,
+    * rounding (Spark's BigDecimal HALF_UP) and null semantics are
+    * replayed verbatim; the downstream `round`s stay Spark
+    * expressions so the oracle-visible values are untouched. */
+  private def quantizeStats(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.QuantizeOps.int8Stats(col("embedding")).as("q"))
 
   /** Driver-contract view of [[quantizeInt8]]: scalar summary per
     * vector (array column hashing is engine-dependent, so the gate
     * carries the code checksum instead of the raw array). */
   def quantizeSummary(emb: DataFrame): DataFrame =
-    quantizeInt8(emb)
-      .select(col("vec_id"), col("scale"),
-        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
-        aggregate(col("codes"), lit(0L), (acc, c) => acc + c * c).as("code_sq_sum"),
-        col("recon_mse"))
+    quantizeStats(emb)
+      .select(col("vec_id"),
+        round(col("q").getField("maxabs") / 127.0, 8).as("scale"),
+        col("q").getField("code_sum").as("code_sum"),
+        col("q").getField("code_sq_sum").as("code_sq_sum"),
+        round(col("q").getField("err2")
+          / size(col("q").getField("codes")), 8).as("recon_mse"))
       .orderBy("vec_id")
 
   /** Embedding-norm health profile per label bucket: n, zero-vector
