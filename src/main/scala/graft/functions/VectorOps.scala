@@ -162,7 +162,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * codegen and allocate an intermediate array per evaluation, which
   * dominated the assignment stage. Long arithmetic is order-free, so
   * the value is bit-identical to the composable form and the DuckDB
-  * oracles replay unchanged. */
+  * oracles replay unchanged.
+  *
+  * PRECONDITION (shared by every fixed-width vector expression here,
+  * incl. [[LshBandSignature]]): inputs are FIXED-WIDTH arrays with
+  * NON-NULL elements — the quantize chain's output contract. The
+  * zip_with forms null-padded ragged inputs and propagated null
+  * elements; this expression iterates min(|a|,|b|) dims and reads
+  * primitives, so bit-parity is claimed only under the contract. */
 case class SquaredL2Distance(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -294,6 +301,50 @@ case class LshBandSignature(child: Expression, weights: Seq[Long],
     copy(child = newChild)
 }
 
+/** Index of the FIRST band where two LSH band signatures collide:
+  * min { j : a[j] == b[j] }, or −1 when no band matches. One
+  * primitive early-exit loop per candidate row — the parity-anchor
+  * early-exit of embeddingNearDup keeps a candidate pair only at its
+  * first matching band, so band-duplicate candidates (a near-dup pair
+  * matches in MANY of the fixed 24 bands) never reach the rerank
+  * joins; the duplicate set was previously collapsed after scoring by
+  * distinct(). Output set unchanged: every colliding pair still has
+  * exactly one emitting band. */
+case class LshFirstMatchBand(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Column API for [[DotProduct]]: both inputs must already be
     * `array<double>` (cast upstream once, not per pair). */
@@ -313,6 +364,12 @@ object VectorOps {
   /** Column API for [[SquaredL2Distance]]: both inputs `array<long>`. */
   def squaredL2(a: Column, b: Column): Column =
     ColumnBridge.column(SquaredL2Distance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[LshFirstMatchBand]]: both inputs `array<long>`
+    * band signatures of equal width. */
+  def lshFirstMatchBand(a: Column, b: Column): Column =
+    ColumnBridge.column(LshFirstMatchBand(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column API for [[LshBandSignature]]: `qv` is `array<long>`,

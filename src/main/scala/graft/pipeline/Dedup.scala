@@ -166,8 +166,9 @@ object Dedup {
     // (TextOps.simMix): the raw poly hash only fills ~43 bits, which
     // capped the old signature at 40 bits / 5-bit bands — a 1/32
     // band-collision rate whose candidate join, not the output pair
-    // list, dominated the 10x probe. 7-bit bands collide at 1/128:
-    // ~4x fewer candidates for the identical pigeonhole guarantee.
+    // list, dominated the 10x probe. The current 8-bit bands collide
+    // at 1/256 (see SimBands/SimBandBits) for the identical
+    // pigeonhole guarantee at maxHamming ≤ 6.
     val occ = TextOps.tokensBag(docs)
       .withColumn("th", TextOps.simMixOf(TextOps.tokenHash(col("token"))))
     // ONE fused partial aggregate for all 56 bit votes
@@ -195,10 +196,12 @@ object Dedup {
   val SimBandBits = 8
 
   /** D3 SimHash near-dup: pairs with Hamming distance ≤ 6 over the
-    * 56-bit signature. Candidates via 8 × 7-bit bands — pigeonhole
-    * guarantees every ≤6-distance pair shares ≥2 intact bands, so the
+    * 56-bit signature. Candidates via 7 bands × 8 bits — pigeonhole
+    * guarantees every ≤6-distance pair shares ≥ 1 intact band, so the
     * banded join is exact (same result as the O(n²) scan), never a
-    * cross join. Returns (doc_a, doc_b, hamming).
+    * cross join. `maxHamming` is bounded by the band count:
+    * values > 6 are rejected (the 7-band geometry cannot prove
+    * exactness past SimBands − 1). Returns (doc_a, doc_b, hamming).
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 6): DataFrame =
     simhashPairs(docs, maxHamming).orderBy("doc_a", "doc_b")
@@ -209,7 +212,8 @@ object Dedup {
     * matching-band dedup, pigeonhole-complete for ≤ maxHamming), but
     * the output is |maxHamming|+1 rows instead of the pair list — at
     * the 10× probe the pair list alone is ~12 M rows of output
-    * volume the histogram never materializes. */
+    * volume the histogram never materializes. `maxHamming` ≤ 6, as
+    * [[simhashNearDup]]. */
   def simhashStats(docs: DataFrame, maxHamming: Int = 6): DataFrame =
     simhashPairs(docs, maxHamming)
       .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))

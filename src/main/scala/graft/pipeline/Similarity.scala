@@ -703,6 +703,18 @@ object Similarity {
     * the quantize transform chain is not re-derived from the scan on
     * every plan branch (see [[embeddingNearDup]]). */
   private def lshBandBucketsFromNorm(v: DataFrame, bands: Int,
+      planesPerBand: Int): DataFrame =
+    lshBandSigBucketsFromNorm(v, bands, planesPerBand)
+      .select(col("vec_id"), col("band"), col("bucket"))
+
+  /** [[lshBandBucketsFromNorm]] KEEPING the full band-signature array
+    * per exploded row — embeddingNearDup's first-match early-exit
+    * tests `sig_x[b'] = sig_y[b']` for bands b' below the matched one
+    * straight off the two carried arrays (no extra shuffle or join).
+    * Costs bands·8 B per (vector, band) row through the bucket
+    * self-join — linear in n, and the aggregation-only consumers
+    * (occupancy) column-prune it away. */
+  private def lshBandSigBucketsFromNorm(v: DataFrame, bands: Int,
       planesPerBand: Int): DataFrame = {
     // ONE fused primitive loop for the whole B·r-plane signature
     // (VectorOps.LshBandSignature). The previous per-plane expression
@@ -719,7 +731,8 @@ object Similarity {
     v.select(col("vec_id"),
         VectorOps.lshBandSignature(col("qv"), flat, bands, planesPerBand)
           .as("sig"))
-      .select(col("vec_id"), posexplode(col("sig")).as(Seq("band", "bucket")))
+      .select(col("vec_id"), col("sig"),
+        posexplode(col("sig")).as(Seq("band", "bucket")))
   }
 
   /** D5 embedding near-dup, scale path: banded-LSH candidate
@@ -799,11 +812,23 @@ object Similarity {
     // is dead weight here (guide: project before you materialize).
     val vAll = withNorm(emb).select(col("vec_id"), col("qv"), col("nrm"))
       .localCheckpoint(true)
-    val bb = lshBandBucketsFromNorm(vAll, bands, planesPerBand)
+    val bb = lshBandSigBucketsFromNorm(vAll, bands, planesPerBand)
     val v = vAll.filter(col("nrm") > 0)
+    // parity-anchor first-match early-exit (r15 verdict #6): a true
+    // near-dup pair collides in MANY of the fixed bands and was
+    // re-scored once per matching band, the duplicates collapsed only
+    // by the post-rerank distinct. Keeping the pair ONLY at its first
+    // matching band — one early-exit loop over the two carried
+    // signature arrays, no shuffle — drops every band-duplicate
+    // BEFORE the rerank joins and dots. Output set unchanged: each
+    // colliding pair still has exactly one emitting band (and in the
+    // chunked branch that band lives in exactly one chunk), so the
+    // downstream distincts see the same pair set.
     def candidatesRaw(b: DataFrame): DataFrame = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
+      .filter(VectorOps.lshFirstMatchBand(col("x.sig"), col("y.sig"))
+        === col("x.band"))
       .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
     def rerank(cand: DataFrame, wrap: DataFrame => DataFrame): DataFrame = cand
       .join(wrap(v.select(col("vec_id").as("doc_a"), col("qv").as("qa"),
@@ -823,7 +848,10 @@ object Similarity {
     // count() of the input — no occupancy pass runs just to pick a
     // branch that can only go one way (the r12 sf0.1 board paid that
     // pass on every small-corpus call: dedup_embedding 1.65→2.84 s).
-    val nIn: Long = vAll.count() // row-preserving projection of emb
+    // row-preserving projection of emb; an UPPER BOUND on the
+    // broadcast relation's rows (zero-norm rows are counted here but
+    // filtered from v and never broadcast) — harmlessly conservative
+    val nIn: Long = vAll.count()
     // built-relation budget for ONE side of the rerank: ~800 B/row
     // (64 quantized longs + raw floats + norm + hash-table overhead),
     // two sides live at once → heap/16, clamped well under Spark's

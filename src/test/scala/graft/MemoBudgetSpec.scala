@@ -87,8 +87,12 @@ class MemoBudgetSpec extends AnyFunSuite {
     val prev = sys.props.get("graft.memo.budget.mb")
     sys.props.remove("graft.memo.budget.mb")
     try {
-      assert(TextOps.KeyedFrameMemo.budgetBytes ==
-        math.max(6L << 30, Runtime.getRuntime.maxMemory / 4))
+      // observable properties, not the implementation expression:
+      // never below the 6 GiB floor, never below a quarter of the
+      // heap the operator was given (r15 advice #4)
+      assert(TextOps.KeyedFrameMemo.budgetBytes >= (6L << 30))
+      assert(TextOps.KeyedFrameMemo.budgetBytes >=
+        Runtime.getRuntime.maxMemory / 4)
     } finally {
       prev.foreach(v => sys.props("graft.memo.budget.mb") = v)
     }
